@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{load, fx}
+
+/** Core analytic query slate over the synthetic TPC-H-ish tables.
+  *
+  * Design rules (scale-first):
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast — no shuffle of the fact side for those joins;
+  *  - fact-fact joins (orders ⋈ lineitem) shuffle on the join key and
+  *    rely on AQE for skew; at 100 TB both sides would be bucketed by
+  *    orderkey, which this plan shape inherits for free;
+  *  - money aggregates are integerized per row (see Tables.fx) so the
+  *    sums are exact and deterministic under any partitioning.
+  */
+object Analytics {
+
+  /** TPC-H Q1 flavor: full-scan aggregation with map-side partial agg. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(fx(col("l_quantity"), 2)).as("sum_qty_e2"),
+        sum(fx(col("l_extendedprice"), 2)).as("sum_base_e2"),
+        sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("sum_disc_e4"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 flavor: selective dim filter → broadcast join → top-k. */
+  def q2Topk(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = load(spark, dir, "orders")
+    val li = load(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .agg(sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("revenue_e4"))
+      .orderBy(desc("revenue_e4"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 flavor: 5-way join, all dims broadcast, one fact shuffle. */
+  def q3Join5(spark: SparkSession, dir: String): DataFrame = {
+    val region = load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = load(spark, dir, "nation")
+    val cust = load(spark, dir, "customer")
+    val ord = load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val li = load(spark, dir, "lineitem")
+    val dims = cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue_e4"), asc("n_name"))
+  }
+
+  /** EXISTS → left-semi join (no row multiplication, no distinct). */
+  def q4Semi(spark: SparkSession, dir: String): DataFrame = {
+    val ord = load(spark, dir, "orders")
+    val bigLines = load(spark, dir, "lineitem").filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"))
+    ord.join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6 flavor: tight filter + scalar aggregate; filters push to parquet. */
+  def q5FilterAgg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(sum(fx(col("l_extendedprice") * col("l_discount"), 4)).as("revenue_e4"),
+        count(lit(1)).as("n_rows"))
+
+  /** Window function: first 3 shipments per supplier (deterministic order). */
+  def q6Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    load(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** count(distinct) — expands to two-stage partial aggregation. */
+  def q7Distinct(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** Event-time bucketing on the Long-ns timestamp (integer division —
+    * no timestamp conversion in the hot path). */
+  def q8EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(fx(col("value"), 2)).as("sum_value_e2"))
+      .orderBy("hour_bucket", "event_type")
+
+  /** NOT EXISTS → left-anti join (filtered right side so it's non-empty). */
+  def q9Anti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val ord = load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Oracle SQL (DuckDB) twins — column names must match exactly. */
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+        | CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+        | CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_topk" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1,2 ORDER BY revenue_e4 DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q3_join5" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue_e4 DESC, n_name ASC""".stripMargin,
+    "q4_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_filter_agg" ->
+      """SELECT
+        | CAST(SUM(CAST(floor((l_extendedprice*l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q6_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q7_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_events_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q9_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

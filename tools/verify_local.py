@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has already run
+(or runs it when --run is passed). Compares each <outDir>/<name> parquet
+against the DuckDB result of oracle_sql.json[name]: schema (column
+names sorted), row count, and a hash over sorted rows/sorted columns.
+"""
+import json, os, subprocess, sys, hashlib
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+if "--run" in sys.argv:
+    r = subprocess.run(["sbt", f'runMain graft.Verify {sf} {out}'],
+                       cwd="/root/repo", capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
+    for ln in r.stdout.splitlines():
+        if "[verify]" in ln: print(ln)
+
+import duckdb
+import pandas as pd
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+def canon(df: pd.DataFrame) -> tuple:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: repr(v))
+    rows = sorted(map(tuple, df.itertuples(index=False, name=None)))
+    h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+    return len(rows), list(df.columns), h
+
+sql = json.load(open(f"{out}/oracle_sql.json"))
+ok = bad = 0
+for name in sorted(os.listdir(out)):
+    d = os.path.join(out, name)
+    if not os.path.isdir(d):
+        continue
+    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+    if name not in sql:
+        print(f"  {name:24s} rows-only: {len(got)} rows")
+        continue
+    want = con.execute(sql[name]).df()
+    ng, cg, hg = canon(got)
+    nw, cw, hw = canon(want)
+    if (ng, cg, hg) == (nw, cw, hw):
+        print(f"✓ {name:24s} rows={ng} hash={hg}")
+        ok += 1
+    else:
+        bad += 1
+        print(f"✗ {name:24s} got(rows={ng},cols={cg},h={hg}) want(rows={nw},cols={cw},h={hw})")
+        merged = got[sorted(got.columns)].merge(want[sorted(want.columns)],
+                 how="outer", indicator=True)
+        diff = merged[merged["_merge"] != "both"]
+        print(diff.head(6).to_string())
+print(f"\n{ok} ok, {bad} bad, {len(sql)} oracles")
+sys.exit(1 if bad else 0)

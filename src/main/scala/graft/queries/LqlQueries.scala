@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.store.EventStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LQL end-to-end entries: every query here is an actual LQL string executed
+  * by the [[graft.engine.Engine]] over the materialized LogEvent store, with
+  * a DuckDB oracle over the same `events` table (see
+  * [[EventStore.oracleCte]]). These are the SURVEY §2 conformance gates for
+  * the SELECT path, predicates, positioning and projections.
+  */
+object LqlQueries {
+
+  import EventStore.oracleCte
+
+  private def eng(spark: SparkSession, dir: String) = EventStore.engine(spark, dir)
+
+  /** Canonical deterministic order used by oracles (the engine's total
+    * order (ts, part, seq)). */
+  private val OrderBy = "ORDER BY ts, tags, seq"
+
+  /** DuckDB's parquet reader truncates ns timestamps to µs, so the oracle
+    * can only ever see µs; entries therefore expose `ts_us = ts div 1000`.
+    * The ENGINE keeps full int64 nanos — this is presentation-only. */
+  private def us(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts div 1000")).drop("ts")
+
+  // 1. FROM {tags} literal — subset match + partition pruning
+  def selectSubset(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select("SELECT FROM {name=error} LIMIT 10000"))
+
+  // 2. msg CONTAINS
+  def whereContains(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select("SELECT FROM {name=error} WHERE msg CONTAINS 'k=1' LIMIT 10000"))
+
+  // 3. msg PREFIX / SUFFIX with AND/OR/NOT nesting
+  def wherePrefixSuffix(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select(
+      "SELECT FROM {name=click} WHERE (msg PREFIX 'user 1' AND NOT msg SUFFIX 'k=0') OR msg SUFFIX 'k=42' LIMIT 10000"))
+
+  // 4. msg LIKE — shell glob, not SQL LIKE
+  def whereGlob(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select("SELECT WHERE msg LIKE 'user 1? purchase*' LIMIT 10000"))
+
+  // 5. fields — lexicographic string comparisons, missing ⇒ ""
+  def whereFields(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select(
+      "SELECT FROM {name=signup} WHERE fields:k > '5' AND fields:user != '7' AND fields:missing = '' LIMIT 10000"))
+
+  // 6. UPPER/LOWER scalar functions
+  def whereUpper(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select(
+      "SELECT FROM {name=view} WHERE UPPER(msg) CONTAINS 'VIEW K=7' AND LOWER(UPPER(fields:k)) PREFIX '7' LIMIT 10000"))
+
+  // 7. RANGE inclusive + ts WHERE compare
+  def whereTsRange(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select(
+      "SELECT FROM {name=error} RANGE [\"2024-01-05 00:00:00\":\"2024-01-20 00:00:00\"] WHERE ts >= '2024-01-07 12:00:00' LIMIT 10000"))
+
+  // 8. FROM tags expression (glob + compare over tag values) — pruning path
+  def fromExpr(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select("SELECT FROM name LIKE 'p*' OR host = 'host1' LIMIT 10000"))
+
+  // 9. POSITION head + OFFSET/LIMIT paging
+  def positionOffset(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select("SELECT POSITION head OFFSET 1000 LIMIT 200"))
+
+  // 10. POSITION tail + negative OFFSET — backward walk, "last N records"
+  def offsetNegative(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select("SELECT FROM {name=purchase} POSITION tail OFFSET -300 LIMIT 10000"))
+
+  // 11. format-template projection
+  def formatTemplate(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select(
+      "SELECT \"{ts.format(2006-01-02 15:04:05)} u={vars:user} {msg} [{vars:name}]\" FROM {name=click} LIMIT 10000"))
+
+  // 12. continuation token: read page 1, mint token, return page 2
+  def continuation(spark: SparkSession, dir: String): DataFrame = {
+    val e = eng(spark, dir)
+    val sel = e.parse("SELECT FROM {host=host2} LIMIT 500") match {
+      case s: graft.lql.Ast.Select => s
+      case _ => sys.error("unreachable")
+    }
+    val (_, keys) = e.selectWithToken(sel)
+    val tok = e.pageToken(keys).getOrElse(sys.error("empty first page"))
+    us(e.select(s"""SELECT FROM {host=host2} POSITION "$tok" LIMIT 500"""))
+  }
+
+  // 13. SHOW PARTITIONS (records projection — size is physical)
+  def showPartitions(spark: SparkSession, dir: String): DataFrame =
+    eng(spark, dir).execute("SHOW PARTITIONS")
+      .select(col("partition"), col("records"))
+
+  // 14. DESCRIBE PARTITION, aggregated to the partition level
+  def describePartition(spark: SparkSession, dir: String): DataFrame =
+    eng(spark, dir).execute("DESCRIBE PARTITION {host=host2,name=error}")
+      .groupBy(col("partition"))
+      .agg(sum("records").as("records"),
+        expr("min(min_ts) div 1000").as("min_ts_us"),
+        expr("max(max_ts) div 1000").as("max_ts_us"))
+
+  private val Proj = "SELECT epoch_us(ts_raw) AS ts_us, msg, tags, fields FROM le"
+
+  val oracles: Map[String, String] = Map(
+    "lql_select_subset" ->
+      s"""$oracleCte $Proj WHERE event_type = 'error'
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_where_contains" ->
+      s"""$oracleCte $Proj
+         |WHERE event_type = 'error' AND position('k=1' IN msg) > 0
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_where_prefix_suffix" ->
+      s"""$oracleCte $Proj
+         |WHERE event_type = 'click' AND
+         |  ((msg LIKE 'user 1%' AND NOT msg LIKE '%k=0') OR msg LIKE '%k=42')
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_where_glob" ->
+      s"""$oracleCte $Proj
+         |WHERE regexp_matches(msg, '^user 1[^/] purchase[^/]*$$')
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_where_fields" ->
+      s"""$oracleCte $Proj
+         |WHERE event_type = 'signup'
+         |  AND k > '5' AND CAST(user_id AS VARCHAR) != '7'
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_where_upper" ->
+      s"""$oracleCte $Proj
+         |WHERE event_type = 'view' AND position('VIEW K=7' IN upper(msg)) > 0
+         |  AND lower(upper(k)) LIKE '7%'
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_where_ts_range" ->
+      s"""$oracleCte $Proj
+         |WHERE event_type = 'error'
+         |  AND ts >= epoch_ns(TIMESTAMP '2024-01-05 00:00:00')
+         |  AND ts <= epoch_ns(TIMESTAMP '2024-01-20 00:00:00')
+         |  AND ts >= epoch_ns(TIMESTAMP '2024-01-07 12:00:00')
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_from_expr" ->
+      s"""$oracleCte $Proj
+         |WHERE regexp_matches(event_type, '^p[^/]*$$') OR (user_id % 4) = 1
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_position_offset" ->
+      s"""$oracleCte $Proj
+         |$OrderBy LIMIT 200 OFFSET 1000""".stripMargin,
+    "lql_offset_negative" ->
+      s"""$oracleCte SELECT epoch_us(ts_raw) AS ts_us, msg, tags, fields FROM
+         |(SELECT * FROM le WHERE event_type = 'purchase' ORDER BY ts DESC, tags DESC, seq DESC LIMIT 300) le
+         |$OrderBy""".stripMargin,
+    "lql_format" ->
+      s"""$oracleCte SELECT epoch_us(ts_raw) AS ts_us,
+         |  strftime(ts_raw, '%Y-%m-%d %H:%M:%S') || ' u=' || user_id || ' ' || msg
+         |    || ' [' || event_type || ']' AS line
+         |FROM le WHERE event_type = 'click' $OrderBy LIMIT 10000""".stripMargin,
+    "lql_continuation" ->
+      s"""$oracleCte $Proj WHERE (user_id % 4) = 2
+         |$OrderBy LIMIT 500 OFFSET 500""".stripMargin,
+    "lql_show_partitions" ->
+      s"""$oracleCte SELECT tags AS partition, COUNT(*) AS records FROM le GROUP BY 1""".stripMargin,
+    "lql_describe_partition" ->
+      s"""$oracleCte SELECT tags AS partition, COUNT(*) AS records,
+         |  MIN(epoch_us(ts_raw)) AS min_ts_us, MAX(epoch_us(ts_raw)) AS max_ts_us
+         |FROM le WHERE (user_id % 4) = 2 AND event_type = 'error' GROUP BY 1""".stripMargin
+  )
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lql_select_subset" -> (selectSubset _),
+    "lql_where_contains" -> (whereContains _),
+    "lql_where_prefix_suffix" -> (wherePrefixSuffix _),
+    "lql_where_glob" -> (whereGlob _),
+    "lql_where_fields" -> (whereFields _),
+    "lql_where_upper" -> (whereUpper _),
+    "lql_where_ts_range" -> (whereTsRange _),
+    "lql_from_expr" -> (fromExpr _),
+    "lql_position_offset" -> (positionOffset _),
+    "lql_offset_negative" -> (offsetNegative _),
+    "lql_format" -> (formatTemplate _),
+    "lql_continuation" -> (continuation _),
+    "lql_show_partitions" -> (showPartitions _),
+    "lql_describe_partition" -> (describePartition _)
+  )
+}

@@ -1,0 +1,184 @@
+package graft.store
+
+import graft.model.Model
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The canonical LogEvent store: a parquet table physically partitioned by
+  * the canonical tag line (`part`), with a driver-side [[Catalog]] updated
+  * at ingest from parquet footers only.
+  *
+  * This is the Spark re-expression of the reference's journal/partition
+  * service (reference pkg/partition/partition.go:38-50):
+  *   journal          → parquet directory `data/part=<tag line>`
+  *   chunk            → parquet file (min/max ts from the footer replace the
+  *                      reference's ~2300-LoC time index, pkg/tmindex)
+  *   tindex           → [[Catalog]]
+  *   Write(tags,...)  → [[Store.write]]
+  *
+  * Queries read `data/` with a `part IN (...)` predicate so Catalyst prunes
+  * partitions statically and pushes `ts` filters to parquet row groups —
+  * the same two-level pruning the reference does with tindex + tmindex.
+  */
+final class Store(val spark: SparkSession, val root: String) {
+
+  val dataDir = s"$root/data"
+  private val conf = spark.sparkContext.hadoopConfiguration
+  val catalog: Catalog = Catalog(conf, root)
+  private def fs: FileSystem = new Path(root).getFileSystem(conf)
+
+  /** Ingest a batch for one tag set — the `Ingestor.Write(tags, fields,
+    * events)` equivalent (reference api/ingestor.go:21-31): shared `fields`
+    * are stamped on every record (record fields win — the reference merges
+    * with record fields taking precedence via MergeWithMap semantics).
+    *
+    * @param events columns: ts (Long ns), msg (String),
+    *               optional fields (Map), optional seq (Long)
+    */
+  def write(tags: Map[String, String], fields: Map[String, String], events: DataFrame): Unit = {
+    val line = Model.tagLine(tags)
+    var df = events
+    if (!df.columns.contains("fields"))
+      df = df.withColumn("fields", map().cast("map<string,string>"))
+    if (fields.nonEmpty) {
+      val shared = map(fields.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      // record fields override shared fields on key clash
+      df = df.withColumn("fields", map_concat_safe(shared, col("fields")))
+    }
+    if (!df.columns.contains("seq"))
+      df = df.withColumn("seq", monotonically_increasing_id())
+    append(df.withColumn("part", lit(line)))
+  }
+
+  /** map_concat with right-side precedence (map_concat rejects duplicate
+    * keys at runtime); implemented via entry arrays + map_from_entries. */
+  private def map_concat_safe(left: org.apache.spark.sql.Column, right: org.apache.spark.sql.Column) = {
+    val l = map_entries(left)
+    val r = map_entries(right)
+    val lFiltered = filter(l, e => !array_contains(map_keys(right), e.getField("key")))
+    map_from_entries(concat(lFiltered, r))
+  }
+
+  /** Append rows that already carry a `part` column (bulk ingest across many
+    * tag sets in one pass). Writes ts-sorted within each physical partition
+    * and then registers the new files in the catalog from footers.
+    */
+  def append(rows: DataFrame, maxRecordsPerFile: Long = 0): Unit = {
+    val before = listDataFiles().toSet
+    val cols = Seq("ts", "msg", "fields", "seq", "part")
+    val w = rows.select(cols.map(col): _*)
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "ts", "seq")
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy("part")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(dataDir)
+    val added = listDataFiles().filterNot(f => before.contains(f))
+    registerFiles(added)
+  }
+
+  /** All data files currently on disk (driver-side listing). */
+  def listDataFiles(): Seq[Path] = {
+    val dir = new Path(dataDir)
+    if (!fs.exists(dir)) return Nil
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+        buf += f.getPath
+    }
+    buf.toSeq
+  }
+
+  /** Register files in the catalog using parquet footer metadata only
+    * (records + min/max ts per file) — the ingest-path analogue of the
+    * reference's onWriteCIndex time-index update
+    * (reference pkg/partition/partition.go:175-206). */
+  private def registerFiles(files: Seq[Path]): Unit = {
+    if (files.isEmpty) return
+    val nowNs = System.currentTimeMillis() * 1000000L
+    val entries = files.map { p =>
+      val part = partFromPath(p)
+      val status = fs.getFileStatus(p)
+      val footer = ParquetFileReader.readFooter(
+        HadoopInputFile.fromPath(p, conf), org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      var records = 0L
+      var minTs = Long.MaxValue
+      var maxTs = Long.MinValue
+      footer.getBlocks.forEach { b =>
+        records += b.getRowCount
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == "ts") {
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty) {
+              st.genericGetMin match {
+                case l: java.lang.Long => if (l < minTs) minTs = l
+                case _ => ()
+              }
+              st.genericGetMax match {
+                case l: java.lang.Long => if (l > maxTs) maxTs = l
+                case _ => ()
+              }
+            }
+          }
+        }
+      }
+      if (minTs == Long.MaxValue) { minTs = 0; maxTs = 0 }
+      CatEntry(part, p.toString, records, status.getLen, minTs, maxTs, nowNs)
+    }
+    catalog.append(entries)
+  }
+
+  /** Decode the tag line from `.../part=<escaped>/file.parquet`. */
+  private def partFromPath(p: Path): String = {
+    val dir = p.getParent.getName
+    val idx = dir.indexOf('=')
+    val raw = if (idx >= 0) dir.substring(idx + 1) else dir
+    java.net.URLDecoder.decode(raw, "UTF-8")
+  }
+
+  /** All partitions (tag line → parsed tags) known to the catalog. */
+  def partitions(): Map[String, Map[String, String]] =
+    catalog.load().groupBy(_.part).keys.map { line =>
+      line -> Model.parseTags(line).getOrElse(Map.empty)
+    }.toMap
+
+  /** Read the given partitions. The `part IN (...)` filter is a static
+    * partition-pruning predicate — `.explain` shows it under
+    * PartitionFilters, no non-matching directory is listed or read. */
+  def read(parts: Seq[String]): DataFrame = {
+    val df = spark.read.schema(Model.schema).parquet(dataDir)
+    if (parts.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.schema)
+    else df.where(col("part").isin(parts: _*))
+  }
+
+  /** Read everything (pipes' streaming source uses its own reader). */
+  def readAll(): DataFrame =
+    if (listDataFiles().isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.schema)
+    else spark.read.schema(Model.schema).parquet(dataDir)
+
+  /** Delete a set of files (TRUNCATE path) and drop them from the catalog;
+    * removes now-empty partition dirs. */
+  def deleteFiles(paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    val set = paths.toSet
+    paths.foreach(p => fs.delete(new Path(p), false))
+    val remaining = catalog.load().filterNot(e => set.contains(e.file))
+    catalog.save(remaining)
+    // clean empty partition dirs
+    val live = remaining.map(e => new Path(e.file).getParent.toString).toSet
+    val dataPath = new Path(dataDir)
+    if (fs.exists(dataPath)) {
+      fs.listStatus(dataPath).foreach { st =>
+        if (st.isDirectory && !live.contains(st.getPath.toString)) fs.delete(st.getPath, true)
+      }
+    }
+  }
+}

@@ -54,12 +54,18 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
 
   // --- source resolution -------------------------------------------------
 
-  /** Partitions matching the FROM source, capped at [[MaxSources]],
-    * deterministically (sorted by tag line). */
+  /** Partitions matching the FROM source, deterministically sorted by tag
+    * line. More than [[MaxSources]] matches is an error, as in the reference
+    * (pkg/partition/partition.go:228-231 errors at the GetJournals limit) —
+    * silently truncating would return partial results. */
   def prune(source: Option[Source]): Seq[String] = {
     val pred = TagsCompiler.compile(source)
-    store.partitions().filter { case (_, tags) => pred(tags) }
-      .keys.toSeq.sorted.take(MaxSources)
+    val matched = store.partitions().filter { case (_, tags) => pred(tags) }
+      .keys.toSeq.sorted
+    if (matched.length > MaxSources)
+      throw LqlException(
+        s"Limit exceeds. Expected no more than $MaxSources partitions, but at least ${matched.length} found")
+    matched
   }
 
   /** Literal tag map per selected partition as a Column (for {vars:x} tag
@@ -89,16 +95,19 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
     }
   }
   object PosKey {
+    /** None for anything that is not a well-formed token (bad base64,
+      * non-numeric parts, ...) — callers surface that as [[LqlException]],
+      * never a raw IllegalArgumentException. */
     def fromToken(tok: String): Option[PosKey] =
       if (!tok.startsWith("tok:")) None
-      else {
+      else scala.util.Try {
         val body = new String(Base64.getUrlDecoder.decode(tok.drop(4)), StandardCharsets.UTF_8)
         body.split('|') match {
           case Array(ts, p, seq) =>
             Some(PosKey(ts.toLong, new String(Base64.getUrlDecoder.decode(p), StandardCharsets.UTF_8), seq.toLong))
           case _ => None
         }
-      }
+      }.toOption.flatten
   }
 
   private def afterKey(k: PosKey): Column =

@@ -1,20 +1,38 @@
 package graft.store
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 import java.nio.charset.StandardCharsets
 
 /** Partitions catalog — the Spark analogue of the reference's tag index
   * (reference pkg/tindex/inmem.go:36-66) plus per-chunk stats
   * (reference pkg/partition/partition.go:353-403): one entry per parquet
-  * file with record count, byte size and the min/max `ts` taken from the
-  * parquet footer at ingest time (metadata-only; the data is never re-read).
+  * file with record count, byte size, min/max `ts` and max `seq` taken from
+  * the parquet footer at ingest time (metadata-only; the data is never
+  * re-read).
   *
-  * Persisted as a JSON-lines file under the store root. The catalog is tiny
-  * (partitions × files), driver-resident, and rewritten atomically — at the
-  * 100 TB design point this would be a Delta/metastore table, but the access
-  * pattern (prune first, then scan) is the same.
+  * Layout on disk (all JSON-lines):
+  *   catalog.jsonl        — compacted base (written by [[save]])
+  *   catalog.jsonl.d/     — append segments, one file per ingest batch
+  *   catalog.jsonl.bak    — previous base, kept during compaction
+  *
+  * Durability/scale properties (vs the naive single-file rewrite):
+  *  - [[append]] writes ONE new segment file (tmp → rename) — O(batch), not
+  *    O(catalog); ingesting N batches costs O(N) total.
+  *  - [[save]] (compaction / whole-catalog replace) never has a window with
+  *    no readable catalog: tmp is fully written first, the old base survives
+  *    as `.bak` until the new base is in place, and [[load]] falls back to
+  *    `.bak` when the base is missing.
+  *  - [[load]] memoizes against a (path,len,mtime) fingerprint of the
+  *    catalog files, so repeated queries don't re-read or re-parse anything
+  *    until the catalog actually changes (also picks up cross-JVM changes).
+  *  - Entries are keyed by data-file path; [[load]] keeps the newest entry
+  *    per file, which makes a crash between base-swap and segment cleanup
+  *    harmless (duplicates collapse).
+  *
+  * At the 100 TB design point this would be a Delta/metastore table, but the
+  * access pattern (prune on tiny metadata first, then scan) is identical.
   */
 final case class CatEntry(
     part: String,      // canonical tag line
@@ -23,27 +41,81 @@ final case class CatEntry(
     sizeBytes: Long,
     minTs: Long,
     maxTs: Long,
-    writeTs: Long)     // wall-clock ns when the entry was added (ingest order)
+    writeTs: Long,     // wall-clock ns when the entry was added (ingest order)
+    maxSeq: Long = -1L) // max seq in the file (footer stats); -1 = unknown
 
 final class Catalog(fs: FileSystem, path: Path) {
 
-  def load(): Vector[CatEntry] = {
-    if (!fs.exists(path)) return Vector.empty
-    val in = fs.open(path)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    txt.linesIterator.filter(_.nonEmpty).map(decode).toVector
+  private val segDir = new Path(path.getParent, path.getName + ".d")
+  private val bakPath = new Path(path.getParent, path.getName + ".bak")
+
+  // (fingerprint of on-disk state, parsed entries)
+  @volatile private var cache: (String, Vector[CatEntry]) = null
+
+  private def catalogFiles(): Seq[FileStatus] = {
+    val base =
+      if (fs.exists(path)) Seq(fs.getFileStatus(path))
+      else if (fs.exists(bakPath)) Seq(fs.getFileStatus(bakPath))
+      else Nil
+    val segs =
+      if (fs.exists(segDir))
+        fs.listStatus(segDir).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+          .sortBy(_.getPath.getName)
+      else Nil
+    base ++ segs
   }
 
+  private def fingerprint(files: Seq[FileStatus]): String =
+    files.map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}").mkString(";")
+
+  def load(): Vector[CatEntry] = {
+    val files = catalogFiles()
+    val fp = fingerprint(files)
+    val c = cache
+    if (c != null && c._1 == fp) return c._2
+    val raw = files.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map(decode)
+    }
+    // newest entry per data file wins (crash-residue duplicates collapse)
+    val entries = raw.groupBy(_.file).valuesIterator.map(_.maxBy(_.writeTs)).toVector
+      .sortBy(e => (e.part, e.writeTs, e.file))
+    cache = (fp, entries)
+    entries
+  }
+
+  /** Append one ingest batch as a new segment file — O(batch). */
+  def append(newEntries: Seq[CatEntry]): Unit = {
+    if (newEntries.isEmpty) return
+    if (!fs.exists(segDir)) fs.mkdirs(segDir)
+    val name = f"seg-${System.nanoTime()}%019d.jsonl"
+    val tmp = new Path(segDir, name + ".tmp")
+    writeFile(tmp, newEntries)
+    fs.rename(tmp, new Path(segDir, name))
+    cache = null
+  }
+
+  /** Replace the whole catalog (compaction; TRUNCATE's post-delete rewrite).
+    * Crash-safe: at every instant either the new base, the old base, or the
+    * `.bak` copy is readable. */
   def save(entries: Seq[CatEntry]): Unit = {
     val tmp = new Path(path.getParent, path.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(entries.map(encode).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(path)) fs.delete(path, false)
+    writeFile(tmp, entries)
+    if (fs.exists(bakPath)) fs.delete(bakPath, false)
+    if (fs.exists(path)) fs.rename(path, bakPath)
     fs.rename(tmp, path)
+    if (fs.exists(segDir)) fs.delete(segDir, true)
+    fs.delete(bakPath, false)
+    cache = null
   }
 
-  def append(newEntries: Seq[CatEntry]): Unit = save(load() ++ newEntries)
+  private def writeFile(p: Path, entries: Seq[CatEntry]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(entries.map(encode).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   // minimal JSON codec (flat record of strings/longs; no external deps)
   private def esc(s: String) = s.flatMap {
@@ -52,7 +124,8 @@ final class Catalog(fs: FileSystem, path: Path) {
   }
   private def encode(e: CatEntry): String =
     s"""{"part":"${esc(e.part)}","file":"${esc(e.file)}","records":${e.records},""" +
-      s""""sizeBytes":${e.sizeBytes},"minTs":${e.minTs},"maxTs":${e.maxTs},"writeTs":${e.writeTs}}"""
+      s""""sizeBytes":${e.sizeBytes},"minTs":${e.minTs},"maxTs":${e.maxTs},""" +
+      s""""writeTs":${e.writeTs},"maxSeq":${e.maxSeq}}"""
 
   private def decode(line: String): CatEntry = {
     // fields are written in a fixed order by encode; parse positionally-safe
@@ -74,15 +147,17 @@ final class Catalog(fs: FileSystem, path: Path) {
       }
       sb.toString
     }
-    def num(key: String): Long = {
+    def num(key: String, default: Long = 0L): Long = {
       val k = "\"" + key + "\":"
-      val st = line.indexOf(k) + k.length
+      val at = line.indexOf(k)
+      if (at < 0) return default
+      val st = at + k.length
       var i = st
       while (i < line.length && (line.charAt(i).isDigit || line.charAt(i) == '-')) i += 1
       line.substring(st, i).toLong
     }
     CatEntry(str("part"), str("file"), num("records"), num("sizeBytes"),
-      num("minTs"), num("maxTs"), num("writeTs"))
+      num("minTs"), num("maxTs"), num("writeTs"), num("maxSeq", -1L))
   }
 }
 

@@ -22,7 +22,7 @@ object EventStore {
 
   /** Bump when the mapping or store layout changes — the on-disk cache is
     * keyed by it. */
-  val Version = "v1"
+  val Version = "v2"
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Engine]
 

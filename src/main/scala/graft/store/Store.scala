@@ -48,9 +48,22 @@ final class Store(val spark: SparkSession, val root: String) {
       // record fields override shared fields on key clash
       df = df.withColumn("fields", map_concat_safe(shared, col("fields")))
     }
-    if (!df.columns.contains("seq"))
-      df = df.withColumn("seq", monotonically_increasing_id())
+    if (!df.columns.contains("seq")) {
+      // (part, seq) must stay unique across appends — continuation tokens
+      // and the (ts, part, seq) total order depend on it. Base each batch on
+      // the partition's seq high-water mark from the catalog; within the
+      // batch monotonically_increasing_id() preserves arrival order.
+      val base = maxSeq(line) + 1
+      df = df.withColumn("seq", monotonically_increasing_id() + lit(base))
+    }
     append(df.withColumn("part", lit(line)))
+  }
+
+  /** Seq high-water mark of a partition (-1 when empty/unknown), from the
+    * catalog's per-file footer stats. */
+  def maxSeq(line: String): Long = {
+    val entries = catalog.load().filter(_.part == line)
+    if (entries.isEmpty) -1L else entries.map(_.maxSeq).max
   }
 
   /** map_concat with right-side precedence (map_concat rejects duplicate
@@ -111,18 +124,20 @@ final class Store(val spark: SparkSession, val root: String) {
       var records = 0L
       var minTs = Long.MaxValue
       var maxTs = Long.MinValue
+      var maxSeq = -1L
       footer.getBlocks.forEach { b =>
         records += b.getRowCount
         b.getColumns.forEach { c =>
-          if (c.getPath.toDotString == "ts") {
+          val name = c.getPath.toDotString
+          if (name == "ts" || name == "seq") {
             val st = c.getStatistics
             if (st != null && !st.isEmpty) {
-              st.genericGetMin match {
-                case l: java.lang.Long => if (l < minTs) minTs = l
-                case _ => ()
-              }
-              st.genericGetMax match {
-                case l: java.lang.Long => if (l > maxTs) maxTs = l
+              (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  if (name == "ts") {
+                    if (lo < minTs) minTs = lo
+                    if (hi > maxTs) maxTs = hi
+                  } else if (hi > maxSeq) maxSeq = hi
                 case _ => ()
               }
             }
@@ -130,17 +145,19 @@ final class Store(val spark: SparkSession, val root: String) {
         }
       }
       if (minTs == Long.MaxValue) { minTs = 0; maxTs = 0 }
-      CatEntry(part, p.toString, records, status.getLen, minTs, maxTs, nowNs)
+      CatEntry(part, p.toString, records, status.getLen, minTs, maxTs, nowNs, maxSeq)
     }
     catalog.append(entries)
   }
 
-  /** Decode the tag line from `.../part=<escaped>/file.parquet`. */
+  /** Decode the tag line from `.../part=<escaped>/file.parquet`. Must invert
+    * exactly Spark's partition-path escaping (%XX only — URLDecoder would
+    * additionally map '+' to space and corrupt tag lines containing '+'). */
   private def partFromPath(p: Path): String = {
     val dir = p.getParent.getName
     val idx = dir.indexOf('=')
     val raw = if (idx >= 0) dir.substring(idx + 1) else dir
-    java.net.URLDecoder.decode(raw, "UTF-8")
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
   }
 
   /** All partitions (tag line → parsed tags) known to the catalog. */

@@ -4,6 +4,7 @@ import graft.lql.Ast._
 import graft.lql.{FormatCompiler, Parser, TagsCompiler, WhereCompiler}
 import graft.model.Model
 import graft.store.Store
+import graft.streaming.PipeService
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,6 +35,8 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
   val spark: SparkSession = store.spark
   private val parser = new Parser(clock)
   private val whereC = new WhereCompiler(clock)
+  /** Continuous queries (reference pkg/pipe) — see [[PipeService]]. */
+  val pipes: PipeService = new PipeService(store, clock)
 
   val MaxLimit = 10000      // reference backend/querier.go:43
   val MaxSources = 50       // reference cursor.go:186
@@ -43,13 +46,36 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
   def parse(lql: String): Lql =
     parser.parse(lql).fold(m => throw LqlException(m), identity)
 
-  /** Execute any LQL statement that produces rows. */
+  /** Execute any LQL statement; every statement returns rows. */
   def execute(lql: String): DataFrame = parse(lql) match {
     case s: Select            => select(s)
     case s: ShowPartitions    => showPartitions(s)
     case d: DescribePartition => describePartition(d.tags)
     case t: Truncate          => truncate(t)
-    case other                => throw LqlException(s"statement not executable as a row query: ${other.render}")
+    case c: CreatePipe        => pipeRow(pipes.create(c))
+    case d: DeletePipe        => { pipes.delete(d.name); import spark.implicits._
+                                   Seq(d.name).toDF("pipe") }
+    case d: DescribePipe      => pipeRow(pipes.get(d.name).getOrElse(
+                                   throw LqlException(s"pipe ${d.name} not found")))
+    case s: ShowPipes         => showPipes(s)
+  }
+
+  /** DESCRIBE PIPE shape (reference pkg/backend/admin.go:242-255: name,
+    * source cond, filter cond, destination partition). */
+  private def pipeRow(p: graft.streaming.PipeDef): DataFrame = {
+    import spark.implicits._
+    Seq((p.name, p.fromStr, p.whereStr, p.destLine))
+      .toDF("pipe", "from", "where", "partition")
+  }
+
+  /** SHOW PIPES — names sorted alphabetically, paginated
+    * (reference pkg/backend/admin.go:133-160). */
+  def showPipes(s: ShowPipes): DataFrame = {
+    import spark.implicits._
+    val names = pipes.list().map(_.name)
+    names.drop(s.offset.getOrElse(0L).toInt)
+      .take(s.limit.map(_.toInt).getOrElse(Int.MaxValue))
+      .toDF("pipe")
   }
 
   // --- source resolution -------------------------------------------------

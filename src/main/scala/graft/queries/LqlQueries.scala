@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.store.EventStore
+import graft.store.{EventStore, PipeStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,21 @@ object LqlQueries {
         expr("min(min_ts) div 1000").as("min_ts_us"),
         expr("max(max_ts) div 1000").as("max_ts_us"))
 
+  // 15. PIPE lifecycle: the PipeStore build ran CREATE PIPE p1 over two
+  // ingest batches (see PipeStore); this reads the pipe's destination
+  // partition back through a normal SELECT — fields carry the source tags
+  // appended after the record fields (reference pkg/pipe/siterator.go:49-63).
+  def pipe(spark: SparkSession, dir: String): DataFrame =
+    us(PipeStore.engine(spark, dir).select("SELECT FROM {logrange.pipe=p1} LIMIT 10000"))
+
+  // 16. SHOW PIPES (reference pkg/backend/admin.go:133-160)
+  def showPipes(spark: SparkSession, dir: String): DataFrame =
+    PipeStore.engine(spark, dir).execute("SHOW PIPES")
+
+  // 17. DESCRIBE PIPE (reference pkg/backend/admin.go:242-255)
+  def describePipe(spark: SparkSession, dir: String): DataFrame =
+    PipeStore.engine(spark, dir).execute("DESCRIBE PIPE p1")
+
   private val Proj = "SELECT epoch_us(ts_raw) AS ts_us, msg, tags, fields FROM le"
 
   val oracles: Map[String, String] = Map(
@@ -160,7 +175,17 @@ object LqlQueries {
     "lql_describe_partition" ->
       s"""$oracleCte SELECT tags AS partition, COUNT(*) AS records,
          |  MIN(epoch_us(ts_raw)) AS min_ts_us, MAX(epoch_us(ts_raw)) AS max_ts_us
-         |FROM le WHERE (user_id % 4) = 2 AND event_type = 'error' GROUP BY 1""".stripMargin
+         |FROM le WHERE (user_id % 4) = 2 AND event_type = 'error' GROUP BY 1""".stripMargin,
+    "lql_pipe" ->
+      s"""$oracleCte SELECT epoch_us(ts_raw) AS ts_us, msg,
+         |  'logrange.pipe=p1' AS tags,
+         |  'user=' || user_id || ',k=' || k || ',host=host' || (user_id % 4) || ',name=error' AS fields
+         |FROM le WHERE event_type = 'error' AND position('k=1' IN msg) > 0
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_show_pipes" -> "SELECT 'p1' AS pipe",
+    "lql_describe_pipe" ->
+      """SELECT 'p1' AS pipe, '{name=error}' AS "from",
+        |  'msg CONTAINS "k=1"' AS "where", 'logrange.pipe=p1' AS partition""".stripMargin
   )
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -177,6 +202,9 @@ object LqlQueries {
     "lql_format" -> (formatTemplate _),
     "lql_continuation" -> (continuation _),
     "lql_show_partitions" -> (showPartitions _),
-    "lql_describe_partition" -> (describePartition _)
+    "lql_describe_partition" -> (describePartition _),
+    "lql_pipe" -> (pipe _),
+    "lql_show_pipes" -> (showPipes _),
+    "lql_describe_pipe" -> (describePipe _)
   )
 }

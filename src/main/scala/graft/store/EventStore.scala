@@ -55,18 +55,23 @@ object EventStore {
       new Engine(store)
     })
 
-  private def build(spark: SparkSession, sfDir: String, store: Store): Unit = {
+  /** The canonical events→LogEvent mapping (ts, msg, fields, seq, part),
+    * shared with [[PipeStore]]. */
+  def mappedRows(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val k = regexp_extract(col("props"), "[0-9]+", 0)
-    val rows = ev.select(
+    ev.select(
       col("ts"), // LongType ns via nanosAsLong
       concat(lit("user "), col("user_id"), lit(" "), col("event_type"), lit(" k="), k).as("msg"),
       map(lit("user"), col("user_id").cast("string"), lit("k"), k).as("fields"),
       col("event_id").as("seq"),
       concat(lit("host=host"), pmod(col("user_id"), lit(4)), lit(",name="), col("event_type")).as("part"))
+  }
+
+  private def build(spark: SparkSession, sfDir: String, store: Store): Unit = {
     // a few files ("chunks") per partition at bench scale, one at sf0.01
-    store.append(rows, maxRecordsPerFile = 2000)
+    store.append(mappedRows(spark, sfDir), maxRecordsPerFile = 2000)
   }
 
   /** DuckDB CTE defining the identical LogEvent view over `events` — the

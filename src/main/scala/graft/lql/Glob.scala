@@ -63,13 +63,14 @@ object Glob {
     Right(sb.toString)
   }
 
-  /** Read one (possibly escaped) class member; `]`-first and separators are
-    * handled by the caller; a bare `-` or EOF here is malformed (Go
-    * path.Match getEsc). */
+  /** Read one (possibly escaped) class member; a bare `-`, an unescaped `]`
+    * (so `[]a]` is malformed — the closing-`]` case is consumed by the
+    * caller before this runs) or EOF here is malformed (Go path.Match
+    * getEsc rejects `-`, `]` and empty). */
   private def readClassChar(glob: String, i: Int): Option[(Char, Int)] = {
     if (i >= glob.length) return None
     glob.charAt(i) match {
-      case '-' => None
+      case '-' | ']' => None
       case '\\' =>
         if (i + 1 >= glob.length) None else Some((glob.charAt(i + 1), i + 2))
       case c => Some((c, i + 1))

@@ -299,7 +299,12 @@ final class LqlDateTime(now: () => Instant) {
       case 'd' => 24L * 3600L * 1000000000L
       case _   => return None
     }
-    dt.substring(1, dt.length - 1).toDoubleOption.map { v =>
+    val body = dt.substring(1, dt.length - 1)
+    // Go strconv.ParseFloat rejects surrounding/inner whitespace
+    // (" - 1234 h" and "-1234 h" are errors, datetime_test.go:36-44);
+    // Scala's toDoubleOption would silently trim it.
+    if (body != body.trim || body.isEmpty) return None
+    body.toDoubleOption.map { v =>
       val n = now()
       n.getEpochSecond * 1000000000L + n.getNano - (v * unitNs).toLong
     }

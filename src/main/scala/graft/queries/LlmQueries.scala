@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.llm.{Dedup, Multimodal, SimHash, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data-pipeline operators over the driver's `documents` /
+  * `embeddings` tables, each with a DuckDB oracle computing the identical
+  * result (or rows-only for the approximate ANN path, which is instead
+  * recall-tested in SimilaritySpec).
+  */
+object LlmQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir))
+
+  def dedupNear(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(docs(spark, dir))
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    SimHash.fingerprints(docs(spark, dir))
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextStats.stats(docs(spark, dir))
+
+  def simTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(spark, dir))
+
+  def simTopKLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(emb(spark, dir))
+
+  def multimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAll(docs(spark, dir))
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> (dedupExact _),
+    "llm_dedup_near" -> (dedupNear _),
+    "llm_simhash" -> (simhash _),
+    "llm_text_stats" -> (textStats _),
+    "llm_sim_topk" -> (simTopK _),
+    "llm_sim_topk_lsh" -> (simTopKLsh _), // rows-only: approximate by design
+    "llm_multimodal" -> (multimodal _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS text_hash,
+        |  count(*)::BIGINT AS dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // exact all-pairs word-3-shingle Jaccard — feasible at oracle scale; the
+    // Spark side reaches the same pairs via LSH banding + exact verification
+    "llm_dedup_near" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 2, 0) + 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+        |                                   t -> t != '') w
+        |        FROM documents)),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+        |  floor(c * 1.0e4 / (sa.n + sb.n - c) + 0.5)::BIGINT AS jaccard_r
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin,
+
+    "llm_simhash" ->
+      """WITH hs AS (
+        |  SELECT doc_id, list_transform(
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\W+'),
+        |                              t -> t != '')),
+        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hl
+        |  FROM documents)
+        |SELECT doc_id::BIGINT AS doc_id,
+        |  list_sum(list_transform(range(0, 60), i ->
+        |    CASE WHEN list_sum(list_transform(hl,
+        |           h -> CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+        |         THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS simhash
+        |FROM hs""".stripMargin,
+
+    "llm_text_stats" -> TextStats.oracleSql,
+
+    "llm_sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    floor(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+        |          / (q.nrm * c.nrm) * 1e6 + 0.5)::BIGINT AS score_r
+        |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |r AS (SELECT qid, nid, score_r,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score_r DESC, nid) AS rank
+        |      FROM s)
+        |SELECT qid::BIGINT AS qid, nid::BIGINT AS nid, score_r,
+        |  rank::BIGINT AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "llm_multimodal" -> Multimodal.oracleSql
+  )
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.store.{EventStore, PipeStore}
+import graft.store.{EventStore, IngestStore, PipeStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,17 @@ object LqlQueries {
   def describePipe(spark: SparkSession, dir: String): DataFrame =
     PipeStore.engine(spark, dir).execute("DESCRIBE PIPE p1")
 
+  // 18-20. ingest parsers: files written to /tmp are collected through
+  // path-schema tag assignment (see IngestStore) and queried back
+  def ingestLogfmt(spark: SparkSession, dir: String): DataFrame =
+    us(IngestStore.engine(spark, dir).select("SELECT FROM ns PREFIX 'ns' LIMIT 10000"))
+
+  def ingestText(spark: SparkSession, dir: String): DataFrame =
+    us(IngestStore.engine(spark, dir).select("SELECT FROM {kind=textlog} LIMIT 10000"))
+
+  def ingestPure(spark: SparkSession, dir: String): DataFrame =
+    us(IngestStore.engine(spark, dir).select("SELECT FROM {kind=purelog} LIMIT 10000"))
+
   private val Proj = "SELECT epoch_us(ts_raw) AS ts_us, msg, tags, fields FROM le"
 
   val oracles: Map[String, String] = Map(
@@ -185,7 +196,27 @@ object LqlQueries {
     "lql_show_pipes" -> "SELECT 'p1' AS pipe",
     "lql_describe_pipe" ->
       """SELECT 'p1' AS pipe, '{name=error}' AS "from",
-        |  'msg CONTAINS "k=1"' AS "where", 'logrange.pipe=p1' AS partition""".stripMargin
+        |  'msg CONTAINS "k=1"' AS "where", 'logrange.pipe=p1' AS partition""".stripMargin,
+    "lql_ingest_logfmt" ->
+      """SELECT * FROM (VALUES
+        |  (1704164645123456::BIGINT, 'level=info user=u1 msg hello', 'ns=ns1,pod=pod-a', 'stream=stdout,level=info,user=u1'),
+        |  (1704164646500000::BIGINT, 'plain text line', 'ns=ns1,pod=pod-a', 'stream=stderr'),
+        |  (1704189600250000::BIGINT, 'level=warn time=2024-01-02T10:00:00.25Z user=u2 disk low', 'ns=ns1,pod=pod-a', 'stream=stdout,level=warn,user=u2,time=2024-01-02T10:00:00.25Z'),
+        |  (1704164648000000::BIGINT, 'level=error dup=1 dup=2', 'ns=ns1,pod=pod-a', 'stream=stdout,level=error'),
+        |  (1706933106999999::BIGINT, 'level=debug user=u3 ok', 'ns=ns2,pod=pod-b', 'stream=stdout,level=debug,user=u3'),
+        |  (1706933107000000::BIGINT, 'no fields here', 'ns=ns2,pod=pod-b', 'stream=stderr')
+        |) t(ts_us, msg, tags, fields)""".stripMargin,
+    "lql_ingest_text" ->
+      """SELECT * FROM (VALUES
+        |  (1709528767000000::BIGINT, '2024-03-04 05:06:07 start of something', 'kind=textlog,name=boot', ''),
+        |  (1709528767000000::BIGINT, '  continuation line', 'kind=textlog,name=boot', ''),
+        |  (1709528768000000::BIGINT, '2024-03-04 05:06:08 second', 'kind=textlog,name=boot', '')
+        |) t(ts_us, msg, tags, fields)""".stripMargin,
+    "lql_ingest_pure" ->
+      """SELECT * FROM (VALUES
+        |  (1714979289000000::BIGINT, 'alpha', 'kind=purelog,name=notes', 'origin=file-notes'),
+        |  (1714979289000000::BIGINT, 'beta', 'kind=purelog,name=notes', 'origin=file-notes')
+        |) t(ts_us, msg, tags, fields)""".stripMargin
   )
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -205,6 +236,9 @@ object LqlQueries {
     "lql_describe_partition" -> (describePartition _),
     "lql_pipe" -> (pipe _),
     "lql_show_pipes" -> (showPipes _),
-    "lql_describe_pipe" -> (describePipe _)
+    "lql_describe_pipe" -> (describePipe _),
+    "lql_ingest_logfmt" -> (ingestLogfmt _),
+    "lql_ingest_text" -> (ingestText _),
+    "lql_ingest_pure" -> (ingestPure _)
   )
 }

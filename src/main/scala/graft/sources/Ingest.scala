@@ -1,0 +1,259 @@
+package graft.sources
+
+import graft.lql.GoDates
+import graft.model.Model
+import graft.store.Store
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.time.Instant
+
+/** Ingest parsers — how data gets INTO the store from log files
+  * (reference pkg/scanner/parser): every parser turns raw file content into
+  * the canonical (ts, msg, fields) shape; the [[Collector]] assigns
+  * tags/fields from file paths and writes through [[Store.write]]'s path.
+  *
+  * Spark-first: k8json/logfmt are pure Column pipelines (`from_json`,
+  * regex field extraction — whole-stage codegen, no UDFs); the `text`
+  * parser's last-seen-date carry-forward is inherently sequential per file,
+  * so it runs as a per-file flatMap (files are the parallelism unit, same
+  * as the reference's per-file workers).
+  */
+object Ingest {
+
+  /** RFC3339Nano timestamp string → int64 epoch nanos, as a Column.
+    * Spark's TimestampType truncates to µs, so seconds and the fractional
+    * part are combined manually for full ns fidelity. */
+  def rfc3339NanoToNs(ts: Column): Column = {
+    val secs = unix_timestamp(
+      regexp_replace(ts, "\\.\\d+", ""), "yyyy-MM-dd'T'HH:mm:ssXXX")
+    val fracDigits = regexp_extract(ts, "\\.(\\d+)", 1)
+    val fracNs = when(fracDigits === "", lit(0L))
+      .otherwise(rpad(fracDigits, 9, "0").cast("long"))
+    secs * 1000000000L + fracNs
+  }
+
+  /** k8json: docker/k8s JSON log lines `{"log": ..., "stream": ...,
+    * "time": RFC3339Nano}` (reference pkg/scanner/parser/k8s_parser.go:28-85).
+    * `lines` must have a string `value` column; returns (ts, msg, fields).
+    * Lines that don't parse as the envelope are dropped (the reference
+    * errors the whole stream; dropping is the batch-friendly behaviour). */
+  def k8json(lines: DataFrame): DataFrame = {
+    val parsed = lines.select(
+      from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "log STRING, stream STRING, time STRING")).as("j"),
+      col("*"))
+    parsed.where(col("j.time").isNotNull && col("j.log").isNotNull)
+      .withColumn("ts", rfc3339NanoToNs(col("j.time")))
+      .withColumn("msg", col("j.log"))
+      .withColumn("fields", map(lit("stream"), coalesce(col("j.stream"), lit(""))))
+      .drop("j", "value")
+  }
+
+  /** One logfmt token pair: key=value with optionally quoted value. */
+  private val LogfmtPair = "([A-Za-z0-9_.-]+)=(\"(?:[^\"\\\\]|\\\\.)*\"|[^ ]*)"
+
+  /** logfmt: the k8json envelope, then the `log` body parsed as logfmt
+    * key=value pairs appended to fields, restricted to `keep` keys; a
+    * parseable `time` field overrides the record timestamp
+    * (reference pkg/scanner/parser/logfmt_parser.go:28-120). Duplicate keys
+    * keep the LAST value (Go map assignment order). */
+  def logfmt(lines: DataFrame, keep: Seq[String]): DataFrame = {
+    val keys = regexp_extract_all(col("msg"), lit(LogfmtPair), lit(1))
+    val rawVals = regexp_extract_all(col("msg"), lit(LogfmtPair), lit(2))
+    // unquote quoted values: strip quotes, unescape \" then \\
+    val vals = transform(rawVals, v =>
+      when(v.startsWith("\"") && v.endsWith("\"") && length(v) >= 2,
+        regexp_replace(regexp_replace(
+          v.substr(lit(2), length(v) - 2), "\\\\\"", "\""), "\\\\\\\\", "\\\\"))
+        .otherwise(v))
+    val df = k8json(lines)
+      .withColumn("kv_keys", keys)
+      .withColumn("kv_vals", vals)
+
+    // last value for a key (duplicates: last wins, like Go map assignment)
+    def lastValueFor(k: String): Column = {
+      val n = size(col("kv_keys"))
+      val li = when(n >= 1,
+        aggregate(sequence(lit(1), n), lit(0), (acc, i) =>
+          when(element_at(col("kv_keys"), i) === k, i).otherwise(acc)))
+        .otherwise(lit(0))
+      when(li > 0, element_at(col("kv_vals"), li))
+    }
+
+    val keptEntries = keep.map { k =>
+      struct(lit(k).as("key"), lastValueFor(k).as("value"))
+    }
+    val extra = filter(array(keptEntries: _*), e => e.getField("value").isNotNull)
+    val tsOverride = lastValueFor("time")
+    val withTs =
+      if (!keep.contains("time")) df
+      else df.withColumn("ts",
+        when(tsOverride.isNotNull &&
+            tsOverride.rlike("^\\d{4}-\\d{2}-\\d{2}T[0-9:.]+(Z|[+-][0-9:]+)$"),
+          rfc3339NanoToNs(tsOverride))
+          .otherwise(col("ts")))
+    withTs
+      .withColumn("fields",
+        map_from_entries(concat(map_entries(col("fields")), extra)))
+      .drop("kv_keys", "kv_vals")
+  }
+
+  /** text: one record per line; a leading date in any of the ~70 known
+    * formats (shared GoDates table) sets the timestamp, lines without one
+    * reuse the last seen date (reference pkg/scanner/parser/line_parser.go —
+    * note the reference does NOT merge continuation lines into one record;
+    * it carries the date forward). `files` = (file, content) pairs from
+    * wholetext reads; per-file sequential, across-files parallel. */
+  def text(files: DataFrame, ingestTime: () => Instant = () => Instant.now()): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val nowNs = { val n = ingestTime(); n.getEpochSecond * 1000000000L + n.getNano }
+    files.select(col("file"), col("content")).as[(String, String)]
+      .flatMap { case (file, content) =>
+        var lastTs = 0L
+        var curFmt: GoDates.Format = null
+        val now = Instant.ofEpochSecond(nowNs / 1000000000L, nowNs % 1000000000L)
+        content.linesIterator.map { line =>
+          // cached-format fast path, then the full table (reference
+          // line_parser.go:120-158 'parsing' state)
+          var ts = 0L
+          val cached = if (curFmt != null) curFmt.parse(line) else None
+          cached match {
+            case Some(p) => ts = toNs(p.resolve(now))
+            case None =>
+              GoDates.knownFormats.iterator
+                .map(f => (f, f.parse(line))).find(_._2.nonEmpty) match {
+                case Some((f, Some(p))) => curFmt = f; ts = toNs(p.resolve(now))
+                case _ => curFmt = null; ts = lastTs
+              }
+          }
+          if (ts != 0L) lastTs = ts
+          (file, ts, line)
+        }
+      }.toDF("file", "ts", "msg")
+      .withColumn("fields", map().cast("map<string,string>"))
+  }
+
+  /** pure: every line is a record timestamped with the ingest time
+    * (reference pkg/scanner/parser/pure_parser.go). */
+  def pure(lines: DataFrame, ingestTime: () => Instant = () => Instant.now()): DataFrame = {
+    val n = ingestTime()
+    lines.select(
+      lit(n.getEpochSecond * 1000000000L + n.getNano).as("ts"),
+      col("value").as("msg"),
+      map().cast("map<string,string>").as("fields"),
+      col("*")).drop("value")
+  }
+
+  private def toNs(i: Instant): Long = i.getEpochSecond * 1000000000L + i.getNano
+}
+
+/** File collector: matches file paths with a named-group regex and derives
+  * per-file tags/fields from templates (reference pkg/scanner/schema.go:28-112),
+  * then ingests each file's records into the [[Store]].
+  */
+final case class PathSchema(
+    pathMatcher: String,
+    dataFormat: String, // k8json | logfmt | text | pure
+    tags: Map[String, String],
+    fields: Map[String, String] = Map.empty,
+    logfmtKeep: Seq[String] = Seq.empty) {
+
+  private val rx = pathMatcher.r
+  // inline (?<name>...) group names — scala.util.matching only exposes
+  // constructor-passed names, so read them from the pattern itself
+  private val groupNames: Seq[String] =
+    "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r.findAllMatchIn(pathMatcher).map(_.group(1)).toSeq
+
+  /** Named-group variables of the path, "" for non-matching groups
+    * (reference schema.go:85-105). None when the path doesn't match. */
+  def vars(path: String): Option[Map[String, String]] =
+    rx.findFirstMatchIn(path).map { m =>
+      groupNames.map { n => n -> Option(m.group(n)).getOrElse("") }.toMap
+    }
+
+  private def subst(tpl: String, vs: Map[String, String]): String =
+    vs.foldLeft(tpl) { case (acc, (k, v)) => acc.replace("{" + k + "}", v) }
+
+  def tagsFor(path: String): Option[Map[String, String]] =
+    vars(path).map(vs => tags.map { case (k, tpl) => k -> subst(tpl, vs) })
+
+  def fieldsFor(path: String): Option[Map[String, String]] =
+    vars(path).map(vs => fields.map { case (k, tpl) => k -> subst(tpl, vs) })
+}
+
+object Collector {
+
+  /** Batch-collect every file under `glob` that matches the schema: parse
+    * per the schema's data format, stamp path-derived tags/fields, append
+    * to the store. Returns the number of matched files. One `store.append`
+    * for ALL files (single Spark job; per-file tag lines become `part`). */
+  def ingest(store: Store, schema: PathSchema, glob: String,
+      ingestTime: () => Instant = () => Instant.now()): Int = {
+    val spark = store.spark
+    val fs = new Path(glob).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString)
+      .filter(p => schema.vars(p).nonEmpty)
+      .sorted
+    if (matched.isEmpty) return 0
+
+    val partOf: Map[String, String] = matched.map { p =>
+      p -> Model.tagLine(schema.tagsFor(p).get)
+    }.toMap
+    val sharedFields: Map[String, Map[String, String]] = matched.map { p =>
+      p -> schema.fieldsFor(p).get
+    }.toMap
+
+    val parsed: DataFrame = schema.dataFormat match {
+      case "text" =>
+        val files = spark.read.option("wholetext", "true").text(matched: _*)
+          .select(input_file_name().as("file"), col("value").as("content"))
+        Ingest.text(files, ingestTime)
+      case fmt =>
+        val lines = spark.read.text(matched: _*)
+          .select(input_file_name().as("file"), col("value"))
+        fmt match {
+          case "k8json" => Ingest.k8json(lines)
+          case "logfmt" => Ingest.logfmt(lines, schema.logfmtKeep)
+          case "pure"   => Ingest.pure(lines, ingestTime)
+          case other    => throw new IllegalArgumentException(s"unknown format $other")
+        }
+    }
+
+    // path-derived part + shared fields, as a small when-chain over the
+    // (few) file names — constant-folded, no per-row regex work. Both
+    // sides are normalized to the bare path: globStatus yields
+    // `file:/p`, input_file_name() yields `file:///p`.
+    def bare(p: String): String = new Path(p).toUri.getPath
+    val fileCol = regexp_replace(col("file"), "^[a-zA-Z0-9+.-]+:/+", "/")
+    val partChain = matched.foldLeft(lit(null).cast("string")) { (acc, p) =>
+      when(fileCol === bare(p), partOf(p)).otherwise(acc)
+    }
+    val withPart = parsed.withColumn("part", partChain).where(col("part").isNotNull)
+    val withFields =
+      if (sharedFields.values.forall(_.isEmpty)) withPart
+      else {
+        val fieldChain = matched.foldLeft(map().cast("map<string,string>")) { (acc, p) =>
+          val fm = sharedFields(p)
+          if (fm.isEmpty) acc
+          else when(fileCol === bare(p),
+            map(fm.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)).otherwise(acc)
+        }
+        // shared (path) fields lose to record fields on key clash, matching
+        // Store.write's shared-fields discipline
+        withPart.withColumn("fields",
+          map_from_entries(concat(
+            filter(map_entries(fieldChain),
+              e => !array_contains(map_keys(col("fields")), e.getField("key"))),
+            map_entries(col("fields")))))
+      }
+
+    val seqd = withFields.withColumn("seq", monotonically_increasing_id())
+    store.append(seqd.select(col("ts"), col("msg"), col("fields"), col("seq"), col("part")))
+    matched.length
+  }
+}

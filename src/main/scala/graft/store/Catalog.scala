@@ -90,7 +90,7 @@ final class Catalog(fs: FileSystem, path: Path) {
   def append(newEntries: Seq[CatEntry]): Unit = {
     if (newEntries.isEmpty) return
     if (!fs.exists(segDir)) fs.mkdirs(segDir)
-    val name = f"seg-${System.nanoTime()}%019d.jsonl"
+    val name = f"seg-${System.nanoTime()}%019d-${java.util.UUID.randomUUID().toString.take(8)}.jsonl"
     val tmp = new Path(segDir, name + ".tmp")
     writeFile(tmp, newEntries)
     fs.rename(tmp, new Path(segDir, name))

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object PipeStore {
 
-  val Version = "v2"
+  val Version = "v3"
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Engine]
 

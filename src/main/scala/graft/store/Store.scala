@@ -76,22 +76,48 @@ final class Store(val spark: SparkSession, val root: String) {
   }
 
   /** Append rows that already carry a `part` column (bulk ingest across many
-    * tag sets in one pass). Writes ts-sorted within each physical partition
-    * and then registers the new files in the catalog from footers.
+    * tag sets in one pass). Writes ts-sorted within each physical partition.
+    *
+    * Staged: the Spark job writes into a private staging directory, then
+    * files are renamed into the table and registered in the catalog. This
+    * makes concurrent appends safe (direct writes into one root share the
+    * committer's `_temporary` dir — two jobs corrupt each other, e.g. a
+    * pipe's streaming append racing a foreground ingest) and the set of
+    * added files is known exactly instead of diffing directory listings.
+    * Same write-then-commit shape a transaction log would use at 100 TB.
     */
   def append(rows: DataFrame, maxRecordsPerFile: Long = 0): Unit = {
-    val before = listDataFiles().toSet
+    val stagingId = java.util.UUID.randomUUID().toString.take(12)
+    val stagingDir = new Path(s"$root/staging/$stagingId")
     val cols = Seq("ts", "msg", "fields", "seq", "part")
     val w = rows.select(cols.map(col): _*)
       .repartition(col("part"))
       .sortWithinPartitions("part", "ts", "seq")
       .write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
       .partitionBy("part")
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
-      .parquet(dataDir)
-    val added = listDataFiles().filterNot(f => before.contains(f))
-    registerFiles(added)
+      .parquet(stagingDir.toString)
+
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    if (fs.exists(stagingDir)) {
+      fs.listStatus(stagingDir).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("part=")) {
+          val dest = new Path(dataDir, st.getPath.getName)
+          fs.mkdirs(dest)
+          fs.listStatus(st.getPath).foreach { f =>
+            val name = f.getPath.getName
+            if (f.isFile && name.endsWith(".parquet") && !name.startsWith("_")) {
+              val destFile = new Path(dest, name)
+              fs.rename(f.getPath, destFile)
+              moved += destFile
+            }
+          }
+        }
+      }
+      fs.delete(stagingDir, true)
+    }
+    registerFiles(moved.toSeq)
   }
 
   /** All data files currently on disk (driver-side listing). */
@@ -170,9 +196,9 @@ final class Store(val spark: SparkSession, val root: String) {
     * partition-pruning predicate — `.explain` shows it under
     * PartitionFilters, no non-matching directory is listed or read. */
   def read(parts: Seq[String]): DataFrame = {
-    val df = spark.read.schema(Model.schema).parquet(dataDir)
-    if (parts.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.schema)
-    else df.where(col("part").isin(parts: _*))
+    if (parts.isEmpty || !fs.exists(new Path(dataDir)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.schema)
+    spark.read.schema(Model.schema).parquet(dataDir).where(col("part").isin(parts: _*))
   }
 
   /** Read everything (pipes' streaming source uses its own reader). */

@@ -1,0 +1,98 @@
+package graft
+
+import graft.sources.{Ingest, PathSchema}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.Instant
+
+/** Ingest parser behaviour on synthesized fixtures (reference
+  * pkg/scanner/parser test patterns): k8json envelope, logfmt field
+  * extraction quirks, text date detection with carry-forward, path-schema
+  * tag derivation.
+  */
+class IngestSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lines(ls: String*) =
+    ls.toDF("value").withColumn("file", lit("/f.log"))
+
+  test("k8json: envelope parse, ns fidelity, stream field") {
+    val out = Ingest.k8json(lines(
+      """{"log":"hello","stream":"stdout","time":"2024-01-02T03:04:05.123456789Z"}""",
+      """{"log":"x","stream":"stderr","time":"2024-01-02T03:04:06Z"}""",
+      """not json at all"""))
+      .select("ts", "msg", "fields").collect()
+    assert(out.length == 2) // malformed line dropped
+    assert(out(0).getLong(0) == 1704164645123456789L) // full nanos kept
+    assert(out(0).getString(1) == "hello")
+    assert(out(0).getMap[String, String](2) == Map("stream" -> "stdout"))
+  }
+
+  test("logfmt: kept keys, quoted values, duplicate keys last-wins, time override") {
+    val out = Ingest.logfmt(lines(
+      """{"log":"level=info msg=\"a b=c\" level=warn time=2024-06-07T08:09:10.5Z rest","stream":"stdout","time":"2024-01-02T03:04:05Z"}"""),
+      keep = Seq("level", "msg", "time"))
+      .select("ts", "fields").collect()
+    assert(out.length == 1)
+    val fields = out(0).getMap[String, String](1)
+    assert(fields("level") == "warn")      // duplicate key: last wins
+    assert(fields("msg") == "a b=c")       // quoted value unquoted
+    assert(fields("stream") == "stdout")
+    // time=... overrides the envelope timestamp
+    assert(out(0).getLong(0) == Instant.parse("2024-06-07T08:09:10.5Z").getEpochSecond * 1000000000L + 500000000L)
+  }
+
+  test("logfmt: without 'time' in keep, envelope time is kept") {
+    val out = Ingest.logfmt(lines(
+      """{"log":"time=2024-06-07T08:09:10Z x=1","stream":"stdout","time":"2024-01-02T03:04:05Z"}"""),
+      keep = Seq("x"))
+      .select("ts", "fields").collect()
+    assert(out(0).getLong(0) == Instant.parse("2024-01-02T03:04:05Z").getEpochSecond * 1000000000L)
+    assert(out(0).getMap[String, String](1) == Map("stream" -> "stdout", "x" -> "1"))
+  }
+
+  test("text: leading-date detection and last-seen-date carry-forward") {
+    val files = Seq(("/a.log",
+      "2024-03-04 05:06:07 first\nno date here\nanother bare line\n2024-03-04 05:06:09 second\ntrailer"))
+      .toDF("file", "content")
+    val out = Ingest.text(files, () => Instant.parse("2024-03-04T00:00:00Z"))
+      .orderBy("ts", "msg").select("ts", "msg").collect()
+    val t1 = Instant.parse("2024-03-04T05:06:07Z").getEpochSecond * 1000000000L
+    val t2 = Instant.parse("2024-03-04T05:06:09Z").getEpochSecond * 1000000000L
+    val byMsg = out.map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(byMsg("2024-03-04 05:06:07 first") == t1)
+    assert(byMsg("no date here") == t1)      // carried forward
+    assert(byMsg("another bare line") == t1)
+    assert(byMsg("2024-03-04 05:06:09 second") == t2)
+    assert(byMsg("trailer") == t2)
+  }
+
+  test("text: dateless prefix lines get ts=0 (no date seen yet)") {
+    val files = Seq(("/a.log", "preamble\n2024-03-04 05:06:07 first")).toDF("file", "content")
+    val out = Ingest.text(files, () => Instant.parse("2024-03-04T00:00:00Z"))
+      .select("ts", "msg").collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(out("preamble") == 0L)
+  }
+
+  test("pure: every line gets the ingest time") {
+    val clock = Instant.parse("2024-05-06T07:08:09Z")
+    val out = Ingest.pure(lines("a", "b"), () => clock).select("ts", "msg").collect()
+    assert(out.forall(_.getLong(0) == clock.getEpochSecond * 1000000000L))
+    assert(out.map(_.getString(1)).toSet == Set("a", "b"))
+  }
+
+  test("path schema: named groups, templates, non-matching paths") {
+    val s = PathSchema(
+      pathMatcher = ".*/(?<pod>[^_/]+)_(?<ns>[^/]+)/app\\.log$",
+      dataFormat = "k8json",
+      tags = Map("pod" -> "{pod}", "ns" -> "{ns}", "static" -> "fixed"),
+      fields = Map("origin" -> "{pod}@{ns}"))
+    assert(s.tagsFor("/x/mypod_myns/app.log") ==
+      Some(Map("pod" -> "mypod", "ns" -> "myns", "static" -> "fixed")))
+    assert(s.fieldsFor("/x/mypod_myns/app.log") == Some(Map("origin" -> "mypod@myns")))
+    assert(s.tagsFor("/x/other/file.log").isEmpty)
+  }
+}

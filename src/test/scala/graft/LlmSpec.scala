@@ -1,0 +1,81 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, SimHash, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioural tests of the training-data operators on sf0.001: LSH recall
+  * vs the brute-force baseline, near-dup detection of planted duplicates,
+  * simhash locality, multimodal decode plumbing.
+  */
+class LlmSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("exact dedup groups by content hash and keeps min doc_id") {
+    val out = Dedup.exact(docs).cache()
+    assert(out.count() == out.select("text_hash").distinct().count())
+    assert(out.agg(sum("dups")).head.getLong(0) == docs.count())
+  }
+
+  test("near-dup finds the planted pairs, all with high Jaccard") {
+    val pairs = Dedup.nearDuplicates(docs).collect()
+    assert(pairs.length >= 10, s"expected planted near-dups, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(2) >= 8000), "every returned pair must clear the 0.8 threshold")
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)), "pairs ordered doc_a < doc_b")
+  }
+
+  test("simhash: near-dup pairs are close in Hamming space, random pairs are not") {
+    val fp = SimHash.fingerprints(docs)
+    val pairs = Dedup.nearDuplicates(docs)
+    val joined = pairs
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .select(SimHash.hamming(col("ha"), col("hb")).as("d"))
+    val dupMean = joined.agg(avg("d")).head.getDouble(0)
+    // random-pair baseline: consecutive doc ids that are not near-dups
+    val dupIds = pairs.select("doc_a").collect().map(_.getLong(0)).toSet ++
+      pairs.select("doc_b").collect().map(_.getLong(0))
+    val base = fp.alias("x").join(fp.alias("y"),
+        col("x.doc_id") + 1 === col("y.doc_id"))
+      .where(!col("x.doc_id").isin(dupIds.toSeq: _*))
+      .select(SimHash.hamming(col("x.simhash"), col("y.simhash")).as("d"))
+    val baseMean = base.agg(avg("d")).head.getDouble(0)
+    assert(dupMean < baseMean / 2,
+      s"near-dup mean hamming $dupMean should be far below random baseline $baseMean")
+  }
+
+  test("LSH top-k recall vs brute force is usable") {
+    val exact = Similarity.bruteForceTopK(emb, numQueries = 10, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, numQueries = 10, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 $recall too low for 4-plane Hamming-2 multi-probe")
+  }
+
+  test("brute-force top-k returns k rows per query, ranked") {
+    val out = Similarity.bruteForceTopK(emb, numQueries = 5, k = 3).collect()
+    assert(out.length == 15)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L))
+      // scores non-increasing with rank
+      val byRank = rows.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("multimodal decode stub: deterministic, byte-accurate") {
+    val out = Multimodal.decodeAll(docs).collect()
+    assert(out.length == docs.count())
+    val sample = docs.select("doc_id", "text").head
+    val expect = Multimodal.decodeStub(sample.getString(1).getBytes("UTF-8"))
+    val got = out.find(_.getLong(0) == sample.getLong(0)).get
+    assert(got.getLong(1) == expect.byte_len && got.getLong(5) == expect.checksum)
+  }
+}

@@ -115,6 +115,44 @@ object LqlQueries {
   def describePipe(spark: SparkSession, dir: String): DataFrame =
     PipeStore.engine(spark, dir).execute("DESCRIBE PIPE p1")
 
+  /** Engine over the same store with a pinned clock, for now-relative
+    * datetime entries (the reference resolves datetimes at parse time
+    * against the wall clock; tests inject a fixed one). Pinned now =
+    * 2024-01-25T12:30:45Z, a Thursday inside the events' Jan-2024 range. */
+  private def engAt(spark: SparkSession, dir: String): graft.engine.Engine =
+    new graft.engine.Engine(eng(spark, dir).store,
+      () => java.time.Instant.parse("2024-01-25T12:30:45Z"))
+
+  // 21. relative datetimes: -10.5d .. -5d from the pinned now
+  def rangeRelative(spark: SparkSession, dir: String): DataFrame =
+    us(engAt(spark, dir).select(
+      "SELECT FROM {name=error} RANGE [\"-10.5d\":\"-5d\"] LIMIT 10000"))
+
+  // 22. special datetimes: week (Sunday start, Go Weekday) .. day
+  def rangeSpecial(spark: SparkSession, dir: String): DataFrame =
+    us(engAt(spark, dir).select(
+      "SELECT FROM {name=click} RANGE [\"week\":\"day\"] LIMIT 10000"))
+
+  // 23. raw int64 nanos as ts constants
+  def whereTsRawNs(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select(
+      "SELECT FROM {name=view} WHERE ts >= '1704931200000000000' AND ts <= '1705276800000000000' LIMIT 10000"))
+
+  // 24. TRUNCATE DRYRUN: phase-1 size cut (MAXSIZE 1 drops every chunk)
+  // and the MINSIZE floor preventing any cut; reports only, no deletion
+  def truncateDryrun(spark: SparkSession, dir: String): DataFrame = {
+    val e = eng(spark, dir)
+    def shape(mode: String, df: DataFrame): DataFrame =
+      df.select(lit(mode).as("mode"), col("partition"),
+        col("before_records").cast("long").as("before_records"),
+        col("after_records").cast("long").as("after_records"),
+        col("chunks_deleted").cast("long").as("chunks_deleted"),
+        col("deleted").cast("long").as("deleted"))
+    shape("cut", e.execute("TRUNCATE DRYRUN {name=error} MAXSIZE 1"))
+      .unionByName(shape("keep",
+        e.execute("TRUNCATE DRYRUN {name=error} MINSIZE 1000000000 MAXSIZE 1")))
+  }
+
   // 18-20. ingest parsers: files written to /tmp are collected through
   // path-schema tag assignment (see IngestStore) and queried back
   def ingestLogfmt(spark: SparkSession, dir: String): DataFrame =
@@ -216,7 +254,35 @@ object LqlQueries {
       """SELECT * FROM (VALUES
         |  (1714979289000000::BIGINT, 'alpha', 'kind=purelog,name=notes', 'origin=file-notes'),
         |  (1714979289000000::BIGINT, 'beta', 'kind=purelog,name=notes', 'origin=file-notes')
-        |) t(ts_us, msg, tags, fields)""".stripMargin
+        |) t(ts_us, msg, tags, fields)""".stripMargin,
+    "lql_range_relative" ->
+      s"""$oracleCte $Proj
+         |WHERE event_type = 'error'
+         |  AND ts >= epoch_ns(TIMESTAMP '2024-01-15 00:30:45')
+         |  AND ts <= epoch_ns(TIMESTAMP '2024-01-20 12:30:45')
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_range_special" ->
+      s"""$oracleCte $Proj
+         |WHERE event_type = 'click'
+         |  AND ts >= epoch_ns(TIMESTAMP '2024-01-21 00:00:00')
+         |  AND ts <= epoch_ns(TIMESTAMP '2024-01-25 00:00:00')
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_where_ts_rawns" ->
+      s"""$oracleCte $Proj
+         |WHERE event_type = 'view'
+         |  AND ts >= 1704931200000000000 AND ts <= 1705276800000000000
+         |$OrderBy LIMIT 10000""".stripMargin,
+    "lql_truncate_dryrun" ->
+      """WITH p AS (
+        |  SELECT 'host=host' || (user_id % 4) || ',name=error' AS partition,
+        |         count(*) AS n
+        |  FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT 'cut' AS mode, partition, n::BIGINT AS before_records,
+        |  0::BIGINT AS after_records, ceil(n / 2000.0)::BIGINT AS chunks_deleted,
+        |  1::BIGINT AS deleted FROM p
+        |UNION ALL
+        |SELECT 'keep', partition, n::BIGINT, n::BIGINT, 0::BIGINT, 0::BIGINT
+        |FROM p""".stripMargin
   )
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -239,6 +305,10 @@ object LqlQueries {
     "lql_describe_pipe" -> (describePipe _),
     "lql_ingest_logfmt" -> (ingestLogfmt _),
     "lql_ingest_text" -> (ingestText _),
-    "lql_ingest_pure" -> (ingestPure _)
+    "lql_ingest_pure" -> (ingestPure _),
+    "lql_range_relative" -> (rangeRelative _),
+    "lql_range_special" -> (rangeSpecial _),
+    "lql_where_ts_rawns" -> (whereTsRawNs _),
+    "lql_truncate_dryrun" -> (truncateDryrun _)
   )
 }

@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a document (lowercased, non-word
-    * separators), the unit of Jaccard similarity. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val w = filter(split(lower(text), "\\W+"), t => t =!= "")
+  /** Lowercased word tokens (non-word separators, empties removed). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles from a token-array column. IMPORTANT:
+    * pass a materialized attribute, not the [[tokens]] expression — the
+    * token array is referenced n+1 times per element here, and an inlined
+    * tokenization would re-split the text once per shingle (a plan-visible
+    * 100x blowup). */
+  def shinglesFromTokens(w: Column, n: Int = 3): Column = {
     val cnt = size(w) - (n - 1)
     array_distinct(
       when(cnt >= 1,
@@ -31,6 +37,11 @@ object Dedup {
           concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
         .otherwise(array().cast("array<string>")))
   }
+
+  /** Convenience single-expression form (tests / small inputs only — see
+    * the [[shinglesFromTokens]] caveat). */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Exact dedup: group by full-content hash, keep the smallest doc_id as
     * the survivor. */
@@ -47,20 +58,52 @@ object Dedup {
 
   /** Near-duplicate pairs (doc_a < doc_b) with word-3-shingle Jaccard ≥
     * `threshold`, found via LSH banding and verified exactly.
-    * `jaccard_r` = Jaccard similarity scaled by 1e4 and rounded. */
+    * `jaccard_r` = Jaccard similarity scaled by 1e4 and rounded.
+    *
+    * The shingle array is materialized through an exchange before the
+    * signature/banding projection: without the barrier, CollapseProject
+    * inlines the tokenization expression into every one of the 96 hash
+    * lambdas and the whole split+shingle work is redone per hash per
+    * shingle (observed as a 1000× blowup). Post-exchange, `sh` is a plain
+    * attribute and each band key costs only its own xxhash evaluations.
+    * The repartition also spreads single-file sources across the cluster.
+    */
   def nearDuplicates(docs: DataFrame, bands: Int = 32, rowsPerBand: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    // Plan shape matters more than the expressions here (all measured):
+    //  - the short-doc filter tests token COUNT, not the shingle array — a
+    //    `size(shingles) > 0` predicate gets pushed into the scan with the
+    //    whole tokenize+shingle expression inlined (5 re-splits per row);
+    //    `size(tokens) >= n` is equivalent and inlines one extra split;
+    //  - an exchange (explicit count, so AQE can't coalesce to one task)
+    //    separates tokenization from the shingle/minhash lambdas, which
+    //    would otherwise re-tokenize per array element (CollapseProject
+    //    merges adjacent projections — a 1000x blowup);
+    //  - `sh` is cached: it feeds the banding self-join AND both sides of
+    //    the verification join — uncached, the optimizer plans four full
+    //    recomputations of the pipeline. MEMORY_AND_DISK, so at scale it
+    //    spills rather than OOMs (same role as a checkpoint in a
+    //    production LSH pipeline).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val sh = docs
-      .select(col("doc_id").cast("long").as("doc_id"), wordShingles(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
+      .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 3)
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), shinglesFromTokens(col("w")).as("sh"))
+      .cache()
 
+    // band key = hash of the band's r minhash slots, computed directly over
+    // the cached shingle attribute in ONE projection; cached too — it is
+    // both sides of the candidate self-join
     val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
-            xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bkey")))).as("bb"))
+            xxhash64(b, transform(
+              sequence(b * rowsPerBand, (b + 1) * rowsPerBand - 1),
+              i => array_min(transform(col("sh"), g => xxhash64(i, g))))).as("bkey")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .cache()
 
     val l = banded.alias("l")
     val r = banded.alias("r")

@@ -26,7 +26,11 @@ object SimHash {
     * majority of token hashes have bit i set. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs
-      .withColumn("hs", tokenHashes)
+      .select(col("doc_id").cast("long").as("doc_id"), tokenHashes.as("hs"))
+      // exchange barrier: materialize token hashes so the 60-bit fold
+      // references a plain attribute (see Dedup.nearDuplicates for why);
+      // explicit count so AQE keeps the parallelism
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("simhash", expr(
         s"""aggregate(sequence(0, ${Bits - 1}), 0L, (acc, i) -> acc +
            |  IF(aggregate(hs, 0L,

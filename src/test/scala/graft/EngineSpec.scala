@@ -1,0 +1,100 @@
+package graft
+
+import graft.engine.Engine
+import graft.lql.Ast.LqlException
+import graft.store.Store
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Engine-level behaviours not covered by the oracle entries: the
+  * 50-partition cap error, malformed continuation tokens, SHOW PARTITIONS
+  * size ordering and totals, TRUNCATE MAXDBSIZE whole-partition deletion,
+  * and seq uniqueness across appends.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshEngine(): Engine =
+    new Engine(new Store(spark, Files.createTempDirectory("graft-eng").toString))
+
+  private def ingest(e: Engine, tags: Map[String, String], startTs: Long,
+      n: Int, pad: Int = 0): Unit = {
+    import spark.implicits._
+    val padStr = "x" * pad
+    val df = (0 until n).map(i => (startTs + i * 1000000000L, s"m$i$padStr"))
+      .toDF("ts", "msg")
+    e.store.write(tags, Map.empty, df)
+  }
+
+  test("queries matching more than 50 partitions error, not truncate (reference GetJournals)") {
+    val e = freshEngine()
+    (0 until 55).foreach(i => ingest(e, Map("app" -> f"a$i%02d"), 1000000000L, 1))
+    val ex = intercept[LqlException] { e.select("SELECT LIMIT 10") }
+    assert(ex.getMessage.contains("Limit exceeds"))
+    // a selective FROM under the cap still works
+    assert(e.select("SELECT FROM {app=a07} LIMIT 10").count() == 1)
+  }
+
+  test("malformed continuation tokens are LqlException, not raw errors") {
+    val e = freshEngine()
+    ingest(e, Map("app" -> "t"), 1000000000L, 3)
+    Seq("tok:!!!not-base64!!!", "tok:" + java.util.Base64.getUrlEncoder.encodeToString(
+      "1|x|y".getBytes)).foreach { bad =>
+      val ex = intercept[LqlException] {
+        e.select(s"""SELECT POSITION "$bad" LIMIT 10""").collect()
+      }
+      assert(ex.getMessage.contains("position"))
+    }
+  }
+
+  test("SHOW PARTITIONS sorts by size desc and totals cover all matches") {
+    val e = freshEngine()
+    ingest(e, Map("app" -> "big"), 1000000000L, 50, pad = 200)
+    ingest(e, Map("app" -> "mid"), 1000000000L, 20, pad = 100)
+    ingest(e, Map("app" -> "small"), 1000000000L, 3)
+    val rows = e.execute("SHOW PARTITIONS").collect()
+    assert(rows.map(_.getAs[String]("partition")).toSeq ==
+      Seq("app=big", "app=mid", "app=small"))
+    val sizes = rows.map(_.getAs[Long]("size_bytes"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+    // paging keeps the order; totals ignore paging
+    val page = e.execute("SHOW PARTITIONS OFFSET 1 LIMIT 1").collect()
+    assert(page.map(_.getAs[String]("partition")).toSeq == Seq("app=mid"))
+    val (cnt, totalSize, totalRecs) = e.showPartitionsTotals(None)
+    assert(cnt == 3 && totalRecs == 73 && totalSize == sizes.sum)
+  }
+
+  test("TRUNCATE MAXDBSIZE deletes least-recently-written partitions wholly") {
+    val e = freshEngine()
+    ingest(e, Map("app" -> "old"), 1000000000L, 10, pad = 100)
+    Thread.sleep(10) // writeTs orders partitions by last write
+    ingest(e, Map("app" -> "new"), 1000000000L, 10, pad = 100)
+    val report = e.execute("TRUNCATE DRYRUN MAXDBSIZE 1").collect()
+      .map(r => r.getAs[String]("partition") -> r.getAs[Boolean]("deleted")).toMap
+    assert(report("app=old") && report("app=new"))
+    // big budget: nothing deleted
+    val report2 = e.execute("TRUNCATE DRYRUN MAXDBSIZE 1000000000").collect()
+    assert(report2.forall(!_.getAs[Boolean]("deleted")))
+    // DRYRUN must not have removed anything
+    assert(e.select("SELECT LIMIT 10000").count() == 20)
+  }
+
+  test("TRUNCATE (not dryrun) really deletes and the store stays consistent") {
+    val e = freshEngine()
+    ingest(e, Map("app" -> "d"), 1000000000L, 10)
+    assert(e.select("SELECT FROM {app=d} LIMIT 100").count() == 10)
+    e.execute("TRUNCATE {app=d} MAXSIZE 1")
+    assert(e.select("SELECT FROM {app=d} LIMIT 100").count() == 0)
+    assert(e.execute("SHOW PARTITIONS").collect().isEmpty)
+  }
+
+  test("(part, seq) stays unique across separate appends") {
+    val e = freshEngine()
+    ingest(e, Map("app" -> "u"), 1000000000L, 5)
+    ingest(e, Map("app" -> "u"), 50000000000L, 5)
+    val seqs = e.store.read(Seq("app=u")).select("seq").collect().map(_.getLong(0))
+    assert(seqs.length == 10 && seqs.distinct.length == 10)
+  }
+}

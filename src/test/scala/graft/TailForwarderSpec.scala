@@ -1,0 +1,141 @@
+package graft
+
+import graft.engine.{Engine, Tail}
+import graft.store.Store
+import graft.streaming.{Forwarder, Syslog}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.ServerSocket
+import java.nio.file.Files
+import java.time.Duration
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+import scala.collection.mutable.ArrayBuffer
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.{Duration => SDuration}
+
+/** Tail-follow (continuation long-poll) and forwarder/sink behaviour. */
+class TailForwarderSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshEngine(): Engine = {
+    val root = Files.createTempDirectory("graft-tail").toString
+    new Engine(new Store(spark, root))
+  }
+
+  private def ingest(e: Engine, tags: Map[String, String], startTs: Long,
+      n: Int, msgPrefix: String): Unit = {
+    import spark.implicits._
+    val df = (0 until n).map(i => (startTs + i * 1000000000L, s"$msgPrefix$i"))
+      .toDF("ts", "msg")
+    e.store.write(tags, Map.empty, df)
+  }
+
+  test("bounded select loop: LIMIT caps the total, token resumes after it") {
+    val e = freshEngine()
+    ingest(e, Map("app" -> "a"), 1000000000L, 40, "m")
+    val got = ArrayBuffer.empty[Row]
+    val tok = Tail.selectLoop(e, "SELECT FROM {app=a} LIMIT 25", streamMode = false,
+      handler = rows => got ++= rows)
+    assert(got.length == 25)
+    assert(got.map(_.getAs[String]("msg")).toSeq == (0 until 25).map(i => s"m$i"))
+    // resume from the returned token: the remaining 15
+    val rest = ArrayBuffer.empty[Row]
+    Tail.selectLoop(e, "SELECT FROM {app=a} LIMIT 10000", streamMode = false,
+      handler = rows => rest ++= rows, startPos = tok)
+    assert(rest.map(_.getAs[String]("msg")).toSeq == (25 until 40).map(i => s"m$i"))
+  }
+
+  test("stream tail picks up data ingested after the loop started") {
+    val e = freshEngine()
+    ingest(e, Map("app" -> "t"), 1000000000L, 5, "a")
+    val got = ArrayBuffer.empty[String]
+    val running = new AtomicBoolean(true)
+    val fut = Future {
+      Tail.selectLoop(e, "SELECT FROM {app=t} LIMIT 10000", streamMode = true,
+        handler = rows => got.synchronized { got ++= rows.map(_.getAs[String]("msg")) },
+        waitTimeout = Duration.ofSeconds(5), poll = Duration.ofMillis(100),
+        keepRunning = () => running.get())
+    }
+    // wait for the initial page, then ingest more ("tail -f" behaviour)
+    val deadline = System.currentTimeMillis() + 30000
+    while (got.synchronized(got.length) < 5 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(got.synchronized(got.length) == 5)
+    ingest(e, Map("app" -> "t"), 100000000000L, 3, "b")
+    while (got.synchronized(got.length) < 8 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    running.set(false)
+    Await.result(fut, SDuration(60, "s"))
+    assert(got.synchronized(got.toSeq) ==
+      (0 until 5).map(i => s"a$i") ++ (0 until 3).map(i => s"b$i"))
+  }
+
+  test("syslog rendering matches the reference format") {
+    // pri = (176 & 0xf8) | (6 & 0x07) = 182; µs fraction, trailing zeros cut
+    assert(Syslog.format(22 << 3, 6, 1704164645123456789L, "h", "t", "hello") ==
+      "<182>1 2024-01-02T03:04:05.123456Z h t - - - hello")
+    assert(Syslog.format(22 << 3, 6, 1704164645120000000L, "h", "t", "x") ==
+      "<182>1 2024-01-02T03:04:05.12Z h t - - - x")
+    assert(Syslog.format(22 << 3, 6, 1704164645000000000L, "h", "t", "x") ==
+      "<182>1 2024-01-02T03:04:05Z h t - - - x")
+    // newline strip + truncation marker
+    assert(Syslog.format(22 << 3, 6, 0L, "h", "t", "a\nb") endsWith "- - - ab")
+    val truncated = Syslog.format(22 << 3, 6, 0L, "h", "t", "abcdefgh", lenLimit = 4)
+    assert(truncated endsWith "abcd... [truncated]\n")
+  }
+
+  test("syslog TCP sink writes newline-delimited frames") {
+    val server = new ServerSocket(0)
+    val received = Future {
+      val s = server.accept()
+      val src = scala.io.Source.fromInputStream(s.getInputStream, "UTF-8")
+      val lines = src.getLines().take(2).toList
+      s.close(); lines
+    }
+    val sink = new Forwarder.SyslogTcpSink("127.0.0.1", server.getLocalPort,
+      hostname = "h")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts BIGINT, msg STRING, tags STRING, fields STRING")
+    def row(ts: Long, msg: String) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](ts, msg, "app=a", ""), schema)
+    sink.onEvents(Seq(row(1704164645000000000L, "one"), row(1704164646000000000L, "two")))
+    val lines = Await.result(received, SDuration(30, "s"))
+    sink.close(); server.close()
+    assert(lines == List(
+      "<182>1 2024-01-02T03:04:05Z h app=a - - - one",
+      "<182>1 2024-01-02T03:04:06Z h app=a - - - two"))
+  }
+
+  test("forwarder pumps pipe output to the sink and persists position") {
+    val e = freshEngine()
+    ingest(e, Map("app" -> "f"), 1000000000L, 10, "keep-x-")
+    ingest(e, Map("app" -> "f"), 50000000000L, 5, "drop-y-")
+    val collected = ArrayBuffer.empty[String]
+    val rounds = new AtomicInteger(0)
+    val sink = new Forwarder.Sink {
+      def onEvents(events: Seq[Row]): Unit =
+        collected ++= events.map(_.getAs[String]("msg"))
+    }
+    Forwarder.run(e, "fw1", sink,
+      from = Some("{app=f}"), where = Some("msg CONTAINS 'x'"),
+      waitTimeout = Duration.ofMillis(300), poll = Duration.ofMillis(100),
+      keepRunning = () => rounds.incrementAndGet() <= 4)
+    e.pipes.processAllAvailable()
+    // a second bounded run to drain anything the pipe produced late
+    Forwarder.run(e, "fw1", sink,
+      waitTimeout = Duration.ofMillis(300), poll = Duration.ofMillis(100),
+      keepRunning = { val r = new AtomicInteger(0); () => r.incrementAndGet() <= 3 })
+    e.pipes.stopAll()
+    assert(collected.toSeq == (0 until 10).map(i => s"keep-x-$i"))
+    // position file exists; a fresh run re-forwards nothing
+    val before = collected.length
+    Forwarder.run(e, "fw1", sink,
+      waitTimeout = Duration.ofMillis(200), poll = Duration.ofMillis(100),
+      keepRunning = { val r = new AtomicInteger(0); () => r.incrementAndGet() <= 2 })
+    assert(collected.length == before)
+  }
+}

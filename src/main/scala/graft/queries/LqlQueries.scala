@@ -153,6 +153,12 @@ object LqlQueries {
         e.execute("TRUNCATE DRYRUN {name=error} MINSIZE 1000000000 MAXSIZE 1")))
   }
 
+  // 25. format template: {ts.format}, {msg.json()} and {vars} (tag line +
+  // fields kv-string, reference leformatter.go:159-166) in one projection
+  def formatVars(spark: SparkSession, dir: String): DataFrame =
+    us(eng(spark, dir).select(
+      "SELECT \"{ts.format(2006-01-02)}|{msg.json()}|{vars}\" FROM {name=error} LIMIT 10000"))
+
   // 18-20. ingest parsers: files written to /tmp are collected through
   // path-schema tag assignment (see IngestStore) and queried back
   def ingestLogfmt(spark: SparkSession, dir: String): DataFrame =
@@ -255,6 +261,10 @@ object LqlQueries {
         |  (1714979289000000::BIGINT, 'alpha', 'kind=purelog,name=notes', 'origin=file-notes'),
         |  (1714979289000000::BIGINT, 'beta', 'kind=purelog,name=notes', 'origin=file-notes')
         |) t(ts_us, msg, tags, fields)""".stripMargin,
+    "lql_format_vars" ->
+      s"""$oracleCte SELECT epoch_us(ts_raw) AS ts_us,
+         |  strftime(ts_raw, '%Y-%m-%d') || '|' || msg || '|' || tags || ',' || fields AS line
+         |FROM le WHERE event_type = 'error' $OrderBy LIMIT 10000""".stripMargin,
     "lql_range_relative" ->
       s"""$oracleCte $Proj
          |WHERE event_type = 'error'
@@ -306,6 +316,7 @@ object LqlQueries {
     "lql_ingest_logfmt" -> (ingestLogfmt _),
     "lql_ingest_text" -> (ingestText _),
     "lql_ingest_pure" -> (ingestPure _),
+    "lql_format_vars" -> (formatVars _),
     "lql_range_relative" -> (rangeRelative _),
     "lql_range_special" -> (rangeSpecial _),
     "lql_where_ts_rawns" -> (whereTsRawNs _),

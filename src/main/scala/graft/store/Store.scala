@@ -86,12 +86,28 @@ final class Store(val spark: SparkSession, val root: String) {
     * added files is known exactly instead of diffing directory listings.
     * Same write-then-commit shape a transaction log would use at 100 TB.
     */
-  def append(rows: DataFrame, maxRecordsPerFile: Long = 0): Unit = {
+  /** @param saltBuckets ingest parallelism per tag partition: 1 (default)
+    *        keeps one writer task per partition — one ts-sorted file per
+    *        batch, tightest chunk pruning; N>1 spreads a HOT partition's
+    *        batch over N tasks/files (seq-hash salt) so a single loud tag
+    *        set no longer serializes ingest — the files' ts ranges overlap
+    *        within the batch, which widens chunk pruning but changes no
+    *        query result. At the 100 TB design point bulk loads use N>1.
+    */
+  def append(rows: DataFrame, maxRecordsPerFile: Long = 0, saltBuckets: Int = 1): Unit = {
     val stagingId = java.util.UUID.randomUUID().toString.take(12)
     val stagingDir = new Path(s"$root/staging/$stagingId")
     val cols = Seq("ts", "msg", "fields", "seq", "part")
-    val w = rows.select(cols.map(col): _*)
-      .repartition(col("part"))
+    val selected = rows.select(cols.map(col): _*)
+    val distributed =
+      if (saltBuckets <= 1) selected.repartition(col("part"))
+      else
+        // range partitioning on (part, salt) with an explicit count maps
+        // salt slices 1:1 onto tasks (hash could collide them; AQE can't
+        // coalesce an explicit count)
+        selected.repartitionByRange(saltBuckets,
+          col("part"), pmod(xxhash64(col("seq")), lit(saltBuckets)))
+    val w = distributed
       .sortWithinPartitions("part", "ts", "seq")
       .write
       .mode(SaveMode.Overwrite)

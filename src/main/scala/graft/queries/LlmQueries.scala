@@ -36,6 +36,9 @@ object LlmQueries {
   def multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAll(docs(spark, dir))
 
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(emb(spark, dir))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
@@ -43,7 +46,8 @@ object LlmQueries {
     "llm_text_stats" -> (textStats _),
     "llm_sim_topk" -> (simTopK _),
     "llm_sim_topk_lsh" -> (simTopKLsh _), // rows-only: approximate by design
-    "llm_multimodal" -> (multimodal _)
+    "llm_multimodal" -> (multimodal _),
+    "llm_dedup_embed" -> (embedNearDup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -108,6 +112,20 @@ object LlmQueries {
         |  rank::BIGINT AS rank
         |FROM r WHERE rank <= 5""".stripMargin,
 
-    "llm_multimodal" -> Multimodal.oracleSql
+    "llm_multimodal" -> Multimodal.oracleSql,
+
+    "llm_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |s AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |          / (a.nrm * b.nrm) * 1e6 + 0.5)::BIGINT AS score_r
+        |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b, score_r
+        |FROM s WHERE score_r >= 450000""".stripMargin
   )
 }

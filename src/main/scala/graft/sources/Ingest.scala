@@ -106,7 +106,13 @@ object Ingest {
     * reuse the last seen date (reference pkg/scanner/parser/line_parser.go —
     * note the reference does NOT merge continuation lines into one record;
     * it carries the date forward). `files` = (file, content) pairs from
-    * wholetext reads; per-file sequential, across-files parallel. */
+    * wholetext reads; per-file sequential, across-files parallel.
+    *
+    * Ports the reference's parsing/skipping state machine
+    * (line_parser.go:50-80, 129-158): after `maxFailCnt` consecutive
+    * full-table misses the parser stops probing for `maxSkipCnt` lines
+    * (doubling up to 100) — a dateless multi-GB file costs O(lines), not
+    * O(lines x formats). */
   def text(files: DataFrame, ingestTime: () => Instant = () => Instant.now()): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
@@ -115,20 +121,35 @@ object Ingest {
       .flatMap { case (file, content) =>
         var lastTs = 0L
         var curFmt: GoDates.Format = null
+        var skipping = false
+        var failSkipCnt = 0
+        val maxFailCnt = 10
+        var maxSkipCnt = 10
         val now = Instant.ofEpochSecond(nowNs / 1000000000L, nowNs % 1000000000L)
         content.linesIterator.map { line =>
-          // cached-format fast path, then the full table (reference
-          // line_parser.go:120-158 'parsing' state)
           var ts = 0L
           val cached = if (curFmt != null) curFmt.parse(line) else None
           cached match {
             case Some(p) => ts = toNs(p.resolve(now))
-            case None =>
+            case None if !skipping =>
               GoDates.knownFormats.iterator
                 .map(f => (f, f.parse(line))).find(_._2.nonEmpty) match {
-                case Some((f, Some(p))) => curFmt = f; ts = toNs(p.resolve(now))
-                case _ => curFmt = null; ts = lastTs
+                case Some((f, Some(p))) =>
+                  curFmt = f; ts = toNs(p.resolve(now))
+                  maxSkipCnt = 10; failSkipCnt = 0
+                case _ =>
+                  curFmt = null
+                  failSkipCnt += 1
+                  if (failSkipCnt >= maxFailCnt) { skipping = true; failSkipCnt = 0 }
+                  ts = lastTs
               }
+            case None => // skipping: no probing, reuse last date
+              failSkipCnt += 1
+              if (failSkipCnt >= maxSkipCnt) {
+                skipping = false; failSkipCnt = 0
+                if (maxSkipCnt < 100) maxSkipCnt <<= 1
+              }
+              ts = lastTs
           }
           if (ts != 0L) lastTs = ts
           (file, ts, line)

@@ -77,6 +77,23 @@ class IngestSpec extends AnyFunSuite {
     assert(out("preamble") == 0L)
   }
 
+  test("text: fail/skip state machine recovers when dates reappear") {
+    // 10 dateless lines trip the parser into 'skipping'; after 10 skipped
+    // lines it probes again and finds the date (reference
+    // line_parser.go:129-158)
+    val pre = (1 to 25).map(i => s"noise $i")
+    val content = (Seq("2024-03-04 05:06:07 dated") ++ pre ++
+      Seq("2024-03-04 05:06:09 dated again", "tail line")).mkString("\n")
+    val files = Seq(("/a.log", content)).toDF("file", "content")
+    val out = Ingest.text(files, () => Instant.parse("2024-03-04T00:00:00Z"))
+      .select("ts", "msg").collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val t1 = Instant.parse("2024-03-04T05:06:07Z").getEpochSecond * 1000000000L
+    val t2 = Instant.parse("2024-03-04T05:06:09Z").getEpochSecond * 1000000000L
+    assert(out("noise 1") == t1 && out("noise 25") == t1)
+    assert(out("2024-03-04 05:06:09 dated again") == t2)
+    assert(out("tail line") == t2)
+  }
+
   test("pure: every line gets the ingest time") {
     val clock = Instant.parse("2024-05-06T07:08:09Z")
     val out = Ingest.pure(lines("a", "b"), () => clock).select("ts", "msg").collect()

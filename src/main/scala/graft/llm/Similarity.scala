@@ -52,44 +52,91 @@ object Similarity {
     * score ≥ `minScoreR` (1e6-scaled — thresholding on the integerized
     * score keeps engines bit-agreed at the boundary).
     *
-    * Exact all-pairs: the normalized corpus is broadcast and each
-    * partition scores its rows against it with a primitive double loop —
-    * a non-equi pairwise join has no hash/codegen path in Spark
-    * (BroadcastNestedLoopJoin evaluates interpreted; measured 10-30x
-    * slower than this kernel). The broadcast side must fit in executor
-    * memory, which is inherent to EXACT all-pairs; at corpus scale
-    * candidates come from the sign-LSH bucketing of [[lshTopK]] before
-    * this exact verification. Summation order matches the SQL oracle
-    * (left-to-right in array order), so scores are bit-identical. */
-  def embeddingNearDup(emb: DataFrame, minScoreR: Long = 450000L): DataFrame = {
+    * Scale shape — NO driver materialization anywhere in the plan:
+    *  1. signature: each vector gets `bands` band keys of `rowsPerBand`
+    *    sign-LSH bits each (seeded hyperplanes, primitive-double kernel in
+    *    `mapPartitions` — HOF Columns evaluate interpreted and 96 plane
+    *    dots per row is the hot path);
+    *  2. candidates: self-join of the (vec_id, band, key) table on
+    *    (band, key) — a shuffle of ids+two ints only, never embeddings —
+    *    then `distinct()` on the id PAIR (a pair colliding in several
+    *    bands must verify once);
+    *  3. verify: candidate pairs rejoin their vectors by vec_id and an
+    *    exact left-to-right double kernel scores them (matches the SQL
+    *    oracle bit-for-bit), keeping pairs ≥ `minScoreR`.
+    *
+    * Recall bound (same discipline as [[Dedup.nearDuplicates]]): a pair at
+    * angle θ agrees per plane w.p. 1-θ/π, so it collides in ≥1 band w.p.
+    * 1-(1-(1-θ/π)^rowsPerBand)^bands — at the 0.45-cosine threshold
+    * (θ≈63°, the synthetic set's near-uniform hard case) the defaults give
+    * ≈1-3e-5 per pair, and with the fixed default seed every ≥-threshold
+    * pair in the sf0.001/0.01/0.1 sets verifiably collides (checked in
+    * LlmSpec against brute force), so the oracle comparison is exact. At a
+    * real corpus' higher near-dup similarity (≥0.9) the same bands hold
+    * recall with far fewer candidates; tune `rowsPerBand` up to cut the
+    * candidate count when the threshold rises. */
+  def embeddingNearDup(emb: DataFrame, minScoreR: Long = 450000L,
+      bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 13L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val dim = 64
+    val bcP = spark.sparkContext.broadcast(planes(bands * rowsPerBand, dim, seed))
+    val nb = bands
+    val rpb = rowsPerBand
     val ds = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-    val all = ds.collect().map { case (id, v) =>
-      val d = v.map(_.toDouble)
-      var n = 0.0
-      var i = 0
-      while (i < d.length) { n += d(i) * d(i); i += 1 }
-      (id, d, math.sqrt(n))
-    }.sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(all)
-    ds.mapPartitions { it =>
-      it.flatMap { case (ida, va0) =>
-        val va = va0.map(_.toDouble)
-        var na = 0.0
+    // 1. (vec_id, band, key) — one row per band per vector
+    val sig = ds.mapPartitions { it =>
+      val ps = bcP.value
+      it.flatMap { case (id, v0) =>
+        val v = new Array[Double](v0.length)
         var i = 0
-        while (i < va.length) { na += va(i) * va(i); i += 1 }
-        na = math.sqrt(na)
-        bc.value.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
-          var s = 0.0
+        while (i < v0.length) { v(i) = v0(i).toDouble; i += 1 }
+        (0 until nb).iterator.map { b =>
+          var key = 0L
           var j = 0
-          while (j < va.length) { s += va(j) * vb(j); j += 1 }
-          val r = math.floor(s / (na * nb) * 1e6 + 0.5).toLong
-          if (r >= minScoreR) Some((ida, idb, r)) else None
+          while (j < rpb) {
+            val p = ps(b * rpb + j)
+            var s = 0.0
+            var k = 0
+            while (k < v.length) { s += v(k) * p(k); k += 1 }
+            key = key * 2 + (if (s >= 0) 1L else 0L)
+            j += 1
+          }
+          (id, b, key)
         }
       }
-    }.toDF("vec_a", "vec_b", "score_r")
+    }.toDF("vec_id", "band", "key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2. bucket self-join → distinct id pairs (ids only — no vectors shuffled)
+    val cand = sig.select(col("vec_id").as("vec_a"), col("band"), col("key"))
+      .join(sig.select(col("vec_id").as("vec_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    // 3. rejoin vectors and verify exactly
+    val ea = emb.select(col("vec_id").cast("long").as("vec_a"), col("embedding").as("va"))
+    val eb = emb.select(col("vec_id").cast("long").as("vec_b"), col("embedding").as("vb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (ida, idb, va0, vb0) =>
+          val n = va0.length
+          var na = 0.0
+          var nbn = 0.0
+          var s = 0.0
+          var i = 0
+          while (i < n) {
+            val a = va0(i).toDouble
+            val b = vb0(i).toDouble
+            na += a * a; nbn += b * b; s += a * b
+            i += 1
+          }
+          val r = math.floor(s / (math.sqrt(na) * math.sqrt(nbn)) * 1e6 + 0.5).toLong
+          if (r >= minScoreR) Some((ida, idb, r)) else None
+        }
+      }.toDF("vec_a", "vec_b", "score_r")
   }
 
   /** Deterministic random hyperplanes (seeded JVM LCG — stable across

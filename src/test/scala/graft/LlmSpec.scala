@@ -70,6 +70,37 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding near-dup: LSH candidates reproduce exact all-pairs at every SF") {
+    // the seeded planes are deterministic, so "every ≥-threshold pair
+    // collides in ≥1 band" is a checkable fact, not a probability — this
+    // test IS the recall proof backing the oracle hash-match
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val e = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+      val got = Similarity.embeddingNearDup(e).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val vecs = e.select(col("vec_id").cast("long"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+        .sortBy(_._1)
+      val norms = vecs.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+      val expected = (for {
+        i <- vecs.indices.iterator
+        j <- (i + 1) until vecs.length
+      } yield {
+        var s = 0.0
+        var k = 0
+        val va = vecs(i)._2
+        val vb = vecs(j)._2
+        while (k < va.length) { s += va(k) * vb(k); k += 1 }
+        (vecs(i)._1, vecs(j)._1,
+          math.floor(s / (norms(i) * norms(j)) * 1e6 + 0.5).toLong)
+      }).filter(_._3 >= 450000L).toSet
+      assert(expected.nonEmpty, s"sf$sf: exact reference found no pairs")
+      assert(got == expected,
+        s"sf$sf: LSH-candidate result diverged: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("multimodal decode stub: deterministic, byte-accurate") {
     val out = Multimodal.decodeAll(docs).collect()
     assert(out.length == docs.count())

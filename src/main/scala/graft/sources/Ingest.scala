@@ -3,6 +3,7 @@ package graft.sources
 import graft.lql.GoDates
 import graft.model.Model
 import graft.store.Store
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -208,35 +209,81 @@ final case class PathSchema(
 
 object Collector {
 
-  /** Batch-collect every file under `glob` that matches the schema: parse
-    * per the schema's data format, stamp path-derived tags/fields, append
-    * to the store. Returns the number of matched files. One `store.append`
-    * for ALL files (single Spark job; per-file tag lines become `part`). */
+  /** Serializable Hadoop-conf carrier for executor-side file opens (the
+    * stock SerializableConfiguration is private[spark]). */
+  private final class SerConf(@transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+    }
+  }
+
+  /** Collect every file under `glob` that matches the schema: parse per the
+    * schema's data format, stamp path-derived tags/fields, append to the
+    * store. One `store.append` for ALL files (single Spark job; per-file
+    * tag lines become `part`).
+    *
+    * Continuous tailing (reference pkg/scanner/scanner.go — per-file read
+    * positions persisted in the scanner state file): each run records the
+    * byte offset it consumed per file under `<store root>/collector/`, so a
+    * re-run reads ONLY content appended since, and skips unchanged files
+    * without touching them. Positions are saved after a successful append —
+    * at-least-once, the forwarder's `.pos` discipline; `Store.assignSeq`
+    * epochs keep `(part, seq)` unique across runs either way. A file whose
+    * last line is mid-write at collection time is split across runs (the
+    * tail starts at the recorded byte offset); collecting on a cadence
+    * coarser than the writer's flush makes this vanishingly rare, same as
+    * the reference's scanner.
+    *
+    * @return number of files with new data ingested */
   def ingest(store: Store, schema: PathSchema, glob: String,
-      ingestTime: () => Instant = () => Instant.now()): Int = {
+      ingestTime: () => Instant = () => Instant.now(),
+      trackPositions: Boolean = true): Int = {
     val spark = store.spark
-    val fs = new Path(glob).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(glob).getFileSystem(conf)
     val matched = Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
       .filter(_.isFile).map(_.getPath.toString)
       .filter(p => schema.vars(p).nonEmpty)
       .sorted
     if (matched.isEmpty) return 0
 
-    val partOf: Map[String, String] = matched.map { p =>
+    val posPath = positionsFile(store, schema, glob)
+    val oldPos: Map[String, Long] =
+      if (trackPositions) loadPositions(fs, posPath) else Map.empty
+    // snapshot lengths driver-side: executors read exactly [offset, len) so
+    // a file growing mid-run cannot tear the batch
+    val toRead: Seq[(String, Long, Long)] = matched.toSeq.flatMap { p =>
+      val len = fs.getFileStatus(new Path(p)).getLen
+      val off = oldPos.getOrElse(p, 0L)
+      if (len > off) Some((p, off, len)) else None
+    }
+    if (toRead.isEmpty) return 0
+
+    val partOf: Map[String, String] = toRead.map { case (p, _, _) =>
       p -> Model.tagLine(schema.tagsFor(p).get)
     }.toMap
-    val sharedFields: Map[String, Map[String, String]] = matched.map { p =>
+    val sharedFields: Map[String, Map[String, String]] = toRead.map { case (p, _, _) =>
       p -> schema.fieldsFor(p).get
     }.toMap
 
+    import spark.implicits._
+    val tails = readTails(spark, conf, toRead)
     val parsed: DataFrame = schema.dataFormat match {
       case "text" =>
-        val files = spark.read.option("wholetext", "true").text(matched: _*)
-          .select(input_file_name().as("file"), col("value").as("content"))
-        Ingest.text(files, ingestTime)
+        Ingest.text(tails.toDF("file", "content"), ingestTime)
       case fmt =>
-        val lines = spark.read.text(matched: _*)
-          .select(input_file_name().as("file"), col("value"))
+        // split tails into lines with spark.read.text semantics: one
+        // trailing line terminator produces no empty last record
+        val lines = tails.flatMap { case (f, c0) =>
+          val c =
+            if (c0.endsWith("\r\n")) c0.dropRight(2)
+            else if (c0.endsWith("\n") || c0.endsWith("\r")) c0.dropRight(1)
+            else c0
+          c.split("\r\n|\r|\n", -1).iterator.map(l => (f, l))
+        }.toDF("file", "value")
         fmt match {
           case "k8json" => Ingest.k8json(lines)
           case "logfmt" => Ingest.logfmt(lines, schema.logfmtKeep)
@@ -246,22 +293,21 @@ object Collector {
     }
 
     // path-derived part + shared fields, as a small when-chain over the
-    // (few) file names — constant-folded, no per-row regex work. Both
-    // sides are normalized to the bare path: globStatus yields
-    // `file:/p`, input_file_name() yields `file:///p`.
-    def bare(p: String): String = new Path(p).toUri.getPath
-    val fileCol = regexp_replace(col("file"), "^[a-zA-Z0-9+.-]+:/+", "/")
-    val partChain = matched.foldLeft(lit(null).cast("string")) { (acc, p) =>
-      when(fileCol === bare(p), partOf(p)).otherwise(acc)
+    // (few) file names — constant-folded, no per-row regex work. The file
+    // column carries the exact matched path string (no input_file_name URI
+    // round-trip, which percent-encodes and silently drops paths containing
+    // spaces or '%').
+    val partChain = toRead.foldLeft(lit(null).cast("string")) { case (acc, (p, _, _)) =>
+      when(col("file") === p, partOf(p)).otherwise(acc)
     }
     val withPart = parsed.withColumn("part", partChain).where(col("part").isNotNull)
     val withFields =
       if (sharedFields.values.forall(_.isEmpty)) withPart
       else {
-        val fieldChain = matched.foldLeft(map().cast("map<string,string>")) { (acc, p) =>
+        val fieldChain = toRead.foldLeft(map().cast("map<string,string>")) { case (acc, (p, _, _)) =>
           val fm = sharedFields(p)
           if (fm.isEmpty) acc
-          else when(fileCol === bare(p),
+          else when(col("file") === p,
             map(fm.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)).otherwise(acc)
         }
         // shared (path) fields lose to record fields on key clash, matching
@@ -273,8 +319,95 @@ object Collector {
             map_entries(col("fields")))))
       }
 
-    val seqd = withFields.withColumn("seq", monotonically_increasing_id())
+    val seqd = store.assignSeq(withFields)
     store.append(seqd.select(col("ts"), col("msg"), col("fields"), col("seq"), col("part")))
-    matched.length
+    if (trackPositions)
+      savePositions(fs, posPath, oldPos ++ toRead.map { case (p, _, len) => p -> len })
+    toRead.length
+  }
+
+  /** Read `[off, end)` of each file as one UTF-8 string on the executors —
+    * files are the parallelism unit (the reference's per-file workers).
+    * Tails are bounded by collection cadence; a single tail over 2 GiB
+    * fails loudly rather than silently truncating. */
+  private def readTails(spark: org.apache.spark.sql.SparkSession, conf: Configuration,
+      toRead: Seq[(String, Long, Long)]): org.apache.spark.sql.Dataset[(String, String)] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new SerConf(conf))
+    spark.createDataset(toRead)
+      .repartition(math.max(1, math.min(toRead.size, spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        val c = bc.value.value
+        it.map { case (path, off, end) =>
+          require(end - off <= Int.MaxValue, s"tail of $path exceeds 2 GiB; collect more often")
+          val p = new Path(path)
+          val in = p.getFileSystem(c).open(p)
+          try {
+            if (off > 0) in.seek(off)
+            val buf = new Array[Byte]((end - off).toInt)
+            in.readFully(buf)
+            (path, new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+          } finally in.close()
+        }
+      }
+  }
+
+  // --- per-(schema, glob) position files ---------------------------------
+
+  private def positionsFile(store: Store, schema: PathSchema, glob: String): Path = {
+    val key = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s"${schema.pathMatcher}|${schema.dataFormat}|$glob"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    new Path(store.root, s"collector/$key.pos.jsonl")
+  }
+
+  private def bak(p: Path) = new Path(p.getParent, p.getName + ".bak")
+
+  private def loadPositions(fs: org.apache.hadoop.fs.FileSystem, p: Path): Map[String, Long] = {
+    val src = if (fs.exists(p)) p else { val b = bak(p); if (fs.exists(b)) b else return Map.empty }
+    val in = fs.open(src)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).map { line =>
+      // {"file":"...","off":N} with \uXXXX-escaped specials (see save)
+      val fileEnd = line.lastIndexOf("\",\"off\":")
+      val raw = line.substring("{\"file\":\"".length, fileEnd)
+      val off = line.substring(fileEnd + "\",\"off\":".length, line.length - 1).toLong
+      unescape(raw) -> off
+    }.toMap
+  }
+
+  /** Crash-safe rewrite (Catalog.save pattern): losing the position file
+    * would re-ingest every file from byte 0 — duplicates, not data loss,
+    * but worth the same .bak discipline as the catalog. */
+  private def savePositions(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      pos: Map[String, Long]): Unit = {
+    if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(pos.toSeq.sortBy(_._1).map { case (f, o) =>
+      s"""{"file":"${escape(f)}","off":$o}"""
+    }.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val b = bak(p)
+    if (fs.exists(b)) fs.delete(b, false)
+    if (fs.exists(p)) Store.renameOrThrow(fs, p, b)
+    Store.renameOrThrow(fs, tmp, p)
+    fs.delete(b, false)
+  }
+
+  private def escape(s: String): String = s.flatMap {
+    case '"' => "\\u0022"; case '\\' => "\\u005c"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 5 < s.length && s.charAt(i + 1) == 'u') {
+        sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 }

@@ -93,7 +93,7 @@ final class Catalog(fs: FileSystem, path: Path) {
     val name = f"seg-${System.nanoTime()}%019d-${java.util.UUID.randomUUID().toString.take(8)}.jsonl"
     val tmp = new Path(segDir, name + ".tmp")
     writeFile(tmp, newEntries)
-    fs.rename(tmp, new Path(segDir, name))
+    Store.renameOrThrow(fs, tmp, new Path(segDir, name))
     cache = null
   }
 
@@ -104,8 +104,8 @@ final class Catalog(fs: FileSystem, path: Path) {
     val tmp = new Path(path.getParent, path.getName + ".tmp")
     writeFile(tmp, entries)
     if (fs.exists(bakPath)) fs.delete(bakPath, false)
-    if (fs.exists(path)) fs.rename(path, bakPath)
-    fs.rename(tmp, path)
+    if (fs.exists(path)) Store.renameOrThrow(fs, path, bakPath)
+    Store.renameOrThrow(fs, tmp, path)
     if (fs.exists(segDir)) fs.delete(segDir, true)
     fs.delete(bakPath, false)
     cache = null

@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   * partitions statically and pushes `ts` filters to parquet row groups —
   * the same two-level pruning the reference does with tindex + tmindex.
   */
+object Store {
+  /** Low bits of `seq` hold the within-batch row number (2^36 rows per
+    * partition per append); high bits hold the per-append epoch (~134M
+    * appends per store lifetime). See [[Store.assignSeq]]. */
+  val SeqEpochShift = 36
+
+  private val epochs =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+
+  /** Hadoop rename returns false instead of throwing; unchecked, a failed
+    * rename silently loses the batch (e.g. a catalog entry pointing at a
+    * file that never arrived). */
+  private[graft] def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+}
+
 final class Store(val spark: SparkSession, val root: String) {
 
   val dataDir = s"$root/data"
@@ -48,16 +65,42 @@ final class Store(val spark: SparkSession, val root: String) {
       // record fields override shared fields on key clash
       df = df.withColumn("fields", map_concat_safe(shared, col("fields")))
     }
-    if (!df.columns.contains("seq")) {
-      // (part, seq) must stay unique across appends — continuation tokens
-      // and the (ts, part, seq) total order depend on it. Base each batch on
-      // the partition's seq high-water mark from the catalog; within the
-      // batch monotonically_increasing_id() preserves arrival order.
-      val base = maxSeq(line) + 1
-      df = df.withColumn("seq", monotonically_increasing_id() + lit(base))
-    }
-    append(df.withColumn("part", lit(line)))
+    df = df.withColumn("part", lit(line))
+    if (!df.columns.contains("seq")) df = assignSeq(df)
+    append(df)
   }
+
+  /** Stamp a fresh `seq` on rows that already carry `part`: a dense per-part
+    * row number (arrival order preserved via monotonically_increasing_id) in
+    * the low [[Store.SeqEpochShift]] bits under a per-batch epoch allocated
+    * atomically per store root. Two concurrent writers to the same partition
+    * (a pipe's streaming append racing a foreground ingest) take distinct
+    * epochs, so (part, seq) cannot collide — the read-high-water-then-append
+    * race is structurally gone — while later epochs still sort after earlier
+    * ones, keeping continuation tokens paging in append order. The epoch
+    * counter starts above the catalog's persisted high-water mark, so it also
+    * survives process restarts. Single-JVM atomicity matches the
+    * single-driver design point (every append to a root flows through one
+    * driver); multi-driver deployments would take epochs from the
+    * transaction log / metastore sequence instead. Bulk loads using
+    * `append(saltBuckets > 1)` should supply their own seq (a source row id,
+    * as EventStore does) — the dense row number here serializes each part
+    * into one window task. */
+  def assignSeq(rows: DataFrame): DataFrame = {
+    val epoch = epochCounter.incrementAndGet()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("__arrival")
+    rows.withColumn("__arrival", monotonically_increasing_id())
+      .withColumn("seq",
+        lit(epoch << Store.SeqEpochShift) + row_number().over(w).cast("long") - 1L)
+      .drop("__arrival")
+  }
+
+  private def epochCounter: java.util.concurrent.atomic.AtomicLong =
+    Store.epochs.getOrElseUpdate(root, {
+      val hw = catalog.load().foldLeft(-1L)((m, e) => math.max(m, e.maxSeq))
+      new java.util.concurrent.atomic.AtomicLong(hw >> Store.SeqEpochShift)
+    })
 
   /** Seq high-water mark of a partition (-1 when empty/unknown), from the
     * catalog's per-file footer stats. */
@@ -125,7 +168,7 @@ final class Store(val spark: SparkSession, val root: String) {
             val name = f.getPath.getName
             if (f.isFile && name.endsWith(".parquet") && !name.startsWith("_")) {
               val destFile = new Path(dest, name)
-              fs.rename(f.getPath, destFile)
+              Store.renameOrThrow(fs, f.getPath, destFile)
               moved += destFile
             }
           }

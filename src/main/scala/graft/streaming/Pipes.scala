@@ -50,7 +50,8 @@ final case class PipeDef(name: String, from: Option[Source], where: Option[Expre
   * FROM/WHERE forms, exactly like the reference stores `String()` forms
   * (pkg/backend/admin.go:209).
   */
-final class PipeService(store: Store, clock: () => Instant = () => Instant.now()) {
+final class PipeService(store: Store, clock: () => Instant = () => Instant.now(),
+    maxFilesPerTrigger: Int = 64) {
 
   import PipeService._
 
@@ -59,6 +60,7 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
   private val whereC = new WhereCompiler(clock)
   private val fs = new Path(store.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val pipesFile = new Path(store.root, "pipes.jsonl")
+  private val pipesBak = new Path(store.root, "pipes.jsonl.bak")
 
   /** name → running streaming query (this JVM). */
   private val running = scala.collection.concurrent.TrieMap.empty[String, StreamingQuery]
@@ -66,22 +68,32 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
   // --- catalog -----------------------------------------------------------
 
   def list(): Vector[PipeDef] = {
-    if (!fs.exists(pipesFile)) return Vector.empty
-    val in = fs.open(pipesFile)
+    // Catalog.load discipline: when the base file is missing (crash during
+    // persist) the .bak copy from the previous persist is authoritative
+    val src =
+      if (fs.exists(pipesFile)) pipesFile
+      else if (fs.exists(pipesBak)) pipesBak
+      else return Vector.empty
+    val in = fs.open(src)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     txt.linesIterator.filter(_.nonEmpty).map(decode).toVector.sortBy(_.name)
   }
 
   def get(name: String): Option[PipeDef] = list().find(_.name == name)
 
+  /** Crash-safe registration rewrite (Catalog.save pattern): at every
+    * instant either the new base, the old base, or its `.bak` is readable —
+    * the old delete-then-rename had a window that lost every pipe. */
   private def persist(defs: Seq[PipeDef]): Unit = {
     val tmp = new Path(store.root, "pipes.jsonl.tmp")
     val out = fs.create(tmp, true)
     try out.write(defs.sortBy(_.name).map(encode).mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(pipesFile)) fs.delete(pipesFile, false)
-    fs.rename(tmp, pipesFile)
+    if (fs.exists(pipesBak)) fs.delete(pipesBak, false)
+    if (fs.exists(pipesFile)) Store.renameOrThrow(fs, pipesFile, pipesBak)
+    Store.renameOrThrow(fs, tmp, pipesFile)
+    fs.delete(pipesBak, false)
   }
 
   private def esc(s: String) = s.flatMap {
@@ -170,7 +182,14 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
     running.getOrElseUpdate(p.name, {
       val pred = TagsCompiler.compile(p.from)
       val destLine = p.destLine
-      val stream = spark.readStream.schema(Model.schema).parquet(store.dataDir)
+      // maxFilesPerTrigger bounds per-micro-batch work, so a large backlog
+      // (or a fresh checkpoint over an old store) drains incrementally
+      // instead of as one giant batch. The file-source listing state still
+      // grows with total file count — the 100 TB migration path is CDF /
+      // notification-based discovery, as discussed above.
+      val stream = spark.readStream.schema(Model.schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(store.dataDir)
       stream.writeStream
         .queryName(s"pipe-${p.name}")
         .option("checkpointLocation", s"${store.root}/pipes/${p.name}/checkpoint")
@@ -211,12 +230,10 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
     // on a key clash the tag value wins — maps cannot hold duplicates)
     df = df.withColumn("fields", concatFields(col("fields"), tagsCol))
 
-    // fresh (part, seq) for the destination partition, based on its
-    // high-water mark (batches run sequentially per query)
-    val base = store.maxSeq(destLine) + 1
-    df = df
-      .withColumn("seq", monotonically_increasing_id() + lit(base))
-      .withColumn("part", lit(destLine))
+    // fresh (part, seq) for the destination partition — Store.assignSeq's
+    // atomic epochs make this safe even against a concurrent foreground
+    // ingest into the same partition
+    df = store.assignSeq(df.withColumn("part", lit(destLine)))
     store.append(df.select(col("ts"), col("msg"), col("fields"), col("seq"), col("part")))
   }
 }

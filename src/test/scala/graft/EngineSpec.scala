@@ -111,4 +111,29 @@ class EngineSpec extends AnyFunSuite {
     val seqs = e.store.read(Seq("app=u")).select("seq").collect().map(_.getLong(0))
     assert(seqs.length == 10 && seqs.distinct.length == 10)
   }
+
+  test("concurrent seq allocation to one partition cannot collide (epochs)") {
+    import spark.implicits._
+    val e = freshEngine()
+    // the old read-high-water-then-append scheme gave both of these the
+    // same base because neither batch has been appended yet
+    val df = (0 until 5).map(i => (1000000000L + i, s"m$i", "app=race")).toDF("ts", "msg", "part")
+    val a = e.store.assignSeq(df).select("seq").collect().map(_.getLong(0)).toSet
+    val b = e.store.assignSeq(df).select("seq").collect().map(_.getLong(0)).toSet
+    assert(a.intersect(b).isEmpty, s"colliding seqs: ${a.intersect(b)}")
+    assert(a.max < b.min, "later epoch must sort after the earlier one")
+  }
+
+  test("seq epochs restart above the persisted high-water mark") {
+    val root = Files.createTempDirectory("graft-eng").toString
+    val e = new Engine(new Store(spark, root))
+    ingest(e, Map("app" -> "hw"), 1000000000L, 3)
+    val hw = e.store.read(Seq("app=hw")).select("seq").collect().map(_.getLong(0)).max
+    // a second Store over the same root (fresh process analogue) keeps minting above
+    val e2 = new Engine(new Store(spark, root))
+    ingest(e2, Map("app" -> "hw"), 90000000000L, 3)
+    val seqs = e2.store.read(Seq("app=hw")).select("seq").collect().map(_.getLong(0))
+    assert(seqs.length == 6 && seqs.distinct.length == 6)
+    assert(seqs.max > hw)
+  }
 }

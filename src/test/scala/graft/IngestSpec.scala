@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{Ingest, PathSchema}
+import graft.sources.{Collector, Ingest, PathSchema}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -99,6 +99,54 @@ class IngestSpec extends AnyFunSuite {
     val out = Ingest.pure(lines("a", "b"), () => clock).select("ts", "msg").collect()
     assert(out.forall(_.getLong(0) == clock.getEpochSecond * 1000000000L))
     assert(out.map(_.getString(1)).toSet == Set("a", "b"))
+  }
+
+  test("collector tailing: re-run ingests only appended content, unchanged files skip") {
+    import java.nio.file.{Files, StandardOpenOption}
+    val store = new graft.store.Store(spark, Files.createTempDirectory("graft-col").toString)
+    val src = Files.createTempDirectory("graft-src")
+    val f = src.resolve("a.raw")
+    Files.writeString(f, "one\ntwo\n")
+    val schema = PathSchema(".*/(?<name>[^/.]+)\\.raw$", "pure", Map("name" -> "{name}"))
+    val clock = () => Instant.parse("2024-05-06T07:08:09Z")
+    assert(Collector.ingest(store, schema, s"$src/*.raw", clock) == 1)
+    assert(Collector.ingest(store, schema, s"$src/*.raw", clock) == 0, "no growth: nothing read")
+    Files.writeString(f, "three\nfour\n", StandardOpenOption.APPEND)
+    assert(Collector.ingest(store, schema, s"$src/*.raw", clock) == 1)
+    val rows = store.read(Seq("name=a")).select("msg", "seq").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("four", "one", "three", "two"),
+      "appended lines land exactly once")
+    assert(rows.map(_.getLong(1)).distinct.length == 4, "(part, seq) unique across runs")
+  }
+
+  test("collector tailing: dated text tail parses appended dates") {
+    import java.nio.file.{Files, StandardOpenOption}
+    val store = new graft.store.Store(spark, Files.createTempDirectory("graft-col").toString)
+    val src = Files.createTempDirectory("graft-src")
+    val f = src.resolve("boot.txt")
+    Files.writeString(f, "2024-03-04 05:06:07 first\n")
+    val schema = PathSchema(".*/(?<name>[^/.]+)\\.txt$", "text", Map("name" -> "{name}"))
+    val clock = () => Instant.parse("2024-03-04T00:00:00Z")
+    Collector.ingest(store, schema, s"$src/*.txt", clock)
+    Files.writeString(f, "2024-03-04 05:06:09 second\nbare tail\n", StandardOpenOption.APPEND)
+    Collector.ingest(store, schema, s"$src/*.txt", clock)
+    val byMsg = store.read(Seq("name=boot")).select("ts", "msg").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val t2 = Instant.parse("2024-03-04T05:06:09Z").getEpochSecond * 1000000000L
+    assert(byMsg.size == 3)
+    assert(byMsg("2024-03-04 05:06:09 second") == t2)
+    assert(byMsg("bare tail") == t2, "carry-forward works within the tail")
+  }
+
+  test("collector handles paths with spaces (old input_file_name URI loss)") {
+    import java.nio.file.Files
+    val store = new graft.store.Store(spark, Files.createTempDirectory("graft-col").toString)
+    val src = Files.createTempDirectory("graft-src")
+    Files.writeString(src.resolve("my log.raw"), "alpha\nbeta\n")
+    val schema = PathSchema(".*/(?<name>[^/]+)\\.raw$", "pure", Map("name" -> "{name}"))
+    assert(Collector.ingest(store, schema, s"$src/*.raw",
+      () => Instant.parse("2024-05-06T07:08:09Z")) == 1)
+    assert(store.read(Seq("name=my log")).count() == 2, "rows from the spaced path all land")
   }
 
   test("path schema: named groups, templates, non-matching paths") {

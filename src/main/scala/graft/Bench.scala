@@ -29,7 +29,14 @@ object Bench {
     val buildSec = (System.nanoTime() - tb0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // hash-reduce over every output column: unlike count(), Catalyst
+      // cannot prune the projection under it, so timings include the full
+      // output computation (format templates, kv-strings, scores)
+      try {
+        val df = fn(spark, sfDir)
+        import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+        df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).head()
+      } catch { case e: Throwable => System.err.println(s"bench $name FAILED: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

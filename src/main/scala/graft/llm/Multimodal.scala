@@ -60,14 +60,20 @@ object Multimodal {
     }.toDF()
   }
 
-  /** DuckDB twin of [[decodeAll]] over ASCII text payloads. */
+  /** DuckDB twin of [[decodeAll]]. Works byte-accurately for any UTF-8
+    * payload: lengths come from octet_length over the encoded blob (NOT
+    * character length) and the checksum parses hex byte pairs, matching
+    * the Spark side's `text.cast(binary)` bytes exactly. */
   val oracleSql: String =
-    """SELECT doc_id::BIGINT AS doc_id,
-      |  length(text)::BIGINT AS byte_len,
-      |  (length(text) % 640 + 1)::BIGINT AS width,
-      |  (length(text) % 480 + 1)::BIGINT AS height,
-      |  (length(text) % 24 + 1)::BIGINT AS frames,
-      |  (list_sum(list_transform(range(1, length(text) + 1),
-      |     i -> ascii(substr(text, i, 1)))) % 997)::BIGINT AS checksum
-      |FROM documents""".stripMargin
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+      |         hex(encode(text)) AS hx
+      |  FROM documents)
+      |SELECT doc_id::BIGINT AS doc_id, byte_len,
+      |  (byte_len % 640 + 1)::BIGINT AS width,
+      |  (byte_len % 480 + 1)::BIGINT AS height,
+      |  (byte_len % 24 + 1)::BIGINT AS frames,
+      |  coalesce(list_sum(list_transform(range(0, byte_len),
+      |     i -> ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT)), 0)::BIGINT % 997 AS checksum
+      |FROM b""".stripMargin
 }

@@ -30,10 +30,14 @@ object TextStats {
         .cast("long").as("n_words"),
       // BPE-ish budget heuristic: ~4 chars per token
       ceil(length(col("text")) / 4.0).cast("long").as("n_tokens_approx"),
-      // quality: percentage of alphabetic+space characters, rounded
-      floor(lit(100.0) *
-        length(regexp_replace(col("text"), "[^A-Za-z ]", "")) / length(col("text"))
-        + 0.5).cast("long").as("quality"),
+      // quality: percentage of alphabetic+space characters, rounded;
+      // empty text is 0 by convention (unguarded, the division yields null
+      // here but NaN-ish in other engines — the oracle mirrors the CASE)
+      when(length(col("text")) > 0,
+        floor(lit(100.0) *
+          length(regexp_replace(col("text"), "[^A-Za-z ]", "")) / length(col("text"))
+          + 0.5).cast("long"))
+        .otherwise(lit(0L)).as("quality"),
       // content fingerprint
       substring(md5(lower(col("text")).cast("binary")), 1, 16).as("fingerprint"))
     for ((lang, re) <- stops)
@@ -53,7 +57,9 @@ object TextStats {
     """SELECT doc_id::BIGINT AS doc_id,
       |  len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words,
       |  ceil(length(text) / 4.0)::BIGINT AS n_tokens_approx,
-      |  floor(100.0 * length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / length(text) + 0.5)::BIGINT AS quality,
+      |  CASE WHEN length(text) > 0
+      |       THEN floor(100.0 * length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / length(text) + 0.5)::BIGINT
+      |       ELSE 0 END AS quality,
       |  substr(md5(lower(text)), 1, 16) AS fingerprint,
       |  len(regexp_extract_all(lower(text), '\b(the|of|and|to|in|is|was|for)\b'))::BIGINT AS sw_en,
       |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b'))::BIGINT AS sw_de,

@@ -178,6 +178,10 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
   /** Block until every running pipe has consumed all available input. */
   def processAllAvailable(): Unit = running.values.foreach(_.processAllAvailable())
 
+  /** The running streaming query behind a pipe (this JVM), for progress
+    * inspection. */
+  def query(name: String): Option[StreamingQuery] = running.get(name)
+
   private def start(p: PipeDef): StreamingQuery =
     running.getOrElseUpdate(p.name, {
       val pred = TagsCompiler.compile(p.from)

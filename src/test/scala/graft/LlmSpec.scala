@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, SimHash, Similarity}
+import graft.llm.{Dedup, Multimodal, SimHash, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -99,6 +99,19 @@ class LlmSpec extends AnyFunSuite {
       assert(got == expected,
         s"sf$sf: LSH-candidate result diverged: missing=${expected -- got} extra=${got -- expected}")
     }
+  }
+
+  test("text stats and multimodal decode handle empty and non-ASCII text") {
+    import spark.implicits._
+    val df = Seq((1L, "", "en", "s"), (2L, "héllo wörld", "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val st = TextStats.stats(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getAs[Long]("quality") == 0L, "empty text: quality 0, not null/NaN")
+    assert(st(1L).getAs[Long]("n_words") == 0L)
+    val mm = Multimodal.decodeAll(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(mm(2L).getAs[Long]("byte_len") ==
+      "héllo wörld".getBytes("UTF-8").length.toLong, "byte length, not char count")
+    assert(mm(1L).getAs[Long]("checksum") == 0L)
   }
 
   test("multimodal decode stub: deterministic, byte-accurate") {

@@ -134,6 +134,25 @@ class TailForwarderSpec extends AnyFunSuite {
     assert(e.select("SELECT FROM {logrange.pipe=pr} LIMIT 100").count() == 10)
   }
 
+  test("pipe backlog drains across multiple bounded micro-batches") {
+    val root = Files.createTempDirectory("graft-tail").toString
+    val store = new Store(spark, root)
+    val e = new Engine(store)
+    // 6 separate appends = 6 parquet files of backlog before the pipe starts
+    (0 until 6).foreach(i => ingest(e, Map("app" -> "bl"), (i + 1) * 10000000000L, 2, s"b$i-"))
+    val pipes = new graft.streaming.PipeService(store, maxFilesPerTrigger = 2)
+    e.parse("CREATE PIPE bp FROM {app=bl}") match {
+      case c: graft.lql.Ast.CreatePipe => pipes.create(c)
+      case other => fail(s"unexpected $other")
+    }
+    pipes.processAllAvailable()
+    val batches = pipes.query("bp").get.recentProgress.count(_.numInputRows > 0)
+    pipes.stopAll()
+    assert(batches >= 3, s"6-file backlog at maxFilesPerTrigger=2 should take >=3 batches, took $batches")
+    assert(e.select("SELECT FROM {logrange.pipe=bp} LIMIT 100").count() == 12,
+      "bounded batches still drain the whole backlog")
+  }
+
   test("forwarder pumps pipe output to the sink and persists position") {
     val e = freshEngine()
     ingest(e, Map("app" -> "f"), 1000000000L, 10, "keep-x-")

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.engine.Engine
+import graft.store.Store
+import graft.streaming.{Forwarder, Syslog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Admin/lifecycle entries that MUTATE a store: each call builds a tiny
+  * throwaway store under a fresh temp root, so repeated runs are
+  * deterministic and the shared EventStore/PipeStore stay untouched (the
+  * PipeStore/IngestStore isolation rule, per-invocation here because these
+  * entries delete data). Byte sizes are physical (compression-dependent),
+  * so rows expose only record counts, rank orders and rendered frames —
+  * all deterministic.
+  */
+object AdminQueries {
+
+  private def freshEngine(spark: SparkSession): Engine = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-admin-${java.util.UUID.randomUUID()}"
+    new Engine(new Store(spark, root))
+  }
+
+  private def ingest(e: Engine, tags: Map[String, String], startTs: Long,
+      n: Int, pad: Int = 0): Unit = {
+    val spark = e.store.spark
+    import spark.implicits._
+    val padStr = "x" * pad
+    e.store.write(tags, Map.empty,
+      (0 until n).map(i => (startTs + i * 1000000000L, s"m$i$padStr")).toDF("ts", "msg"))
+  }
+
+  /** TRUNCATE actually deleting (not DRYRUN), incl. the MAXDBSIZE
+    * whole-partition path (reference pkg/partition/partition.go:516-560):
+    * a phase-1 size cut of one partition, the surviving state, then a
+    * MAXDBSIZE wipe, then the empty end state. Each `execute` runs its
+    * catalog mutation eagerly, so the four sections are true snapshots. */
+  def truncateLive(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    ingest(e, Map("app" -> "old"), 1000000000L, 3)
+    ingest(e, Map("app" -> "old"), 50000000000L, 3) // second chunk
+    ingest(e, Map("app" -> "mid"), 1000000000L, 4)
+    ingest(e, Map("app" -> "new"), 1000000000L, 5)
+    def shape(mode: String, df: DataFrame): DataFrame =
+      df.select(lit(mode).as("mode"), col("partition"),
+        col("before_records").cast("long").as("before_records"),
+        col("after_records").cast("long").as("after_records"),
+        col("chunks_deleted").cast("long").as("chunks_deleted"),
+        col("deleted").cast("long").as("deleted"))
+    def post(mode: String): DataFrame =
+      e.execute("SHOW PARTITIONS").select(lit(mode).as("mode"), col("partition"),
+        col("records").cast("long").as("before_records"),
+        col("records").cast("long").as("after_records"),
+        lit(0L).as("chunks_deleted"), lit(0L).as("deleted"))
+    val cut = shape("cut", e.execute("TRUNCATE {app=old} MAXSIZE 1"))
+    val post1 = post("post_cut")
+    val wipe = shape("wipe", e.execute("TRUNCATE MAXDBSIZE 1"))
+    val post2 = post("post_wipe") // empty: everything was deleted
+    cut.unionByName(post1).unionByName(wipe).unionByName(post2)
+  }
+
+  /** DELETE PIPE lifecycle (reference pkg/backend/admin.go:220-228):
+    * registrations before and after the delete. */
+  def deletePipe(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    ingest(e, Map("app" -> "p"), 1000000000L, 1)
+    e.execute("CREATE PIPE d1 FROM {app=p}")
+    e.execute("CREATE PIPE d2 FROM {app=p} WHERE msg CONTAINS 'x'")
+    def phase(name: String): DataFrame =
+      e.execute("SHOW PIPES").select(lit(name).as("phase"), col("pipe"))
+    val before = phase("before")
+    e.execute("DELETE PIPE d1")
+    val after = phase("after")
+    e.pipes.stopAll()
+    before.unionByName(after)
+  }
+
+  /** SHOW PARTITIONS size-desc ordering as data: the rank survives into the
+    * projection so the oracle can pin the ORDER (reference
+    * pkg/backend/admin.go:93-131 sorts by size desc), while the physical
+    * byte sizes stay out of the row. Partition sizes differ by >5x, so the
+    * ranking is stable under any compression. */
+  def partitionRanking(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    ingest(e, Map("app" -> "big"), 1000000000L, 50, pad = 400)
+    ingest(e, Map("app" -> "mid"), 1000000000L, 20, pad = 150)
+    ingest(e, Map("app" -> "small"), 1000000000L, 3)
+    e.execute("SHOW PARTITIONS")
+      .withColumn("size_rank",
+        row_number().over(Window.orderBy(col("size_bytes").desc, col("partition"))))
+      .select(col("size_rank").cast("long").as("size_rank"),
+        col("partition"), col("records").cast("long").as("records"))
+  }
+
+  /** Forwarder pump through a capture sink, rendered as RFC5424 frames
+    * (reference pkg/forwarder/worker.go:65-159 + pkg/syslog/message.go:43-56):
+    * frame strings pin the ts/tag/msg rendering, `ord` pins delivery order.
+    * The pipe is created and fully drained BEFORE the pump starts, so one
+    * bounded forwarder run deterministically sees all three events. */
+  def forwarderFrames(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    import spark.implicits._
+    val events = Seq(
+      (1704164645000000000L, "boot ok"),
+      (1704164645123456789L, "disk low"),
+      (1704164646500000000L, "done")).toDF("ts", "msg")
+    e.store.write(Map("app" -> "fw"), Map.empty, events)
+    e.execute("CREATE PIPE fwq FROM {app=fw}")
+    e.pipes.processAllAvailable()
+    val collected = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sink = new Forwarder.Sink {
+      def onEvents(rows: Seq[org.apache.spark.sql.Row]): Unit =
+        collected ++= rows.map(r => Syslog.format(Syslog.FacilityLocal6, Syslog.SeverityInfo,
+          r.getAs[Long]("ts"), "h", r.getAs[String]("tags"), r.getAs[String]("msg")))
+    }
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+    Forwarder.run(e, "fwq", sink,
+      waitTimeout = java.time.Duration.ofMillis(300),
+      poll = java.time.Duration.ofMillis(50),
+      keepRunning = () => rounds.incrementAndGet() <= 3)
+    e.pipes.stopAll()
+    collected.toSeq.zipWithIndex.map { case (f, i) => (i.toLong, f) }.toDF("ord", "frame")
+  }
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lql_truncate_live" -> (truncateLive _),
+    "lql_delete_pipe" -> (deletePipe _),
+    "lql_show_partitions_rank" -> (partitionRanking _),
+    "lql_forwarder" -> (forwarderFrames _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lql_truncate_live" ->
+      """SELECT * FROM (VALUES
+        |  ('cut',      'app=old', 6::BIGINT, 0::BIGINT, 2::BIGINT, 1::BIGINT),
+        |  ('post_cut', 'app=mid', 4::BIGINT, 4::BIGINT, 0::BIGINT, 0::BIGINT),
+        |  ('post_cut', 'app=new', 5::BIGINT, 5::BIGINT, 0::BIGINT, 0::BIGINT),
+        |  ('wipe',     'app=mid', 4::BIGINT, 0::BIGINT, 1::BIGINT, 1::BIGINT),
+        |  ('wipe',     'app=new', 5::BIGINT, 0::BIGINT, 1::BIGINT, 1::BIGINT)
+        |) t(mode, partition, before_records, after_records, chunks_deleted, deleted)""".stripMargin,
+    "lql_delete_pipe" ->
+      """SELECT * FROM (VALUES
+        |  ('before', 'd1'), ('before', 'd2'), ('after', 'd2')
+        |) t(phase, pipe)""".stripMargin,
+    "lql_show_partitions_rank" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'app=big', 50::BIGINT),
+        |  (2::BIGINT, 'app=mid', 20::BIGINT),
+        |  (3::BIGINT, 'app=small', 3::BIGINT)
+        |) t(size_rank, partition, records)""".stripMargin,
+    "lql_forwarder" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, '<182>1 2024-01-02T03:04:05Z h logrange.pipe=fwq - - - boot ok'),
+        |  (1::BIGINT, '<182>1 2024-01-02T03:04:05.123456Z h logrange.pipe=fwq - - - disk low'),
+        |  (2::BIGINT, '<182>1 2024-01-02T03:04:06.5Z h logrange.pipe=fwq - - - done')
+        |) t(ord, frame)""".stripMargin
+  )
+}

@@ -170,6 +170,9 @@ object LqlQueries {
   def ingestPure(spark: SparkSession, dir: String): DataFrame =
     us(IngestStore.engine(spark, dir).select("SELECT FROM {kind=purelog} LIMIT 10000"))
 
+  def ingestK8json(spark: SparkSession, dir: String): DataFrame =
+    us(IngestStore.engine(spark, dir).select("SELECT FROM {kind=k8slog} LIMIT 10000"))
+
   private val Proj = "SELECT epoch_us(ts_raw) AS ts_us, msg, tags, fields FROM le"
 
   val oracles: Map[String, String] = Map(
@@ -261,6 +264,12 @@ object LqlQueries {
         |  (1714979289000000::BIGINT, 'alpha', 'kind=purelog,name=notes', 'origin=file-notes'),
         |  (1714979289000000::BIGINT, 'beta', 'kind=purelog,name=notes', 'origin=file-notes')
         |) t(ts_us, msg, tags, fields)""".stripMargin,
+    "lql_ingest_k8json" ->
+      """SELECT * FROM (VALUES
+        |  (1712297228123456::BIGINT, 'first message', 'kind=k8slog,pod=podx', 'stream=stdout'),
+        |  (1712297229000000::BIGINT, 'second', 'kind=k8slog,pod=podx', 'stream=stderr'),
+        |  (1712297230000000::BIGINT, 'third no stream', 'kind=k8slog,pod=podx', 'stream=')
+        |) t(ts_us, msg, tags, fields)""".stripMargin,
     "lql_format_vars" ->
       s"""$oracleCte SELECT epoch_us(ts_raw) AS ts_us,
          |  strftime(ts_raw, '%Y-%m-%d') || '|' || msg || '|' || tags || ',' || fields AS line
@@ -316,6 +325,7 @@ object LqlQueries {
     "lql_ingest_logfmt" -> (ingestLogfmt _),
     "lql_ingest_text" -> (ingestText _),
     "lql_ingest_pure" -> (ingestPure _),
+    "lql_ingest_k8json" -> (ingestK8json _),
     "lql_format_vars" -> (formatVars _),
     "lql_range_relative" -> (rangeRelative _),
     "lql_range_special" -> (rangeSpecial _),

@@ -16,7 +16,7 @@ import java.time.Instant
   */
 object IngestStore {
 
-  val Version = "v1"
+  val Version = "v2"
 
   /** Pinned ingest clock for the `pure` parser (every pure record gets the
     * ingest time). */
@@ -72,12 +72,23 @@ object IngestStore {
     "2024-03-04 05:06:08 second")
   private[store] val pureLines = Seq("alpha", "beta")
 
+  /** Bare k8json fixture (no logfmt wrapping) pinning the envelope parse on
+    * its own: `stream` field carried (empty when absent), RFC3339Nano ts
+    * with full fractional digits, malformed lines dropped
+    * (reference pkg/scanner/parser/k8s_parser.go:28-85). */
+  private[store] val k8jsonLines = Seq(
+    """{"log":"first message","stream":"stdout","time":"2024-04-05T06:07:08.123456789Z"}""",
+    """{"log":"second","stream":"stderr","time":"2024-04-05T06:07:09.000000001Z"}""",
+    """{"log":"third no stream","time":"2024-04-05T06:07:10Z"}""",
+    """garbage not json""")
+
   private def build(spark: SparkSession, root: String, store: Store): Unit = {
     val src = s"$root/src"
     write(s"$src/pod-a_ns1/app.log", k8Lines1.mkString("", "\n", "\n"))
     write(s"$src/pod-b_ns2/app.log", k8Lines2.mkString("", "\n", "\n"))
     write(s"$src/sys/boot.txt", textLines.mkString("", "\n", "\n"))
     write(s"$src/raw/notes.raw", pureLines.mkString("", "\n", "\n"))
+    write(s"$src/k8s/podx.jsonl", k8jsonLines.mkString("", "\n", "\n"))
 
     Collector.ingest(store,
       PathSchema(
@@ -86,6 +97,13 @@ object IngestStore {
         tags = Map("pod" -> "{pod}", "ns" -> "{ns}"),
         logfmtKeep = Seq("level", "user", "time")),
       s"$src/*/app.log")
+
+    Collector.ingest(store,
+      PathSchema(
+        pathMatcher = ".*/k8s/(?<pod>[^/.]+)\\.jsonl$",
+        dataFormat = "k8json",
+        tags = Map("pod" -> "{pod}", "kind" -> "k8slog")),
+      s"$src/k8s/*.jsonl")
 
     Collector.ingest(store,
       PathSchema(

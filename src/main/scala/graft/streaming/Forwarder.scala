@@ -52,6 +52,25 @@ object Forwarder {
     override def close(): Unit = socket.close()
   }
 
+  /** Syslog over UDP — one RFC5424-ish frame per datagram, no delimiter
+    * (RFC 5426 framing; the reference accepts tcp|udp in
+    * pkg/syslog/config.go). */
+  final class SyslogUdpSink(host: String, port: Int,
+      facility: Int = Syslog.FacilityLocal6, severity: Int = Syslog.SeverityInfo,
+      hostname: String = "localhost", nlRepl: Boolean = true, lenLimit: Int = 0)
+    extends Sink {
+    private lazy val socket = new java.net.DatagramSocket()
+    private lazy val addr = java.net.InetAddress.getByName(host)
+    def onEvents(events: Seq[Row]): Unit =
+      events.foreach { r =>
+        val line = Syslog.format(facility, severity, r.getAs[Long]("ts"),
+          hostname, r.getAs[String]("tags"), r.getAs[String]("msg"), nlRepl, lenLimit)
+        val bytes = line.getBytes(StandardCharsets.UTF_8)
+        socket.send(new java.net.DatagramPacket(bytes, bytes.length, addr, port))
+      }
+    override def close(): Unit = socket.close()
+  }
+
   /** Run the pump until `keepRunning` turns false. Creates the pipe when it
     * doesn't exist yet (EnsurePipe semantics, reference worker.go:135-152),
     * resumes from `<store root>/forwarder/<name>.pos` when present. */

@@ -110,6 +110,29 @@ class TailForwarderSpec extends AnyFunSuite {
       "<182>1 2024-01-02T03:04:06Z h app=a - - - two"))
   }
 
+  test("syslog UDP sink sends one frame per datagram, no delimiter") {
+    val server = new java.net.DatagramSocket(0)
+    server.setSoTimeout(30000)
+    val sink = new Forwarder.SyslogUdpSink("127.0.0.1", server.getLocalPort, hostname = "h")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts BIGINT, msg STRING, tags STRING, fields STRING")
+    def row(ts: Long, msg: String) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](ts, msg, "app=a", ""), schema)
+    sink.onEvents(Seq(row(1704164645000000000L, "one"), row(1704164646000000000L, "two")))
+    def recv(): String = {
+      val buf = new Array[Byte](2048)
+      val p = new java.net.DatagramPacket(buf, buf.length)
+      server.receive(p)
+      new String(p.getData, 0, p.getLength, "UTF-8")
+    }
+    val got = Set(recv(), recv())
+    sink.close(); server.close()
+    assert(got == Set(
+      "<182>1 2024-01-02T03:04:05Z h app=a - - - one",
+      "<182>1 2024-01-02T03:04:06Z h app=a - - - two"))
+  }
+
   test("pipe restart: startAll resumes from the checkpoint without reprocessing") {
     val e = freshEngine()
     ingest(e, Map("app" -> "r"), 1000000000L, 6, "one-")

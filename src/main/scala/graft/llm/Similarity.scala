@@ -162,26 +162,35 @@ object Similarity {
       numPlanes: Int = 4, maxProbeHamming: Int = 2, seed: Long = 42L): DataFrame = {
     val dim = 64
     val ps = planes(numPlanes, dim, seed)
+    // the bucket table carries ids only — candidate generation never
+    // touches (or shuffles) the 64-float vectors
     val withB = emb.select(
-      col("vec_id").cast("long").as("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), bucketOf(col("embedding"), ps).as("bucket"))
+      col("vec_id").cast("long").as("vec_id"), bucketOf(col("embedding"), ps).as("bucket"))
 
     // query side probes every bucket within the Hamming radius
     val masks: Seq[Long] = (0 until (1 << numPlanes)).map(_.toLong)
       .filter(m => java.lang.Long.bitCount(m) <= maxProbeHamming)
     val probes = array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)
-    val q = withB.where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"),
-        explode(probes).as("bucket"))
-    val cand = withB
-      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"),
-        col("bucket"))
+    val qb = withB.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), explode(probes).as("bucket"))
+    val cb = withB.select(col("vec_id").as("nid"), col("bucket"))
+    // a neighbour can land in several probed buckets: dedup on the id PAIR
+    // (a shuffle of two longs), THEN join the vectors in exactly once
+    val pairs = cb.join(broadcast(qb), "bucket")
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+
+    val withNorm = emb.select(
+      col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val qv = withNorm.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val nv = withNorm
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
     val scoreR = floor(dot(col("qv"), col("nv")) / (col("qn") * col("nn")) * 1e6 + 0.5)
       .cast("long")
     val w = Window.partitionBy("qid").orderBy(col("score_r").desc, col("nid").asc)
-    cand.join(broadcast(q), "bucket").where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qv"), col("nv"), col("qn"), col("nn"))
-      .distinct() // a neighbour can land in several probed buckets
+    pairs.join(broadcast(qv), "qid").join(nv, "nid")
       .withColumn("score_r", scoreR)
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("score_r"), col("rank").cast("long").as("rank"))

@@ -51,7 +51,7 @@ final case class PipeDef(name: String, from: Option[Source], where: Option[Expre
   * (pkg/backend/admin.go:209).
   */
 final class PipeService(store: Store, clock: () => Instant = () => Instant.now(),
-    maxFilesPerTrigger: Int = 64) {
+    maxFilesPerTrigger: Int = 1024) {
 
   import PipeService._
 

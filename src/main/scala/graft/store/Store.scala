@@ -251,13 +251,22 @@ final class Store(val spark: SparkSession, val root: String) {
       line -> Model.parseTags(line).getOrElse(Map.empty)
     }.toMap
 
-  /** Read the given partitions. The `part IN (...)` filter is a static
-    * partition-pruning predicate — `.explain` shows it under
-    * PartitionFilters, no non-matching directory is listed or read. */
+  /** Read the given partitions. The scan is given ONLY the matching
+    * partition directories (resolved against the catalog, no filesystem
+    * listing of the rest of the table): at 100 TB / 100k partitions the
+    * read cost — including the driver-side file listing, which a
+    * whole-table read pays before pruning — is proportional to the
+    * partitions matched, the same property the reference gets from tindex.
+    * `basePath` keeps `part` as a column parsed from the directory names. */
   def read(parts: Seq[String]): DataFrame = {
-    if (parts.isEmpty || !fs.exists(new Path(dataDir)))
+    val known = catalog.load().iterator.map(_.part).toSet
+    val dirs = parts.filter(known.contains).map { p =>
+      s"$dataDir/part=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(p)
+    }
+    if (dirs.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.schema)
-    spark.read.schema(Model.schema).parquet(dataDir).where(col("part").isin(parts: _*))
+    spark.read.option("basePath", dataDir).schema(Model.schema).parquet(dirs: _*)
   }
 
   /** Read everything (pipes' streaming source uses its own reader). */

@@ -160,13 +160,13 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
     * continuation token from the page's last row (see [[pageToken]]). */
   def selectWithToken(sel: Select): (DataFrame, DataFrame) = {
     val parts = prune(sel.source)
-    var df = store.read(parts)
-
     // RANGE — inclusive on both ends (reference fiterator.go:93-95);
-    // absent bounds are 0 / MaxInt64 (reference cursor.go:94-100).
-    sel.range.foreach { r =>
-      val minTs = r.t1.getOrElse(0L)
-      val maxTs = r.t2.getOrElse(Long.MaxValue)
+    // absent bounds are 0 / MaxInt64 (reference cursor.go:94-100). The
+    // range reaches the store read too, so non-overlapping chunks are
+    // pruned from the file list before the scan (tmindex equivalent).
+    val tsRange = sel.range.map(r => (r.t1.getOrElse(0L), r.t2.getOrElse(Long.MaxValue)))
+    var df = store.read(parts, tsRange)
+    tsRange.foreach { case (minTs, maxTs) =>
       df = df.where(col("ts") >= minTs && col("ts") <= maxTs)
     }
     sel.where.foreach { w =>

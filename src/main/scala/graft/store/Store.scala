@@ -251,22 +251,24 @@ final class Store(val spark: SparkSession, val root: String) {
       line -> Model.parseTags(line).getOrElse(Map.empty)
     }.toMap
 
-  /** Read the given partitions. The scan is given ONLY the matching
-    * partition directories (resolved against the catalog, no filesystem
-    * listing of the rest of the table): at 100 TB / 100k partitions the
-    * read cost — including the driver-side file listing, which a
-    * whole-table read pays before pruning — is proportional to the
-    * partitions matched, the same property the reference gets from tindex.
-    * `basePath` keeps `part` as a column parsed from the directory names. */
-  def read(parts: Seq[String]): DataFrame = {
-    val known = catalog.load().iterator.map(_.part).toSet
-    val dirs = parts.filter(known.contains).map { p =>
-      s"$dataDir/part=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(p)
+  /** Read the given partitions, optionally bounded to an inclusive ts
+    * range. The scan is handed the exact FILE list from the catalog — no
+    * filesystem listing at all, and files whose footer [minTs, maxTs]
+    * doesn't overlap the range are never opened (the reference's
+    * tindex + tmindex two-level pruning): at 100 TB the read cost is
+    * proportional to the chunks a query actually touches. Callers still
+    * apply the range as a row filter — file pruning is a superset.
+    * `basePath` keeps `part` as a column parsed from the paths. */
+  def read(parts: Seq[String], tsRange: Option[(Long, Long)] = None): DataFrame = {
+    val partSet = parts.toSet
+    var entries = catalog.load().filter(e => partSet.contains(e.part))
+    tsRange.foreach { case (lo, hi) =>
+      entries = entries.filter(e => e.maxTs >= lo && e.minTs <= hi)
     }
-    if (dirs.isEmpty)
+    if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.schema)
-    spark.read.option("basePath", dataDir).schema(Model.schema).parquet(dirs: _*)
+    spark.read.option("basePath", dataDir).schema(Model.schema)
+      .parquet(entries.map(_.file): _*)
   }
 
   /** Read everything (pipes' streaming source uses its own reader). */

@@ -112,6 +112,21 @@ class EngineSpec extends AnyFunSuite {
     assert(seqs.length == 10 && seqs.distinct.length == 10)
   }
 
+  test("RANGE prunes non-overlapping chunks from the scan's file list") {
+    val e = freshEngine()
+    // three appends = three files with disjoint ts ranges (catalog footers)
+    ingest(e, Map("app" -> "c"), 1000000000L, 5)           // 1s..5s
+    ingest(e, Map("app" -> "c"), 1000000000000L, 5)        // 1000s..
+    ingest(e, Map("app" -> "c"), 2000000000000L, 5)        // 2000s..
+    assert(e.store.read(Seq("app=c")).inputFiles.length == 3)
+    val pruned = e.store.read(Seq("app=c"), Some((999000000000L, 1100000000000L)))
+    assert(pruned.inputFiles.length == 1, "only the overlapping chunk is scanned")
+    // end-to-end: the LQL RANGE returns exactly the middle batch
+    val got = e.select(
+      "SELECT FROM {app=c} RANGE [\"999000000000\":\"1100000000000\"] LIMIT 100")
+    assert(got.count() == 5)
+  }
+
   test("concurrent seq allocation to one partition cannot collide (epochs)") {
     import spark.implicits._
     val e = freshEngine()

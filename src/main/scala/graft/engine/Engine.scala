@@ -165,7 +165,27 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
     // range reaches the store read too, so non-overlapping chunks are
     // pruned from the file list before the scan (tmindex equivalent).
     val tsRange = sel.range.map(r => (r.t1.getOrElse(0L), r.t2.getOrElse(Long.MaxValue)))
-    var df = store.read(parts, tsRange)
+
+    val posNorm = sel.position.map(p =>
+      if (p.equalsIgnoreCase("head") || p.equalsIgnoreCase("tail")) p.toLowerCase else p)
+    val keyOpt = posNorm match {
+      case Some(tok) if tok != "head" && tok != "tail" =>
+        Some(PosKey.fromToken(tok).getOrElse(
+          throw LqlException(s"position must be head|tail|<continuation token>, got '$tok'")))
+      case _ => None
+    }
+    val offset0 = sel.offset.getOrElse(0L)
+    // a forward read from a continuation token never needs chunks that end
+    // strictly before the key's ts — so each page (and each tail-follow
+    // poll) scans only chunks at/after its position, independent of how
+    // much history the partition holds
+    val readRange = keyOpt match {
+      case Some(k) if offset0 >= 0 =>
+        Some((math.max(tsRange.map(_._1).getOrElse(0L), k.ts),
+          tsRange.map(_._2).getOrElse(Long.MaxValue)))
+      case _ => tsRange
+    }
+    var df = store.read(parts, readRange)
     tsRange.foreach { case (minTs, maxTs) =>
       df = df.where(col("ts") >= minTs && col("ts") <= maxTs)
     }
@@ -174,9 +194,9 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
     }
 
     val limit = math.min(sel.limit.getOrElse(MaxLimit.toLong), MaxLimit.toLong).toInt
-    val offset = sel.offset.getOrElse(0L)
+    val offset = offset0
 
-    val page: DataFrame = sel.position.map(p => if (p.equalsIgnoreCase("head") || p.equalsIgnoreCase("tail")) p.toLowerCase else p) match {
+    val page: DataFrame = posNorm match {
       case None | Some("head") =>
         val fwd = df.orderBy(ascOrder: _*)
         val skipped = if (offset > 0) fwd.offset(offset.toInt) else fwd // negative from head clamps to head
@@ -191,9 +211,8 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
           lastN.orderBy(ascOrder: _*).limit(limit)
         }
 
-      case Some(tok) =>
-        val key = PosKey.fromToken(tok).getOrElse(
-          throw LqlException(s"position must be head|tail|<continuation token>, got '$tok'"))
+      case Some(_) =>
+        val key = keyOpt.get
         if (offset >= 0) {
           val fwd = df.where(afterKey(key)).orderBy(ascOrder: _*)
           (if (offset > 0) fwd.offset(offset.toInt) else fwd).limit(limit)

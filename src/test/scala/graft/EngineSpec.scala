@@ -127,6 +127,27 @@ class EngineSpec extends AnyFunSuite {
     assert(got.count() == 5)
   }
 
+  test("continuation token prunes chunks that end before its position") {
+    val e = freshEngine()
+    ingest(e, Map("app" -> "k"), 1000000000L, 5)           // file 1: 1s..5s
+    ingest(e, Map("app" -> "k"), 1000000000000L, 5)        // file 2: 1000s..
+    ingest(e, Map("app" -> "k"), 2000000000000L, 5)        // file 3: 2000s..
+    val sel = e.parse("SELECT FROM {app=k} LIMIT 10") match {
+      case s: graft.lql.Ast.Select => s
+      case other => fail(s"unexpected $other")
+    }
+    val (_, keys) = e.selectWithToken(sel)
+    val tok = e.pageToken(keys).get // position = last row of file 2
+    val page2sel = e.parse(s"""SELECT FROM {app=k} POSITION "$tok" LIMIT 10""") match {
+      case s: graft.lql.Ast.Select => s
+      case other => fail(s"unexpected $other")
+    }
+    val (page2, _) = e.selectWithToken(page2sel)
+    assert(page2.count() == 5)
+    assert(page2.inputFiles.length == 2,
+      "file 1 (maxTs < token ts) must be pruned; file 2 stays for ts ties")
+  }
+
   test("concurrent seq allocation to one partition cannot collide (epochs)") {
     import spark.implicits._
     val e = freshEngine()

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, Multimodal, SimHash, Similarity, TextStats}
+import graft.llm.{Dedup, Fingerprint, Multimodal, SimHash, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Training-data-pipeline operators over the driver's `documents` /
@@ -39,6 +39,9 @@ object LlmQueries {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(emb(spark, dir))
 
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Fingerprint.winnow(docs(spark, dir))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
@@ -47,7 +50,8 @@ object LlmQueries {
     "llm_sim_topk" -> (simTopK _),
     "llm_sim_topk_lsh" -> (simTopKLsh _), // rows-only: approximate by design
     "llm_multimodal" -> (multimodal _),
-    "llm_dedup_embed" -> (embedNearDup _)
+    "llm_dedup_embed" -> (embedNearDup _),
+    "llm_fingerprint" -> (fingerprint _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -93,6 +97,8 @@ object LlmQueries {
         |FROM hs""".stripMargin,
 
     "llm_text_stats" -> TextStats.oracleSql,
+
+    "llm_fingerprint" -> Fingerprint.oracleSql,
 
     "llm_sim_topk" ->
       """WITH e AS (

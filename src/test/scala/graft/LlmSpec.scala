@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, SimHash, Similarity, TextStats}
+import graft.llm.{Dedup, Fingerprint, Multimodal, SimHash, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -99,6 +99,34 @@ class LlmSpec extends AnyFunSuite {
       assert(got == expected,
         s"sf$sf: LSH-candidate result diverged: missing=${expected -- got} extra=${got -- expected}")
     }
+  }
+
+  test("winnowing fingerprints: near-dup pairs overlap, the guarantee holds") {
+    val fp = Fingerprint.winnow(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // winnowing guarantee on a synthetic pair: >= W+K-1 shared bytes must
+    // share a fingerprint
+    val spark2 = spark
+    import spark2.implicits._
+    val shared = "this exact run of bytes is long enough to guarantee a shared fingerprint"
+    val pairDf = Seq((1L, s"prefix one $shared"), (2L, s"$shared suffix two"))
+      .toDF("doc_id", "text")
+    val pfp = Fingerprint.winnow(pairDf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((pfp(1L) & pfp(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    // corpus-level: planted near-dups overlap far more than adjacent ids
+    val pairs = Dedup.nearDuplicates(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    def overlap(a: Long, b: Long): Double = {
+      val (x, y) = (fp.getOrElse(a, Set.empty[Long]), fp.getOrElse(b, Set.empty[Long]))
+      if (x.isEmpty || y.isEmpty) 0.0 else (x & y).size.toDouble / math.min(x.size, y.size)
+    }
+    val dupMean = pairs.map { case (a, b) => overlap(a, b) }.sum / pairs.length
+    val ids = fp.keySet.toSeq.sorted
+    val baseMean = ids.zip(ids.tail).take(100)
+      .filterNot { case (a, b) => pairs.contains((a, b)) }
+      .map { case (a, b) => overlap(a, b) }.sum / 100
+    assert(dupMean > 0.5 && dupMean > baseMean * 3,
+      s"near-dup fp overlap $dupMean should dwarf baseline $baseMean")
   }
 
   test("text stats and multimodal decode handle empty and non-ASCII text") {

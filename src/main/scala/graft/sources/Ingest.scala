@@ -257,7 +257,12 @@ object Collector {
     // a file growing mid-run cannot tear the batch
     val toRead: Seq[(String, Long, Long)] = matched.toSeq.flatMap { p =>
       val len = fs.getFileStatus(new Path(p)).getLen
-      val off = oldPos.getOrElse(p, 0L)
+      val off0 = oldPos.getOrElse(p, 0L)
+      // a file SHORTER than its recorded offset was rotated/truncated
+      // (copytruncate): start it over from byte 0, like the reference's
+      // scanner on a shrunk file — otherwise regrown content below the old
+      // high-water mark would be skipped forever
+      val off = if (len < off0) 0L else off0
       if (len > off) Some((p, off, len)) else None
     }
     if (toRead.isEmpty) return 0

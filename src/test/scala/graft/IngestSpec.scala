@@ -138,6 +138,22 @@ class IngestSpec extends AnyFunSuite {
     assert(byMsg("bare tail") == t2, "carry-forward works within the tail")
   }
 
+  test("collector tailing: a truncated (rotated) file restarts from byte 0") {
+    import java.nio.file.Files
+    val store = new graft.store.Store(spark, Files.createTempDirectory("graft-col").toString)
+    val src = Files.createTempDirectory("graft-src")
+    val f = src.resolve("r.raw")
+    Files.writeString(f, "before rotation line one\nbefore rotation line two\n")
+    val schema = PathSchema(".*/(?<name>[^/.]+)\\.raw$", "pure", Map("name" -> "{name}"))
+    val clock = () => Instant.parse("2024-05-06T07:08:09Z")
+    assert(Collector.ingest(store, schema, s"$src/*.raw", clock) == 1)
+    Files.writeString(f, "fresh\n") // copytruncate: shorter than the old offset
+    assert(Collector.ingest(store, schema, s"$src/*.raw", clock) == 1)
+    val msgs = store.read(Seq("name=r")).select("msg").collect().map(_.getString(0)).sorted
+    assert(msgs.contains("fresh"), "regrown content below the old offset must land")
+    assert(msgs.length == 3)
+  }
+
   test("collector handles paths with spaces (old input_file_name URI loss)") {
     import java.nio.file.Files
     val store = new graft.store.Store(spark, Files.createTempDirectory("graft-col").toString)

@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sum of element-wise products, computed in double, left-to-right. */
+  /** Sum of element-wise products, computed in double, left-to-right —
+    * a native Catalyst expression (codegen'd loop; one virtual call per
+    * row interpreted) instead of `aggregate(zip_with(...))`, which
+    * evaluates a lambda per element. Same accumulation order, so scores
+    * stay bit-identical to the SQL oracles. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot_product(a, b)
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  private def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Exact top-k cosine neighbours for the query vectors `vec_id <
     * numQueries` (self excluded). Returns (qid, nid, score_r, rank). */

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.VectorExpressions.dot_product
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native DotProduct expression: value correctness against the
+  * left-to-right reference, float/double element handling, null
+  * propagation, and agreement between codegen and interpreted paths. */
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dot_product matches left-to-right double accumulation") {
+    val a = Array(1.5f, -2.25f, 3.0f, 0.125f)
+    val b = Array(4.0f, 0.5f, -1.0f, 8.0f)
+    val expected = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(dot_product(col("a"), col("b")).as("d")).head.getDouble(0)
+    assert(got == expected)
+  }
+
+  test("dot_product with a double-literal side (the LSH plane case)") {
+    val v = Array(1.0f, 2.0f, 3.0f)
+    val plane = array(lit(0.5), lit(-1.0), lit(2.0))
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(dot_product(col("v"), plane).as("d")).head.getDouble(0)
+    assert(got == 1.0 * 0.5 - 2.0 + 6.0)
+  }
+
+  test("dot_product propagates null inputs") {
+    val row = Seq((Array(1.0f), Option.empty[Array[Float]])).toDF("a", "b")
+      .select(dot_product(col("a"), col("b")).as("d")).head
+    assert(row.isNullAt(0))
+  }
+
+  test("codegen and interpreted evaluation agree") {
+    val df = (1 to 50).map { i =>
+      (Array.tabulate(64)(j => (i * 31 + j).toFloat / 7f),
+        Array.tabulate(64)(j => (j * 13 - i).toFloat / 3f))
+    }.toDF("a", "b")
+    val viaExpr = df.select(dot_product(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    // reference: interpreted HOF with the same accumulation order
+    val viaHof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x).as("d")).collect().map(_.getDouble(0)).toSeq
+    assert(viaExpr == viaHof)
+  }
+}

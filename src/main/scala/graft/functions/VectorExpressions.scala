@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumn}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the dense dot product of two numeric
   * arrays, accumulated in double LEFT-TO-RIGHT (the engine-portable order
@@ -76,8 +76,86 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** All `bands` LSH band keys of a shingle array in ONE pass: band b's key
+  * is xxhash64(b, [minhash slots b*r .. b*r+r-1]), slot i's minhash is
+  * min over shingles of xxhash64(i, shingle) — BIT-IDENTICAL to the
+  * nested-HOF formulation (it reuses Spark's own XxHash64Function with the
+  * same child order and default seed), so candidate sets are unchanged.
+  *
+  * Why: the HOF tree evaluates 2 lambda invocations per (slot, shingle)
+  * with boxed longs — bands*r*|shingles| interpreted calls per document.
+  * This node is one call per document with primitive arrays, and each
+  * shingle's bytes are read once per slot instead of once per lambda
+  * frame. CodegenFallback is fine: the loop is the work, not the dispatch. */
+case class MinhashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_band_keys expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val numHashes = bands * rowsPerBand
+    val seeds = MinhashBandKeys.seedsFor(numHashes)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      // a null shingle hashes to the slot seed alone (xxhash64 skips null
+      // children), matching the HOF semantics
+      val g = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+      var i = 0
+      while (i < numHashes) {
+        val h = if (g == null) seeds(i)
+          else XxHash64Function.hash(g, org.apache.spark.sql.types.StringType, seeds(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XxHash64Function.hash(b, IntegerType, 42L)
+      if (n > 0) {
+        var k = 0
+        while (k < rowsPerBand) {
+          h = XxHash64Function.hash(mins(b * rowsPerBand + k), LongType, h)
+          k += 1
+        }
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinhashBandKeys {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  /** xxhash64 state after hashing slot index i from the default seed —
+    * shared prefix of every per-shingle slot hash. */
+  def seedsFor(n: Int): Array[Long] = cache.computeIfAbsent(n,
+    m => Array.tabulate(m)(i => XxHash64Function.hash(i, IntegerType, 42L)))
+}
+
 object VectorExpressions {
   /** Column API: `dot_product(a, b)` in double, left-to-right. */
   def dot_product(a: Column, b: Column): Column =
     GraftColumn.of(DotProduct(GraftColumn.exprOf(a), GraftColumn.exprOf(b)))
+
+  /** Column API: all LSH band keys for a shingle array (array<long>). */
+  def minhash_band_keys(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftColumn.of(MinhashBandKeys(GraftColumn.exprOf(shingles), bands, rowsPerBand))
 }

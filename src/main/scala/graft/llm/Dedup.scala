@@ -92,17 +92,15 @@ object Dedup {
       .select(col("doc_id"), shinglesFromTokens(col("w")).as("sh"))
       .cache()
 
-    // band key = hash of the band's r minhash slots, computed directly over
-    // the cached shingle attribute in ONE projection; cached too — it is
-    // both sides of the candidate self-join
+    // band key = hash of the band's r minhash slots — ONE native-expression
+    // call per doc (graft.functions.MinhashBandKeys, bit-identical to the
+    // nested-HOF form but with primitive loops instead of bands*r*|sh|
+    // lambda invocations); cached — it is both sides of the candidate
+    // self-join
     val banded = sh
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            xxhash64(b, transform(
-              sequence(b * rowsPerBand, (b + 1) * rowsPerBand - 1),
-              i => array_min(transform(col("sh"), g => xxhash64(i, g))))).as("bkey")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.VectorExpressions.minhash_band_keys(col("sh"), bands, rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
       .cache()
 
     val l = banded.alias("l")

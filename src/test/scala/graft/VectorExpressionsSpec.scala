@@ -35,6 +35,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(row.isNullAt(0))
   }
 
+  test("minhash_band_keys is bit-identical to the nested-HOF formulation") {
+    val bands = 32
+    val r = 3
+    val docs = Seq(
+      Tuple1(Array("the quick fox", "quick fox jumps", "fox jumps over")),
+      Tuple1(Array("a b c")),
+      Tuple1(Array.empty[String])).toDF("sh")
+    val hof = docs.select(transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, transform(
+        sequence(b * r, (b + 1) * r - 1),
+        i => array_min(transform(col("sh"), g => xxhash64(i, g)))))).as("keys"))
+      .collect().map(_.getSeq[Long](0))
+    val native = docs.select(
+      graft.functions.VectorExpressions.minhash_band_keys(col("sh"), bands, r).as("keys"))
+      .collect().map(_.getSeq[Long](0))
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("codegen and interpreted evaluation agree") {
     val df = (1 to 50).map { i =>
       (Array.tabulate(64)(j => (i * 31 + j).toFloat / 7f),

@@ -150,10 +150,62 @@ object MinhashBandKeys {
     m => Array.tabulate(m)(i => XxHash64Function.hash(i, IntegerType, 42L)))
 }
 
+/** The simhash bit-majority fold over an array of non-negative `bits`-bit
+  * token hashes, in one pass: bit i of the result is set iff the majority
+  * of hashes have bit i set. Bit-identical to the nested-aggregate HOF
+  * form (integer div/mod on non-negative hashes == shift/mask; a null
+  * hash votes -1 on every bit, matching IF(null, ...) = false-branch),
+  * but one call per document instead of bits*|hashes| lambda frames. */
+case class SimHashFold(child: Expression, bits: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_fold expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](bits)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) {
+        var i = 0
+        while (i < bits) { counts(i) -= 1; i += 1 }
+      } else {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < bits) {
+          counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < bits) { if (counts(i) > 0) out |= 1L << i; i += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** Column API: `dot_product(a, b)` in double, left-to-right. */
   def dot_product(a: Column, b: Column): Column =
     GraftColumn.of(DotProduct(GraftColumn.exprOf(a), GraftColumn.exprOf(b)))
+
+  /** Column API: simhash bit-majority fold of an array<long>. */
+  def simhash_fold(hashes: Column, bits: Int): Column =
+    GraftColumn.of(SimHashFold(GraftColumn.exprOf(hashes), bits))
 
   /** Column API: all LSH band keys for a shingle array (array<long>). */
   def minhash_band_keys(shingles: Column, bands: Int, rowsPerBand: Int): Column =

@@ -31,11 +31,10 @@ object SimHash {
       // references a plain attribute (see Dedup.nearDuplicates for why);
       // explicit count so AQE keeps the parallelism
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("simhash", expr(
-        s"""aggregate(sequence(0, ${Bits - 1}), 0L, (acc, i) -> acc +
-           |  IF(aggregate(hs, 0L,
-           |       (s, h) -> s + IF((h div shiftleft(1L, i)) % 2 = 1, 1L, -1L)) > 0,
-           |     shiftleft(1L, i), 0L))""".stripMargin))
+      // native one-pass fold (graft.functions.SimHashFold) — bit-identical
+      // to the nested-aggregate HOF form, locked by VectorExpressionsSpec
+      .withColumn("simhash",
+        graft.functions.VectorExpressions.simhash_fold(col("hs"), Bits))
       .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
 
   /** Hamming distance between two fingerprints (for candidate verification). */

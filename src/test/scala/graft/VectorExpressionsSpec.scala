@@ -53,6 +53,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(native.toSeq == hof.toSeq)
   }
 
+  test("simhash_fold is bit-identical to the nested-aggregate formulation") {
+    val bits = 60
+    val docs = Seq(
+      Tuple1(Array(0x0123456789abcdL, 0x0fedcba9876543L, 0x0aaaaaaaaaaaaaL)),
+      Tuple1(Array(1L)),
+      Tuple1(Array.empty[Long])).toDF("hs")
+    val hof = docs.select(expr(
+      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc +
+         |  IF(aggregate(hs, 0L,
+         |       (s, h) -> s + IF((h div shiftleft(1L, i)) % 2 = 1, 1L, -1L)) > 0,
+         |     shiftleft(1L, i), 0L))""".stripMargin).as("f"))
+      .collect().map(_.getLong(0)).toSeq
+    val native = docs.select(
+      graft.functions.VectorExpressions.simhash_fold(col("hs"), bits).as("f"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == hof)
+  }
+
   test("codegen and interpreted evaluation agree") {
     val df = (1 to 50).map { i =>
       (Array.tabulate(64)(j => (i * 31 + j).toFloat / 7f),

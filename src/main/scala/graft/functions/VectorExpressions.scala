@@ -35,18 +35,30 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         s"dot_product expects array<float|double>, got ${left.dataType} / ${right.dataType}")
   }
 
+  // mismatched lengths and null elements yield NULL — exactly what the
+  // aggregate(zip_with(...)) formulation this node replaces produced
+  // (zip_with pads with null, acc + null => null), so swapping the
+  // implementations can never silently change a score
+  override def nullable: Boolean = true
+
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def containsNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
+    val guard = containsNulls
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (guard && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -57,17 +69,26 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (isFloat(left)) s"(double)$a.getFloat(i)" else s"$a.getDouble(i)"
-      val rGet = if (isFloat(right)) s"(double)$b.getFloat(i)" else s"$b.getDouble(i)"
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
+      val lGet = if (isFloat(left)) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (isFloat(right)) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
+      val nullGuard =
+        if (containsNulls) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
          |double $s = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  $s += $lGet * $rGet;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $s += $lGet * $rGet;
+         |  }
          |}
-         |${ev.value} = $s;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
        """.stripMargin
     })
 

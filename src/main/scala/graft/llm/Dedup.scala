@@ -102,6 +102,7 @@ object Dedup {
         graft.functions.VectorExpressions.minhash_band_keys(col("sh"), bands, rowsPerBand)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
       .cache()
+    OpCaches.track("dedup.near", Seq(sh, banded))
 
     val l = banded.alias("l")
     val r = banded.alias("r")

@@ -81,7 +81,7 @@ object Similarity {
       bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 13L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val dim = 64
+    val dim = embeddingDim(emb)
     val bcP = spark.sparkContext.broadcast(planes(bands * rowsPerBand, dim, seed))
     val nb = bands
     val rpb = rowsPerBand
@@ -91,6 +91,8 @@ object Similarity {
     val sig = ds.mapPartitions { it =>
       val ps = bcP.value
       it.flatMap { case (id, v0) =>
+        require(v0.length == dim,
+          s"embedding dim ${v0.length} != $dim (hyperplanes are sized from the first row)")
         val v = new Array[Double](v0.length)
         var i = 0
         while (i < v0.length) { v(i) = v0(i).toDouble; i += 1 }
@@ -110,6 +112,9 @@ object Similarity {
       }
     }.toDF("vec_id", "band", "key")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the returned plan is lazy, so THIS call's cache must stay alive; the
+    // previous call's is dead weight — bound the leak to one signature table
+    OpCaches.track("similarity.sig", Seq(sig))
     // 2. bucket self-join → distinct id pairs (ids only — no vectors shuffled)
     val cand = sig.select(col("vec_id").as("vec_a"), col("band"), col("key"))
       .join(sig.select(col("vec_id").as("vec_b"), col("band"), col("key")),
@@ -141,6 +146,11 @@ object Similarity {
       }.toDF("vec_a", "vec_b", "score_r")
   }
 
+  /** Embedding width, read from the first row (one tiny driver-side job) —
+    * hyperplane construction must match the data, not a hardcoded 64. */
+  private def embeddingDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head.getInt(0)
+
   /** Deterministic random hyperplanes (seeded JVM LCG — stable across
     * runs/platforms). */
   def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
@@ -162,7 +172,7 @@ object Similarity {
     * 4 planes / Hamming≤2 ≈ 0.8 recall@5 (see LlmSpec). */
   def lshTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
       numPlanes: Int = 4, maxProbeHamming: Int = 2, seed: Long = 42L): DataFrame = {
-    val dim = 64
+    val dim = embeddingDim(emb)
     val ps = planes(numPlanes, dim, seed)
     // the bucket table carries ids only — candidate generation never
     // touches (or shuffles) the 64-float vectors

@@ -22,6 +22,19 @@ object AdminQueries {
     new Engine(new Store(spark, root))
   }
 
+  /** Every entry's result is driver-materialized (SHOW/TRUNCATE/pipe
+    * listings build DataFrames from local rows), so the throwaway store can
+    * be deleted before returning — repeated gate+bench runs must not
+    * accumulate orphaned trees in tmp. */
+  private def discard(e: Engine): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(e.store.root))
+    Store.forgetEpoch(e.store.root)
+  }
+
   private def ingest(e: Engine, tags: Map[String, String], startTs: Long,
       n: Int, pad: Int = 0): Unit = {
     val spark = e.store.spark
@@ -57,7 +70,9 @@ object AdminQueries {
     val post1 = post("post_cut")
     val wipe = shape("wipe", e.execute("TRUNCATE MAXDBSIZE 1"))
     val post2 = post("post_wipe") // empty: everything was deleted
-    cut.unionByName(post1).unionByName(wipe).unionByName(post2)
+    val out = cut.unionByName(post1).unionByName(wipe).unionByName(post2)
+    discard(e)
+    out
   }
 
   /** DELETE PIPE lifecycle (reference pkg/backend/admin.go:220-228):
@@ -73,7 +88,9 @@ object AdminQueries {
     e.execute("DELETE PIPE d1")
     val after = phase("after")
     e.pipes.stopAll()
-    before.unionByName(after)
+    val out = before.unionByName(after)
+    discard(e)
+    out
   }
 
   /** SHOW PARTITIONS size-desc ordering as data: the rank survives into the
@@ -86,11 +103,13 @@ object AdminQueries {
     ingest(e, Map("app" -> "big"), 1000000000L, 50, pad = 400)
     ingest(e, Map("app" -> "mid"), 1000000000L, 20, pad = 150)
     ingest(e, Map("app" -> "small"), 1000000000L, 3)
-    e.execute("SHOW PARTITIONS")
+    val out = e.execute("SHOW PARTITIONS")
       .withColumn("size_rank",
         row_number().over(Window.orderBy(col("size_bytes").desc, col("partition"))))
       .select(col("size_rank").cast("long").as("size_rank"),
         col("partition"), col("records").cast("long").as("records"))
+    discard(e)
+    out
   }
 
   /** Forwarder pump through a capture sink, rendered as RFC5424 frames
@@ -120,7 +139,9 @@ object AdminQueries {
       poll = java.time.Duration.ofMillis(50),
       keepRunning = () => rounds.incrementAndGet() <= 3)
     e.pipes.stopAll()
-    collected.toSeq.zipWithIndex.map { case (f, i) => (i.toLong, f) }.toDF("ord", "frame")
+    val out = collected.toSeq.zipWithIndex.map { case (f, i) => (i.toLong, f) }.toDF("ord", "frame")
+    discard(e)
+    out
   }
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -118,16 +118,22 @@ object Ingest {
     val spark = files.sparkSession
     import spark.implicits._
     val nowNs = { val n = ingestTime(); n.getEpochSecond * 1000000000L + n.getNano }
-    files.select(col("file"), col("content")).as[(String, String)]
-      .flatMap { case (file, content) =>
-        var lastTs = 0L
+    // optional per-file initial carry state (`ts0`): the collector seeds it
+    // from the previous run's persisted state so a tail starting with
+    // dateless lines continues the file's last seen date instead of 0
+    val withSeed =
+      if (files.columns.contains("ts0")) files.select(col("file"), col("content"), col("ts0"))
+      else files.select(col("file"), col("content"), lit(0L).as("ts0"))
+    withSeed.as[(String, String, Long)]
+      .flatMap { case (file, content, ts0) =>
+        var lastTs = ts0
         var curFmt: GoDates.Format = null
         var skipping = false
         var failSkipCnt = 0
         val maxFailCnt = 10
         var maxSkipCnt = 10
         val now = Instant.ofEpochSecond(nowNs / 1000000000L, nowNs % 1000000000L)
-        content.linesIterator.map { line =>
+        content.linesIterator.zipWithIndex.map { case (line, idx) =>
           var ts = 0L
           val cached = if (curFmt != null) curFmt.parse(line) else None
           cached match {
@@ -153,9 +159,9 @@ object Ingest {
               ts = lastTs
           }
           if (ts != 0L) lastTs = ts
-          (file, ts, line)
+          (file, idx.toLong, ts, line)
         }
-      }.toDF("file", "ts", "msg")
+      }.toDF("file", "idx", "ts", "msg")
       .withColumn("fields", map().cast("map<string,string>"))
   }
 
@@ -226,16 +232,21 @@ object Collector {
     * tag lines become `part`).
     *
     * Continuous tailing (reference pkg/scanner/scanner.go — per-file read
-    * positions persisted in the scanner state file): each run records the
-    * byte offset it consumed per file under `<store root>/collector/`, so a
-    * re-run reads ONLY content appended since, and skips unchanged files
-    * without touching them. Positions are saved after a successful append —
-    * at-least-once, the forwarder's `.pos` discipline; `Store.assignSeq`
-    * epochs keep `(part, seq)` unique across runs either way. A file whose
-    * last line is mid-write at collection time is split across runs (the
-    * tail starts at the recorded byte offset); collecting on a cadence
-    * coarser than the writer's flush makes this vanishingly rare, same as
-    * the reference's scanner.
+    * positions persisted in the scanner state file): each run records, per
+    * file, the byte offset consumed, the text parser's last-seen-date carry
+    * state, and a fingerprint of the file's first bytes, all under
+    * `<store root>/collector/`. A re-run reads ONLY content appended since,
+    * skips unchanged files without touching them, seeds the text parser's
+    * date carry-forward from the saved state, and detects rotation
+    * (copytruncate) by the prefix fingerprint — a rotated file restarts
+    * from byte 0 even if it has already regrown PAST the old offset.
+    * Positions are saved after a successful append — at-least-once, the
+    * forwarder's `.pos` discipline; `Store.assignSeq` epochs keep
+    * `(part, seq)` unique across runs either way. A file whose last line is
+    * mid-write at collection time is split across runs (the tail starts at
+    * the recorded byte offset); collecting on a cadence coarser than the
+    * writer's flush makes this vanishingly rare, same as the reference's
+    * scanner.
     *
     * @return number of files with new data ingested */
   def ingest(store: Store, schema: PathSchema, glob: String,
@@ -244,6 +255,9 @@ object Collector {
     val spark = store.spark
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(glob).getFileSystem(conf)
+    // positions live under the STORE root, which may be a different
+    // filesystem than the tailed logs
+    val storeFs = new Path(store.root).getFileSystem(conf)
     val matched = Option(fs.globStatus(new Path(glob))).getOrElse(Array.empty)
       .filter(_.isFile).map(_.getPath.toString)
       .filter(p => schema.vars(p).nonEmpty)
@@ -251,21 +265,27 @@ object Collector {
     if (matched.isEmpty) return 0
 
     val posPath = positionsFile(store, schema, glob)
-    val oldPos: Map[String, Long] =
-      if (trackPositions) loadPositions(fs, posPath) else Map.empty
+    val oldPos: Map[String, PosEntry] =
+      if (trackPositions) loadPositions(storeFs, posPath) else Map.empty
     // snapshot lengths driver-side: executors read exactly [offset, len) so
     // a file growing mid-run cannot tear the batch
     val toRead: Seq[(String, Long, Long)] = matched.toSeq.flatMap { p =>
       val len = fs.getFileStatus(new Path(p)).getLen
-      val off0 = oldPos.getOrElse(p, 0L)
-      // a file SHORTER than its recorded offset was rotated/truncated
-      // (copytruncate): start it over from byte 0, like the reference's
-      // scanner on a shrunk file — otherwise regrown content below the old
-      // high-water mark would be skipped forever
-      val off = if (len < off0) 0L else off0
+      val old = oldPos.get(p)
+      // rotation check: shrunk below the recorded offset, OR the first
+      // bytes no longer hash to the recorded prefix (copytruncate that
+      // already regrew past the old offset) — both restart from byte 0
+      val rotated = old.exists { e =>
+        len < e.off ||
+          (e.pfxLen > 0 && (len < e.pfxLen || prefixHash(fs, p, e.pfxLen) != e.pfx))
+      }
+      val off = if (rotated) 0L else old.map(_.off).getOrElse(0L)
       if (len > off) Some((p, off, len)) else None
     }
     if (toRead.isEmpty) return 0
+    val carryTs: Map[String, Long] = toRead.flatMap { case (p, off, _) =>
+      if (off > 0) oldPos.get(p).map(e => p -> e.lastTs) else None
+    }.toMap
 
     val partOf: Map[String, String] = toRead.map { case (p, _, _) =>
       p -> Model.tagLine(schema.tagsFor(p).get)
@@ -278,7 +298,13 @@ object Collector {
     val tails = readTails(spark, conf, toRead)
     val parsed: DataFrame = schema.dataFormat match {
       case "text" =>
-        Ingest.text(tails.toDF("file", "content"), ingestTime)
+        // seed each tail with the file's persisted date carry state, so a
+        // tail that STARTS with dateless lines continues the last date seen
+        // in earlier runs instead of ts=0
+        val ts0 = carryTs.foldLeft(lit(0L)) { case (acc, (p, t)) =>
+          when(col("file") === p, lit(t)).otherwise(acc)
+        }
+        Ingest.text(tails.toDF("file", "content").withColumn("ts0", ts0), ingestTime)
       case fmt =>
         // split tails into lines with spark.read.text semantics: one
         // trailing line terminator produces no empty last record
@@ -326,9 +352,41 @@ object Collector {
 
     val seqd = store.assignSeq(withFields)
     store.append(seqd.select(col("ts"), col("msg"), col("fields"), col("seq"), col("part")))
-    if (trackPositions)
-      savePositions(fs, posPath, oldPos ++ toRead.map { case (p, _, len) => p -> len })
+    if (trackPositions) {
+      // text: the new carry state is the ts of each file's LAST line (the
+      // parser's carry-forward applied), found via max_by on the line index
+      val newCarry: Map[String, Long] =
+        if (schema.dataFormat == "text")
+          parsed.groupBy(col("file")).agg(expr("max_by(ts, idx)").as("t")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        else Map.empty
+      val updated = toRead.map { case (p, off, len) =>
+        val pl = math.min(PrefixLen, len)
+        p -> PosEntry(len,
+          newCarry.getOrElse(p, if (off > 0) carryTs.getOrElse(p, 0L) else 0L),
+          pl, prefixHash(fs, p, pl))
+      }.toMap
+      savePositions(storeFs, posPath, oldPos ++ updated)
+    }
     toRead.length
+  }
+
+  /** First-bytes fingerprint length for rotation detection. */
+  private val PrefixLen = 64L
+
+  /** FNV-1a over the file's first `n` bytes — rotation detector: a
+    * copytruncated file gets new leading content, so its prefix hash
+    * changes even after it regrows past the old offset. */
+  private def prefixHash(fs: org.apache.hadoop.fs.FileSystem, p: String, n: Long): Long = {
+    val in = fs.open(new Path(p))
+    try {
+      val buf = new Array[Byte](n.toInt)
+      in.readFully(buf)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < buf.length) { h = (h ^ (buf(i) & 0xff)) * 0x100000001b3L; i += 1 }
+      h
+    } finally in.close()
   }
 
   /** Read `[off, end)` of each file as one UTF-8 string on the executors —
@@ -369,16 +427,29 @@ object Collector {
 
   private def bak(p: Path) = new Path(p.getParent, p.getName + ".bak")
 
-  private def loadPositions(fs: org.apache.hadoop.fs.FileSystem, p: Path): Map[String, Long] = {
+  /** Per-file collection state: consumed byte offset, text-parser date
+    * carry, and the first-bytes fingerprint used to detect rotation. */
+  final case class PosEntry(off: Long, lastTs: Long, pfxLen: Long, pfx: Long)
+
+  private def loadPositions(fs: org.apache.hadoop.fs.FileSystem, p: Path): Map[String, PosEntry] = {
     val src = if (fs.exists(p)) p else { val b = bak(p); if (fs.exists(b)) b else return Map.empty }
     val in = fs.open(src)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     txt.linesIterator.filter(_.nonEmpty).map { line =>
-      // {"file":"...","off":N} with \uXXXX-escaped specials (see save)
-      val fileEnd = line.lastIndexOf("\",\"off\":")
+      // {"file":"...","off":N,...} with \uXXXX-escaped specials (see save),
+      // so the value can never contain a raw quote
+      val fileEnd = line.indexOf("\",\"off\":")
       val raw = line.substring("{\"file\":\"".length, fileEnd)
-      val off = line.substring(fileEnd + "\",\"off\":".length, line.length - 1).toLong
-      unescape(raw) -> off
+      def num(key: String): Long = {
+        val k = "\"" + key + "\":"
+        val at = line.indexOf(k)
+        if (at < 0) return 0L
+        var i = at + k.length
+        val st = i
+        while (i < line.length && (line.charAt(i).isDigit || line.charAt(i) == '-')) i += 1
+        line.substring(st, i).toLong
+      }
+      unescape(raw) -> PosEntry(num("off"), num("ts"), num("pfxlen"), num("pfx"))
     }.toMap
   }
 
@@ -386,12 +457,12 @@ object Collector {
     * would re-ingest every file from byte 0 — duplicates, not data loss,
     * but worth the same .bak discipline as the catalog. */
   private def savePositions(fs: org.apache.hadoop.fs.FileSystem, p: Path,
-      pos: Map[String, Long]): Unit = {
+      pos: Map[String, PosEntry]): Unit = {
     if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(pos.toSeq.sortBy(_._1).map { case (f, o) =>
-      s"""{"file":"${escape(f)}","off":$o}"""
+    try out.write(pos.toSeq.sortBy(_._1).map { case (f, e) =>
+      s"""{"file":"${escape(f)}","off":${e.off},"ts":${e.lastTs},"pfxlen":${e.pfxLen},"pfx":${e.pfx}}"""
     }.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val b = bak(p)

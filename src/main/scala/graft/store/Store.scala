@@ -32,6 +32,10 @@ object Store {
   private val epochs =
     scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
 
+  /** Drop the in-JVM epoch counter for a root (tests simulating process
+    * restarts; throwaway-store cleanup). */
+  private[graft] def forgetEpoch(root: String): Unit = epochs.remove(root)
+
   /** Hadoop rename returns false instead of throwing; unchecked, a failed
     * rename silently loses the batch (e.g. a catalog entry pointing at a
     * file that never arrived). */

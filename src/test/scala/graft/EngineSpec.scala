@@ -165,7 +165,10 @@ class EngineSpec extends AnyFunSuite {
     val e = new Engine(new Store(spark, root))
     ingest(e, Map("app" -> "hw"), 1000000000L, 3)
     val hw = e.store.read(Seq("app=hw")).select("seq").collect().map(_.getLong(0)).max
-    // a second Store over the same root (fresh process analogue) keeps minting above
+    // a second Store over the same root; forgetting the in-JVM counter
+    // forces re-initialization from the persisted catalog high-water mark
+    // (the actual restart-recovery branch)
+    graft.store.Store.forgetEpoch(root)
     val e2 = new Engine(new Store(spark, root))
     ingest(e2, Map("app" -> "hw"), 90000000000L, 3)
     val seqs = e2.store.read(Seq("app=hw")).select("seq").collect().map(_.getLong(0))

@@ -130,12 +130,36 @@ class IngestSpec extends AnyFunSuite {
     Collector.ingest(store, schema, s"$src/*.txt", clock)
     Files.writeString(f, "2024-03-04 05:06:09 second\nbare tail\n", StandardOpenOption.APPEND)
     Collector.ingest(store, schema, s"$src/*.txt", clock)
+    // a THIRD run whose tail has no date at all: the carry state must come
+    // from the persisted per-file position entry, not restart at 0
+    Files.writeString(f, "dateless continuation\n", StandardOpenOption.APPEND)
+    Collector.ingest(store, schema, s"$src/*.txt", clock)
     val byMsg = store.read(Seq("name=boot")).select("ts", "msg").collect()
       .map(r => r.getString(1) -> r.getLong(0)).toMap
     val t2 = Instant.parse("2024-03-04T05:06:09Z").getEpochSecond * 1000000000L
-    assert(byMsg.size == 3)
+    assert(byMsg.size == 4)
     assert(byMsg("2024-03-04 05:06:09 second") == t2)
     assert(byMsg("bare tail") == t2, "carry-forward works within the tail")
+    assert(byMsg("dateless continuation") == t2,
+      "carry state survives across collector runs via the position file")
+  }
+
+  test("collector tailing: rotation detected after the file regrows past the old offset") {
+    import java.nio.file.Files
+    val store = new graft.store.Store(spark, Files.createTempDirectory("graft-col").toString)
+    val src = Files.createTempDirectory("graft-src")
+    val f = src.resolve("g.raw")
+    Files.writeString(f, "old-a\nold-b\n") // 12 bytes
+    val schema = PathSchema(".*/(?<name>[^/.]+)\\.raw$", "pure", Map("name" -> "{name}"))
+    val clock = () => Instant.parse("2024-05-06T07:08:09Z")
+    assert(Collector.ingest(store, schema, s"$src/*.raw", clock) == 1)
+    // copytruncate + regrow LONGER than the old offset before the next poll:
+    // length alone can't detect it, the prefix fingerprint must
+    Files.writeString(f, "new-1\nnew-2\nnew-3\nnew-4\n")
+    assert(Collector.ingest(store, schema, s"$src/*.raw", clock) == 1)
+    val msgs = store.read(Seq("name=g")).select("msg").collect().map(_.getString(0)).sorted
+    assert(msgs.count(_.startsWith("new-")) == 4,
+      s"rotated file must restart from byte 0, got ${msgs.mkString(",")}")
   }
 
   test("collector tailing: a truncated (rotated) file restarts from byte 0") {

@@ -35,6 +35,16 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(row.isNullAt(0))
   }
 
+  test("dot_product yields NULL on length mismatch and null elements (HOF parity)") {
+    val mismatch = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+      .select(dot_product(col("a"), col("b")).as("d")).head
+    assert(mismatch.isNullAt(0), "ragged arrays must be NULL, not a partial dot")
+    val withNullElem = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+      .select(dot_product(col("a"), col("b")).as("d")).head
+    assert(withNullElem.isNullAt(0), "a null element must poison the result like zip_with")
+  }
+
   test("minhash_band_keys is bit-identical to the nested-HOF formulation") {
     val bands = 32
     val r = 3

@@ -86,8 +86,10 @@ final class Catalog(fs: FileSystem, path: Path) {
     entries
   }
 
+  private val lock = Catalog.lockFor(path.toString)
+
   /** Append one ingest batch as a new segment file — O(batch). */
-  def append(newEntries: Seq[CatEntry]): Unit = {
+  def append(newEntries: Seq[CatEntry]): Unit = lock.synchronized {
     if (newEntries.isEmpty) return
     if (!fs.exists(segDir)) fs.mkdirs(segDir)
     val name = f"seg-${System.nanoTime()}%019d-${java.util.UUID.randomUUID().toString.take(8)}.jsonl"
@@ -97,10 +99,19 @@ final class Catalog(fs: FileSystem, path: Path) {
     cache = null
   }
 
-  /** Replace the whole catalog (compaction; TRUNCATE's post-delete rewrite).
+  /** Atomic read-modify-write: drop entries for `dropFiles`, add `add`.
+    * Runs under the same in-JVM lock as [[append]], so a concurrent
+    * append's segment can never be lost to the base-rewrite's segment
+    * cleanup — the race a caller-side load/filter/save would have
+    * (maintenance ops like TRUNCATE/compact racing a pipe's append). */
+  def replace(dropFiles: Set[String], add: Seq[CatEntry]): Unit = lock.synchronized {
+    save(load().filterNot(e => dropFiles.contains(e.file)) ++ add)
+  }
+
+  /** Replace the whole catalog (compaction; [[replace]]'s rewrite).
     * Crash-safe: at every instant either the new base, the old base, or the
     * `.bak` copy is readable. */
-  def save(entries: Seq[CatEntry]): Unit = {
+  def save(entries: Seq[CatEntry]): Unit = lock.synchronized {
     val tmp = new Path(path.getParent, path.getName + ".tmp")
     writeFile(tmp, entries)
     if (fs.exists(bakPath)) fs.delete(bakPath, false)
@@ -162,6 +173,11 @@ final class Catalog(fs: FileSystem, path: Path) {
 }
 
 object Catalog {
+  // one lock per catalog path, shared across Catalog instances in the JVM
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[store] def lockFor(path: String): Object =
+    locks.getOrElseUpdate(path, new Object)
+
   def apply(conf: Configuration, root: String): Catalog = {
     val p = new Path(root, "catalog.jsonl")
     new Catalog(p.getFileSystem(conf), p)

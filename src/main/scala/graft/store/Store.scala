@@ -198,12 +198,60 @@ final class Store(val spark: SparkSession, val root: String) {
     buf.toSeq
   }
 
+  /** Compact a partition's chunk files into ~`targetFileBytes` outputs,
+    * preserving the (ts, seq) sort per file. Pipes append one file per
+    * micro-batch, so long-lived destination partitions otherwise grow
+    * unbounded file counts — the 100 TB file-count bomb. The swap is
+    * atomic at the catalog: ONE `catalog.save` replaces the old entries
+    * with the new ones, so a crash on either side leaves only unreferenced
+    * garbage files (collected by the final delete on the next compact),
+    * never double-referenced rows. Readers take file lists from the
+    * catalog, so in-flight queries planned before the swap still read the
+    * old files until the delete. Returns the new file count (0 = no-op).
+    */
+  def compact(line: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val entries = catalog.load().filter(_.part == line)
+    if (entries.size <= 1) return 0
+    val files = entries.map(_.file)
+    val totalBytes = entries.map(_.sizeBytes).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.option("basePath", dataDir).schema(Model.schema).parquet(files: _*)
+    val stagingDir = new Path(s"$root/staging/${java.util.UUID.randomUUID().toString.take(12)}")
+    df.repartitionByRange(nOut, col("ts"), col("seq"))
+      .sortWithinPartitions("ts", "seq")
+      .write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(stagingDir.toString)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    fs.listStatus(stagingDir).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("part=")) {
+        val dest = new Path(dataDir, st.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(st.getPath).foreach { f =>
+          val name = f.getPath.getName
+          if (f.isFile && name.endsWith(".parquet") && !name.startsWith("_")) {
+            val destFile = new Path(dest, name)
+            Store.renameOrThrow(fs, f.getPath, destFile)
+            moved += destFile
+          }
+        }
+      }
+    }
+    fs.delete(stagingDir, true)
+    catalog.replace(files.toSet, entriesFor(moved.toSeq))
+    files.foreach(f => fs.delete(new Path(f), false))
+    moved.size
+  }
+
   /** Register files in the catalog using parquet footer metadata only
     * (records + min/max ts per file) — the ingest-path analogue of the
     * reference's onWriteCIndex time-index update
     * (reference pkg/partition/partition.go:175-206). */
-  private def registerFiles(files: Seq[Path]): Unit = {
-    if (files.isEmpty) return
+  private def registerFiles(files: Seq[Path]): Unit =
+    if (files.nonEmpty) catalog.append(entriesFor(files))
+
+  /** Footer-only catalog entries for data files (records, min/max ts,
+    * max seq — the data is never re-read). */
+  private def entriesFor(files: Seq[Path]): Seq[CatEntry] = {
     val nowNs = System.currentTimeMillis() * 1000000L
     val entries = files.map { p =>
       val part = partFromPath(p)
@@ -236,7 +284,7 @@ final class Store(val spark: SparkSession, val root: String) {
       if (minTs == Long.MaxValue) { minTs = 0; maxTs = 0 }
       CatEntry(part, p.toString, records, status.getLen, minTs, maxTs, nowNs, maxSeq)
     }
-    catalog.append(entries)
+    entries
   }
 
   /** Decode the tag line from `.../part=<escaped>/file.parquet`. Must invert
@@ -287,9 +335,9 @@ final class Store(val spark: SparkSession, val root: String) {
     if (paths.isEmpty) return
     val set = paths.toSet
     paths.foreach(p => fs.delete(new Path(p), false))
-    val remaining = catalog.load().filterNot(e => set.contains(e.file))
-    catalog.save(remaining)
+    catalog.replace(set, Nil)
     // clean empty partition dirs
+    val remaining = catalog.load()
     val live = remaining.map(e => new Path(e.file).getParent.toString).toSet
     val dataPath = new Path(dataDir)
     if (fs.exists(dataPath)) {

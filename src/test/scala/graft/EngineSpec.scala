@@ -112,6 +112,24 @@ class EngineSpec extends AnyFunSuite {
     assert(seqs.length == 10 && seqs.distinct.length == 10)
   }
 
+  test("compact merges a partition's chunk files, same rows and order") {
+    val e = freshEngine()
+    (0 until 5).foreach(i => ingest(e, Map("app" -> "cp"), (i + 1) * 10000000000L, 10))
+    assert(e.store.catalog.load().count(_.part == "app=cp") == 5)
+    val before = e.select("SELECT FROM {app=cp} LIMIT 1000").collect()
+      .map(_.getAs[String]("msg")).toSeq
+    val n = e.store.compact("app=cp")
+    assert(n == 1, s"5 tiny chunks should compact to one file, got $n")
+    assert(e.store.catalog.load().count(_.part == "app=cp") == 1)
+    assert(e.store.read(Seq("app=cp")).inputFiles.length == 1)
+    val after = e.select("SELECT FROM {app=cp} LIMIT 1000").collect()
+      .map(_.getAs[String]("msg")).toSeq
+    assert(after == before, "compaction must not change results or order")
+    // records/stats survive in the catalog (SHOW PARTITIONS unchanged)
+    assert(e.execute("SHOW PARTITIONS").collect()
+      .find(_.getAs[String]("partition") == "app=cp").get.getAs[Long]("records") == 50)
+  }
+
   test("RANGE prunes non-overlapping chunks from the scan's file list") {
     val e = freshEngine()
     // three appends = three files with disjoint ts ranges (catalog footers)

@@ -50,8 +50,14 @@ final case class PipeDef(name: String, from: Option[Source], where: Option[Expre
   * FROM/WHERE forms, exactly like the reference stores `String()` forms
   * (pkg/backend/admin.go:209).
   */
+/** @param compactThreshold auto-compact a pipe's destination partition
+  *        once it accumulates this many chunk files (each micro-batch
+  *        appends one). The compacted files re-enter the pipe's own file
+  *        stream as "new" input, but the cascade guard drops pipe-tagged
+  *        partitions per batch, so this costs one bounded re-listing —
+  *        never duplicate rows. 0 disables. */
 final class PipeService(store: Store, clock: () => Instant = () => Instant.now(),
-    maxFilesPerTrigger: Int = 1024) {
+    maxFilesPerTrigger: Int = 1024, compactThreshold: Int = 256) {
 
   import PipeService._
 
@@ -239,6 +245,13 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
     // ingest into the same partition
     df = store.assignSeq(df.withColumn("part", lit(destLine)))
     store.append(df.select(col("ts"), col("msg"), col("fields"), col("seq"), col("part")))
+
+    // one appended file per micro-batch adds up — self-maintain the
+    // destination partition (the catalog load is memoized, so the check is
+    // a driver-side count)
+    if (compactThreshold > 0 &&
+        store.catalog.load().count(_.part == destLine) >= compactThreshold)
+      store.compact(destLine)
   }
 }
 

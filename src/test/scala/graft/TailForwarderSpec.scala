@@ -176,6 +176,31 @@ class TailForwarderSpec extends AnyFunSuite {
       "bounded batches still drain the whole backlog")
   }
 
+  test("pipe auto-compacts its destination partition past the file threshold") {
+    val root = Files.createTempDirectory("graft-tail").toString
+    val store = new Store(spark, root)
+    val e = new Engine(store)
+    val pipes = new graft.streaming.PipeService(store, maxFilesPerTrigger = 1,
+      compactThreshold = 3)
+    ingest(e, Map("app" -> "ac"), 10000000000L, 2, "x0-")
+    e.parse("CREATE PIPE ac FROM {app=ac}") match {
+      case c: graft.lql.Ast.CreatePipe => pipes.create(c)
+      case other => fail(s"unexpected $other")
+    }
+    pipes.processAllAvailable()
+    (1 until 6).foreach { i =>
+      ingest(e, Map("app" -> "ac"), (i + 1) * 100000000000L, 2, s"x$i-")
+      pipes.processAllAvailable()
+    }
+    pipes.stopAll()
+    val destFiles = store.catalog.load().count(_.part == "logrange.pipe=ac")
+    assert(destFiles < 6, s"6 micro-batch appends must have been compacted, got $destFiles files")
+    val rows = e.select("SELECT FROM {logrange.pipe=ac} LIMIT 100").collect()
+    assert(rows.length == 12, "compaction during streaming loses nothing")
+    assert(rows.map(_.getAs[String]("msg")).toSeq ==
+      (0 until 6).flatMap(i => Seq(s"x$i-0", s"x$i-1")), "total order preserved")
+  }
+
   test("forwarder pumps pipe output to the sink and persists position") {
     val e = freshEngine()
     ingest(e, Map("app" -> "f"), 1000000000L, 10, "keep-x-")

@@ -144,7 +144,28 @@ object AdminQueries {
     out
   }
 
+  /** Store.compact: chunk count collapses, records and query results
+    * survive byte-for-byte (physical sizes stay out of the row). */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    import spark.implicits._
+    (0 until 4).foreach(i => ingest(e, Map("app" -> "c"), (i + 1) * 10000000000L, 5))
+    def snap(mode: String): DataFrame = {
+      val es = e.store.catalog.load().filter(_.part == "app=c")
+      Seq((mode, es.size.toLong, es.map(_.records).sum)).toDF("mode", "chunks", "records")
+    }
+    val before = snap("before")
+    val newFiles = e.store.compact("app=c").toLong
+    val after = snap("after")
+    val rows = e.select("SELECT FROM {app=c} LIMIT 1000").count()
+    val readBack = Seq(("rows", newFiles, rows)).toDF("mode", "chunks", "records")
+    val out = before.unionByName(after).unionByName(readBack)
+    discard(e)
+    out
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lql_compact" -> (compaction _),
     "lql_truncate_live" -> (truncateLive _),
     "lql_delete_pipe" -> (deletePipe _),
     "lql_show_partitions_rank" -> (partitionRanking _),
@@ -152,6 +173,12 @@ object AdminQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lql_compact" ->
+      """SELECT * FROM (VALUES
+        |  ('before', 4::BIGINT, 20::BIGINT),
+        |  ('after',  1::BIGINT, 20::BIGINT),
+        |  ('rows',   1::BIGINT, 20::BIGINT)
+        |) t(mode, chunks, records)""".stripMargin,
     "lql_truncate_live" ->
       """SELECT * FROM (VALUES
         |  ('cut',      'app=old', 6::BIGINT, 0::BIGINT, 2::BIGINT, 1::BIGINT),

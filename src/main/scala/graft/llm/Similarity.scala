@@ -151,6 +151,104 @@ object Similarity {
   private def embeddingDim(emb: DataFrame): Int =
     emb.select(size(col("embedding"))).head.getInt(0)
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer ANN
+    * shape used at corpus scale: a small k-means codebook is trained on a
+    * bounded driver-side sample (training cost independent of corpus
+    * size), every vector is assigned to its nearest centroid's inverted
+    * list in one broadcast+kernel pass, and each query scores exactly
+    * against only the `nProbe` nearest lists — a shuffle on the (small)
+    * centroid id, never on vectors, same join shape as [[lshTopK]].
+    * Approximate by design (recall measured in LlmSpec); fully
+    * deterministic: init takes the sample's first `nLists` vectors in
+    * vec_id order and Lloyd's iterations run over the sample in that fixed
+    * order, so no RNG is involved at all. */
+  def ivfTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 5,
+      sampleSize: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    // --- train the codebook on a bounded sample (driver-side: nLists*dim
+    // doubles; the corpus itself is never collected) ---
+    val sample = ds.sort("vec_id").limit(sampleSize).collect()
+      .map { case (_, v) => v.map(_.toDouble) }
+    require(sample.length >= nLists, s"need >= $nLists sample vectors")
+    val dim = sample.head.length
+    var centroids = Array.tabulate(nLists)(i => sample(i).clone())
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0
+        var i = 0
+        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Int](nLists)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nLists)(c =>
+        if (counts(c) == 0) centroids(c)
+        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m })
+      it += 1
+    }
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val np = nProbe
+    // --- inverted lists: one (vec_id, list) row per vector ---
+    val assigned = ds.mapPartitions { rows =>
+      val cs = bcC.value
+      rows.map { case (id, v0) =>
+        val v = v0.map(_.toDouble)
+        (id, nearest(v, cs))
+      }
+    }.toDF("nid", "list")
+    // --- query probes: the nProbe nearest centroids per query ---
+    val probes = ds.filter(_._1 < numQueries).mapPartitions { rows =>
+      val cs = bcC.value
+      rows.flatMap { case (id, v0) =>
+        val v = v0.map(_.toDouble)
+        val byDist = cs.indices.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+          (d, c)
+        }.sorted.take(np)
+        byDist.map { case (_, c) => (id, c) }
+      }
+    }.toDF("qid", "list")
+    // --- candidates on the list id only, then exact scoring (lshTopK's
+    // dedup-then-rejoin discipline) ---
+    val pairs = assigned.join(broadcast(probes), "list")
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val withNorm = emb.select(
+      col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val qv = withNorm.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val nv = withNorm
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
+    val scoreR = floor(dot(col("qv"), col("nv")) / (col("qn") * col("nn")) * 1e6 + 0.5)
+      .cast("long")
+    val w = Window.partitionBy("qid").orderBy(col("score_r").desc, col("nid").asc)
+    pairs.join(broadcast(qv), "qid").join(nv, "nid")
+      .withColumn("score_r", scoreR)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("score_r"), col("rank").cast("long").as("rank"))
+  }
+
   /** Deterministic random hyperplanes (seeded JVM LCG — stable across
     * runs/platforms). */
   def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

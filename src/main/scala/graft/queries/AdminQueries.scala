@@ -40,8 +40,12 @@ object AdminQueries {
     val spark = e.store.spark
     import spark.implicits._
     val padStr = "x" * pad
+    // seq supplied (unique across calls via the distinct startTs base) so
+    // Store.write skips the assignSeq window — one less shuffle per write
+    // on these per-invocation throwaway stores
     e.store.write(tags, Map.empty,
-      (0 until n).map(i => (startTs + i * 1000000000L, s"m$i$padStr")).toDF("ts", "msg"))
+      (0 until n).map(i => (startTs + i * 1000000000L, s"m$i$padStr", startTs + i))
+        .toDF("ts", "msg", "seq"))
   }
 
   /** TRUNCATE actually deleting (not DRYRUN), incl. the MAXDBSIZE

@@ -33,6 +33,9 @@ object LlmQueries {
   def simTopKLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(emb(spark, dir))
 
+  def simTopKIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(spark, dir))
+
   def multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAll(docs(spark, dir))
 
@@ -49,6 +52,7 @@ object LlmQueries {
     "llm_text_stats" -> (textStats _),
     "llm_sim_topk" -> (simTopK _),
     "llm_sim_topk_lsh" -> (simTopKLsh _), // rows-only: approximate by design
+    "llm_sim_topk_ivf" -> (simTopKIvf _), // rows-only: approximate by design
     "llm_multimodal" -> (multimodal _),
     "llm_dedup_embed" -> (embedNearDup _),
     "llm_fingerprint" -> (fingerprint _)

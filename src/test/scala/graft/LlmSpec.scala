@@ -58,6 +58,15 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 $recall too low for 4-plane Hamming-2 multi-probe")
   }
 
+  test("IVF top-k recall vs brute force is usable") {
+    val exact = Similarity.bruteForceTopK(emb, numQueries = 10, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, numQueries = 10, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@5 $recall too low for 16 lists / 4 probes")
+  }
+
   test("brute-force top-k returns k rows per query, ranked") {
     val out = Similarity.bruteForceTopK(emb, numQueries = 5, k = 3).collect()
     assert(out.length == 15)

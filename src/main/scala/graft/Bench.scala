@@ -27,22 +27,34 @@ object Bench {
     graft.llm.Dedup.nearDuplicates(docsWarm).count()
     graft.llm.SimHash.fingerprints(docsWarm).count()
     val buildSec = (System.nanoTime() - tb0) / 1e9
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // hash-reduce over every output column: unlike count(), Catalyst
       // cannot prune the projection under it, so timings include the full
-      // output computation (format templates, kv-strings, scores)
+      // output computation (format templates, kv-strings, scores).
+      // bit_xor (not sum) — xxhash64 values are uniform 64-bit longs, so a
+      // sum overflows under ANSI mode for any non-tiny output; xor is
+      // order-independent and cannot overflow.
       try {
         val df = fn(spark, sfDir)
-        import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
-        df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).head()
-      } catch { case e: Throwable => System.err.println(s"bench $name FAILED: $e") }
+        import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(expr("bit_xor(h)")).head()
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(300)
+          System.err.println(s"bench $name FAILED: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"store_build_sec":$buildSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"store_build_sec":$buildSec,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

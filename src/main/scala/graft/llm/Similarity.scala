@@ -81,7 +81,8 @@ object Similarity {
       bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 13L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val dim = embeddingDim(emb)
+    val dim = embeddingDim(emb).getOrElse(
+      return emptyResult(spark, "vec_a BIGINT, vec_b BIGINT, score_r BIGINT"))
     val bcP = spark.sparkContext.broadcast(planes(bands * rowsPerBand, dim, seed))
     val nb = bands
     val rpb = rowsPerBand
@@ -147,9 +148,18 @@ object Similarity {
   }
 
   /** Embedding width, read from the first row (one tiny driver-side job) —
-    * hyperplane construction must match the data, not a hardcoded 64. */
-  private def embeddingDim(emb: DataFrame): Int =
-    emb.select(size(col("embedding"))).head.getInt(0)
+    * hyperplane construction must match the data, not a hardcoded 64.
+    * None when the table is empty: callers short-circuit to an empty result
+    * instead of throwing NoSuchElementException. */
+  private def embeddingDim(emb: DataFrame): Option[Int] =
+    emb.select(size(col("embedding"))).head(1).headOption.map(_.getInt(0))
+
+  /** Empty result with a pinned schema (the empty-input short-circuit must
+    * still have the columns downstream code selects on). */
+  private def emptyResult(spark: org.apache.spark.sql.SparkSession,
+      colsDdl: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(colsDdl))
 
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer ANN
     * shape used at corpus scale: a small k-means codebook is trained on a
@@ -173,6 +183,8 @@ object Similarity {
     // doubles; the corpus itself is never collected) ---
     val sample = ds.sort("vec_id").limit(sampleSize).collect()
       .map { case (_, v) => v.map(_.toDouble) }
+    if (sample.isEmpty)
+      return emptyResult(spark, "qid BIGINT, nid BIGINT, score_r BIGINT, rank BIGINT")
     require(sample.length >= nLists, s"need >= $nLists sample vectors")
     val dim = sample.head.length
     var centroids = Array.tabulate(nLists)(i => sample(i).clone())
@@ -270,7 +282,9 @@ object Similarity {
     * 4 planes / Hamming≤2 ≈ 0.8 recall@5 (see LlmSpec). */
   def lshTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
       numPlanes: Int = 4, maxProbeHamming: Int = 2, seed: Long = 42L): DataFrame = {
-    val dim = embeddingDim(emb)
+    val dim = embeddingDim(emb).getOrElse(
+      return emptyResult(emb.sparkSession,
+        "qid BIGINT, nid BIGINT, score_r BIGINT, rank BIGINT"))
     val ps = planes(numPlanes, dim, seed)
     // the bucket table carries ids only — candidate generation never
     // touches (or shuffles) the 64-float vectors

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.engine.Engine
+import graft.engine.{Engine, Tail}
 import graft.store.Store
 import graft.streaming.{Forwarder, Syslog}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -36,7 +36,7 @@ object AdminQueries {
   }
 
   private def ingest(e: Engine, tags: Map[String, String], startTs: Long,
-      n: Int, pad: Int = 0): Unit = {
+      n: Int, pad: Int = 0, prefix: String = "m"): Unit = {
     val spark = e.store.spark
     import spark.implicits._
     val padStr = "x" * pad
@@ -44,7 +44,7 @@ object AdminQueries {
     // Store.write skips the assignSeq window — one less shuffle per write
     // on these per-invocation throwaway stores
     e.store.write(tags, Map.empty,
-      (0 until n).map(i => (startTs + i * 1000000000L, s"m$i$padStr", startTs + i))
+      (0 until n).map(i => (startTs + i * 1000000000L, s"$prefix$i$padStr", startTs + i))
         .toDF("ts", "msg", "seq"))
   }
 
@@ -168,12 +168,130 @@ object AdminQueries {
     out
   }
 
+  /** Client select/tail loops (reference api/client.go:40-75 Select,
+    * api/querier.go:59-63 WaitTimeout long-poll): `page1` is a bounded
+    * selectLoop whose LIMIT caps the total, `page2` resumes from the
+    * returned continuation token to EOF, and `follow` is a genuine
+    * long-poll — queryWait blocks on the post-EOF token until a CONCURRENT
+    * ingest lands, then returns exactly the new rows ("tail -f"). */
+  def tailFollow(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    import spark.implicits._
+    ingest(e, Map("app" -> "tf"), 1000000000L, 5)
+    val page1 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tok1 = Tail.selectLoop(e, "SELECT FROM {app=tf} LIMIT 3", streamMode = false,
+      handler = rows => page1 ++= rows.map(_.getAs[String]("msg")))
+    val page2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tok2 = Tail.selectLoop(e, "SELECT FROM {app=tf} LIMIT 10000", streamMode = false,
+      handler = rows => page2 ++= rows.map(_.getAs[String]("msg")), startPos = tok1)
+    // the ingest lands only after the long-poll has begun waiting
+    import scala.concurrent.ExecutionContext.Implicits.global
+    scala.concurrent.Future {
+      Thread.sleep(250)
+      ingest(e, Map("app" -> "tf"), 50000000000L, 2, prefix = "f")
+    }
+    val sel = e.parse("SELECT FROM {app=tf} LIMIT 10000") match {
+      case s: graft.lql.Ast.Select => s.copy(position = tok2)
+      case other => throw new IllegalStateException(other.render)
+    }
+    val (rows, _) = Tail.queryWait(e, sel,
+      java.time.Duration.ofSeconds(30), java.time.Duration.ofMillis(100))
+    val follow = rows.map(_.getAs[String]("msg")).toSeq
+    val out = (page1.toSeq.map("page1" -> _) ++ page2.toSeq.map("page2" -> _) ++
+      follow.map("follow" -> _))
+      .groupBy(_._1).toSeq.flatMap { case (ph, ms) =>
+        ms.zipWithIndex.map { case ((_, m), i) => (ph, i.toLong, m) }
+      }.toDF("phase", "ord", "msg")
+    discard(e)
+    out
+  }
+
+  /** stdout sink: prints each event's message verbatim, no delimiter
+    * (reference pkg/forwarder/sink/stdout.go OnEvent `fmt.Print`), captured
+    * through an in-memory PrintStream. */
+  def stdoutSink(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    import spark.implicits._
+    val events = Seq(
+      (1704164645000000000L, "boot ok;"),
+      (1704164645123456789L, "disk low;"),
+      (1704164646500000000L, "done")).toDF("ts", "msg")
+    e.store.write(Map("app" -> "so"), Map.empty, events)
+    e.execute("CREATE PIPE soq FROM {app=so}")
+    e.pipes.processAllAvailable()
+    val baos = new java.io.ByteArrayOutputStream()
+    val sink = new Forwarder.StdoutSink(new java.io.PrintStream(baos, true, "UTF-8"))
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+    Forwarder.run(e, "soq", sink,
+      waitTimeout = java.time.Duration.ofMillis(300),
+      poll = java.time.Duration.ofMillis(50),
+      keepRunning = () => rounds.incrementAndGet() <= 3)
+    e.pipes.stopAll()
+    val out = Seq(("stdout", baos.toString("UTF-8"))).toDF("sink", "output")
+    discard(e)
+    out
+  }
+
+  /** SHOW PARTITIONS grand totals (reference pkg/backend/admin.go:93-131
+    * prints partition count + total size/records regardless of paging):
+    * whole-store totals and a tags-filtered subset; record counts only
+    * (byte sizes are compression-dependent). */
+  def partitionTotals(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    import spark.implicits._
+    ingest(e, Map("app" -> "big"), 1000000000L, 50)
+    ingest(e, Map("app" -> "mid"), 1000000000L, 20)
+    ingest(e, Map("app" -> "small", "env" -> "x"), 1000000000L, 3)
+    def totals(scope: String, lql: String): (String, Long, Long) = {
+      val sp = e.parse(lql) match {
+        case s: graft.lql.Ast.ShowPartitions => s
+        case other => throw new IllegalStateException(other.render)
+      }
+      val (cnt, _, recs) = e.showPartitionsTotals(sp.source)
+      (scope, cnt, recs)
+    }
+    val out = Seq(
+      totals("all", "SHOW PARTITIONS"),
+      totals("subset", "SHOW PARTITIONS {env=x}"),
+      // totals ignore paging — same numbers with OFFSET/LIMIT applied
+      totals("paged", "SHOW PARTITIONS OFFSET 1 LIMIT 1")
+    ).toDF("scope", "partitions", "records")
+    discard(e)
+    out
+  }
+
+  /** Pipe cursor-resume across a stop/start cycle (reference
+    * pkg/pipe/worker.go:73-89 save-after-write): data ingested while the
+    * pipe is DOWN is picked up on restart, and nothing already piped is
+    * reprocessed — 6 then exactly 10, never 16. */
+  def pipeResume(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    import spark.implicits._
+    ingest(e, Map("app" -> "pr"), 1000000000L, 6)
+    e.execute("CREATE PIPE rp FROM {app=pr}")
+    e.pipes.processAllAvailable()
+    e.pipes.stopAll()
+    val n1 = e.select("SELECT FROM {logrange.pipe=rp} LIMIT 10000").count()
+    ingest(e, Map("app" -> "pr"), 50000000000L, 4, prefix = "w")
+    e.pipes.startAll()
+    e.pipes.processAllAvailable()
+    e.pipes.stopAll()
+    val n2 = e.select("SELECT FROM {logrange.pipe=rp} LIMIT 10000").count()
+    val out = Seq(("after_first", n1), ("after_restart", n2)).toDF("phase", "records")
+    discard(e)
+    out
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lql_compact" -> (compaction _),
     "lql_truncate_live" -> (truncateLive _),
     "lql_delete_pipe" -> (deletePipe _),
     "lql_show_partitions_rank" -> (partitionRanking _),
-    "lql_forwarder" -> (forwarderFrames _)
+    "lql_forwarder" -> (forwarderFrames _),
+    "lql_tail_follow" -> (tailFollow _),
+    "lql_sink_stdout" -> (stdoutSink _),
+    "lql_show_partitions_totals" -> (partitionTotals _),
+    "lql_pipe_resume" -> (pipeResume _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +324,24 @@ object AdminQueries {
         |  (0::BIGINT, '<182>1 2024-01-02T03:04:05Z h logrange.pipe=fwq - - - boot ok'),
         |  (1::BIGINT, '<182>1 2024-01-02T03:04:05.123456Z h logrange.pipe=fwq - - - disk low'),
         |  (2::BIGINT, '<182>1 2024-01-02T03:04:06.5Z h logrange.pipe=fwq - - - done')
-        |) t(ord, frame)""".stripMargin
+        |) t(ord, frame)""".stripMargin,
+    "lql_tail_follow" ->
+      """SELECT * FROM (VALUES
+        |  ('page1', 0::BIGINT, 'm0'), ('page1', 1::BIGINT, 'm1'), ('page1', 2::BIGINT, 'm2'),
+        |  ('page2', 0::BIGINT, 'm3'), ('page2', 1::BIGINT, 'm4'),
+        |  ('follow', 0::BIGINT, 'f0'), ('follow', 1::BIGINT, 'f1')
+        |) t(phase, ord, msg)""".stripMargin,
+    "lql_sink_stdout" ->
+      "SELECT 'stdout' AS sink, 'boot ok;disk low;done' AS output",
+    "lql_show_partitions_totals" ->
+      """SELECT * FROM (VALUES
+        |  ('all', 3::BIGINT, 73::BIGINT),
+        |  ('subset', 1::BIGINT, 3::BIGINT),
+        |  ('paged', 3::BIGINT, 73::BIGINT)
+        |) t(scope, partitions, records)""".stripMargin,
+    "lql_pipe_resume" ->
+      """SELECT * FROM (VALUES
+        |  ('after_first', 6::BIGINT), ('after_restart', 10::BIGINT)
+        |) t(phase, records)""".stripMargin
   )
 }

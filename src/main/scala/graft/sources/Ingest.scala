@@ -296,7 +296,7 @@ object Collector {
 
     import spark.implicits._
     val tails = readTails(spark, conf, toRead)
-    val parsed: DataFrame = schema.dataFormat match {
+    val parsed0: DataFrame = schema.dataFormat match {
       case "text" =>
         // seed each tail with the file's persisted date carry state, so a
         // tail that STARTS with dateless lines continues the last date seen
@@ -322,6 +322,14 @@ object Collector {
           case other    => throw new IllegalArgumentException(s"unknown format $other")
         }
     }
+
+    // text + trackPositions runs a SECOND job over `parsed` (the per-file
+    // last-ts carry, below); cache so file contents are read exactly once —
+    // an uncached re-read races rotation/truncation between the two jobs
+    // (EOFException after the append already succeeded → positions never
+    // saved → the whole tail re-ingests as duplicates next run)
+    val cacheParsed = trackPositions && schema.dataFormat == "text"
+    val parsed = if (cacheParsed) parsed0.cache() else parsed0
 
     // path-derived part + shared fields, as a small when-chain over the
     // (few) file names — constant-folded, no per-row regex work. The file
@@ -368,6 +376,7 @@ object Collector {
       }.toMap
       savePositions(storeFs, posPath, oldPos ++ updated)
     }
+    if (cacheParsed) parsed.unpersist()
     toRead.length
   }
 

@@ -3,11 +3,10 @@ package graft.streaming
 import graft.lql.Ast._
 import graft.lql.{Parser, TagsCompiler, WhereCompiler}
 import graft.model.Model
-import graft.store.Store
+import graft.store.{CatEntry, Store}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
 
 import java.nio.charset.StandardCharsets
 import java.time.Instant
@@ -26,38 +25,60 @@ final case class PipeDef(name: String, from: Option[Source], where: Option[Expre
   def whereStr: String = where.map(_.render.trim).getOrElse("")
 }
 
-/** Pipes as Structured Streaming over the [[Store]].
+/** Pipes as driver-managed micro-batch loops over the [[Store]]'s catalog.
   *
   * The reference implements pipes with a write-event bus + per-(pipe,source)
   * worker goroutines and hand-saved cursor positions
-  * (reference pkg/pipe/worker.go:48-104, ppipe.go:63-111). Spark-first, all
-  * of that collapses into ONE streaming query per pipe:
+  * (reference pkg/pipe/worker.go:48-104, ppipe.go:63-111). Spark-first, each
+  * pipe is ONE [[PipeWorker]] whose trigger is a normal Spark batch job:
   *
-  *  - source discovery  = the parquet file stream source over the store's
-  *    data dir (new files in new/old partitions are picked up by listing —
-  *    replaces the reference's WriteEvent notification bus,
-  *    pkg/partition/partition.go:175-206);
-  *  - saved positions   = the streaming checkpoint (at-least-once into the
-  *    store via foreachBatch, matching the reference's save-after-write
-  *    discipline, pkg/pipe/worker.go:73-89);
-  *  - source matching   = evaluated per micro-batch on the DISTINCT tag
-  *    lines of the batch (driver-side, a handful of strings), never per
-  *    row — the batch then filters with a codegen'd `part IN (...)`;
+  *  - source discovery  = catalog entries whose footer `maxSeq` exceeds the
+  *    pipe's per-partition cursor — O(new data) per trigger, the catalog IS
+  *    the store's transaction log (replaces the reference's WriteEvent bus,
+  *    pkg/partition/partition.go:175-206, and the earlier Structured
+  *    Streaming file source, whose directory-listing state grew with TOTAL
+  *    file count and re-emitted compacted files);
+  *  - saved positions   = `pipes/<name>/cursors.jsonl`, persisted AFTER the
+  *    append (at-least-once, the reference's save-after-write discipline,
+  *    pkg/pipe/worker.go:73-89);
+  *  - source matching   = evaluated driver-side on catalog tag lines, so a
+  *    non-matching partition's files are never even READ (the file source
+  *    scanned everything and filtered rows);
+  *  - compaction-safe   = rewritten files carry the SAME seqs, so they sit
+  *    at or below the cursor and are never reprocessed; a file deleted
+  *    mid-trigger by a concurrent compact/TRUNCATE replans against the
+  *    fresh catalog (rows are immutable and seq-filtered ⇒ a retry is
+  *    exact);
   *  - cascade guard     = partitions tagged `logrange.pipe` are never pipe
   *    sources (reference partition.go:158-159 noEvent).
   *
   * Registration is persisted in `<root>/pipes.jsonl` as the rendered
   * FROM/WHERE forms, exactly like the reference stores `String()` forms
   * (pkg/backend/admin.go:209).
+  *
+  * Cursor contract: per partition, appends must not produce seqs below an
+  * earlier append's max. [[Store.assignSeq]]'s monotone epochs guarantee it;
+  * bulk loads pinning their own seq must land in a single append (as
+  * EventStore does). The one unguarded edge: truncating an ENTIRE store and
+  * restarting the JVM reseeds the epoch counter low, so a pre-existing
+  * pipe's high cursor would skip the restarted seq range.
   */
 /** @param compactThreshold auto-compact a pipe's destination partition
   *        once it accumulates this many chunk files (each micro-batch
-  *        appends one). The compacted files re-enter the pipe's own file
-  *        stream as "new" input, but the cascade guard drops pipe-tagged
-  *        partitions per batch, so this costs one bounded re-listing —
-  *        never duplicate rows. 0 disables. */
+  *        appends one). Compaction preserves seqs, so the rewritten files
+  *        sit below every cursor — no pipe ever reprocesses them. 0
+  *        disables.
+  * @param maxFilesPerTrigger bounds a trigger to whole catalog registration
+  *        batches (same-`writeTs` groups) totalling at most this many files
+  *        (always at least one group), so a backlog drains incrementally.
+  *        Groups' seq ranges are disjoint per partition (see cursor
+  *        contract), so cutting between groups never strands rows below an
+  *        advanced cursor.
+  * @param pollMs idle wait between a worker's catalog checks; the memoized
+  *        catalog load makes an idle poll a fingerprint comparison. */
 final class PipeService(store: Store, clock: () => Instant = () => Instant.now(),
-    maxFilesPerTrigger: Int = 1024, compactThreshold: Int = 256) {
+    maxFilesPerTrigger: Int = 1024, compactThreshold: Int = 256,
+    pollMs: Long = 250L) {
 
   import PipeService._
 
@@ -68,8 +89,8 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
   private val pipesFile = new Path(store.root, "pipes.jsonl")
   private val pipesBak = new Path(store.root, "pipes.jsonl.bak")
 
-  /** name → running streaming query (this JVM). */
-  private val running = scala.collection.concurrent.TrieMap.empty[String, StreamingQuery]
+  /** name → running worker (this JVM). */
+  private val running = scala.collection.concurrent.TrieMap.empty[String, PipeWorker]
 
   // --- catalog -----------------------------------------------------------
 
@@ -102,34 +123,12 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
     fs.delete(pipesBak, false)
   }
 
-  private def esc(s: String) = s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-  }
   private def encode(p: PipeDef): String =
     s"""{"name":"${esc(p.name)}","from":"${esc(p.fromStr)}","where":"${esc(p.whereStr)}"}"""
   private def decode(line: String): PipeDef = {
-    def str(key: String): String = {
-      val k = "\"" + key + "\":\""
-      val st = line.indexOf(k) + k.length
-      val sb = new StringBuilder
-      var i = st
-      while (line.charAt(i) != '"') {
-        if (line.charAt(i) == '\\') {
-          line.charAt(i + 1) match {
-            case '"' => sb.append('"'); case '\\' => sb.append('\\')
-            case 'n' => sb.append('\n')
-            case 'u' => sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar)
-            case o => sb.append(o)
-          }
-          i += (if (line.charAt(i + 1) == 'u') 6 else 2)
-        } else { sb.append(line.charAt(i)); i += 1 }
-      }
-      sb.toString
-    }
-    val name = str("name")
-    val fromS = str("from")
-    val whereS = str("where")
+    val name = jsonStr(line, "name")
+    val fromS = jsonStr(line, "from")
+    val whereS = jsonStr(line, "where")
     // re-parse the rendered forms through the normal LQL parser
     val stmt = "CREATE PIPE " + name +
       (if (fromS.nonEmpty) " FROM " + fromS else "") +
@@ -174,63 +173,163 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
     persist(defs.filterNot(_.name == name))
   }
 
-  /** (Re)start streaming queries for every registered pipe (crash/restart
-    * recovery — checkpoints resume where each pipe left off). */
+  /** (Re)start workers for every registered pipe (crash/restart recovery —
+    * persisted cursors resume where each pipe left off). */
   def startAll(): Unit = list().foreach(start)
 
-  /** Stop all queries in this JVM (registrations remain). */
+  /** Stop all workers in this JVM (registrations remain). */
   def stopAll(): Unit = { running.values.foreach(_.stop()); running.clear() }
 
-  /** Block until every running pipe has consumed all available input. */
+  /** Block until every running pipe has consumed all catalog data available
+    * at the time of the call. */
   def processAllAvailable(): Unit = running.values.foreach(_.processAllAvailable())
 
-  /** The running streaming query behind a pipe (this JVM), for progress
+  /** The running worker behind a pipe (this JVM), for progress
     * inspection. */
-  def query(name: String): Option[StreamingQuery] = running.get(name)
+  def worker(name: String): Option[PipeWorker] = running.get(name)
 
-  private def start(p: PipeDef): StreamingQuery =
+  private def start(p: PipeDef): PipeWorker =
     running.getOrElseUpdate(p.name, {
       val pred = TagsCompiler.compile(p.from)
-      val destLine = p.destLine
-      // maxFilesPerTrigger bounds per-micro-batch work, so a large backlog
-      // (or a fresh checkpoint over an old store) drains incrementally
-      // instead of as one giant batch. The file-source listing state still
-      // grows with total file count — the 100 TB migration path is CDF /
-      // notification-based discovery, as discussed above.
-      val stream = spark.readStream.schema(Model.schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(store.dataDir)
-      stream.writeStream
-        .queryName(s"pipe-${p.name}")
-        .option("checkpointLocation", s"${store.root}/pipes/${p.name}/checkpoint")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          processBatch(batch, p, pred, destLine)
-        }
-        .start()
+      val whereCol = p.where.map(w => whereC.compile(w, col("ts"), col("msg"), col("fields")))
+      val w = new PipeWorker(store, p, pred, whereCol,
+        maxFilesPerTrigger, compactThreshold, pollMs)
+      w.startThread()
+      w
     })
+}
 
-  /** One micro-batch: match source partitions (driver-side, on the batch's
-    * distinct tag lines), filter, stamp source tags into fields, append to
-    * the destination partition. At-least-once, like the reference. */
-  private def processBatch(batch: DataFrame, p: PipeDef,
-      pred: Map[String, String] => Boolean, destLine: String): Unit = {
-    val whereCol = p.where.map(w => whereC.compile(w, col("ts"), col("msg"), col("fields")))
-    val parts = batch.select("part").distinct().collect().map(_.getString(0))
-    val srcParts = parts.filter { line =>
-      val tags = Model.parseTags(line).getOrElse(Map.empty)
-      !tags.contains(PipeTag) && pred(tags)   // pipes never cascade
+/** One pipe's driver-managed micro-batch loop: discover new data from the
+  * store's catalog (entries whose footer `maxSeq` exceeds the pipe's
+  * per-partition cursor), run ONE Spark batch job over exactly those files,
+  * append to the destination partition, then persist the advanced cursors.
+  *
+  * This is the reference's worker goroutine re-expressed against Spark's
+  * batch engine (reference pkg/pipe/worker.go:48-104): where the reference
+  * iterates a journal from a saved position, the worker plans a parquet scan
+  * of just the new chunk files — discovery cost is O(new data), not
+  * O(total files), and a catalog load that hasn't changed is a memoized
+  * fingerprint check.
+  */
+final class PipeWorker private[streaming] (store: Store, p: PipeDef,
+    pred: Map[String, String] => Boolean, whereCol: Option[Column],
+    maxFilesPerTrigger: Int, compactThreshold: Int, pollMs: Long) {
+
+  import PipeService._
+
+  private val spark = store.spark
+  private val fs = new Path(store.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val stateDir = new Path(store.root, s"pipes/${p.name}")
+  private val curPath = new Path(stateDir, "cursors.jsonl")
+  private val curBak = new Path(stateDir, "cursors.jsonl.bak")
+  private val destLine = p.destLine
+
+  /** part → highest fully-processed seq (-1 = nothing yet). */
+  private val cursors = scala.collection.mutable.HashMap.empty[String, Long]
+  loadCursors()
+
+  @volatile private var stopped = false
+  private val sleeper = new Object
+  @volatile private var batchCount = 0
+  @volatile private var fileCount = 0L
+
+  /** Triggers that consumed at least one catalog file (progress
+    * observability — replaces StreamingQuery.recentProgress). */
+  def batches: Int = batchCount
+
+  /** Total catalog files read across all triggers — the O(new data)
+    * discovery test hook: after a drain, one new append must move this by
+    * exactly its file count, never by the store's total. */
+  def filesConsumed: Long = fileCount
+
+  private val thread = new Thread(() => {
+    while (!stopped) {
+      val n =
+        try trigger()
+        catch {
+          case _: Throwable if stopped => 0
+          case e: Throwable =>
+            System.err.println(s"pipe ${p.name} trigger failed: $e"); 0
+        }
+      if (n == 0 && !stopped)
+        sleeper.synchronized { if (!stopped) sleeper.wait(pollMs) }
     }
-    if (srcParts.isEmpty) return
+  }, s"pipe-${p.name}")
+  thread.setDaemon(true)
 
-    var df = batch.where(col("part").isin(srcParts.toSeq: _*))
+  private[streaming] def startThread(): Unit = thread.start()
+
+  def stop(): Unit = {
+    stopped = true
+    sleeper.synchronized(sleeper.notifyAll())
+    thread.join(60000)
+  }
+
+  /** Run triggers until no new catalog data remains (the
+    * StreamingQuery.processAllAvailable it replaces). */
+  def processAllAvailable(): Unit = while (trigger() > 0) ()
+
+  /** One micro-batch; returns the number of catalog files consumed
+    * (0 = idle). Synchronized: the background loop and an explicit
+    * processAllAvailable never run two batches concurrently, and a caller's
+    * trigger() returning 0 means every prior batch's append+cursor-save has
+    * completed. A file deleted mid-trigger by a concurrent compact/TRUNCATE
+    * (catalog moves first in both) fails the scan with FileNotFound — the
+    * cursor has NOT advanced, so replanning against the fresh catalog is
+    * exact: compaction's rewritten files carry the same seqs, truncated
+    * rows are gone by intent. */
+  def trigger(): Int = synchronized {
+    var attempts = 0
+    var out = -1
+    while (out < 0) {
+      try out = triggerOnce()
+      catch {
+        case e: Throwable if isMissingFile(e) && attempts < 5 => attempts += 1
+      }
+    }
+    out
+  }
+
+  private def triggerOnce(): Int = {
+    val cat = store.catalog.load()
+    val tagsCache = scala.collection.mutable.HashMap.empty[String, Map[String, String]]
+    def tagsOf(line: String): Map[String, String] =
+      tagsCache.getOrElseUpdate(line, Model.parseTags(line).getOrElse(Map.empty))
+    val cand = cat.filter { e =>
+      val t = tagsOf(e.part)
+      !t.contains(PipeTag) && pred(t) &&   // pipes never cascade
+        e.maxSeq > cursors.getOrElse(e.part, -1L)
+    }
+    if (cand.isEmpty) return 0
+
+    // whole registration batches (same writeTs) oldest-first up to the file
+    // bound, always at least one group — a group's files may interleave one
+    // append's seqs (salted writers), so cutting inside one could strand
+    // rows below an advanced cursor; cutting BETWEEN groups cannot (the
+    // cursor contract: later appends take higher seq epochs)
+    val groups = cand.groupBy(_.writeTs).toSeq.sortBy(_._1).map(_._2)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[CatEntry]
+    var i = 0
+    while (i < groups.length &&
+        (chosen.isEmpty || chosen.size + groups(i).size <= maxFilesPerTrigger)) {
+      chosen ++= groups(i); i += 1
+    }
+
+    val parts = chosen.map(_.part).distinct.toSeq
+    var df = spark.read.option("basePath", store.dataDir).schema(Model.schema)
+      .parquet(chosen.map(_.file).toSeq: _*)
+    // seq gate: rows at or below the cursor (compaction rewrites merged into
+    // a not-yet-processed file) are dropped
+    df = df.where(parts.map(pt =>
+      col("part") === lit(pt) && col("seq") > lit(cursors.getOrElse(pt, -1L)))
+      .reduce(_ || _))
     whereCol.foreach(c => df = df.where(c))
 
-    // source tags as a map literal per selected partition (≤ a few dozen
-    // lines per batch — a constant-folded CASE chain, no per-row parsing)
-    val known = srcParts.map(l => l -> Model.parseTags(l).getOrElse(Map.empty)).toMap
+    // source tags as a map literal per partition (≤ a few dozen lines per
+    // batch — a constant-folded CASE chain, no per-row parsing)
     val empty = map().cast("map<string,string>")
-    val tagsCol = srcParts.foldLeft(empty) { (acc, line) =>
-      val tags = known(line)
+    val tagsCol = parts.foldLeft(empty) { (acc, line) =>
+      val tags = tagsOf(line)
       val m =
         if (tags.isEmpty) empty
         else map(tags.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
@@ -246,12 +345,66 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
     df = store.assignSeq(df.withColumn("part", lit(destLine)))
     store.append(df.select(col("ts"), col("msg"), col("fields"), col("seq"), col("part")))
 
+    // advance + persist cursors AFTER the append (at-least-once — the
+    // reference's save-after-write discipline, pkg/pipe/worker.go:73-89)
+    chosen.groupBy(_.part).foreach { case (pt, es) =>
+      val hi = es.map(_.maxSeq).max
+      if (hi > cursors.getOrElse(pt, -1L)) cursors(pt) = hi
+    }
+    saveCursors()
+    batchCount += 1
+    fileCount += chosen.size
+
     // one appended file per micro-batch adds up — self-maintain the
     // destination partition (the catalog load is memoized, so the check is
     // a driver-side count)
     if (compactThreshold > 0 &&
         store.catalog.load().count(_.part == destLine) >= compactThreshold)
       store.compact(destLine)
+    chosen.size
+  }
+
+  private def isMissingFile(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 16) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      t = t.getCause; depth += 1
+    }
+    e.getMessage != null && e.getMessage.contains("FileNotFoundException")
+  }
+
+  private def loadCursors(): Unit = {
+    val src =
+      if (fs.exists(curPath)) curPath
+      else if (fs.exists(curBak)) curBak
+      else return
+    val in = fs.open(src)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).foreach { line =>
+      // everything after the part string is `,"seq":N}` — the last ':'
+      // always precedes the number (tag lines may themselves contain ':')
+      val seq = line.substring(line.lastIndexOf(':') + 1)
+        .takeWhile(c => c.isDigit || c == '-').toLong
+      cursors(jsonStr(line, "part")) = seq
+    }
+  }
+
+  /** Same tmp→bak→base swap as the registration file: at every instant one
+    * of (new base, old base, bak) is readable — a crash never resets a
+    * pipe to reprocess-everything. */
+  private def saveCursors(): Unit = {
+    if (!fs.exists(stateDir)) fs.mkdirs(stateDir)
+    val tmp = new Path(stateDir, "cursors.jsonl.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(cursors.toSeq.sortBy(_._1).map { case (pt, s) =>
+      s"""{"part":"${esc(pt)}","seq":$s}"""
+    }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(curBak)) fs.delete(curBak, false)
+    if (fs.exists(curPath)) Store.renameOrThrow(fs, curPath, curBak)
+    Store.renameOrThrow(fs, tmp, curPath)
+    fs.delete(curBak, false)
   }
 }
 
@@ -265,5 +418,31 @@ object PipeService {
     val lFiltered = filter(map_entries(left),
       e => !array_contains(map_keys(tags), e.getField("key")))
     map_from_entries(concat(lFiltered, map_entries(tags)))
+  }
+
+  private[streaming] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  /** Extract `"key":"value"` from a single-line JSON record written with
+    * [[esc]]. */
+  private[streaming] def jsonStr(line: String, key: String): String = {
+    val k = "\"" + key + "\":\""
+    val st = line.indexOf(k) + k.length
+    val sb = new StringBuilder
+    var i = st
+    while (line.charAt(i) != '"') {
+      if (line.charAt(i) == '\\') {
+        line.charAt(i + 1) match {
+          case '"' => sb.append('"'); case '\\' => sb.append('\\')
+          case 'n' => sb.append('\n')
+          case 'u' => sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar)
+          case o => sb.append(o)
+        }
+        i += (if (line.charAt(i + 1) == 'u') 6 else 2)
+      } else { sb.append(line.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 }

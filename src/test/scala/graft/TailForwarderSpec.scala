@@ -169,11 +169,59 @@ class TailForwarderSpec extends AnyFunSuite {
       case other => fail(s"unexpected $other")
     }
     pipes.processAllAvailable()
-    val batches = pipes.query("bp").get.recentProgress.count(_.numInputRows > 0)
+    val batches = pipes.worker("bp").get.batches
     pipes.stopAll()
     assert(batches >= 3, s"6-file backlog at maxFilesPerTrigger=2 should take >=3 batches, took $batches")
     assert(e.select("SELECT FROM {logrange.pipe=bp} LIMIT 100").count() == 12,
       "bounded batches still drain the whole backlog")
+  }
+
+  test("pipe discovery is O(new data): a trigger after a drain reads only the new files") {
+    val root = Files.createTempDirectory("graft-tail").toString
+    val store = new Store(spark, root)
+    val e = new Engine(store)
+    // 5 appends = 5 catalog files of history before the pipe exists
+    (0 until 5).foreach(i => ingest(e, Map("app" -> "od"), (i + 1) * 10000000000L, 2, s"h$i-"))
+    val pipes = new graft.streaming.PipeService(store)
+    e.parse("CREATE PIPE od FROM {app=od}") match {
+      case c: graft.lql.Ast.CreatePipe => pipes.create(c)
+      case other => fail(s"unexpected $other")
+    }
+    pipes.processAllAvailable()
+    val w = pipes.worker("od").get
+    assert(w.filesConsumed == 5, "initial drain reads the 5-file backlog once")
+    // one new append: discovery must plan exactly ONE file, not re-list or
+    // re-read the store's total (the catalog-diff O(new data) property)
+    ingest(e, Map("app" -> "od"), 100000000000L, 2, "n-")
+    pipes.processAllAvailable()
+    assert(w.filesConsumed == 6, "a new append costs exactly its own file count")
+    pipes.stopAll()
+    assert(e.select("SELECT FROM {logrange.pipe=od} LIMIT 100").count() == 12)
+  }
+
+  test("compacting a source partition mid-pipe never duplicates rows") {
+    val root = Files.createTempDirectory("graft-tail").toString
+    val store = new Store(spark, root)
+    val e = new Engine(store)
+    (0 until 3).foreach(i => ingest(e, Map("app" -> "cs"), (i + 1) * 10000000000L, 2, s"c$i-"))
+    val pipes = new graft.streaming.PipeService(store)
+    e.parse("CREATE PIPE cs FROM {app=cs}") match {
+      case c: graft.lql.Ast.CreatePipe => pipes.create(c)
+      case other => fail(s"unexpected $other")
+    }
+    pipes.processAllAvailable()
+    assert(e.select("SELECT FROM {logrange.pipe=cs} LIMIT 100").count() == 6)
+    // compact the SOURCE partition while the pipe runs: rewritten files keep
+    // their seqs, so they sit at/below the cursor and are never reprocessed
+    assert(store.compact("app=cs") == 1)
+    pipes.processAllAvailable()
+    assert(e.select("SELECT FROM {logrange.pipe=cs} LIMIT 100").count() == 6,
+      "compaction rewrites must not re-enter the pipe")
+    // new data after the compaction still flows
+    ingest(e, Map("app" -> "cs"), 100000000000L, 2, "n-")
+    pipes.processAllAvailable()
+    pipes.stopAll()
+    assert(e.select("SELECT FROM {logrange.pipe=cs} LIMIT 100").count() == 8)
   }
 
   test("pipe auto-compacts its destination partition past the file threshold") {

@@ -3,51 +3,190 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import java.nio.charset.StandardCharsets
+
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted per partition in bounded batches.
   *
-  * The Spark-side shape is the real deliverable — schema, partitioning,
-  * batched iteration (the exact structure a Python `mapInPandas` decode
-  * would use) — while the byte-level decode itself is a DECODE STUB: this
-  * container has no image/audio codecs, so [[decodeStub]] derives
-  * deterministic fake media properties from the raw bytes. Swapping in a
-  * real JPEG/WAV decoder changes ONLY that function.
+  * The decode step parses REAL container headers — PNG IHDR, BMP
+  * BITMAPINFOHEADER, WAV fmt/data chunks — as pure byte reads (no codec
+  * libraries exist in this container; full pixel/sample decode of the
+  * payload would slot into [[decode]] the same way). Blobs whose header no
+  * parser recognizes fall back to [[decodeStub]], the clearly-labeled
+  * deterministic fake.
+  *
+  * Fixture blobs ([[fixtureBlob]]) wrap each document's text bytes in a
+  * genuine header of a doc_id-derived modality, so the oracle can recompute
+  * every parsed field arithmetically while the Spark side actually reads it
+  * from the container bytes.
   */
 object Multimodal {
 
-  /** Decoded media record (all numerics long for engine portability). */
+  /** Decoded media record (all numerics long for engine portability). For
+    * audio, width = sample rate, height = channels, frames = sample frames
+    * (data bytes / block align). */
   final case class MediaInfo(
-      doc_id: Long, byte_len: Long, width: Long, height: Long,
-      frames: Long, checksum: Long)
+      doc_id: Long, modality: String, byte_len: Long, width: Long,
+      height: Long, frames: Long, checksum: Long)
 
-  /** DECODE STUB — deterministic fake "decoder": real code would parse the
-    * container header (JPEG SOF / WAV fmt / MP4 moov) here. Reads every
-    * byte, as a real decoder would, producing a checksum the oracle can
-    * recompute. */
+  /** DECODE STUB — deterministic fallback for unrecognized containers: real
+    * code would hand the blob to a codec here. Reads every byte, as a real
+    * decoder would, producing a checksum the oracle can recompute. */
   def decodeStub(bytes: Array[Byte]): MediaInfo = {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
     val len = bytes.length.toLong
-    MediaInfo(-1L, len, len % 640 + 1, len % 480 + 1, len % 24 + 1, sum % 997)
+    MediaInfo(-1L, "unknown", len, len % 640 + 1, len % 480 + 1, len % 24 + 1, sum % 997)
+  }
+
+  // --- byte readers -------------------------------------------------------
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def le16(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8)
+
+  private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+    o + s.length <= b.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Byte-sum checksum of `bytes[from, until)` mod 997 (what a real decoder
+    * would replace with a content hash of the decoded samples). */
+  private def payloadChecksum(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var sum = 0L
+    var i = math.max(0, from)
+    val end = math.min(bytes.length, until)
+    while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+    sum % 997
+  }
+
+  /** Parse a real container header (pure byte reads):
+    *  - PNG: 8-byte signature, IHDR width/height as big-endian u32 at
+    *    offsets 16/20; payload after the 33-byte sig+IHDR chunk.
+    *  - BMP: `BM`, pixel-data offset LE at 10, width/height LE at 18/22
+    *    (height may be negative = top-down; reported as magnitude).
+    *  - WAV: RIFF/WAVE, `fmt ` chunk (channels LE16 at 22, sample rate
+    *    LE32 at 24, block align LE16 at 32), then a generic chunk walk to
+    *    the `data` chunk; frames = data bytes / block align.
+    * Returns None when no header matches (caller falls back to the stub).
+    */
+  def decode(bytes: Array[Byte]): MediaInfo = {
+    val n = bytes.length
+    if (n >= 33 && PngSig.indices.forall(i => bytes(i) == PngSig(i)) &&
+        ascii(bytes, 12, "IHDR")) {
+      MediaInfo(-1L, "png", n, be32(bytes, 16), be32(bytes, 20), 1L,
+        payloadChecksum(bytes, 33, n))
+    } else if (n >= 54 && ascii(bytes, 0, "BM")) {
+      val dataOffset = le32(bytes, 10).toInt
+      val h = le32(bytes, 22).toInt // may be negative (top-down rows)
+      MediaInfo(-1L, "bmp", n, le32(bytes, 18), math.abs(h).toLong, 1L,
+        payloadChecksum(bytes, dataOffset, n))
+    } else if (n >= 44 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE") &&
+        ascii(bytes, 12, "fmt ")) {
+      val channels = le16(bytes, 22)
+      val rate = le32(bytes, 24)
+      val blockAlign = math.max(1L, le16(bytes, 32))
+      // generic chunk walk from the end of the fmt chunk to `data`
+      var off = 20 + le32(bytes, 16).toInt
+      var dataAt = -1
+      var dataLen = 0L
+      while (dataAt < 0 && off + 8 <= n) {
+        val sz = le32(bytes, off + 4)
+        if (ascii(bytes, off, "data")) { dataAt = off + 8; dataLen = sz }
+        else off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (dataAt < 0) decodeStub(bytes)
+      else {
+        val len = math.min(dataLen, (n - dataAt).toLong)
+        MediaInfo(-1L, "wav", n, rate, channels, len / blockAlign,
+          payloadChecksum(bytes, dataAt, dataAt + len.toInt))
+      }
+    } else decodeStub(bytes)
+  }
+
+  // --- fixtures -----------------------------------------------------------
+
+  /** Modality assigned to a doc for fixture construction. */
+  def modalityOf(docId: Long): String = (docId % 3) match {
+    case 0 => "png"; case 1 => "bmp"; case _ => "wav"
+  }
+
+  /** A blob with a genuine container header wrapping `payload`:
+    *  - png (doc_id%3==0): width doc_id%640+1, height doc_id%480+1;
+    *  - bmp (doc_id%3==1): same dimension derivation, LE fields;
+    *  - wav (doc_id%3==2): sample rate 8000*((doc_id/3)%3+1), channels
+    *    (doc_id/3)%2+1, 16-bit samples.
+    * All derivations are plain integer arithmetic so the DuckDB oracle can
+    * recompute what the Spark side parses out of the actual bytes. */
+  def fixtureBlob(docId: Long, payload: Array[Byte]): Array[Byte] = (docId % 3) match {
+    case 0 =>
+      val w = docId % 640 + 1
+      val h = docId % 480 + 1
+      val out = java.nio.ByteBuffer.allocate(33 + payload.length)
+      out.put(PngSig).putInt(13).put("IHDR".getBytes(StandardCharsets.US_ASCII))
+        .putInt(w.toInt).putInt(h.toInt)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .putInt(0) // CRC not validated by the header parse
+        .put(payload)
+      out.array()
+    case 1 =>
+      val w = docId % 640 + 1
+      val h = docId % 480 + 1
+      val out = java.nio.ByteBuffer.allocate(54 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + payload.length)
+        .putInt(0).putInt(54)               // reserved, pixel-data offset
+        .putInt(40).putInt(w.toInt).putInt(h.toInt)
+        .putShort(1).putShort(24)           // planes, bpp
+        .putInt(0).putInt(payload.length)   // compression, image size
+        .putInt(0).putInt(0).putInt(0).putInt(0) // ppm + palette fields
+        .put(payload)
+      out.array()
+    case _ =>
+      val rate = 8000 * ((docId / 3) % 3 + 1)
+      val channels = (docId / 3) % 2 + 1
+      val blockAlign = channels * 2
+      val out = java.nio.ByteBuffer.allocate(44 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + payload.length)
+        .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+        .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+        .putShort(1)                         // PCM
+        .putShort(channels.toShort).putInt(rate.toInt)
+        .putInt((rate * blockAlign).toInt)   // byte rate
+        .putShort(blockAlign.toShort).putShort(16)
+        .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(payload.length)
+        .put(payload)
+      out.array()
   }
 
   /** Batch size of the per-partition decode loop (the `mapInPandas` batch
     * shape: bounded memory per batch regardless of partition size). */
   val DecodeBatchSize = 64
 
-  /** Attach a binary media column (here: the UTF-8 bytes of the text —
-    * stand-in for real image/audio payloads) plus typed metadata. */
-  def withMediaColumn(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").cast("long").as("doc_id"),
-      col("text").cast("binary").as("media"),
-      map(lit("modality"), lit("text"), lit("lang"), col("lang"),
-        lit("source"), col("source")).as("meta"))
+  /** Attach a binary media column — each document's text bytes wrapped in a
+    * real container header of its doc_id-derived modality — plus typed
+    * metadata. */
+  def withMediaColumn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .map { case (id, text, lang, source) =>
+        (id, fixtureBlob(id, text.getBytes(StandardCharsets.UTF_8)),
+          Map("modality" -> modalityOf(id), "lang" -> lang, "source" -> source))
+      }.toDF("doc_id", "media", "meta")
+  }
 
   /** Decode every media blob: per-partition, in [[DecodeBatchSize]] batches,
-    * through [[decodeStub]]. Output (doc_id, byte_len, width, height,
-    * frames, checksum). */
+    * through the real header parsers (stub fallback). Output (doc_id,
+    * modality, byte_len, width, height, frames, checksum). */
   def decodeAll(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -55,25 +194,29 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        batch.iterator.map { case (id, bytes) => decodeStub(bytes).copy(doc_id = id) }
+        batch.iterator.map { case (id, bytes) => decode(bytes).copy(doc_id = id) }
       }
     }.toDF()
   }
 
-  /** DuckDB twin of [[decodeAll]]. Works byte-accurately for any UTF-8
-    * payload: lengths come from octet_length over the encoded blob (NOT
-    * character length) and the checksum parses hex byte pairs, matching
-    * the Spark side's `text.cast(binary)` bytes exactly. */
+  /** DuckDB twin of [[decodeAll]]: recomputes every header-parsed field
+    * from the same doc_id arithmetic [[fixtureBlob]] embeds into the bytes;
+    * the checksum parses hex byte pairs of the payload (the text's UTF-8
+    * octets), matching the Spark side byte-for-byte. */
   val oracleSql: String =
     """WITH b AS (
-      |  SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+      |  SELECT doc_id::BIGINT AS doc_id,
+      |         octet_length(encode(text))::BIGINT AS plen,
       |         hex(encode(text)) AS hx
-      |  FROM documents)
-      |SELECT doc_id::BIGINT AS doc_id, byte_len,
-      |  (byte_len % 640 + 1)::BIGINT AS width,
-      |  (byte_len % 480 + 1)::BIGINT AS height,
-      |  (byte_len % 24 + 1)::BIGINT AS frames,
-      |  coalesce(list_sum(list_transform(range(0, byte_len),
+      |  FROM documents),
+      |m AS (SELECT *, doc_id % 3 AS mod3, doc_id // 3 AS grp FROM b)
+      |SELECT doc_id,
+      |  CASE mod3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS modality,
+      |  (plen + CASE mod3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 44 END)::BIGINT AS byte_len,
+      |  (CASE WHEN mod3 = 2 THEN 8000 * (grp % 3 + 1) ELSE doc_id % 640 + 1 END)::BIGINT AS width,
+      |  (CASE WHEN mod3 = 2 THEN grp % 2 + 1 ELSE doc_id % 480 + 1 END)::BIGINT AS height,
+      |  (CASE WHEN mod3 = 2 THEN plen // ((grp % 2 + 1) * 2) ELSE 1 END)::BIGINT AS frames,
+      |  coalesce(list_sum(list_transform(range(0, plen),
       |     i -> ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT)), 0)::BIGINT % 997 AS checksum
-      |FROM b""".stripMargin
+      |FROM m""".stripMargin
 }

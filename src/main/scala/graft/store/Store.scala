@@ -208,6 +208,13 @@ final class Store(val spark: SparkSession, val root: String) {
     * never double-referenced rows. Readers take file lists from the
     * catalog, so in-flight queries planned before the swap still read the
     * old files until the delete. Returns the new file count (0 = no-op).
+    *
+    * Safe to run on a pipe SOURCE partition while pipes are active: the
+    * rewrite preserves every row's `seq`, and pipe workers discover work by
+    * footer maxSeq vs their cursor, so rewritten files of already-piped data
+    * sit at/below the cursor and are never reprocessed; a worker that
+    * planned an old file before the swap retries against the fresh catalog
+    * (see [[graft.streaming.PipeWorker]]).
     */
   def compact(line: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val entries = catalog.load().filter(_.part == line)

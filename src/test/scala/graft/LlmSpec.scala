@@ -146,17 +146,44 @@ class LlmSpec extends AnyFunSuite {
     assert(st(1L).getAs[Long]("quality") == 0L, "empty text: quality 0, not null/NaN")
     assert(st(1L).getAs[Long]("n_words") == 0L)
     val mm = Multimodal.decodeAll(df).collect().map(r => r.getLong(0) -> r).toMap
+    // doc 2 → wav fixture: 44-byte header + the text's UTF-8 octets
     assert(mm(2L).getAs[Long]("byte_len") ==
-      "héllo wörld".getBytes("UTF-8").length.toLong, "byte length, not char count")
-    assert(mm(1L).getAs[Long]("checksum") == 0L)
+      44L + "héllo wörld".getBytes("UTF-8").length, "byte length, not char count")
+    assert(mm(1L).getAs[String]("modality") == "bmp")
+    assert(mm(1L).getAs[Long]("checksum") == 0L, "empty payload sums to 0")
   }
 
-  test("multimodal decode stub: deterministic, byte-accurate") {
+  test("multimodal decode parses real PNG/BMP/WAV headers, stub only as fallback") {
+    val payload = "sample-payload".getBytes("UTF-8")
+    // PNG: big-endian IHDR fields
+    val png = Multimodal.decode(Multimodal.fixtureBlob(6L, payload))
+    assert(png.modality == "png" && png.width == 7L && png.height == 7L && png.frames == 1L)
+    // BMP: little-endian fields, payload found via the header's data offset
+    val bmp = Multimodal.decode(Multimodal.fixtureBlob(7L, payload))
+    assert(bmp.modality == "bmp" && bmp.width == 8L && bmp.height == 8L)
+    assert(bmp.checksum == png.checksum, "same payload, same checksum, either header")
+    // WAV: fmt chunk + chunk-walk to data; frames = data bytes / block align
+    val wav = Multimodal.decode(Multimodal.fixtureBlob(8L, payload))
+    assert(wav.modality == "wav" && wav.width == 24000L && wav.height == 1L)
+    assert(wav.frames == payload.length / 2)
+    // unrecognized container → the labeled stub fallback
+    assert(Multimodal.decode("plain text".getBytes("UTF-8")).modality == "unknown")
+  }
+
+  test("multimodal decodeAll round-trips the fixture headers end-to-end") {
     val out = Multimodal.decodeAll(docs).collect()
     assert(out.length == docs.count())
     val sample = docs.select("doc_id", "text").head
-    val expect = Multimodal.decodeStub(sample.getString(1).getBytes("UTF-8"))
+    val expect = Multimodal.decode(
+      Multimodal.fixtureBlob(sample.getLong(0), sample.getString(1).getBytes("UTF-8")))
     val got = out.find(_.getLong(0) == sample.getLong(0)).get
-    assert(got.getLong(1) == expect.byte_len && got.getLong(5) == expect.checksum)
+    assert(got.getAs[String]("modality") == expect.modality)
+    assert(got.getAs[Long]("byte_len") == expect.byte_len)
+    assert(got.getAs[Long]("width") == expect.width)
+    assert(got.getAs[Long]("height") == expect.height)
+    assert(got.getAs[Long]("frames") == expect.frames)
+    assert(got.getAs[Long]("checksum") == expect.checksum)
+    assert(out.forall(_.getAs[String]("modality") != "unknown"),
+      "every fixture header must parse — the stub is only for foreign blobs")
   }
 }

@@ -73,16 +73,72 @@ object Similarity {
     * (θ≈63°, the synthetic set's near-uniform hard case) the defaults give
     * ≈1-3e-5 per pair, and with the fixed default seed every ≥-threshold
     * pair in the sf0.001/0.01/0.1 sets verifiably collides (checked in
-    * LlmSpec against brute force), so the oracle comparison is exact. At a
-    * real corpus' higher near-dup similarity (≥0.9) the same bands hold
-    * recall with far fewer candidates; tune `rowsPerBand` up to cut the
-    * candidate count when the threshold rises. */
+    * LlmSpec against brute force), so the oracle comparison is exact.
+    *
+    * Candidate-density trade, by (threshold → bands × rowsPerBand), on
+    * near-uniform vectors (candidates as a fraction of all n²/2 pairs;
+    * guarded by LlmSpec so a parameter change can't silently go quadratic):
+    *
+    *   0.45 (oracle: full recall required)  24 × 4   ≈ 0.8 — near-all-pairs
+    *        BY DESIGN: the exact-oracle gate needs every ≥-threshold pair
+    *   0.9  (production near-dup)           16 × 16  < 0.01 — per-band
+    *        collision ≈ (1-θ/π)^16 prunes hard at real-corpus thresholds
+    *
+    * Use [[ProductionNearDupParams]] when thresholding at ≥0.9. */
   def embeddingNearDup(emb: DataFrame, minScoreR: Long = 450000L,
       bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 13L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    if (embeddingDim(emb).isEmpty)
+      return emptyResult(spark, "vec_a BIGINT, vec_b BIGINT, score_r BIGINT")
+    val cand = nearDupCandidates(emb, bands, rowsPerBand, seed)
+    // 3. rejoin vectors and verify exactly
+    val ea = emb.select(col("vec_id").cast("long").as("vec_a"), col("embedding").as("va"))
+    val eb = emb.select(col("vec_id").cast("long").as("vec_b"), col("embedding").as("vb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (ida, idb, va0, vb0) =>
+          val n = va0.length
+          var na = 0.0
+          var nbn = 0.0
+          var s = 0.0
+          var i = 0
+          while (i < n) {
+            val a = va0(i).toDouble
+            val b = vb0(i).toDouble
+            na += a * a; nbn += b * b; s += a * b
+            i += 1
+          }
+          val r = math.floor(s / (math.sqrt(na) * math.sqrt(nbn)) * 1e6 + 0.5).toLong
+          if (r >= minScoreR) Some((ida, idb, r)) else None
+        }
+      }.toDF("vec_a", "vec_b", "score_r")
+  }
+
+  /** Banding parameters for production near-dup thresholds (≥0.9 cosine):
+    * 16 bands × 16 bits. See the density table on [[embeddingNearDup]];
+    * LlmSpec asserts these prune to <1% of all pairs on the synthetic set. */
+  val ProductionNearDupParams: (Int, Int) = (16, 16)
+
+  /** Steps 1-2 of [[embeddingNearDup]] — the banded sign-LSH candidate id
+    * pairs (vec_a < vec_b, distinct). Exposed package-private as the
+    * candidate-density guard's measurement hook.
+    *
+    *  1. signature: each vector gets `bands` band keys of `rowsPerBand`
+    *     sign-LSH bits each (seeded hyperplanes, primitive-double kernel in
+    *     `mapPartitions` — HOF Columns evaluate interpreted and the plane
+    *     dots are the hot path);
+    *  2. candidates: self-join of the (vec_id, band, key) table on
+    *     (band, key) — a shuffle of ids+two ints only, never embeddings —
+    *     then `distinct()` on the id PAIR. */
+  private[graft] def nearDupCandidates(emb: DataFrame, bands: Int,
+      rowsPerBand: Int, seed: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val dim = embeddingDim(emb).getOrElse(
-      return emptyResult(spark, "vec_a BIGINT, vec_b BIGINT, score_r BIGINT"))
+      return emptyResult(spark, "vec_a BIGINT, vec_b BIGINT"))
     val bcP = spark.sparkContext.broadcast(planes(bands * rowsPerBand, dim, seed))
     val nb = bands
     val rpb = rowsPerBand
@@ -117,34 +173,11 @@ object Similarity {
     // previous call's is dead weight — bound the leak to one signature table
     OpCaches.track("similarity.sig", Seq(sig))
     // 2. bucket self-join → distinct id pairs (ids only — no vectors shuffled)
-    val cand = sig.select(col("vec_id").as("vec_a"), col("band"), col("key"))
+    sig.select(col("vec_id").as("vec_a"), col("band"), col("key"))
       .join(sig.select(col("vec_id").as("vec_b"), col("band"), col("key")),
         Seq("band", "key"))
       .where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    // 3. rejoin vectors and verify exactly
-    val ea = emb.select(col("vec_id").cast("long").as("vec_a"), col("embedding").as("va"))
-    val eb = emb.select(col("vec_id").cast("long").as("vec_b"), col("embedding").as("vb"))
-    cand.join(ea, "vec_a").join(eb, "vec_b")
-      .select(col("vec_a"), col("vec_b"), col("va"), col("vb"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .mapPartitions { it =>
-        it.flatMap { case (ida, idb, va0, vb0) =>
-          val n = va0.length
-          var na = 0.0
-          var nbn = 0.0
-          var s = 0.0
-          var i = 0
-          while (i < n) {
-            val a = va0(i).toDouble
-            val b = vb0(i).toDouble
-            na += a * a; nbn += b * b; s += a * b
-            i += 1
-          }
-          val r = math.floor(s / (math.sqrt(na) * math.sqrt(nbn)) * 1e6 + 0.5).toLong
-          if (r >= minScoreR) Some((ida, idb, r)) else None
-        }
-      }.toDF("vec_a", "vec_b", "score_r")
   }
 
   /** Embedding width, read from the first row (one tiny driver-side job) —

@@ -45,6 +45,28 @@ object LlmQueries {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Fingerprint.winnow(docs(spark, dir))
 
+  /** ANN recall as DATA: measure recall@5 of each approximate variant
+    * against the exact brute-force top-k (50 rows collected — a
+    * diagnostic-sized driver set) and report whether it clears its pinned
+    * floor. The floors regression-lock the ANN quality the same way hash
+    * oracles lock exact results — a probing/banding change that drops
+    * recall below floor flips `meets_floor` and fails the gate. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e))
+    def recallOf(df: DataFrame): Double =
+      if (exact.isEmpty) 0.0 else (exact & pairs(df)).size.toDouble / exact.size
+    val lsh = recallOf(Similarity.lshTopK(e))
+    val ivf = recallOf(Similarity.ivfTopK(e))
+    Seq(
+      ("lsh", 5000L, lsh >= 0.5),
+      ("ivf", 4000L, ivf >= 0.4)
+    ).toDF("variant", "floor_e4", "meets_floor")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
@@ -55,7 +77,8 @@ object LlmQueries {
     "llm_sim_topk_ivf" -> (simTopKIvf _), // rows-only: approximate by design
     "llm_multimodal" -> (multimodal _),
     "llm_dedup_embed" -> (embedNearDup _),
-    "llm_fingerprint" -> (fingerprint _)
+    "llm_fingerprint" -> (fingerprint _),
+    "llm_ann_recall" -> (annRecall _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +159,11 @@ object LlmQueries {
         |          / (a.nrm * b.nrm) * 1e6 + 0.5)::BIGINT AS score_r
         |  FROM n a, n b WHERE a.vec_id < b.vec_id)
         |SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b, score_r
-        |FROM s WHERE score_r >= 450000""".stripMargin
+        |FROM s WHERE score_r >= 450000""".stripMargin,
+
+    "llm_ann_recall" ->
+      """SELECT * FROM (VALUES
+        |  ('lsh', 5000::BIGINT, true), ('ivf', 4000::BIGINT, true)
+        |) t(variant, floor_e4, meets_floor)""".stripMargin
   )
 }

@@ -49,6 +49,25 @@ class LlmSpec extends AnyFunSuite {
       s"near-dup mean hamming $dupMean should be far below random baseline $baseMean")
   }
 
+  test("near-dup candidate density stays within the documented bounds") {
+    val n = emb.count()
+    val totalPairs = n * (n - 1) / 2.0
+    // oracle-threshold defaults (24×4 at 0.45): near-all-pairs is the
+    // DOCUMENTED trade (full recall for the exact-oracle gate) — but it must
+    // never exceed the documented ≈0.8 by a silent parameter change
+    val defaults = Similarity.nearDupCandidates(emb, 24, 4, 13L).count()
+    val defDensity = defaults / totalPairs
+    assert(defDensity < 0.9,
+      s"default banding density $defDensity exceeds the documented ~0.8 bound")
+    // production-threshold banding (16×16 at ≥0.9) must PRUNE, not go
+    // quadratic: on near-uniform vectors per-band collision ≈ 0.5^16
+    val (pb, pr) = Similarity.ProductionNearDupParams
+    val prod = Similarity.nearDupCandidates(emb, pb, pr, 13L).count()
+    val prodDensity = prod / totalPairs
+    assert(prodDensity < 0.01,
+      s"production banding density $prodDensity is quadratic — banding broken")
+  }
+
   test("LSH top-k recall vs brute force is usable") {
     val exact = Similarity.bruteForceTopK(emb, numQueries = 10, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

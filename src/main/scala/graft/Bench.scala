@@ -43,7 +43,7 @@ object Bench {
           .agg(expr("bit_xor(h)")).head()
       } catch {
         case e: Throwable =>
-          errors(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(300)
+          errors(name) = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(300)
           System.err.println(s"bench $name FAILED: $e")
       }
       name -> (System.nanoTime() - t0) / 1e9

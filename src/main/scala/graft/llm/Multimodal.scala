@@ -92,13 +92,16 @@ object Multimodal {
       val channels = le16(bytes, 22)
       val rate = le32(bytes, 24)
       val blockAlign = math.max(1L, le16(bytes, 32))
-      // generic chunk walk from the end of the fmt chunk to `data`
+      // generic chunk walk from the end of the fmt chunk to `data`; a
+      // corrupt size field (negative/overflowing advance) must fall back to
+      // the stub, not loop forever or index out of bounds
       var off = 20 + le32(bytes, 16).toInt
       var dataAt = -1
       var dataLen = 0L
-      while (dataAt < 0 && off + 8 <= n) {
+      while (dataAt < 0 && off >= 0 && off + 8 <= n) {
         val sz = le32(bytes, off + 4)
         if (ascii(bytes, off, "data")) { dataAt = off + 8; dataLen = sz }
+        else if (sz > n) off = -1 // corrupt size field → stub
         else off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
       }
       if (dataAt < 0) decodeStub(bytes)

@@ -89,8 +89,9 @@ object Similarity {
       bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 13L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    if (embeddingDim(emb).isEmpty)
-      return emptyResult(spark, "vec_a BIGINT, vec_b BIGINT, score_r BIGINT")
+    // empty input short-circuits inside nearDupCandidates (one dim probe,
+    // not two); an empty candidate table flows through the joins and the
+    // verify kernel to an empty (vec_a, vec_b, score_r) result
     val cand = nearDupCandidates(emb, bands, rowsPerBand, seed)
     // 3. rejoin vectors and verify exactly
     val ea = emb.select(col("vec_id").cast("long").as("vec_a"), col("embedding").as("va"))

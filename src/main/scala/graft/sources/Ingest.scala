@@ -358,25 +358,25 @@ object Collector {
             map_entries(col("fields")))))
       }
 
-    val seqd = store.assignSeq(withFields)
-    store.append(seqd.select(col("ts"), col("msg"), col("fields"), col("seq"), col("part")))
-    if (trackPositions) {
-      // text: the new carry state is the ts of each file's LAST line (the
-      // parser's carry-forward applied), found via max_by on the line index
-      val newCarry: Map[String, Long] =
-        if (schema.dataFormat == "text")
-          parsed.groupBy(col("file")).agg(expr("max_by(ts, idx)").as("t")).collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-        else Map.empty
-      val updated = toRead.map { case (p, off, len) =>
-        val pl = math.min(PrefixLen, len)
-        p -> PosEntry(len,
-          newCarry.getOrElse(p, if (off > 0) carryTs.getOrElse(p, 0L) else 0L),
-          pl, prefixHash(fs, p, pl))
-      }.toMap
-      savePositions(storeFs, posPath, oldPos ++ updated)
-    }
-    if (cacheParsed) parsed.unpersist()
+    try {
+      store.appendWithSeq(withFields)
+      if (trackPositions) {
+        // text: the new carry state is the ts of each file's LAST line (the
+        // parser's carry-forward applied), found via max_by on the line index
+        val newCarry: Map[String, Long] =
+          if (schema.dataFormat == "text")
+            parsed.groupBy(col("file")).agg(expr("max_by(ts, idx)").as("t")).collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+          else Map.empty
+        val updated = toRead.map { case (p, off, len) =>
+          val pl = math.min(PrefixLen, len)
+          p -> PosEntry(len,
+            newCarry.getOrElse(p, if (off > 0) carryTs.getOrElse(p, 0L) else 0L),
+            pl, prefixHash(fs, p, pl))
+        }.toMap
+        savePositions(storeFs, posPath, oldPos ++ updated)
+      }
+    } finally if (cacheParsed) parsed.unpersist()
     toRead.length
   }
 

@@ -32,9 +32,48 @@ object Store {
   private val epochs =
     scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
 
+  /** Epochs taken by [[Store.appendWithSeq]] whose append has not returned
+    * yet (epoch → start nanoTime). A higher-epoch append can REGISTER
+    * before a still-running lower-epoch append to the same partition, so
+    * catalog registration order does not always agree with seq order;
+    * consumers that require the agreement (pipe cursors) defer entries
+    * above [[Store.safeSeqWatermark]] until the lower epochs resolve.
+    * Entries from appends that hang past [[EpochLeaseNanos]] are dropped
+    * from the watermark (documented trade: a >10-min append that later
+    * completes may be skipped by a pipe that advanced meanwhile). */
+  private val inFlight = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.ConcurrentHashMap[Long, Long]]
+
+  /** Lease for hung in-flight epochs (10 min). */
+  val EpochLeaseNanos: Long = 10L * 60 * 1000 * 1000 * 1000
+
+  private[graft] def inFlightFor(root: String): java.util.concurrent.ConcurrentHashMap[Long, Long] =
+    inFlight.getOrElseUpdate(root, new java.util.concurrent.ConcurrentHashMap[Long, Long])
+
+  /** Highest seq known to be "stable" for a root: every append with a seq
+    * at or below it has either registered or died unregistered. MaxValue
+    * when nothing is in flight. */
+  def safeSeqWatermark(root: String): Long = {
+    val m = inFlight.get(root).orNull
+    if (m == null || m.isEmpty) return Long.MaxValue
+    val cutoff = System.nanoTime() - EpochLeaseNanos
+    var minEpoch = Long.MaxValue
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue < cutoff) it.remove() // abandoned: nothing registered
+      else if (e.getKey < minEpoch) minEpoch = e.getKey
+    }
+    if (minEpoch == Long.MaxValue) Long.MaxValue
+    else (minEpoch << SeqEpochShift) - 1
+  }
+
   /** Drop the in-JVM epoch counter for a root (tests simulating process
     * restarts; throwaway-store cleanup). */
-  private[graft] def forgetEpoch(root: String): Unit = epochs.remove(root)
+  private[graft] def forgetEpoch(root: String): Unit = {
+    epochs.remove(root)
+    inFlight.remove(root)
+  }
 
   /** Hadoop rename returns false instead of throwing; unchecked, a failed
     * rename silently loses the batch (e.g. a catalog entry pointing at a
@@ -70,8 +109,7 @@ final class Store(val spark: SparkSession, val root: String) {
       df = df.withColumn("fields", map_concat_safe(shared, col("fields")))
     }
     df = df.withColumn("part", lit(line))
-    if (!df.columns.contains("seq")) df = assignSeq(df)
-    append(df)
+    if (df.columns.contains("seq")) append(df) else appendWithSeq(df)
   }
 
   /** Stamp a fresh `seq` on rows that already carry `part`: a dense per-part
@@ -90,14 +128,31 @@ final class Store(val spark: SparkSession, val root: String) {
     * `append(saltBuckets > 1)` should supply their own seq (a source row id,
     * as EventStore does) — the dense row number here serializes each part
     * into one window task. */
-  def assignSeq(rows: DataFrame): DataFrame = {
-    val epoch = epochCounter.incrementAndGet()
+  def assignSeq(rows: DataFrame): DataFrame =
+    assignSeqEpoch(epochCounter.incrementAndGet(), rows)
+
+  private def assignSeqEpoch(epoch: Long, rows: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("part").orderBy("__arrival")
     rows.withColumn("__arrival", monotonically_increasing_id())
       .withColumn("seq",
         lit(epoch << Store.SeqEpochShift) + row_number().over(w).cast("long") - 1L)
       .drop("__arrival")
+  }
+
+  /** [[assignSeq]] + [[append]] with registration-order tracking: the
+    * allocated epoch is in flight (see [[Store.safeSeqWatermark]]) from
+    * allocation until the append returns — registered, empty, or failed
+    * clean — so pipe cursors can tell "registered later because nothing
+    * was there" from "registered later because a lower-epoch append was
+    * still running". All seq-assigning ingest paths (write, collector,
+    * pipe destinations) go through here. */
+  def appendWithSeq(rows: DataFrame, maxRecordsPerFile: Long = 0,
+      saltBuckets: Int = 1): Unit = {
+    val epoch = epochCounter.incrementAndGet()
+    Store.inFlightFor(root).put(epoch, System.nanoTime())
+    try append(assignSeqEpoch(epoch, rows), maxRecordsPerFile, saltBuckets)
+    finally Store.inFlightFor(root).remove(epoch)
   }
 
   private def epochCounter: java.util.concurrent.atomic.AtomicLong =

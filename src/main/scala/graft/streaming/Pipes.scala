@@ -56,12 +56,16 @@ final case class PipeDef(name: String, from: Option[Source], where: Option[Expre
   * FROM/WHERE forms, exactly like the reference stores `String()` forms
   * (pkg/backend/admin.go:209).
   *
-  * Cursor contract: per partition, appends must not produce seqs below an
-  * earlier append's max. [[Store.assignSeq]]'s monotone epochs guarantee it;
-  * bulk loads pinning their own seq must land in a single append (as
-  * EventStore does). The one unguarded edge: truncating an ENTIRE store and
-  * restarting the JVM reseeds the epoch counter low, so a pre-existing
-  * pipe's high cursor would skip the restarted seq range.
+  * Cursor contract: a partition's cursor only advances past seqs that can
+  * no longer be preceded — [[Store.appendWithSeq]] keeps each append's
+  * epoch "in flight" until it returns, and workers defer catalog entries
+  * above [[Store.safeSeqWatermark]], so a higher-epoch append that
+  * REGISTERS first (completion order ≠ epoch order) cannot pull the cursor
+  * above a still-running lower-epoch append's rows. Bulk loads pinning
+  * their own seq must land in a single append (as EventStore does). The
+  * one unguarded edge: truncating an ENTIRE store and restarting the JVM
+  * reseeds the epoch counter low, so a pre-existing pipe's high cursor
+  * would skip the restarted seq range.
   */
 /** @param compactThreshold auto-compact a pipe's destination partition
   *        once it accumulates this many chunk files (each micro-batch
@@ -164,13 +168,17 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
     }
   }
 
-  /** DELETE PIPE (reference pkg/backend/admin.go:220-228): stop the query,
-    * drop the registration; the destination partition is kept. */
+  /** DELETE PIPE (reference pkg/backend/admin.go:220-228): stop the worker,
+    * drop the registration AND its cursor state — a later CREATE PIPE with
+    * the same name starts from scratch instead of silently resuming the
+    * dead pipe's cursors (and skipping everything below them). The
+    * destination partition is kept. */
   def delete(name: String): Unit = {
     val defs = list()
     if (!defs.exists(_.name == name)) throw LqlException(s"pipe $name not found")
     running.remove(name).foreach(_.stop())
     persist(defs.filterNot(_.name == name))
+    fs.delete(new Path(store.root, s"pipes/$name"), true)
   }
 
   /** (Re)start workers for every registered pipe (crash/restart recovery —
@@ -191,7 +199,10 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
   private def start(p: PipeDef): PipeWorker =
     running.getOrElseUpdate(p.name, {
       val pred = TagsCompiler.compile(p.from)
-      val whereCol = p.where.map(w => whereC.compile(w, col("ts"), col("msg"), col("fields")))
+      // compiled per TRIGGER, not once: relative datetimes in the WHERE
+      // ("ts > '-5m'") must re-anchor against the clock each micro-batch,
+      // like the reference re-evaluates conditions per iteration
+      val whereCol = () => p.where.map(w => whereC.compile(w, col("ts"), col("msg"), col("fields")))
       val w = new PipeWorker(store, p, pred, whereCol,
         maxFilesPerTrigger, compactThreshold, pollMs)
       w.startThread()
@@ -212,7 +223,7 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
   * fingerprint check.
   */
 final class PipeWorker private[streaming] (store: Store, p: PipeDef,
-    pred: Map[String, String] => Boolean, whereCol: Option[Column],
+    pred: Map[String, String] => Boolean, whereCol: () => Option[Column],
     maxFilesPerTrigger: Int, compactThreshold: Int, pollMs: Long) {
 
   import PipeService._
@@ -295,10 +306,15 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     val tagsCache = scala.collection.mutable.HashMap.empty[String, Map[String, String]]
     def tagsOf(line: String): Map[String, String] =
       tagsCache.getOrElseUpdate(line, Model.parseTags(line).getOrElse(Map.empty))
+    // entries above the in-flight watermark are deferred: a lower-epoch
+    // append to the same partition may still be running, and advancing the
+    // cursor past it would lose its rows once it registers (registration
+    // order is completion order, not epoch order)
+    val safe = Store.safeSeqWatermark(store.root)
     val cand = cat.filter { e =>
       val t = tagsOf(e.part)
       !t.contains(PipeTag) && pred(t) &&   // pipes never cascade
-        e.maxSeq > cursors.getOrElse(e.part, -1L)
+        e.maxSeq > cursors.getOrElse(e.part, -1L) && e.maxSeq <= safe
     }
     if (cand.isEmpty) return 0
 
@@ -323,7 +339,7 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     df = df.where(parts.map(pt =>
       col("part") === lit(pt) && col("seq") > lit(cursors.getOrElse(pt, -1L)))
       .reduce(_ || _))
-    whereCol.foreach(c => df = df.where(c))
+    whereCol().foreach(c => df = df.where(c))
 
     // source tags as a map literal per partition (≤ a few dozen lines per
     // batch — a constant-folded CASE chain, no per-row parsing)
@@ -339,11 +355,10 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     // on a key clash the tag value wins — maps cannot hold duplicates)
     df = df.withColumn("fields", concatFields(col("fields"), tagsCol))
 
-    // fresh (part, seq) for the destination partition — Store.assignSeq's
+    // fresh (part, seq) for the destination partition — appendWithSeq's
     // atomic epochs make this safe even against a concurrent foreground
     // ingest into the same partition
-    df = store.assignSeq(df.withColumn("part", lit(destLine)))
-    store.append(df.select(col("ts"), col("msg"), col("fields"), col("seq"), col("part")))
+    store.appendWithSeq(df.withColumn("part", lit(destLine)))
 
     // advance + persist cursors AFTER the append (at-least-once — the
     // reference's save-after-write discipline, pkg/pipe/worker.go:73-89)

@@ -189,6 +189,22 @@ class LlmSpec extends AnyFunSuite {
     assert(Multimodal.decode("plain text".getBytes("UTF-8")).modality == "unknown")
   }
 
+  test("multimodal decode survives corrupt RIFF chunk sizes (stub, no hang)") {
+    // RIFF/WAVE/fmt, then a junk chunk whose size field is 0xFFFFFFF8: the
+    // unguarded walk advanced by 8 + (-8) = 0 forever; the guard must fall
+    // back to the stub instead
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    assert(Multimodal.decode(bb.array()).modality == "unknown")
+    // truncated headers never index out of bounds either
+    assert(Multimodal.decode("BM".getBytes("US-ASCII")).modality == "unknown")
+    assert(Multimodal.decode(Array[Byte](0x89.toByte, 'P', 'N', 'G')).modality == "unknown")
+  }
+
   test("multimodal decodeAll round-trips the fixture headers end-to-end") {
     val out = Multimodal.decodeAll(docs).collect()
     assert(out.length == docs.count())

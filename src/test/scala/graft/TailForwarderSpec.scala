@@ -199,6 +199,63 @@ class TailForwarderSpec extends AnyFunSuite {
     assert(e.select("SELECT FROM {logrange.pipe=od} LIMIT 100").count() == 12)
   }
 
+  test("pipe defers catalog entries above the in-flight epoch watermark") {
+    val root = Files.createTempDirectory("graft-tail").toString
+    val store = new Store(spark, root)
+    val e = new Engine(store)
+    import spark.implicits._
+    ingest(e, Map("app" -> "inv"), 1000000000L, 2, "a-")
+    val pipes = new graft.streaming.PipeService(store)
+    e.parse("CREATE PIPE inv FROM {app=inv}") match {
+      case c: graft.lql.Ast.CreatePipe => pipes.create(c)
+      case other => fail(s"unexpected $other")
+    }
+    pipes.processAllAvailable()
+    // simulate a still-running lower-epoch append: allocate an epoch and
+    // pin it in flight by hand (what appendWithSeq does around the job)
+    val dummy = store.assignSeq(Seq((1L, "x")).toDF("ts", "msg")
+      .withColumn("part", org.apache.spark.sql.functions.lit("app=inv")))
+    val epoch = dummy.agg(org.apache.spark.sql.functions.max("seq"))
+      .head.getLong(0) >> Store.SeqEpochShift
+    Store.inFlightFor(store.root).put(epoch, System.nanoTime())
+    // a LATER append registers first (completion order != epoch order)
+    ingest(e, Map("app" -> "inv"), 50000000000L, 2, "b-")
+    val w = pipes.worker("inv").get
+    assert(w.trigger() == 0,
+      "entries above the watermark must be deferred, not processed")
+    // lower-epoch append resolves → the deferred entries drain, no loss
+    Store.inFlightFor(store.root).remove(epoch)
+    pipes.processAllAvailable()
+    pipes.stopAll()
+    assert(e.select("SELECT FROM {logrange.pipe=inv} LIMIT 100").count() == 4)
+  }
+
+  test("pipe WHERE with a relative datetime re-anchors every trigger") {
+    val root = Files.createTempDirectory("graft-tail").toString
+    val store = new Store(spark, root)
+    var nowMs = 1700000000000L
+    val clock = () => java.time.Instant.ofEpochMilli(nowMs)
+    val pipes = new graft.streaming.PipeService(store, clock)
+    val e = new Engine(store)
+    import spark.implicits._
+    val t1 = (nowMs - 60000L) * 1000000L // one minute old: inside -5m
+    store.write(Map("app" -> "rw"), Map.empty, Seq((t1, "fresh")).toDF("ts", "msg"))
+    new graft.lql.Parser(clock).parse("CREATE PIPE rw FROM {app=rw} WHERE ts > \"-5m\"") match {
+      case Right(c: graft.lql.Ast.CreatePipe) => pipes.create(c)
+      case other => fail(s"unexpected $other")
+    }
+    pipes.processAllAvailable()
+    assert(e.select("SELECT FROM {logrange.pipe=rw} LIMIT 100").count() == 1)
+    // ten minutes later the same row ts is OUTSIDE the window: a frozen
+    // compile would still pass it, a per-trigger compile must drop it
+    nowMs += 600000L
+    store.write(Map("app" -> "rw"), Map.empty, Seq((t1, "stale")).toDF("ts", "msg"))
+    pipes.processAllAvailable()
+    pipes.stopAll()
+    assert(e.select("SELECT FROM {logrange.pipe=rw} LIMIT 100").count() == 1,
+      "the -5m window must re-anchor against the clock each trigger")
+  }
+
   test("compacting a source partition mid-pipe never duplicates rows") {
     val root = Files.createTempDirectory("graft-tail").toString
     val store = new Store(spark, root)

@@ -53,18 +53,21 @@ object LlmQueries {
     * recall below floor flips `meets_floor` and fails the gate. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir)
-    def pairs(df: DataFrame): Set[(Long, Long)] =
-      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs(Similarity.bruteForceTopK(e))
-    def recallOf(df: DataFrame): Double =
-      if (exact.isEmpty) 0.0 else (exact & pairs(df)).size.toDouble / exact.size
-    val lsh = recallOf(Similarity.lshTopK(e))
-    val ivf = recallOf(Similarity.ivfTopK(e))
-    Seq(
-      ("lsh", 5000L, lsh >= 0.5),
-      ("ivf", 4000L, ivf >= 0.4)
-    ).toDF("variant", "floor_e4", "meets_floor")
+    // all three variants scan the embeddings repeatedly — cache once
+    val e = emb(spark, dir).cache()
+    try {
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Similarity.bruteForceTopK(e))
+      def recallOf(df: DataFrame): Double =
+        if (exact.isEmpty) 0.0 else (exact & pairs(df)).size.toDouble / exact.size
+      val lsh = recallOf(Similarity.lshTopK(e))
+      val ivf = recallOf(Similarity.ivfTopK(e))
+      Seq(
+        ("lsh", 5000L, lsh >= 0.5),
+        ("ivf", 4000L, ivf >= 0.4)
+      ).toDF("variant", "floor_e4", "meets_floor")
+    } finally e.unpersist()
   }
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -385,12 +385,6 @@ final class Store(val spark: SparkSession, val root: String) {
       .parquet(entries.map(_.file): _*)
   }
 
-  /** Read everything (pipes' streaming source uses its own reader). */
-  def readAll(): DataFrame =
-    if (listDataFiles().isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.schema)
-    else spark.read.schema(Model.schema).parquet(dataDir)
-
   /** Delete a set of files (TRUNCATE path) and drop them from the catalog;
     * removes now-empty partition dirs. */
   def deleteFiles(paths: Seq[String]): Unit = {

@@ -295,7 +295,11 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     while (out < 0) {
       try out = triggerOnce()
       catch {
-        case e: Throwable if isMissingFile(e) && attempts < 5 => attempts += 1
+        case e: Throwable if isMissingFile(e) && attempts < 5 =>
+          // brief backoff: the concurrent compact/TRUNCATE that deleted the
+          // planned file finishes its catalog swap within milliseconds
+          attempts += 1
+          Thread.sleep(50L * attempts)
       }
     }
     out
@@ -379,11 +383,20 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     chosen.size
   }
 
+  /** A planned file vanished: either the scan failed mid-job
+    * (FileNotFoundException) or plan resolution rejected the path
+    * (AnalysisException PATH_NOT_FOUND) — both mean a concurrent
+    * compact/TRUNCATE moved the catalog while this trigger was planning. */
   private def isMissingFile(e: Throwable): Boolean = {
     var t: Throwable = e
     var depth = 0
     while (t != null && depth < 16) {
-      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getCondition == "PATH_NOT_FOUND" => return true
+        case _ => ()
+      }
       t = t.getCause; depth += 1
     }
     e.getMessage != null && e.getMessage.contains("FileNotFoundException")

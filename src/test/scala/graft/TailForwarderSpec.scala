@@ -230,6 +230,36 @@ class TailForwarderSpec extends AnyFunSuite {
     assert(e.select("SELECT FROM {logrange.pipe=inv} LIMIT 100").count() == 4)
   }
 
+  test("pipe trigger replans when a planned file vanishes mid-trigger") {
+    val root = Files.createTempDirectory("graft-tail").toString
+    val store = new Store(spark, root)
+    val e = new Engine(store)
+    ingest(e, Map("app" -> "fnf"), 1000000000L, 2, "a-")
+    val pipes = new graft.streaming.PipeService(store)
+    e.parse("CREATE PIPE fnf FROM {app=fnf}") match {
+      case c: graft.lql.Ast.CreatePipe => pipes.create(c)
+      case other => fail(s"unexpected $other")
+    }
+    pipes.processAllAvailable()
+    // a catalog entry whose file a concurrent TRUNCATE/compact already
+    // deleted: the scan fails FileNotFound; a healer thread completes the
+    // catalog swap while the worker backs off and replans
+    val ghost = graft.store.CatEntry("app=fnf", s"$root/data/part=app%3Dfnf/ghost.parquet",
+      1L, 1L, 0L, 0L, System.currentTimeMillis() * 1000000L, Long.MaxValue - 1)
+    store.catalog.append(Seq(ghost))
+    ingest(e, Map("app" -> "fnf"), 50000000000L, 2, "b-")
+    val healer = new Thread(() => {
+      Thread.sleep(150)
+      store.catalog.replace(Set(ghost.file), Nil)
+    })
+    healer.start()
+    pipes.processAllAvailable()
+    healer.join()
+    pipes.stopAll()
+    assert(e.select("SELECT FROM {logrange.pipe=fnf} LIMIT 100").count() == 4,
+      "the replanned trigger must deliver the surviving rows exactly once")
+  }
+
   test("pipe WHERE with a relative datetime re-anchors every trigger") {
     val root = Files.createTempDirectory("graft-tail").toString
     val store = new Store(spark, root)

@@ -338,26 +338,24 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     val parts = chosen.map(_.part).distinct.toSeq
     var df = spark.read.option("basePath", store.dataDir).schema(Model.schema)
       .parquet(chosen.map(_.file).toSeq: _*)
-    // seq gate: rows at or below the cursor (compaction rewrites merged into
-    // a not-yet-processed file) are dropped
-    df = df.where(parts.map(pt =>
-      col("part") === lit(pt) && col("seq") > lit(cursors.getOrElse(pt, -1L)))
-      .reduce(_ || _))
+    // per-partition cursor + parsed source tags as ONE broadcast side table
+    // (a trigger can span thousands of partitions at the 100 TB design
+    // point — a literal OR/CASE chain per partition would blow codegen,
+    // a broadcast hash join is flat at any width):
+    //  - seq gate: rows at or below the cursor (compaction rewrites merged
+    //    into a not-yet-processed file) are dropped;
+    //  - fields = record fields ++ source tags (reference siterator.go:
+    //    49-63; on a key clash the tag value wins — maps cannot hold
+    //    duplicates)
+    import spark.implicits._
+    val meta = parts.map(pt => (pt, cursors.getOrElse(pt, -1L), tagsOf(pt)))
+      .toDF("part", "__cur", "__ptags")
+    df = df.join(broadcast(meta), "part").where(col("seq") > col("__cur"))
+    // WHERE sees the record's own fields (tag stamping happens after the
+    // filter, like the reference's siterator)
     whereCol().foreach(c => df = df.where(c))
-
-    // source tags as a map literal per partition (≤ a few dozen lines per
-    // batch — a constant-folded CASE chain, no per-row parsing)
-    val empty = map().cast("map<string,string>")
-    val tagsCol = parts.foldLeft(empty) { (acc, line) =>
-      val tags = tagsOf(line)
-      val m =
-        if (tags.isEmpty) empty
-        else map(tags.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-      when(col("part") === line, m).otherwise(acc)
-    }
-    // fields = record fields ++ source tags (reference siterator.go:49-63;
-    // on a key clash the tag value wins — maps cannot hold duplicates)
-    df = df.withColumn("fields", concatFields(col("fields"), tagsCol))
+    df = df.withColumn("fields", concatFields(col("fields"), col("__ptags")))
+      .drop("__cur", "__ptags")
 
     // fresh (part, seq) for the destination partition — appendWithSeq's
     // atomic epochs make this safe even against a concurrent foreground

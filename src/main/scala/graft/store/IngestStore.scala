@@ -16,7 +16,7 @@ import java.time.Instant
   */
 object IngestStore {
 
-  val Version = "v2"
+  val Version = "v3" // round 6: appendWithSeq ingest path
 
   /** Pinned ingest clock for the `pure` parser (every pure record gets the
     * ingest time). */

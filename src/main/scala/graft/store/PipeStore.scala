@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object PipeStore {
 
-  val Version = "v3"
+  val Version = "v4" // round 6: catalog-driven PipeWorker build path
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Engine]
 

@@ -40,7 +40,11 @@ object Store {
     * above [[Store.safeSeqWatermark]] until the lower epochs resolve.
     * Entries from appends that hang past [[EpochLeaseNanos]] are dropped
     * from the watermark (documented trade: a >10-min append that later
-    * completes may be skipped by a pipe that advanced meanwhile). */
+    * completes may be skipped by a pipe that advanced meanwhile). The
+    * watermark is store-wide — one slow append defers every pipe on the
+    * root for its duration; the refinement path at scale is tracking the
+    * target partition set per in-flight epoch so only overlapping
+    * partitions defer. */
   private val inFlight = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.ConcurrentHashMap[Long, Long]]
 

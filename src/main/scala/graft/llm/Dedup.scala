@@ -122,4 +122,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         floor(jac * 1e4 + 0.5).cast("long").as("jaccard_r"))
   }
+
+  /** EXACT n-gram Jaccard duplicate pairs (doc_a < doc_b, J >= `threshold`)
+    * via a prefix-filtered set-similarity join (AllPairs / PPJoin family:
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08) — the scalable *exact*
+    * counterpart to the probabilistic [[nearDuplicates]] MinHash path.
+    *
+    * The naive exact plan is the inverted-index join: explode shingles,
+    * self-join on the shingle, count intersections. At 100 TB that plan
+    * dies on stop-word-like shingles — a shingle appearing in k docs
+    * contributes k² candidate rows, so one ubiquitous bigram ("of the")
+    * goes quadratic. Prefix filtering keeps exactness while pruning: order
+    * every doc's shingle set by a GLOBAL total order (document frequency
+    * asc, shingle asc — rarest first) and index only the first
+    * `|d| - ceil(t·|d|) + 1` shingles. Any pair with J >= t must share at
+    * least `ceil(t·max(|a|,|b|))` shingles, which forces an agreement
+    * inside both prefixes, so no qualifying pair is lost; pairs meeting
+    * only on frequent (non-prefix) shingles — the quadratic mass — never
+    * become candidates. The join therefore shuffles on *rare* keys by
+    * construction (skew-resistant), candidates carry ids only, and the
+    * survivors are verified with exact Jaccard on the full shingle arrays.
+    * A length filter (`min·1.0 >= t·max`, implied by J ≤ min/max) prunes
+    * before the distinct. Cost: one extra groupBy for the frequency table
+    * and one for prefix assembly — both map-side-combining aggregations.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs
+      .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), shinglesFromTokens(col("w"), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .cache()
+    OpCaches.track("dedup.ngram", Seq(sh))
+
+    val exploded = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+
+    // per-doc prefix: sort (df, g) ascending, keep sz - ceil(t*sz) + 1
+    val prefix = exploded.join(freq, "g")
+      .groupBy("doc_id")
+      .agg(first(col("sz")).as("sz"),
+        sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(transform(col("ord"), x => x.getField("g")), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("g"))
+
+    val a = prefix.alias("a")
+    val b = prefix.alias("b")
+    val cand = a.join(b,
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val withSh = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val jac = inter.cast("double") /
+      (size(col("sha")) + size(col("shb")) - inter).cast("double")
+    withSh.where(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        floor(jac * 1e4 + 0.5).cast("long").as("jaccard_r"))
+  }
 }

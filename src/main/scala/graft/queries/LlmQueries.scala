@@ -21,6 +21,9 @@ object LlmQueries {
   def dedupNear(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(docs(spark, dir))
 
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(spark, dir))
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.fingerprints(docs(spark, dir))
 
@@ -73,6 +76,7 @@ object LlmQueries {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
+    "llm_dedup_ngram" -> (dedupNgram _),
     "llm_simhash" -> (simhash _),
     "llm_text_stats" -> (textStats _),
     "llm_sim_topk" -> (simTopK _),
@@ -111,6 +115,29 @@ object LlmQueries {
         |JOIN sizes sa ON sa.doc_id = inter.doc_a
         |JOIN sizes sb ON sb.doc_id = inter.doc_b
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin,
+
+    // exact word-2-gram Jaccard at 0.5 — the oracle is the plain all-pairs
+    // inverted-index form; the Spark side reaches the SAME pairs through the
+    // exactness-preserving prefix filter (AllPairs/PPJoin)
+    "llm_dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 0) + 1),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+        |                                   t -> t != '') w
+        |        FROM documents)),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+        |  floor(c * 1.0e4 / (sa.n + sb.n - c) + 0.5)::BIGINT AS jaccard_r
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin,
 
     "llm_simhash" ->
       """WITH hs AS (

@@ -29,6 +29,27 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)), "pairs ordered doc_a < doc_b")
   }
 
+  test("ngram Jaccard: prefix-filtered join is EXACT vs brute-force all-pairs") {
+    val out = Dedup.ngramJaccard(docs, n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: cartesian all-pairs exact Jaccard on the same shingle sets
+    val sh = docs
+      .select(col("doc_id").cast("long").as("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("w"), 2).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val jac = inter.cast("double") /
+      (size(col("sha")) + size(col("shb")) - inter).cast("double")
+    val brute = a.crossJoin(b).where(col("doc_a") < col("doc_b")).where(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), floor(jac * 1e4 + 0.5).cast("long").as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "expected planted duplicate pairs at J >= 0.5")
+    assert(out == brute,
+      s"prefix-filtered result must be exact: missing=${brute -- out} extra=${out -- brute}")
+  }
+
   test("simhash: near-dup pairs are close in Hamming space, random pairs are not") {
     val fp = SimHash.fingerprints(docs)
     val pairs = Dedup.nearDuplicates(docs)

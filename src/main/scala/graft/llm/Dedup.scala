@@ -155,19 +155,24 @@ object Dedup {
       .select(col("doc_id"), shinglesFromTokens(col("w"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .cache()
-    OpCaches.track("dedup.ngram", Seq(sh))
 
     val exploded = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
 
-    // per-doc prefix: sort (df, g) ascending, keep sz - ceil(t*sz) + 1
-    val prefix = exploded.join(freq, "g")
+    // per-doc prefix: sort (df, g) ascending, keep sz - ceil(t*sz) + 1.
+    // Cached pre-explode (compact: one array row per doc) — it feeds BOTH
+    // sides of the candidate self-join, which would otherwise recompute the
+    // freq join + sort aggregation twice (plan-verified).
+    val prefAgg = exploded.join(freq, "g")
       .groupBy("doc_id")
       .agg(first(col("sz")).as("sz"),
         sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
       .select(col("doc_id"), col("sz"),
-        explode(slice(transform(col("ord"), x => x.getField("g")), lit(1),
-          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("g"))
+        slice(transform(col("ord"), x => x.getField("g")), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("pref"))
+      .cache()
+    OpCaches.track("dedup.ngram", Seq(sh, prefAgg))
+    val prefix = prefAgg.select(col("doc_id"), col("sz"), explode(col("pref")).as("g"))
 
     val a = prefix.alias("a")
     val b = prefix.alias("b")

@@ -282,7 +282,45 @@ object AdminQueries {
     out
   }
 
+  /** The `graft-store` DataSource V2 stream (readStream → AvailableNow →
+    * foreachBatch): phase1 drains the initial content, phase2 resumes from
+    * the same checkpoint after more ingest and must see ONLY the new rows —
+    * the catalog-cursor offset contract observable through the public
+    * Structured Streaming API (reference api/client.go:40-75 stream mode).
+    */
+  def streamSource(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    import spark.implicits._
+    ingest(e, Map("app" -> "ss"), 1000000000L, 3)
+    ingest(e, Map("app" -> "st"), 1000000000L, 2, prefix = "b")
+    val cp = s"${e.store.root}/cp"
+    def drain(): Seq[(String, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val q = spark.readStream.format("graft-store").option("root", e.store.root)
+        .load()
+        .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= df.select("part", "msg").collect()
+              .map(r => (r.getString(0), r.getString(1)))
+          }
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      buf.synchronized(buf.toSeq.sorted)
+    }
+    val p1 = drain()
+    ingest(e, Map("app" -> "ss"), 50000000000L, 2, prefix = "n")
+    val p2 = drain()
+    val out = (p1.map(r => ("phase1", r._1, r._2)) ++ p2.map(r => ("phase2", r._1, r._2)))
+      .toDF("phase", "part", "msg")
+    discard(e)
+    out
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lql_stream_source" -> (streamSource _),
     "lql_compact" -> (compaction _),
     "lql_truncate_live" -> (truncateLive _),
     "lql_delete_pipe" -> (deletePipe _),
@@ -295,6 +333,12 @@ object AdminQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lql_stream_source" ->
+      """SELECT * FROM (VALUES
+        |  ('phase1', 'app=ss', 'm0'), ('phase1', 'app=ss', 'm1'), ('phase1', 'app=ss', 'm2'),
+        |  ('phase1', 'app=st', 'b0'), ('phase1', 'app=st', 'b1'),
+        |  ('phase2', 'app=ss', 'n0'), ('phase2', 'app=ss', 'n1')
+        |) t(phase, part, msg)""".stripMargin,
     "lql_compact" ->
       """SELECT * FROM (VALUES
         |  ('before', 4::BIGINT, 20::BIGINT),

@@ -446,14 +446,14 @@ object PipeService {
     map_from_entries(concat(lFiltered, map_entries(tags)))
   }
 
-  private[streaming] def esc(s: String): String = s.flatMap {
+  private[graft] def esc(s: String): String = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
 
   /** Extract `"key":"value"` from a single-line JSON record written with
     * [[esc]]. */
-  private[streaming] def jsonStr(line: String, key: String): String = {
+  private[graft] def jsonStr(line: String, key: String): String = {
     val k = "\"" + key + "\":\""
     val st = line.indexOf(k) + k.length
     val sb = new StringBuilder

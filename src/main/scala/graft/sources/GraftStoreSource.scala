@@ -129,10 +129,12 @@ final class GraftStoreScan(root: String, from: Option[String]) extends Scan {
         * never be stranded below an advanced offset (the PipeWorker cursor
         * contract). */
       override def latestOffset(): Offset = {
-        val safe = Store.safeSeqWatermark(root)
+        val safeCache = scala.collection.mutable.HashMap.empty[String, Long]
+        def safe(part: String): Long =
+          safeCache.getOrElseUpdate(part, Store.safeSeqWatermarkFor(root, part))
         val cur = scala.collection.mutable.HashMap.empty[String, Long]
         catalog.load().foreach { e =>
-          if (e.maxSeq >= 0 && e.maxSeq <= safe && matches(e.part)) {
+          if (e.maxSeq >= 0 && e.maxSeq <= safe(e.part) && matches(e.part)) {
             val prev = cur.getOrElse(e.part, -1L)
             if (e.maxSeq > prev) cur(e.part) = e.maxSeq
           }

@@ -32,32 +32,43 @@ object Store {
   private val epochs =
     scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
 
+  /** One in-flight append: start time (for the hung-append lease) and,
+    * when the caller knows it, the exact set of target partitions. */
+  final case class InFlight(startNanos: Long, parts: Option[Set[String]] = None)
+
   /** Epochs taken by [[Store.appendWithSeq]] whose append has not returned
-    * yet (epoch → start nanoTime). A higher-epoch append can REGISTER
-    * before a still-running lower-epoch append to the same partition, so
-    * catalog registration order does not always agree with seq order;
-    * consumers that require the agreement (pipe cursors) defer entries
-    * above [[Store.safeSeqWatermark]] until the lower epochs resolve.
-    * Entries from appends that hang past [[EpochLeaseNanos]] are dropped
-    * from the watermark (documented trade: a >10-min append that later
-    * completes may be skipped by a pipe that advanced meanwhile). The
-    * watermark is store-wide — one slow append defers every pipe on the
-    * root for its duration; the refinement path at scale is tracking the
-    * target partition set per in-flight epoch so only overlapping
-    * partitions defer. */
+    * yet. A higher-epoch append can REGISTER before a still-running
+    * lower-epoch append to the same partition, so catalog registration
+    * order does not always agree with seq order; consumers that require
+    * the agreement (pipe cursors, the graft-store streaming offsets) defer
+    * entries above [[Store.safeSeqWatermarkFor]] until the lower epochs
+    * resolve. Entries from appends that hang past [[EpochLeaseNanos]] are
+    * dropped from the watermark (documented trade: a >10-min append that
+    * later completes may be skipped by a consumer that advanced
+    * meanwhile). Single-partition appends (Store.write, pipe destination
+    * appends) carry their target set, so only overlapping partitions
+    * defer — a slow bulk load stalls nothing it doesn't touch; bulk
+    * appends with unknown targets defer everything for their duration. */
   private val inFlight = scala.collection.concurrent.TrieMap
-    .empty[String, java.util.concurrent.ConcurrentHashMap[Long, Long]]
+    .empty[String, java.util.concurrent.ConcurrentHashMap[Long, InFlight]]
 
   /** Lease for hung in-flight epochs (10 min). */
   val EpochLeaseNanos: Long = 10L * 60 * 1000 * 1000 * 1000
 
-  private[graft] def inFlightFor(root: String): java.util.concurrent.ConcurrentHashMap[Long, Long] =
-    inFlight.getOrElseUpdate(root, new java.util.concurrent.ConcurrentHashMap[Long, Long])
+  private[graft] def inFlightFor(root: String): java.util.concurrent.ConcurrentHashMap[Long, InFlight] =
+    inFlight.getOrElseUpdate(root, new java.util.concurrent.ConcurrentHashMap[Long, InFlight])
 
   /** Highest seq known to be "stable" for a root: every append with a seq
     * at or below it has either registered or died unregistered. MaxValue
     * when nothing is in flight. */
-  def safeSeqWatermark(root: String): Long = {
+  def safeSeqWatermark(root: String): Long = watermark(root, None)
+
+  /** [[safeSeqWatermark]] restricted to one partition: in-flight appends
+    * that declared a target set NOT containing `part` are ignored. */
+  def safeSeqWatermarkFor(root: String, part: String): Long =
+    watermark(root, Some(part))
+
+  private def watermark(root: String, part: Option[String]): Long = {
     val m = inFlight.get(root).orNull
     if (m == null || m.isEmpty) return Long.MaxValue
     val cutoff = System.nanoTime() - EpochLeaseNanos
@@ -65,8 +76,11 @@ object Store {
     val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getValue < cutoff) it.remove() // abandoned: nothing registered
-      else if (e.getKey < minEpoch) minEpoch = e.getKey
+      val v = e.getValue
+      if (v.startNanos < cutoff) it.remove() // abandoned: nothing registered
+      else if (e.getKey < minEpoch &&
+          (part.isEmpty || v.parts.isEmpty || v.parts.get.contains(part.get)))
+        minEpoch = e.getKey
     }
     if (minEpoch == Long.MaxValue) Long.MaxValue
     else (minEpoch << SeqEpochShift) - 1
@@ -113,7 +127,8 @@ final class Store(val spark: SparkSession, val root: String) {
       df = df.withColumn("fields", map_concat_safe(shared, col("fields")))
     }
     df = df.withColumn("part", lit(line))
-    if (df.columns.contains("seq")) append(df) else appendWithSeq(df)
+    if (df.columns.contains("seq")) append(df)
+    else appendWithSeq(df, partsHint = Some(Set(line)))
   }
 
   /** Stamp a fresh `seq` on rows that already carry `part`: a dense per-part
@@ -150,11 +165,16 @@ final class Store(val spark: SparkSession, val root: String) {
     * clean — so pipe cursors can tell "registered later because nothing
     * was there" from "registered later because a lower-epoch append was
     * still running". All seq-assigning ingest paths (write, collector,
-    * pipe destinations) go through here. */
+    * pipe destinations) go through here.
+    *
+    * @param partsHint the exact target partitions when the caller knows
+    *        them (single-tag writes, pipe destinations): consumers then
+    *        defer only on those; None (path-derived/bulk targets) defers
+    *        every partition for the append's duration. */
   def appendWithSeq(rows: DataFrame, maxRecordsPerFile: Long = 0,
-      saltBuckets: Int = 1): Unit = {
+      saltBuckets: Int = 1, partsHint: Option[Set[String]] = None): Unit = {
     val epoch = epochCounter.incrementAndGet()
-    Store.inFlightFor(root).put(epoch, System.nanoTime())
+    Store.inFlightFor(root).put(epoch, Store.InFlight(System.nanoTime(), partsHint))
     try append(assignSeqEpoch(epoch, rows), maxRecordsPerFile, saltBuckets)
     finally Store.inFlightFor(root).remove(epoch)
   }

@@ -313,12 +313,15 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     // entries above the in-flight watermark are deferred: a lower-epoch
     // append to the same partition may still be running, and advancing the
     // cursor past it would lose its rows once it registers (registration
-    // order is completion order, not epoch order)
-    val safe = Store.safeSeqWatermark(store.root)
+    // order is completion order, not epoch order). The watermark is
+    // per-partition: appends that declared disjoint targets don't defer us
+    val safeCache = scala.collection.mutable.HashMap.empty[String, Long]
+    def safeFor(part: String): Long =
+      safeCache.getOrElseUpdate(part, Store.safeSeqWatermarkFor(store.root, part))
     val cand = cat.filter { e =>
       val t = tagsOf(e.part)
       !t.contains(PipeTag) && pred(t) &&   // pipes never cascade
-        e.maxSeq > cursors.getOrElse(e.part, -1L) && e.maxSeq <= safe
+        e.maxSeq > cursors.getOrElse(e.part, -1L) && e.maxSeq <= safeFor(e.part)
     }
     if (cand.isEmpty) return 0
 
@@ -360,7 +363,8 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     // fresh (part, seq) for the destination partition — appendWithSeq's
     // atomic epochs make this safe even against a concurrent foreground
     // ingest into the same partition
-    store.appendWithSeq(df.withColumn("part", lit(destLine)))
+    store.appendWithSeq(df.withColumn("part", lit(destLine)),
+      partsHint = Some(Set(destLine)))
 
     // advance + persist cursors AFTER the append (at-least-once — the
     // reference's save-after-write discipline, pkg/pipe/worker.go:73-89)

@@ -217,13 +217,19 @@ class TailForwarderSpec extends AnyFunSuite {
       .withColumn("part", org.apache.spark.sql.functions.lit("app=inv")))
     val epoch = dummy.agg(org.apache.spark.sql.functions.max("seq"))
       .head.getLong(0) >> Store.SeqEpochShift
-    Store.inFlightFor(store.root).put(epoch, System.nanoTime())
+    Store.inFlightFor(store.root).put(epoch, Store.InFlight(System.nanoTime()))
     // a LATER append registers first (completion order != epoch order)
     ingest(e, Map("app" -> "inv"), 50000000000L, 2, "b-")
     val w = pipes.worker("inv").get
     assert(w.trigger() == 0,
       "entries above the watermark must be deferred, not processed")
-    // lower-epoch append resolves → the deferred entries drain, no loss
+    // an in-flight append that declared DISJOINT target partitions must
+    // not defer this pipe: swap the global pin for a hinted one
+    Store.inFlightFor(store.root).put(epoch,
+      Store.InFlight(System.nanoTime(), Some(Set("app=other"))))
+    assert(w.trigger() > 0,
+      "a disjoint-partition in-flight append must not defer the pipe")
+    // lower-epoch append resolves → nothing further to drain, no loss
     Store.inFlightFor(store.root).remove(epoch)
     pipes.processAllAvailable()
     pipes.stopAll()

@@ -1,0 +1,115 @@
+package graft
+
+import graft.store.Store
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Watermarked event-time aggregation and gap-sessionization over a
+  * graft-store stream: append-mode rows must emit exactly once (when the
+  * watermark closes the window/session), survive checkpointed resume, and
+  * never include still-open state.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshStore(): Store =
+    new Store(spark, Files.createTempDirectory("graft-sops").toString)
+
+  private def ingest(store: Store, tags: Map[String, String], user: String,
+      tsSeconds: Seq[Long]): Unit = {
+    import spark.implicits._
+    store.write(tags, Map("user" -> user),
+      tsSeconds.map(s => (s * 1000000000L, s"m$s")).toDF("ts", "msg"))
+  }
+
+  private def stream(store: Store): DataFrame =
+    spark.readStream.format("graft-store").option("root", store.root).load()
+
+  /** Run AvailableNow drains (each sees the watermark advanced by the
+    * previous) until one produces no output, collecting everything. */
+  private def drainAll[T](checkpoint: String, out: DataFrame => Seq[T]): Seq[T] = {
+    val all = scala.collection.mutable.ArrayBuffer.empty[T]
+    var rounds = 0
+    var last = -1
+    while (rounds < 4 && last != 0) {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+      val q = all.synchronized { // DataFrame var capture
+        null
+      }
+      rounds += 1
+      last = {
+        val got = scala.collection.mutable.ArrayBuffer.empty[T]
+        val query = pending.writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+          got.synchronized(got ++= out(df)); ()
+        }.option("checkpointLocation", checkpoint)
+          .trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination(60000)
+        all ++= got
+        got.size
+      }
+    }
+    all.toSeq
+  }
+
+  private var pending: DataFrame = _
+
+  test("windowedCounts: batch semantics + streaming append emits each window once") {
+    val store = freshStore()
+    // window = 1 hour; phase 1 fills [0h,1h) for two partitions
+    ingest(store, Map("app" -> "w1"), "u", Seq(100, 101, 102))
+    ingest(store, Map("app" -> "w2"), "u", Seq(50))
+
+    // batch mode: same code path, watermark is a no-op, all windows emitted
+    val batch = StreamOps.windowedCounts(
+      spark.read.format("graft-store").option("root", store.root).load(),
+      "1 hour", "5 seconds")
+      .select(col("part"), col("records")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batch == Set(("app=w1", 3L), ("app=w2", 1L)))
+
+    // streaming append mode: the [0,1h) windows emit only after the
+    // watermark passes 1h — i.e. once the phase-2 append lands
+    val cp = Files.createTempDirectory("graft-sops-cp").toString
+    pending = StreamOps.windowedCounts(stream(store), "1 hour", "5 seconds")
+    val p1 = drainAll[(String, Long)](cp,
+      df => df.collect().map(r => (r.getString(1), r.getLong(2))).toSeq)
+    assert(p1.isEmpty, s"no window is closed yet: $p1")
+
+    ingest(store, Map("app" -> "w1"), "u", Seq(7300)) // 2h+: closes [0,1h)
+    val p2 = drainAll[(String, Long)](cp,
+      df => df.collect().map(r => (r.getString(1), r.getLong(2))).toSeq)
+    assert(p2.toSet == Set(("app=w1", 3L), ("app=w2", 1L)),
+      s"exactly the closed [0,1h) windows, each once: $p2")
+  }
+
+  test("sessionize: gap-closed sessions emit exactly once, open state never leaks") {
+    val store = freshStore()
+    ingest(store, Map("app" -> "s"), "u1", Seq(100, 101, 102))
+    ingest(store, Map("app" -> "s"), "u2", Seq(100))
+    val cp = Files.createTempDirectory("graft-sops-cp").toString
+    def drainSessions(): Seq[(String, Long, Long, Long)] = {
+      pending = StreamOps.sessionize(stream(store), "user",
+        gapSeconds = 10, watermarkDelay = "5 seconds").toDF()
+      drainAll[(String, Long, Long, Long)](cp,
+        df => df.collect().map(r => (r.getString(1),
+          r.getLong(2) / 1000000000L, r.getLong(3) / 1000000000L, r.getLong(4))).toSeq)
+    }
+    val p1 = drainSessions()
+    assert(p1.isEmpty, s"nothing past watermark+gap yet: $p1")
+
+    // u1's second burst starts a new session in-batch (gap exceeded), so
+    // the first closes immediately; u2's closes by event-time timeout once
+    // the watermark passes 100+gap
+    ingest(store, Map("app" -> "s"), "u1", Seq(200, 203))
+    val p2 = drainSessions()
+    assert(p2.toSet == Set(("u1", 100L, 102L, 3L), ("u2", 100L, 100L, 1L)),
+      s"both phase-1 sessions closed exactly once: $p2")
+    assert(!p2.exists(_._2 == 200L), "the open session (200..203) must not emit")
+  }
+}

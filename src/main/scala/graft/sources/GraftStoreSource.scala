@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -120,31 +120,89 @@ final class GraftStoreScan(root: String, from: Option[String]) extends Scan {
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
+    new MicroBatchStream with SupportsTriggerAvailableNow {
+
+      /** End offset pinned at Trigger.AvailableNow start. Without this
+        * contract Spark falls back to single-batch Trigger.Once semantics,
+        * which never runs the trailing no-data batch — so watermark-gated
+        * append output (windows, sessions) would not flush until the NEXT
+        * run's data batch. */
+      private var availableNowEnd: Option[Offset] = None
+      override def prepareForTriggerAvailableNow(): Unit =
+        availableNowEnd = Some(computeLatestOffset())
+
+      /** Highest cursor ever handed out (or replayed from a checkpoint)
+        * per partition in this run. latestOffset max-merges into this, so
+        * a cursor can never regress or drop out of the offset even when a
+        * compaction merges a consumed file with a deferred higher-epoch
+        * one while a lower-epoch append is in flight (which would
+        * otherwise hide the partition behind the safe-seq watermark for a
+        * trigger and re-emit consumed rows once it resolved). */
+      private val floor = scala.collection.mutable.HashMap.empty[String, Long]
+      private def raiseFloor(cursors: Map[String, Long]): Unit =
+        floor.synchronized {
+          cursors.foreach { case (p, s) =>
+            if (s > floor.getOrElse(p, Long.MinValue)) floor(p) = s
+          }
+        }
 
       override def initialOffset(): Offset = GraftOffset(Map.empty)
 
       /** New data = catalog entries above the committed cursors, capped at
         * the safe seq watermark so a still-running lower-epoch append can
         * never be stranded below an advanced offset (the PipeWorker cursor
-        * contract). */
-      override def latestOffset(): Offset = {
+        * contract), and floored at every cursor previously handed out so
+        * offsets are monotonic per partition. */
+      override def latestOffset(): Offset =
+        availableNowEnd.getOrElse(computeLatestOffset())
+
+      /** Admission-control form: max-merged with `start`, so a cursor can
+        * never regress below the last committed offset even across a
+        * restart (the floor map alone only covers this run). ReadLimit is
+        * ignored — a trigger always admits up to the safe watermark. */
+      override def latestOffset(start: Offset,
+          limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+        val latest = latestOffset().asInstanceOf[GraftOffset].cursors
+        val base = start.asInstanceOf[GraftOffset].cursors
+        val merged = (latest.keySet ++ base.keySet).iterator.map { p =>
+          p -> math.max(latest.getOrElse(p, Long.MinValue),
+            base.getOrElse(p, Long.MinValue))
+        }.toMap
+        GraftOffset(merged)
+      }
+
+      private def computeLatestOffset(): Offset = {
         val safeCache = scala.collection.mutable.HashMap.empty[String, Long]
         def safe(part: String): Long =
           safeCache.getOrElseUpdate(part, Store.safeSeqWatermarkFor(root, part))
         val cur = scala.collection.mutable.HashMap.empty[String, Long]
         catalog.load().foreach { e =>
-          if (e.maxSeq >= 0 && e.maxSeq <= safe(e.part) && matches(e.part)) {
-            val prev = cur.getOrElse(e.part, -1L)
-            if (e.maxSeq > prev) cur(e.part) = e.maxSeq
+          if (matches(e.part)) {
+            if (e.maxSeq < 0)
+              throw LqlException(s"graft-store: catalog entry ${e.file} has no " +
+                "footer seq; seq-less files cannot be streamed (rebuild the " +
+                "store, or read it in batch mode)")
+            if (e.maxSeq <= safe(e.part)) {
+              val prev = cur.getOrElse(e.part, -1L)
+              if (e.maxSeq > prev) cur(e.part) = e.maxSeq
+            }
           }
         }
-        GraftOffset(cur.toMap)
+        floor.synchronized {
+          floor.foreach { case (p, s) =>
+            if (s > cur.getOrElse(p, Long.MinValue)) cur(p) = s
+          }
+        }
+        val off = GraftOffset(cur.toMap)
+        raiseFloor(off.cursors)
+        off
       }
 
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
         val lo = start.asInstanceOf[GraftOffset].cursors
         val hi = end.asInstanceOf[GraftOffset].cursors
+        // a replayed checkpoint range is also a floor (restart path)
+        raiseFloor(lo); raiseFloor(hi)
         catalog.load().iterator.flatMap { e =>
           val l = lo.getOrElse(e.part, -1L)
           val h = hi.getOrElse(e.part, -1L)
@@ -159,8 +217,13 @@ final class GraftStoreScan(root: String, from: Option[String]) extends Scan {
       override def createReaderFactory(): PartitionReaderFactory =
         GraftReaderFactory(new SerializableHadoopConf(hadoopConf))
 
-      override def deserializeOffset(json: String): Offset = GraftOffset.fromJson(json)
-      override def commit(end: Offset): Unit = ()
+      override def deserializeOffset(json: String): Offset = {
+        val off = GraftOffset.fromJson(json)
+        raiseFloor(off.cursors)
+        off
+      }
+      override def commit(end: Offset): Unit =
+        raiseFloor(end.asInstanceOf[GraftOffset].cursors)
       override def stop(): Unit = ()
     }
 }
@@ -174,18 +237,38 @@ final case class GraftOffset(cursors: Map[String, Long]) extends Offset {
 }
 
 object GraftOffset {
+  /** Quote-aware parse of `[{"part":"...","seq":N},...]` as written by
+    * [[GraftOffset.json]]: object boundaries are found by scanning with
+    * in-string state (PipeService.esc escapes `"` and `\`, so a `}` / `,`
+    * inside a part value — e.g. a Go-quoted tag containing "},{" — never
+    * splits an entry), and `seq` is read after the part string ends, not
+    * via lastIndexOf. */
   def fromJson(json: String): GraftOffset = {
-    // entries are flat {"part":"...","seq":N} objects — split on "},{"
-    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (body.isEmpty) return GraftOffset(Map.empty)
-    val entries = body.split("\\},\\s*\\{").toSeq.map { raw =>
-      val line = (if (raw.startsWith("{")) "" else "{") + raw +
-        (if (raw.endsWith("}")) "" else "}")
-      val seq = line.substring(line.lastIndexOf(':') + 1)
-        .takeWhile(c => c.isDigit || c == '-').toLong
-      PipeService.jsonStr(line, "part") -> seq
+    val entries = Map.newBuilder[String, Long]
+    var i = 0
+    var inStr = false
+    var objStart = -1
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => objStart = i
+        case '}' if objStart >= 0 =>
+          val obj = json.substring(objStart, i + 1)
+          val seqKey = obj.lastIndexOf("\"seq\":")
+          if (seqKey < 0)
+            throw LqlException(s"graft-store: bad offset entry: $obj")
+          val digits = obj.substring(seqKey + 6).takeWhile(ch => ch.isDigit || ch == '-')
+          entries += PipeService.jsonStr(obj, "part") -> digits.toLong
+          objStart = -1
+        case _ => ()
+      }
+      i += 1
     }
-    GraftOffset(entries.toMap)
+    GraftOffset(entries.result())
   }
 }
 

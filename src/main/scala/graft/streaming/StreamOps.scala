@@ -44,14 +44,23 @@ object StreamOps {
   final case class Session(part: String, key: String, startTs: Long,
       endTs: Long, events: Long)
 
-  private final case class SessionState(startTs: Long, endTs: Long, events: Long)
+  /** Keyed state: the key's open sessions as (startTs, endTs, events)
+    * triples, sorted by startTs and pairwise separated by more than the
+    * gap. A session stays buffered here — even when a later in-batch burst
+    * has already "closed" it in event order — until the WATERMARK passes
+    * its end + gap, so an out-of-order event above the watermark can still
+    * extend it (or bridge two buffered sessions into one). */
+  private[streaming] final case class SessionState(sessions: List[(Long, Long, Long)])
 
   /** Gap-based sessionization keyed by (part, fields[keyField]) via
-    * flatMapGroupsWithState with an event-time timeout: a session closes
-    * (and is emitted, exactly once) when the watermark passes its last
-    * event plus the gap. The reference has no session concept; this is the
-    * "custom keyed state" seam a training-data/observability pipeline
-    * needs (user activity spans, crawl visits, transcript turns).
+    * flatMapGroupsWithState with an event-time timeout: a session is
+    * emitted exactly once, when the watermark passes its last event plus
+    * the gap — never earlier, so cross-batch out-of-order events (above
+    * the watermark) land in the right session, including ones BEFORE a
+    * buffered session's start (min-merged). The reference has no session
+    * concept; this is the "custom keyed state" seam a
+    * training-data/observability pipeline needs (user activity spans,
+    * crawl visits, transcript turns).
     *
     * Events with ts at or below the watermark (late beyond the delay) are
     * dropped by the watermark, so state never resurrects a closed session.
@@ -61,6 +70,36 @@ object StreamOps {
     val spark = events.sparkSession
     import spark.implicits._
     val gapNs = gapSeconds * 1000000000L
+    val gapMs = gapSeconds * 1000L
+
+    // sorted singletons+state → disjoint sessions (> gap apart)
+    def merge(sorted: List[(Long, Long, Long)]): List[(Long, Long, Long)] =
+      sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((s0, e0, n0) :: rest, (s1, e1, n1)) if s1 - e0 <= gapNs =>
+          (s0, math.max(e0, e1), n0 + n1) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+
+    def onGroup(key: (String, String),
+        rows: Iterator[(String, String, Long, java.sql.Timestamp)],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      def closeAtMs(s: (Long, Long, Long)): Long = s._2 / 1000000L + gapMs
+      val prior = state.getOption.map(_.sessions).getOrElse(Nil)
+      val sessions =
+        if (state.hasTimedOut) prior
+        else merge((prior ++ rows.map(r => (r._3, r._3, 1L))).sortBy(_._1))
+      // disjointness (> gap apart) means no future event above the
+      // watermark can reach a session whose end+gap the watermark passed
+      val (closed, open) = sessions.partition(closeAtMs(_) <= wmMs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionState(open))
+        state.setTimeoutTimestamp(math.max(open.map(closeAtMs).min, wmMs + 1L))
+      }
+      closed.iterator.map { case (st, en, n) => Session(key._1, key._2, st, en, n) }
+    }
+
     events
       .withColumn("event_time", eventTime(col("ts")))
       .withWatermark("event_time", watermarkDelay)
@@ -68,37 +107,7 @@ object StreamOps {
         .as("key"), col("ts"), col("event_time"))
       .as[(String, String, Long, java.sql.Timestamp)]
       .groupByKey { case (part, key, _, _) => (part, key) }
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        case ((part, key), rows, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed lastTs + gap: the session is closed
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(part, key, s.startTs, s.endTs, s.events))
-          } else {
-            // fold the batch's events into (possibly several) sessions;
-            // emit every session closed WITHIN the batch, keep the last open
-            val sorted = rows.map(r => r._3).toArray.sorted
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { ts =>
-              cur match {
-                case Some(s) if ts - s.endTs <= gapNs =>
-                  cur = Some(SessionState(s.startTs, math.max(s.endTs, ts), s.events + 1))
-                case Some(s) =>
-                  closed ::= Session(part, key, s.startTs, s.endTs, s.events)
-                  cur = Some(SessionState(ts, ts, 1))
-                case None =>
-                  cur = Some(SessionState(ts, ts, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // close when the WATERMARK (not wall clock) passes end + gap
-              state.setTimeoutTimestamp(s.endTs / 1000000L + gapSeconds * 1000L)
-            }
-            closed.reverseIterator
-          }
-      }
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(onGroup _)
   }
 }

@@ -31,21 +31,18 @@ class StreamOpsSpec extends AnyFunSuite {
   private def stream(store: Store): DataFrame =
     spark.readStream.format("graft-store").option("root", store.root).load()
 
-  /** Run AvailableNow drains (each sees the watermark advanced by the
-    * previous) until one produces no output, collecting everything. */
-  private def drainAll[T](checkpoint: String, out: DataFrame => Seq[T]): Seq[T] = {
+  /** Run AvailableNow drains of `src` (each sees the watermark advanced by
+    * the previous) until one produces no output, collecting everything. */
+  private def drainAll[T](src: DataFrame, checkpoint: String,
+      out: DataFrame => Seq[T]): Seq[T] = {
     val all = scala.collection.mutable.ArrayBuffer.empty[T]
     var rounds = 0
     var last = -1
     while (rounds < 4 && last != 0) {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[T]
-      val q = all.synchronized { // DataFrame var capture
-        null
-      }
       rounds += 1
       last = {
         val got = scala.collection.mutable.ArrayBuffer.empty[T]
-        val query = pending.writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+        val query = src.writeStream.foreachBatch { (df: DataFrame, _: Long) =>
           got.synchronized(got ++= out(df)); ()
         }.option("checkpointLocation", checkpoint)
           .trigger(Trigger.AvailableNow()).start()
@@ -56,8 +53,6 @@ class StreamOpsSpec extends AnyFunSuite {
     }
     all.toSeq
   }
-
-  private var pending: DataFrame = _
 
   test("windowedCounts: batch semantics + streaming append emits each window once") {
     val store = freshStore()
@@ -76,13 +71,14 @@ class StreamOpsSpec extends AnyFunSuite {
     // streaming append mode: the [0,1h) windows emit only after the
     // watermark passes 1h — i.e. once the phase-2 append lands
     val cp = Files.createTempDirectory("graft-sops-cp").toString
-    pending = StreamOps.windowedCounts(stream(store), "1 hour", "5 seconds")
-    val p1 = drainAll[(String, Long)](cp,
+    def windows(): DataFrame =
+      StreamOps.windowedCounts(stream(store), "1 hour", "5 seconds")
+    val p1 = drainAll[(String, Long)](windows(), cp,
       df => df.collect().map(r => (r.getString(1), r.getLong(2))).toSeq)
     assert(p1.isEmpty, s"no window is closed yet: $p1")
 
     ingest(store, Map("app" -> "w1"), "u", Seq(7300)) // 2h+: closes [0,1h)
-    val p2 = drainAll[(String, Long)](cp,
+    val p2 = drainAll[(String, Long)](windows(), cp,
       df => df.collect().map(r => (r.getString(1), r.getLong(2))).toSeq)
     assert(p2.toSet == Set(("app=w1", 3L), ("app=w2", 1L)),
       s"exactly the closed [0,1h) windows, each once: $p2")
@@ -93,13 +89,12 @@ class StreamOpsSpec extends AnyFunSuite {
     ingest(store, Map("app" -> "s"), "u1", Seq(100, 101, 102))
     ingest(store, Map("app" -> "s"), "u2", Seq(100))
     val cp = Files.createTempDirectory("graft-sops-cp").toString
-    def drainSessions(): Seq[(String, Long, Long, Long)] = {
-      pending = StreamOps.sessionize(stream(store), "user",
-        gapSeconds = 10, watermarkDelay = "5 seconds").toDF()
-      drainAll[(String, Long, Long, Long)](cp,
+    def drainSessions(): Seq[(String, Long, Long, Long)] =
+      drainAll[(String, Long, Long, Long)](
+        StreamOps.sessionize(stream(store), "user",
+          gapSeconds = 10, watermarkDelay = "5 seconds").toDF(), cp,
         df => df.collect().map(r => (r.getString(1),
           r.getLong(2) / 1000000000L, r.getLong(3) / 1000000000L, r.getLong(4))).toSeq)
-    }
     val p1 = drainSessions()
     assert(p1.isEmpty, s"nothing past watermark+gap yet: $p1")
 

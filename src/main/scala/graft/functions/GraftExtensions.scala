@@ -58,6 +58,13 @@ object GraftExtensions {
           intLit(args(1), "graft_minhash_band_keys", "bands"),
           intLit(args(2), "graft_minhash_band_keys", "rowsPerBand"))
       }),
+    (FunctionIdentifier("graft_sorted_intersect_count"),
+      info("graft_sorted_intersect_count",
+        "graft_sorted_intersect_count(a, b) - intersection size of two SORTED string arrays by merge walk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_sorted_intersect_count takes 2 arguments, got ${args.length}")
+        SortedIntersectCount(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_simhash_fold"),
       info("graft_simhash_fold",
         "graft_simhash_fold(hashes, bits) - simhash bit-majority fold over an array of token hashes"),

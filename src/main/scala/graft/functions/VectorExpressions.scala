@@ -219,10 +219,94 @@ case class SimHashFold(child: Expression, bits: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Intersection size of two SORTED string arrays (ascending, the
+  * `sort_array` binary order) by a single merge walk — O(|a|+|b|)
+  * UTF8String comparisons per row, no per-row hash table.
+  *
+  * Why an Expression and not `size(array_intersect(a, b))`: ArrayIntersect
+  * builds a hash set of one side per ROW and materializes the intersection
+  * array just to take its length. In set-similarity verification (the
+  * ngram-Jaccard dedup path) this runs once per candidate pair — millions
+  * of rows whose only needed output is the COUNT. The merge walk does the
+  * count directly and inlines into whole-stage codegen.
+  *
+  * Null elements (sorted first by sort_array asc) are skipped — set
+  * semantics over non-null members, matching what array_intersect-based
+  * Jaccard produced for shingle arrays (which never contain null).
+  * Inputs MUST be sorted ascending; unsorted inputs undercount.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects array<string>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && x.isNullAt(i)) i += 1
+    while (j < ny && y.isNullAt(j)) j += 1
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $a.isNullAt($i)) $i++;
+         |while ($j < $ny && $b.isNullAt($j)) $j++;
+         |while ($i < $nx && $j < $ny) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API: `dot_product(a, b)` in double, left-to-right. */
   def dot_product(a: Column, b: Column): Column =
     GraftColumn.of(DotProduct(GraftColumn.exprOf(a), GraftColumn.exprOf(b)))
+
+  /** Column API: intersection count of two sorted string arrays. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftColumn.of(SortedIntersectCount(GraftColumn.exprOf(a), GraftColumn.exprOf(b)))
 
   /** Column API: simhash bit-majority fold of an array<long>. */
   def simhash_fold(hashes: Column, bits: Int): Column =

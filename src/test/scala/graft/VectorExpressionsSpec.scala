@@ -94,4 +94,25 @@ class VectorExpressionsSpec extends AnyFunSuite {
       lit(0.0), (acc, x) => acc + x).as("d")).collect().map(_.getDouble(0)).toSeq
     assert(viaExpr == viaHof)
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      def set() = (0 until rnd.nextInt(40))
+        .map(_ => s"w${rnd.nextInt(30)} w${rnd.nextInt(30)}").distinct.sorted.toArray
+      (set(), set())
+    } :+ ((Array.empty[String], Array("a b"))) :+ ((Array("a b"), Array.empty[String]))
+    val df = rows.toDF("a", "b")
+    val native = df.select(
+      graft.functions.VectorExpressions.sorted_intersect_count(col("a"), col("b")).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    val builtin = df.select(size(array_intersect(col("a"), col("b"))).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(native == builtin)
+    // SQL registration path
+    graft.functions.GraftExtensions.install(spark)
+    val viaSql = df.selectExpr("graft_sorted_intersect_count(a, b) as c")
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaSql == builtin)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdminQueries, Analytics, LlmQueries, LqlQueries}
+import graft.queries.{AdminQueries, Analytics, LlmQueries, LqlQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
 
   /** One entry per implemented operator. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    LqlQueries.entries ++ AdminQueries.entries ++ LlmQueries.entries ++ Map(
+    LqlQueries.entries ++ AdminQueries.entries ++ LlmQueries.entries ++
+      StreamQueries.entries ++ Map(
       "q1_agg" -> (Analytics.q1Agg _),
       "q2_topk" -> (Analytics.q2Topk _),
       "q3_join5" -> (Analytics.q3Join5 _),
@@ -34,5 +35,6 @@ object SparkEntry {
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] =
-    LqlQueries.oracles ++ AdminQueries.oracles ++ LlmQueries.oracles ++ Analytics.oracles
+    LqlQueries.oracles ++ AdminQueries.oracles ++ LlmQueries.oracles ++
+      StreamQueries.oracles ++ Analytics.oracles
 }

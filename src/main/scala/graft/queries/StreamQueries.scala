@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.store.EventStore
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated entries for the streaming analytics layer, run in BATCH
+  * mode over the LogEvent store (Spark's unified semantics: the same
+  * [[StreamOps]] calls power `readStream` pipelines; StreamOpsSpec pins
+  * the streaming/watermark behavior, these entries pin the RESULTS
+  * against DuckDB).
+  *
+  * Both entries µs-align `ts` first (`ts div 1000 * 1000`): the raw
+  * store carries full int64 nanos, but DuckDB's parquet reader truncates
+  * ns timestamps to µs, so gap/window decisions must be made at the
+  * precision BOTH engines can see (presentation-side only — the
+  * operators themselves take full-precision input in production).
+  */
+object StreamQueries {
+
+  /** Batch DataFrame over the events LogEvent store through the public
+    * `graft-store` DataSource V2 connector (also exercising its batch
+    * catalog-exact planning). */
+  private def storeDf(spark: SparkSession, dir: String): DataFrame = {
+    EventStore.engine(spark, dir) // ensure the store is built
+    spark.read.format("graft-store")
+      .option("root", EventStore.storeRoot(dir)).load()
+  }
+
+  private def usAligned(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("ts div 1000 * 1000"))
+
+  /** Tumbling 1-hour event-time counts per partition. */
+  def windowCounts(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.windowedCounts(usAligned(storeDf(spark, dir)), "1 hour", "5 seconds")
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("part"), col("records"))
+
+  /** Gap-based sessions (1-hour idle timeout) keyed by the `user` field. */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionize(usAligned(storeDf(spark, dir)), "user",
+      gapSeconds = 3600, watermarkDelay = "1 hour").toDF()
+      .select(col("part"), col("key"),
+        expr("startTs div 1000").as("start_us"),
+        expr("endTs div 1000").as("end_us"), col("events"))
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_counts" -> (windowCounts _),
+    "stream_sessions" -> (sessions _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_counts" ->
+      s"""${EventStore.oracleCte}
+         |SELECT (epoch_us(ts_raw) // 3600000000) * 3600000000 AS window_start_us,
+         |  tags AS part, count(*) AS records
+         |FROM le GROUP BY 1, 2""".stripMargin,
+    "stream_sessions" ->
+      s"""${EventStore.oracleCte},
+         |b AS (
+         |  SELECT tags AS part, CAST(user_id AS VARCHAR) AS key,
+         |    epoch_us(ts_raw) AS tus,
+         |    CASE WHEN epoch_us(ts_raw) - lag(epoch_us(ts_raw)) OVER
+         |      (PARTITION BY tags, user_id ORDER BY ts_raw, seq) > 3600000000
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM le
+         |), s AS (
+         |  SELECT part, key, tus,
+         |    sum(brk) OVER (PARTITION BY part, key ORDER BY tus) AS sid
+         |  FROM b
+         |)
+         |SELECT part, key, min(tus) AS start_us, max(tus) AS end_us,
+         |  count(*) AS events
+         |FROM s GROUP BY part, key, sid""".stripMargin
+  )
+}

@@ -52,18 +52,27 @@ object StreamOps {
     * extend it (or bridge two buffered sessions into one). */
   private[streaming] final case class SessionState(sessions: List[(Long, Long, Long)])
 
-  /** Gap-based sessionization keyed by (part, fields[keyField]) via
-    * flatMapGroupsWithState with an event-time timeout: a session is
-    * emitted exactly once, when the watermark passes its last event plus
-    * the gap — never earlier, so cross-batch out-of-order events (above
-    * the watermark) land in the right session, including ones BEFORE a
-    * buffered session's start (min-merged). The reference has no session
-    * concept; this is the "custom keyed state" seam a
-    * training-data/observability pipeline needs (user activity spans,
-    * crawl visits, transcript turns).
+  /** Gap-based sessionization keyed by (part, fields[keyField]), with
+    * UNIFIED batch/stream semantics: the same call yields the same
+    * sessions whether `events` is a stream or a batch DataFrame.
     *
-    * Events with ts at or below the watermark (late beyond the delay) are
-    * dropped by the watermark, so state never resurrects a closed session.
+    * Streaming: flatMapGroupsWithState with an event-time timeout — a
+    * session is emitted exactly once, when the watermark passes its last
+    * event plus the gap, never earlier, so cross-batch out-of-order
+    * events (above the watermark) land in the right session, including
+    * ones BEFORE a buffered session's start (min-merged). Events at or
+    * below the watermark (late beyond the delay) are dropped by the
+    * watermark, so state never resurrects a closed session.
+    *
+    * Batch: the relational form — a window-function break/cumsum per
+    * (part, key) ordered by ts, then one aggregation per session. The
+    * groupBy reuses the window's (part, key) hash partitioning (a
+    * superset-key clustering), so the whole operator is ONE shuffle plus
+    * the per-key sort; state never materializes.
+    *
+    * The reference has no session concept; this is the "custom keyed
+    * state" seam a training-data/observability pipeline needs (user
+    * activity spans, crawl visits, transcript turns).
     */
   def sessionize(events: DataFrame, keyField: String, gapSeconds: Long,
       watermarkDelay: String): Dataset[Session] = {
@@ -71,6 +80,26 @@ object StreamOps {
     import spark.implicits._
     val gapNs = gapSeconds * 1000000000L
     val gapMs = gapSeconds * 1000L
+
+    if (!events.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("part"), col("key")).orderBy(col("ts"))
+      val brk = when(col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L)
+        .otherwise(0L)
+      return events
+        .select(col("part"),
+          coalesce(element_at(col("fields"), keyField), lit("")).as("key"),
+          col("ts"))
+        // default RANGE frame: ts-tied peers share one cumsum value, so
+        // equal-ts events land in the same session no matter the tie order
+        .withColumn("sid", sum(brk).over(w))
+        .groupBy(col("part"), col("key"), col("sid"))
+        .agg(min("ts").as("startTs"), max("ts").as("endTs"),
+          count(lit(1)).as("events"))
+        .select(col("part"), col("key"), col("startTs"), col("endTs"),
+          col("events"))
+        .as[Session]
+    }
 
     // sorted singletons+state → disjoint sessions (> gap apart)
     def merge(sorted: List[(Long, Long, Long)]): List[(Long, Long, Long)] =

@@ -84,6 +84,20 @@ class StreamOpsSpec extends AnyFunSuite {
       s"exactly the closed [0,1h) windows, each once: $p2")
   }
 
+  test("sessionize: batch path gives the same sessions the stream closes") {
+    val store = freshStore()
+    // u1: two sessions (gap 10s exceeded between 102 and 200); u2: one
+    ingest(store, Map("app" -> "s"), "u1", Seq(100, 101, 102, 200, 203))
+    ingest(store, Map("app" -> "s"), "u2", Seq(100))
+    val batch = StreamOps.sessionize(
+      spark.read.format("graft-store").option("root", store.root).load(),
+      "user", gapSeconds = 10, watermarkDelay = "5 seconds")
+      .collect().map(s => (s.key, s.startTs / 1000000000L,
+        s.endTs / 1000000000L, s.events)).toSet
+    assert(batch == Set(("u1", 100L, 102L, 3L), ("u1", 200L, 203L, 2L),
+      ("u2", 100L, 100L, 1L)))
+  }
+
   test("sessionize: gap-closed sessions emit exactly once, open state never leaks") {
     val store = freshStore()
     ingest(store, Map("app" -> "s"), "u1", Seq(100, 101, 102))

@@ -85,11 +85,14 @@ object Dedup {
     //    spills rather than OOMs (same role as a checkpoint in a
     //    production LSH pipeline).
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // sorted shingle sets: band keys are min-reductions (order-blind) and
+    // verification becomes a codegen'd merge walk instead of a per-row
+    // hash set
     val sh = docs
       .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
       .where(size(col("w")) >= 3)
       .repartition(par, col("doc_id"))
-      .select(col("doc_id"), shinglesFromTokens(col("w")).as("sh"))
+      .select(col("doc_id"), sort_array(shinglesFromTokens(col("w"))).as("sh"))
       .cache()
 
     // band key = hash of the band's r minhash slots — ONE native-expression
@@ -111,11 +114,16 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+      // candidate pairs are tiny in bytes but heavy in per-row verify CPU;
+      // AQE's byte-based sizing would give the verify stage ~bytes/1MB
+      // tasks, so pin the exchange to full width
+      .repartition(par, col("doc_a"), col("doc_b"))
 
     val withSh = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-    val inter = size(array_intersect(col("sha"), col("shb")))
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_count(col("sha"), col("shb"))
     val jac = inter.cast("double") /
       (size(col("sha")) + size(col("shb")) - inter).cast("double")
     withSh.where(jac >= threshold)

@@ -92,7 +92,12 @@ object Similarity {
     // empty input short-circuits inside nearDupCandidates (one dim probe,
     // not two); an empty candidate table flows through the joins and the
     // verify kernel to an empty (vec_a, vec_b, score_r) result
+    val par = spark.sparkContext.defaultParallelism
+    // candidate id pairs are tiny in bytes but the verify kernel is ~200
+    // flops per row; pin the exchange wide so AQE's byte-based sizing
+    // cannot fold the verification into a handful of tasks
     val cand = nearDupCandidates(emb, bands, rowsPerBand, seed)
+      .repartition(par, col("vec_a"), col("vec_b"))
     // 3. rejoin vectors and verify exactly
     val ea = emb.select(col("vec_id").cast("long").as("vec_a"), col("embedding").as("va"))
     val eb = emb.select(col("vec_id").cast("long").as("vec_b"), col("embedding").as("vb"))

@@ -10,6 +10,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -80,10 +81,74 @@ final class GraftStoreTable(root: String, from: Option[String])
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftStoreScan(root, from)
+    new GraftStoreScanBuilder(root, from)
 }
 
-final class GraftStoreScan(root: String, from: Option[String]) extends Scan {
+/** Pushdown seams of the connector — the public-API twin of what the LQL
+  * engine does natively (catalog footer stats replacing the reference's
+  * tmindex, reference pkg/tmindex/ckindex.go):
+  *
+  *  - column pruning: only requested columns are decoded; the pruned
+  *    schema reaches the parquet reader as a projection, so unneeded
+  *    column chunks (msg bytes dominate) are never read;
+  *  - `ts` range filters prune whole FILES driver-side against the
+  *    catalog's per-chunk [minTs, maxTs] — at 100 TB a dashboard's
+  *    "last hour" query plans only the chunks overlapping the hour —
+  *    and the surviving files get a parquet record filter whose
+  *    row-group/page statistics skip within the file;
+  *  - `part` equality/IN prunes partitions driver-side (same effect as
+  *    the `from` option, but reachable from a plain `.where`).
+  *
+  * Every filter is also RE-APPLIED by Spark (pushFilters returns all of
+  * them as residual), so pushdown can only skip data the predicate
+  * excludes — never change results.
+  */
+final class GraftStoreScanBuilder(root: String, from: Option[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = Model.schema
+  private var tsLo = Long.MinValue
+  private var tsHi = Long.MaxValue
+  private var partsEq: Option[Set[String]] = None
+  private var pushed = Array.empty[org.apache.spark.sql.sources.Filter]
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val accepted = filters.filter {
+      case GreaterThan("ts", v: Long) =>
+        if (v < Long.MaxValue) tsLo = math.max(tsLo, v + 1); true
+      case GreaterThanOrEqual("ts", v: Long) => tsLo = math.max(tsLo, v); true
+      case LessThan("ts", v: Long) =>
+        if (v > Long.MinValue) tsHi = math.min(tsHi, v - 1); true
+      case LessThanOrEqual("ts", v: Long) => tsHi = math.min(tsHi, v); true
+      case EqualTo("ts", v: Long) =>
+        tsLo = math.max(tsLo, v); tsHi = math.min(tsHi, v); true
+      case EqualTo("part", v: String) =>
+        partsEq = Some(partsEq.fold(Set(v))(_.intersect(Set(v)))); true
+      case In("part", vs) if vs.forall(_.isInstanceOf[String]) =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        partsEq = Some(partsEq.fold(s)(_.intersect(s))); true
+      case _ => false
+    }
+    pushed = accepted
+    filters // all residual: Spark re-applies, pushdown is prune-only
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan =
+    new GraftStoreScan(root, from, required, tsLo, tsHi, partsEq)
+}
+
+final class GraftStoreScan(root: String, from: Option[String],
+    required: StructType = Model.schema,
+    tsLo: Long = Long.MinValue, tsHi: Long = Long.MaxValue,
+    partsEq: Option[Set[String]] = None) extends Scan {
 
   // FROM-option predicate + cascade guard, evaluated driver-side against
   // catalog tag lines only (the same pruning as PipeWorker.triggerOnce)
@@ -106,17 +171,33 @@ final class GraftStoreScan(root: String, from: Option[String]) extends Scan {
 
   private val tagsCache = scala.collection.mutable.HashMap.empty[String, Map[String, String]]
   private def matches(line: String): Boolean =
-    pred(tagsCache.getOrElseUpdate(line, Model.parseTags(line).getOrElse(Map.empty)))
+    partsEq.forall(_.contains(line)) &&
+      pred(tagsCache.getOrElseUpdate(line, Model.parseTags(line).getOrElse(Map.empty)))
 
-  override def readSchema(): StructType = Model.schema
-  override def description(): String = s"graft-store root=$root from=${from.getOrElse("*")}"
+  /** Catalog-stat file pruning: a chunk wholly outside [tsLo, tsHi] can
+    * contain no qualifying row. */
+  private def tsOverlaps(e: graft.store.CatEntry): Boolean =
+    e.maxTs >= tsLo && e.minTs <= tsHi
+
+  private def readerFactory: GraftReaderFactory =
+    GraftReaderFactory(new SerializableHadoopConf(hadoopConf),
+      required.fieldNames, tsLo, tsHi)
+
+  override def readSchema(): StructType = required
+  override def description(): String = {
+    val tsDesc =
+      if (tsLo == Long.MinValue && tsHi == Long.MaxValue) ""
+      else s", ts=[${tsLo}..${tsHi}]"
+    s"graft-store root=$root from=${from.getOrElse("*")}" +
+      s", columns=[${required.fieldNames.mkString(",")}]$tsDesc" +
+      partsEq.fold("")(p => s", parts=${p.mkString("|")}")
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      catalog.load().filter(e => matches(e.part))
+      catalog.load().filter(e => matches(e.part) && tsOverlaps(e))
         .map(e => GraftInputPartition(e.file, e.part, -1L, Long.MaxValue)).toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      GraftReaderFactory(new SerializableHadoopConf(hadoopConf))
+    override def createReaderFactory(): PartitionReaderFactory = readerFactory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -208,14 +289,16 @@ final class GraftStoreScan(root: String, from: Option[String]) extends Scan {
           val h = hi.getOrElse(e.part, -1L)
           // e.maxSeq > l skips fully-consumed files (incl. compaction
           // rewrites of already-consumed rows); the reader re-applies the
-          // (l, h] row filter for files straddling the bounds
-          if (h > l && e.maxSeq > l) Some(GraftInputPartition(e.file, e.part, l, h))
+          // (l, h] row filter for files straddling the bounds. tsOverlaps
+          // prunes FILES only — offsets still advance over pruned data, so
+          // a ts-filtered stream never re-reads it later.
+          if (h > l && e.maxSeq > l && tsOverlaps(e))
+            Some(GraftInputPartition(e.file, e.part, l, h))
           else None
         }.toArray
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
-        GraftReaderFactory(new SerializableHadoopConf(hadoopConf))
+      override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
       override def deserializeOffset(json: String): Offset = {
         val off = GraftOffset.fromJson(json)
@@ -277,34 +360,84 @@ object GraftOffset {
 final case class GraftInputPartition(file: String, part: String,
     loSeq: Long, hiSeq: Long) extends InputPartition
 
-final case class GraftReaderFactory(conf: SerializableHadoopConf)
+final case class GraftReaderFactory(conf: SerializableHadoopConf,
+    columns: Array[String], tsLo: Long, tsHi: Long)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], conf.value)
+    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], conf.value,
+      columns, tsLo, tsHi)
 }
 
 /** Executor-side parquet reader for one store chunk file, via the
   * parquet-java Group API (the file carries exactly the [[Model.schema]]
-  * data columns; `part` comes from the catalog, not the file). Row-group
-  * and page stats still prune: the builder's record materialization is
-  * sequential, but chunk files are bounded by the store's append/compact
-  * file sizing, so one InputPartition is one task's worth of rows.
+  * data columns; `part` comes from the catalog, not the file).
+  *
+  * Pruning at three levels: only the requested columns (plus `seq`/`ts`
+  * when a seq range or ts filter needs them) are in the parquet
+  * projection, so unrequested column chunks are never decoded; a pushed
+  * ts range becomes a record filter whose row-group and page statistics
+  * skip within the file; and rows outside the streaming (loSeq, hiSeq]
+  * range are dropped before conversion. Chunk files are bounded by the
+  * store's append/compact file sizing, so one InputPartition is one
+  * task's worth of rows.
   */
-final class GraftPartitionReader(p: GraftInputPartition, conf: Configuration)
+final class GraftPartitionReader(p: GraftInputPartition, baseConf: Configuration,
+    columns: Array[String], tsLo: Long, tsHi: Long)
     extends PartitionReader[InternalRow] {
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
-      .withConf(conf).build()
+  private val needSeqFilter = p.loSeq > -1L || p.hiSeq < Long.MaxValue
+  private val needTsFilter = tsLo != Long.MinValue || tsHi != Long.MaxValue
+
+  // parquet projection: requested data columns, plus filter-only ones
+  // (record filters evaluate on the ASSEMBLED record, so a filtered
+  // column must be projected even when not requested)
+  private val readCols: Set[String] = {
+    val base = columns.toSet - "part"
+    val withSeq = if (needSeqFilter) base + "seq" else base
+    if (needTsFilter) withSeq + "ts" else withSeq
+  }
+
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration(baseConf)
+    // projection = the subset of the FILE's own schema (repetition levels
+    // vary per file with the nullability of the ingested DataFrame, so a
+    // fixed projection string would fail checkContains)
+    val fileSchema = {
+      val in = HadoopInputFile.fromPath(new Path(p.file), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFileMetaData.getSchema finally r.close()
+    }
+    val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
+    fileSchema.getFields.forEach(f => if (readCols(f.getName)) kept.add(f))
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      new org.apache.parquet.schema.MessageType(fileSchema.getName, kept).toString)
+    val b = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+      .withConf(conf)
+    if (needTsFilter) {
+      import org.apache.parquet.filter2.predicate.FilterApi
+      val tsCol = FilterApi.longColumn("ts")
+      val pred = (tsLo != Long.MinValue, tsHi != Long.MaxValue) match {
+        case (true, true) =>
+          FilterApi.and(FilterApi.gtEq(tsCol, java.lang.Long.valueOf(tsLo)),
+            FilterApi.ltEq(tsCol, java.lang.Long.valueOf(tsHi)))
+        case (true, false) => FilterApi.gtEq(tsCol, java.lang.Long.valueOf(tsLo))
+        case _ => FilterApi.ltEq(tsCol, java.lang.Long.valueOf(tsHi))
+      }
+      b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred)).build()
+    } else b.build()
+  }
+
   private val partUtf8 = UTF8String.fromString(p.part)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     var g = reader.read()
     while (g != null) {
-      val seq = g.getLong("seq", 0)
-      if (seq > p.loSeq && seq <= p.hiSeq) {
-        row = convert(g, seq)
+      if (!needSeqFilter || {
+        val seq = g.getLong("seq", 0)
+        seq > p.loSeq && seq <= p.hiSeq
+      }) {
+        row = convert(g)
         return true
       }
       g = reader.read()
@@ -312,28 +445,39 @@ final class GraftPartitionReader(p: GraftInputPartition, conf: Configuration)
     false
   }
 
-  private def convert(g: Group, seq: Long): InternalRow = {
-    val ts = g.getLong("ts", 0)
-    val msg = UTF8String.fromBytes(g.getBinary("msg", 0).getBytes)
-    val fields =
-      if (g.getFieldRepetitionCount("fields") == 0) null
-      else {
-        val fg = g.getGroup("fields", 0)
-        val n = fg.getFieldRepetitionCount("key_value")
-        val keys = new Array[Any](n)
-        val vals = new Array[Any](n)
-        var i = 0
-        while (i < n) {
-          val kv = fg.getGroup("key_value", i)
-          keys(i) = UTF8String.fromBytes(kv.getBinary("key", 0).getBytes)
-          vals(i) =
-            if (kv.getFieldRepetitionCount("value") == 0) null
-            else UTF8String.fromBytes(kv.getBinary("value", 0).getBytes)
-          i += 1
-        }
-        new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  private def convert(g: Group): InternalRow = {
+    val out = new Array[Any](columns.length)
+    var i = 0
+    while (i < columns.length) {
+      out(i) = columns(i) match {
+        case "ts" => g.getLong("ts", 0)
+        case "seq" => g.getLong("seq", 0)
+        case "part" => partUtf8
+        case "msg" => UTF8String.fromBytes(g.getBinary("msg", 0).getBytes)
+        case "fields" =>
+          if (g.getFieldRepetitionCount("fields") == 0) null
+          else {
+            val fg = g.getGroup("fields", 0)
+            val n = fg.getFieldRepetitionCount("key_value")
+            val keys = new Array[Any](n)
+            val vals = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val kv = fg.getGroup("key_value", j)
+              keys(j) = UTF8String.fromBytes(kv.getBinary("key", 0).getBytes)
+              vals(j) =
+                if (kv.getFieldRepetitionCount("value") == 0) null
+                else UTF8String.fromBytes(kv.getBinary("value", 0).getBytes)
+              j += 1
+            }
+            new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft-store: unknown column $other")
       }
-    new GenericInternalRow(Array[Any](ts, msg, fields, seq, partUtf8))
+      i += 1
+    }
+    new GenericInternalRow(out)
   }
 
   override def get(): InternalRow = row

@@ -58,6 +58,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; same list as install()
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("graft_dot_product", "graft_minhash_band_keys", "graft_simhash_fold"))
+      Seq("graft_dot_product", "graft_minhash_band_keys", "graft_simhash_fold",
+        "graft_sorted_intersect_count"))
   }
 }

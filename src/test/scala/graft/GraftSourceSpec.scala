@@ -130,4 +130,41 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(GraftOffset.fromJson(o.json()) == o)
     assert(GraftOffset.fromJson(GraftOffset(Map.empty).json()) == GraftOffset(Map.empty))
   }
+
+  test("ts filters prune whole files via catalog stats; results unchanged") {
+    val store = freshStore()
+    // two chunks per partition with disjoint ts ranges
+    ingest(store, Map("app" -> "t1"), 10000000000L, 3) // ts 10..12 s
+    ingest(store, Map("app" -> "t1"), 50000000000L, 3) // ts 50..52 s
+    ingest(store, Map("app" -> "t2"), 10000000000L, 2)
+
+    val full = batchRead(store)
+    // only the second t1 chunk overlaps ts >= 50s
+    val filtered = full.where(col("ts") >= 50000000000L)
+    assert(filtered.rdd.getNumPartitions == 1,
+      "files outside the ts range must not be planned")
+    assert(filtered.select("msg").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("m0", "m1", "m2"))
+    // a range covering nothing plans zero files
+    assert(full.where(col("ts") > 99000000000L).rdd.getNumPartitions == 0)
+    // in-file pruning is a record filter: a mid-chunk range still matches
+    // (t1's 11s,12s rows plus t2's 11s row)
+    assert(full.where(col("ts") >= 11000000000L && col("ts") <= 12000000000L)
+      .count() == 3)
+  }
+
+  test("part equality prunes partitions; column pruning reaches the scan") {
+    val store = freshStore()
+    ingest(store, Map("app" -> "x"), 1000000000L, 2)
+    ingest(store, Map("app" -> "y"), 1000000000L, 3)
+    val pruned = batchRead(store).where(col("part") === "app=y")
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.count() == 3)
+    // projection: only requested columns appear in the scan's read schema
+    val slim = batchRead(store).select("part", "ts")
+    val scanDesc = slim.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("columns=[ts,part]") ||
+      scanDesc.contains("columns=[part,ts]"), s"scan not pruned: $scanDesc")
+    assert(slim.count() == 5)
+  }
 }

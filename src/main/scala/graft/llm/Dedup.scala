@@ -231,4 +231,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         floor(jac * 1e4 + 0.5).cast("long").as("jaccard_r"))
   }
+
+  /** Duplicate CLUSTERS from a near-duplicate pair table (doc_a, doc_b):
+    * connected components by distributed min-label propagation, plus the
+    * survivor decision a dedup pipeline acts on — one row per document
+    * that appears in any pair, `(doc_id, cluster_id, keep)` where
+    * `cluster_id` is the component's minimum doc_id and `keep` marks its
+    * canonical survivor (pairs only say "these two are similar"; the
+    * pipeline needs "which ONE of this transitive group survives").
+    *
+    * Scale shape: per iteration ONE hash join (neighbor labels, on the
+    * edge table cached and pre-partitioned by the join key) and ONE
+    * map-side-combining min aggregation; `localCheckpoint` truncates the
+    * growing lineage each round (the iteration count is the data-parallel
+    * loop — per-round driver work is a single count). Converges in
+    * O(component diameter) rounds: near-dup components are stars/cliques
+    * around a template, so diameter is small; for adversarial chain-shaped
+    * graphs the alternating star-contraction algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14) is the drop-in upgrade.
+    * Iterations are capped — a non-converged result throws rather than
+    * returning wrong clusters.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    val e = pairs.select(col("doc_a").cast("long").as("src"),
+      col("doc_b").cast("long").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(par, col("dst"))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      iters += 1
+      val viaEdges = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = viaEdges.union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+    }
+    edges.unpersist(false)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters: not converged after $maxIters iterations")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep"))
+  }
 }

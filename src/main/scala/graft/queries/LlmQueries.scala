@@ -24,6 +24,9 @@ object LlmQueries {
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(spark, dir))
 
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(Dedup.ngramJaccard(docs(spark, dir)))
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.fingerprints(docs(spark, dir))
 
@@ -77,6 +80,7 @@ object LlmQueries {
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_ngram" -> (dedupNgram _),
+    "llm_dup_clusters" -> (dupClusters _),
     "llm_simhash" -> (simhash _),
     "llm_text_stats" -> (textStats _),
     "llm_sim_topk" -> (simTopK _),
@@ -138,6 +142,38 @@ object LlmQueries {
         |JOIN sizes sa ON sa.doc_id = inter.doc_a
         |JOIN sizes sb ON sb.doc_id = inter.doc_b
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin,
+
+    // connected components over the ngram-Jaccard pairs via a recursive
+    // reachability closure (feasible at oracle scale); the Spark side
+    // reaches the same components by min-label propagation
+    "llm_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 0) + 1),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+        |                                   t -> t != '') w
+        |        FROM documents)),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+        |SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
+        |  (id = min(r)) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
 
     "llm_simhash" ->
       """WITH hs AS (

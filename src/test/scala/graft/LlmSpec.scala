@@ -50,6 +50,23 @@ class LlmSpec extends AnyFunSuite {
       s"prefix-filtered result must be exact: missing=${brute -- out} extra=${out -- brute}")
   }
 
+  test("dup clusters: min-label propagation finds components + survivors") {
+    import spark.implicits._
+    // chain 1-2-3 (tests transitivity, not just direct pairs), pair 5-6,
+    // isolated pair 9-10; docs without pairs don't appear
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 10L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false), (9L, 9L, true), (10L, 9L, false)))
+    // long chain converges (diameter > 1 iteration's reach)
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val chained = Dedup.dupClusters(chain).collect()
+    assert(chained.forall(_.getLong(1) == 1L) && chained.length == 12)
+  }
+
   test("simhash: near-dup pairs are close in Hamming space, random pairs are not") {
     val fp = SimHash.fingerprints(docs)
     val pairs = Dedup.nearDuplicates(docs)

@@ -1,0 +1,242 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * stratified sampling, overlapping-window document chunking, benchmark
+  * decontamination, TF-IDF term ranking, and PII redaction.
+  *
+  * Every operator is a pure relational plan (narrow scans + at most one
+  * keyed shuffle) whose arithmetic is integerized/hashed so the DuckDB
+  * oracle reproduces it bit-for-bit — the same discipline as
+  * [[TextStats]]. Scale notes per operator below.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- sample
+
+  /** Per-language keep-rate (percent) for [[stratifiedSample]]: downsample
+    * the over-represented head language, keep most of the tail — the
+    * standard corpus-rebalancing move. */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 25, "de" -> 60, "fr" -> 60, "es" -> 60, "zh" -> 90)
+
+  /** Deterministic stratified sampling: a document is kept iff
+    * `bucket(doc_id) < rate(lang)`, where the bucket is a stable content
+    * hash (md5 of the id rendered as a string) mod 100 — NOT `rand()`.
+    * Determinism is what makes sampling auditable and re-runnable at
+    * 100 TB: the same corpus always yields the same sample, a re-run
+    * after a crash resumes identically, and the oracle can verify row-
+    * for-row. The plan is a single narrow filter — no shuffle, prunes to
+    * (doc_id, lang) at the scan. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    val rate = SampleRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  // ----------------------------------------------------------------- chunk
+
+  val ChunkSize = 40   // tokens per chunk
+  val ChunkStride = 20 // tokens between chunk starts (50% overlap)
+
+  /** Split each document into overlapping token windows (size
+    * [[ChunkSize]], stride [[ChunkStride]]) — the shape LLM pre-training
+    * and embedding pipelines feed from. Emits (doc_id, chunk_idx, n_tok,
+    * chunk_hash); the hash stands in for the chunk text so the output
+    * stays narrow (the text itself is `array_join(slice(w, start, size))`
+    * if a caller wants it).
+    *
+    * Plan shape: tokenize once (materialized through the projection so
+    * the lambda isn't re-inlined per chunk — the [[Dedup.tokens]]
+    * caveat), `posexplode` the start sequence; no shuffle at all, so it
+    * scales as a pure map over any corpus size. */
+  def chunk(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("w"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(ChunkStride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        least(lit(ChunkSize), col("n") - col("col") + 1).cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("col"), lit(ChunkSize))).cast("binary"))
+          .as("chunk_hash"))
+
+  // ------------------------------------------------------------- decontam
+
+  val DecontamGram = 4 // word n-gram width for contamination matching
+                       // (the 13-gram analog for the tiny synthetic vocab)
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * [[DecontamGram]]-gram with the benchmark set (here: `doc_id % 17 =
+    * 0`, standing in for an eval suite). Emits (doc_id, n_shared) for
+    * contaminated non-benchmark documents — the standard n-gram-overlap
+    * filter (GPT-3 appendix C / PaLM style).
+    *
+    * Plan shape: both sides explode to DISTINCT shingles; the benchmark
+    * side is a tiny fraction of the corpus, so the join broadcasts it at
+    * any scale — the full corpus is never shuffled, only its shingle
+    * stream filtered map-side, then one count-aggregate on the surviving
+    * (rare) matches. */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("w"), DecontamGram)).as("g"))
+    val bench = sh.filter(col("doc_id") % 17 === 0)
+      .select(col("g")).distinct()
+    sh.filter(col("doc_id") % 17 =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  // ---------------------------------------------------------------- tfidf
+
+  val TfIdfTopK = 5
+
+  /** Top-[[TfIdfTopK]] terms per document by tf·idf (idf = ln(N/df)),
+    * scored as `floor(tf * ln(N/df) * 1e4 + 0.5)` so both engines rank
+    * the same integers; ties broken by term ascending.
+    *
+    * Plan shape: one explode + one (doc_id, term) count — the only real
+    * shuffle; df comes from a window over the same grouped table (no
+    * second scan), N from a 1-row aggregate that AQE broadcasts. The
+    * final top-k is a per-doc window over ≤ |vocab| rows per doc. */
+  def tfidf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
+      .withColumn("score_r",
+        floor(col("tf") * log(col("n_docs") / col("df")) * 1e4 + 0.5)
+          .cast("long"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_r").desc, col("term"))))
+      .filter(col("rank") <= TfIdfTopK)
+      .select(col("doc_id"), col("term"), col("score_r"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  // --------------------------------------------------------------- redact
+
+  /** Portable (Java regex ∩ RE2) patterns — no backrefs, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9\\-]{6,}[0-9]"
+
+  /** PII redaction: mask emails and phone-like digit runs, counting each.
+    * The synthetic corpus carries no PII, so the operator first injects a
+    * deterministic contact line per document (making the redaction
+    * verifiable end-to-end), then strips it — the injection is part of
+    * the oracle contract, not the operator; `redactText` below is the
+    * production column. Pure per-row map, no shuffle. */
+  def redact(docs: DataFrame): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-202-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        injected.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(redactText(col("t")).cast("binary")).as("red_hash"))
+  }
+
+  /** The production redaction column: emails then phones masked. */
+  def redactText(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  // -------------------------------------------------------------- oracles
+
+  val sampleOracle: String = {
+    val cases = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id::BIGINT AS doc_id, lang,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, bucket FROM s
+       |WHERE bucket < CASE lang $cases ELSE 0 END""".stripMargin
+  }
+
+  val chunkOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\W+'), x -> x != '') AS w
+       |  FROM documents),
+       |n AS (SELECT doc_id, w, len(w)::BIGINT AS n FROM t WHERE len(w) >= 1),
+       |c AS (
+       |  SELECT doc_id, n, w,
+       |    unnest(range(1, n + 1, $ChunkStride)) AS start
+       |  FROM n)
+       |SELECT doc_id, ((start - 1) // $ChunkStride)::BIGINT AS chunk_idx,
+       |  least($ChunkSize, n - start + 1)::BIGINT AS n_tok,
+       |  md5(array_to_string(w[start : start + ${ChunkSize - 1}], ' ')) AS chunk_hash
+       |FROM c""".stripMargin
+
+  val decontamOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - ${DecontamGram - 1}, 0) + 1),
+       |    i -> array_to_string(w[i : i + ${DecontamGram - 1}], ' ')))) AS g
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                   x -> x != '') AS w
+       |        FROM documents)),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0)
+       |SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_shared
+       |FROM sh JOIN bench USING (g)
+       |WHERE doc_id % 17 != 0
+       |GROUP BY 1""".stripMargin
+
+  val tfidfOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\W+'), x -> x != '')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, term, tf,
+       |    floor(tf * ln((SELECT count(DISTINCT doc_id) FROM documents) * 1.0
+       |                  / count(*) OVER (PARTITION BY term)) * 1e4 + 0.5)::BIGINT
+       |      AS score_r
+       |  FROM tf),
+       |r AS (
+       |  SELECT doc_id, term, tf, score_r,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score_r DESC, term) AS rank
+       |  FROM sc)
+       |SELECT doc_id::BIGINT AS doc_id, term, score_r, rank::BIGINT AS rank
+       |FROM r WHERE rank <= $TfIdfTopK""".stripMargin
+
+  val redactOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |    text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-202-555-'
+       |      || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$EmailRe'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(t, '$PhoneRe'))::BIGINT AS n_phones,
+       |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+       |                     '$PhoneRe', '<PHONE>', 'g')) AS red_hash
+       |FROM t""".stripMargin
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, Fingerprint, Multimodal, SimHash, Similarity, TextStats}
+import graft.llm.{Curation, Dedup, Fingerprint, Multimodal, SimHash, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Training-data-pipeline operators over the driver's `documents` /
@@ -76,7 +76,27 @@ object LlmQueries {
     } finally e.unpersist()
   }
 
+  def sample(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(docs(spark, dir))
+
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunk(docs(spark, dir))
+
+  def decontam(spark: SparkSession, dir: String): DataFrame =
+    Curation.decontaminate(docs(spark, dir))
+
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    Curation.tfidf(docs(spark, dir))
+
+  def redact(spark: SparkSession, dir: String): DataFrame =
+    Curation.redact(docs(spark, dir))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample" -> (sample _),
+    "llm_chunk" -> (chunk _),
+    "llm_decontam" -> (decontam _),
+    "llm_tfidf" -> (tfidf _),
+    "llm_redact" -> (redact _),
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_ngram" -> (dedupNgram _),
@@ -93,6 +113,11 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample" -> Curation.sampleOracle,
+    "llm_chunk" -> Curation.chunkOracle,
+    "llm_decontam" -> Curation.decontamOracle,
+    "llm_tfidf" -> Curation.tfidfOracle,
+    "llm_redact" -> Curation.redactOracle,
     "llm_dedup_exact" ->
       """SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS text_hash,
         |  count(*)::BIGINT AS dups

@@ -1,0 +1,108 @@
+package graft
+
+import graft.llm.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioural tests of the curation operators on sf0.001 (the DuckDB
+  * hash parity is pinned by the driver gate; these pin the semantics).
+  */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+
+  test("stratified sample is deterministic and respects per-lang rates") {
+    val s1 = Curation.stratifiedSample(docs).collect().map(_.getLong(0)).toSet
+    val s2 = Curation.stratifiedSample(docs).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "hash sampling must be re-run-stable")
+    // every kept row's bucket is under its language's rate
+    val rates = Curation.SampleRates.toMap
+    Curation.stratifiedSample(docs).collect().foreach { r =>
+      assert(r.getLong(2) < rates(r.getString(1)))
+    }
+    // en is downsampled harder than zh (rate 25 vs 90)
+    val kept = Curation.stratifiedSample(docs)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (total.contains("en") && total.contains("zh") && total("zh") > 20)
+      assert(kept.getOrElse("en", 0L).toDouble / total("en") <
+             kept.getOrElse("zh", 0L).toDouble / total("zh"))
+  }
+
+  test("chunking covers every token exactly via stride windows") {
+    val w = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(Dedup.tokens(col("text"))).as("n"))
+    val expect = w.collect().map { r =>
+      val n = r.getInt(1)
+      r.getLong(0) -> (if (n < 1) 0 else (n + Curation.ChunkStride - 1) / Curation.ChunkStride)
+    }.toMap
+    val got = Curation.chunk(docs).groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect.filter(_._2 > 0).map { case (k, v) => k -> v.toLong })
+    // every chunk's token count is in (0, ChunkSize]
+    Curation.chunk(docs).select("n_tok").collect().foreach { r =>
+      assert(r.getLong(0) > 0 && r.getLong(0) <= Curation.ChunkSize)
+    }
+  }
+
+  test("decontamination only flags non-benchmark docs with real overlap") {
+    val out = Curation.decontaminate(docs).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) % 17 != 0, "benchmark docs must not self-flag")
+      assert(r.getLong(1) >= 1)
+    }
+    // planted near-duplicates of benchmark docs must be caught: any doc
+    // sharing a full 4-gram with a bench doc appears in the output
+    val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("w"), Curation.DecontamGram)).as("g"))
+    val bench = sh.filter(col("doc_id") % 17 === 0).select("g").distinct()
+    val expect = sh.filter(col("doc_id") % 17 =!= 0).join(bench, "g")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == expect)
+  }
+
+  test("tfidf ranks rare terms above ubiquitous ones") {
+    val out = Curation.tfidf(docs).cache()
+    // rank is 1..K per doc, no gaps
+    val byDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), max("rank").as("m"), min("rank").as("lo"))
+      .collect()
+    byDoc.foreach { r =>
+      assert(r.getLong(1) <= Curation.TfIdfTopK)
+      assert(r.getLong(3) == 1L && r.getLong(2) == r.getLong(1))
+    }
+    // a term present in EVERY doc has idf 0 → can never outrank a term
+    // with positive score in the same doc
+    out.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(scores.sameElements(scores.sortBy(-_)), "scores descend with rank")
+    }
+  }
+
+  test("redaction masks the injected email and phone exactly once each") {
+    val out = Curation.redact(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == 1L, s"one email per doc, got ${r.getLong(1)}")
+      assert(r.getLong(2) == 1L, s"one phone per doc, got ${r.getLong(2)}")
+    }
+    // the production column leaves no residual matches
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-202-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+    val residual = docs.select(Curation.redactText(injected).as("t"))
+      .filter(col("t").rlike(Curation.EmailRe) || col("t").rlike(Curation.PhoneRe))
+      .count()
+    assert(residual == 0, "redacted text must contain no PII matches")
+    assert(docs.select(Curation.redactText(injected).as("t"))
+      .filter(col("t").contains("<EMAIL>") && col("t").contains("<PHONE>"))
+      .count() == docs.count())
+  }
+}

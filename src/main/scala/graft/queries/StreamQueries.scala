@@ -45,9 +45,19 @@ object StreamQueries {
         expr("startTs div 1000").as("start_us"),
         expr("endTs div 1000").as("end_us"), col("events"))
 
+  /** First event per (part, user) — the exactly-once streaming dedup, in
+    * batch mode. */
+  def dedup(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.dedupFirst(usAligned(storeDf(spark, dir)), "user", "1 hour")
+      .toDF()
+      .select(col("part"), col("key"),
+        expr("firstTs div 1000").as("first_us"),
+        col("firstSeq").as("first_seq"))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_counts" -> (windowCounts _),
-    "stream_sessions" -> (sessions _)
+    "stream_sessions" -> (sessions _),
+    "stream_dedup" -> (dedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -72,6 +82,15 @@ object StreamQueries {
          |)
          |SELECT part, key, min(tus) AS start_us, max(tus) AS end_us,
          |  count(*) AS events
-         |FROM s GROUP BY part, key, sid""".stripMargin
+         |FROM s GROUP BY part, key, sid""".stripMargin,
+    "stream_dedup" ->
+      s"""${EventStore.oracleCte},
+         |r AS (
+         |  SELECT tags AS part, CAST(user_id AS VARCHAR) AS key,
+         |    epoch_us(ts_raw) AS first_us, seq,
+         |    row_number() OVER (PARTITION BY tags, user_id
+         |                       ORDER BY ts_raw, seq) AS rn
+         |  FROM le)
+         |SELECT part, key, first_us, seq AS first_seq FROM r WHERE rn = 1""".stripMargin
   )
 }

@@ -139,4 +139,84 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout)(onGroup _)
   }
+
+  /** The first event per (part, fields[keyField]) in the (ts, seq) total
+    * order — exactly-once streaming dedup with a single output row per
+    * key, ever. */
+  final case class First(part: String, key: String, firstTs: Long,
+      firstSeq: Long)
+
+  /** Keyed dedup state: the best-so-far (ts, seq), and whether the key's
+    * row has already been emitted (a tombstone suppressing re-emission
+    * forever after). */
+  private[streaming] final case class DedupState(emitted: Boolean, ts: Long,
+      seq: Long)
+
+  /** Exactly-once first-event-per-key dedup with UNIFIED batch/stream
+    * semantics: the winner is min-by-(ts, seq), emitted in streaming mode
+    * only once the WATERMARK strictly passes its timestamp — after which
+    * the watermark contract guarantees no admissible event can precede it
+    * (late rows at/below the watermark are dropped before the operator),
+    * so the emission is final. An out-of-order earlier event that arrives
+    * above the watermark before emission replaces the buffered winner.
+    *
+    * Scale notes: batch mode is one shuffle (row_number over the keyed
+    * window, filter rn=1 — Spark's TopK pushes the sort partial).
+    * Streaming state is ONE tiny row per distinct key — the same bound as
+    * Spark's own dropDuplicates, and the price of the "ever" guarantee;
+    * cap the key domain (or run per time-bucketed keys) if it is
+    * unbounded. */
+  def dedupFirst(events: DataFrame, keyField: String,
+      watermarkDelay: String): Dataset[First] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    if (!events.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("part"), col("key"))
+        .orderBy(col("ts"), col("seq"))
+      return events
+        .select(col("part"),
+          coalesce(element_at(col("fields"), keyField), lit("")).as("key"),
+          col("ts"), col("seq"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("part"), col("key"), col("ts").as("firstTs"),
+          col("seq").as("firstSeq"))
+        .as[First]
+    }
+
+    def onGroup(key: (String, String),
+        rows: Iterator[(String, String, Long, Long, java.sql.Timestamp)],
+        state: GroupState[DedupState]): Iterator[First] = {
+      val prior = state.getOption
+      if (prior.exists(_.emitted)) {
+        Iterator.empty // tombstone: drop everything, forever
+      } else if (state.hasTimedOut) {
+        val s = prior.get
+        state.update(DedupState(emitted = true, s.ts, s.seq))
+        Iterator.single(First(key._1, key._2, s.ts, s.seq))
+      } else {
+        val cand = rows.map(r => (r._3, r._4)) ++
+          prior.iterator.map(s => (s.ts, s.seq))
+        val (ts, seq) = cand.min
+        state.update(DedupState(emitted = false, ts, seq))
+        // fire once the watermark strictly passes the winner's millisecond
+        // (ms is the watermark's grain; +1 covers every sub-ms timestamp)
+        state.setTimeoutTimestamp(
+          math.max(ts / 1000000L + 1L, state.getCurrentWatermarkMs() + 1L))
+        Iterator.empty
+      }
+    }
+
+    events
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("part"), coalesce(element_at(col("fields"), keyField), lit(""))
+        .as("key"), col("ts"), col("seq"), col("event_time"))
+      .as[(String, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey { case (part, key, _, _, _) => (part, key) }
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(onGroup _)
+  }
 }

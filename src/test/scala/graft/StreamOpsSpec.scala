@@ -121,4 +121,41 @@ class StreamOpsSpec extends AnyFunSuite {
       s"both phase-1 sessions closed exactly once: $p2")
     assert(!p2.exists(_._2 == 200L), "the open session (200..203) must not emit")
   }
+
+  test("dedupFirst: emits each key's earliest event exactly once, late replays drop") {
+    val store = freshStore()
+    ingest(store, Map("app" -> "d"), "u1", Seq(100, 105, 110))
+    ingest(store, Map("app" -> "d"), "u2", Seq(200))
+    // batch mode: one winner per key
+    val batch = StreamOps.dedupFirst(
+      spark.read.format("graft-store").option("root", store.root).load(),
+      "user", "5 seconds")
+      .collect().map(f => (f.key, f.firstTs / 1000000000L)).toSet
+    assert(batch == Set(("u1", 100L), ("u2", 200L)))
+
+    val cp = Files.createTempDirectory("graft-sops-cp").toString
+    def drainFirsts(): Seq[(String, Long)] =
+      drainAll[(String, Long)](
+        StreamOps.dedupFirst(stream(store), "user", "5 seconds").toDF(), cp,
+        df => df.collect().map(r =>
+          (r.getString(1), r.getLong(2) / 1000000000L)).toSeq)
+    // watermark after phase 1 = 110-5 = 105: passes u1's winner (100) but
+    // not u2's (200)
+    val p1 = drainFirsts()
+    assert(p1 == Seq(("u1", 100L)), s"only u1's winner is past watermark: $p1")
+
+    // an out-of-order 150 for u2 (above watermark) REPLACES the buffered
+    // 200 before emission; the 300 advances the watermark past both
+    ingest(store, Map("app" -> "d"), "u2", Seq(150))
+    ingest(store, Map("app" -> "d"), "u1", Seq(300))
+    val p2 = drainFirsts()
+    assert(p2 == Seq(("u2", 150L)),
+      s"u2 emits its min-ts winner once; u1's tombstone suppresses: $p2")
+
+    // everything now at/below the tombstones: nothing further, ever
+    ingest(store, Map("app" -> "d"), "u1", Seq(400))
+    ingest(store, Map("app" -> "d"), "u2", Seq(400))
+    val p3 = drainFirsts()
+    assert(p3.isEmpty, s"emitted keys never re-emit: $p3")
+  }
 }

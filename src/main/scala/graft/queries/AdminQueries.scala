@@ -194,11 +194,24 @@ object AdminQueries {
       case s: graft.lql.Ast.Select => s.copy(position = tok2)
       case other => throw new IllegalStateException(other.render)
     }
-    val (rows, _) = Tail.queryWait(e, sel,
+    val (rows, tok3) = Tail.queryWait(e, sel,
       java.time.Duration.ofSeconds(30), java.time.Duration.ofMillis(100))
     val follow = rows.map(_.getAs[String]("msg")).toSeq
+    // stream mode: the until-cancelled client loop — a concurrent ingest
+    // lands mid-loop and the handler cancels once both rows arrived
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[String]
+    scala.concurrent.Future {
+      Thread.sleep(250)
+      ingest(e, Map("app" -> "tf"), 90000000000L, 2, prefix = "s")
+    }
+    Tail.selectLoop(e, "SELECT FROM {app=tf} LIMIT 10000", streamMode = true,
+      handler = rows => streamed ++= rows.map(_.getAs[String]("msg")),
+      waitTimeout = java.time.Duration.ofSeconds(30),
+      poll = java.time.Duration.ofMillis(100),
+      keepRunning = () => streamed.size < 2,
+      startPos = tok3)
     val out = (page1.toSeq.map("page1" -> _) ++ page2.toSeq.map("page2" -> _) ++
-      follow.map("follow" -> _))
+      follow.map("follow" -> _) ++ streamed.toSeq.map("stream" -> _))
       .groupBy(_._1).toSeq.flatMap { case (ph, ms) =>
         ms.zipWithIndex.map { case ((_, m), i) => (ph, i.toLong, m) }
       }.toDF("phase", "ord", "msg")
@@ -373,7 +386,8 @@ object AdminQueries {
       """SELECT * FROM (VALUES
         |  ('page1', 0::BIGINT, 'm0'), ('page1', 1::BIGINT, 'm1'), ('page1', 2::BIGINT, 'm2'),
         |  ('page2', 0::BIGINT, 'm3'), ('page2', 1::BIGINT, 'm4'),
-        |  ('follow', 0::BIGINT, 'f0'), ('follow', 1::BIGINT, 'f1')
+        |  ('follow', 0::BIGINT, 'f0'), ('follow', 1::BIGINT, 'f1'),
+        |  ('stream', 0::BIGINT, 's0'), ('stream', 1::BIGINT, 's1')
         |) t(phase, ord, msg)""".stripMargin,
     "lql_sink_stdout" ->
       "SELECT 'stdout' AS sink, 'boot ok;disk low;done' AS output",

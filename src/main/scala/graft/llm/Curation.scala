@@ -109,19 +109,25 @@ object Curation {
     * scored as `floor(tf * ln(N/df) * 1e4 + 0.5)` so both engines rank
     * the same integers; ties broken by term ascending.
     *
-    * Plan shape: one explode + one (doc_id, term) count — the only real
-    * shuffle; df comes from a window over the same grouped table (no
-    * second scan), N from a 1-row aggregate that AQE broadcasts. The
-    * final top-k is a per-doc window over ≤ |vocab| rows per doc. */
+    * Plan shape: one explode + one (doc_id, term) count, then df as an
+    * AGGREGATE-then-JOIN (not a window over term): the per-term aggregate
+    * partial-combines map-side so stop-word terms never pile one
+    * partition, and the join back is AQE-skew-splittable (or an auto-
+    * broadcast when the vocabulary is small) — a window over `term`
+    * would shuffle the full tf table onto hot term keys with no skew
+    * escape. N comes from a 1-row aggregate that broadcasts. The final
+    * top-k is a per-doc window that WindowGroupLimit prunes to k rows
+    * per partition before the sort. */
   def tfidf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(Dedup.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(dfCounts, "term")
       .crossJoin(broadcast(n))
       .withColumn("score_r",
         floor(col("tf") * log(col("n_docs") / col("df")) * 1e4 + 0.5)

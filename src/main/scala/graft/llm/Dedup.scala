@@ -267,13 +267,17 @@ object Dedup {
     while (changed > 0 && iters < maxIters) {
       iters += 1
       val viaEdges = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-      val next = viaEdges.union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast("long").as("own"))
+      // the id's previous label rides along as `own` (unique per id, so
+      // max() recovers it), making change detection a scan of the
+      // checkpointed result instead of a second join job per iteration
+      val next = viaEdges
+        .union(labels.select(col("id"), col("label"), col("label").as("own")))
+        .groupBy("id").agg(min("label").as("label"), max("own").as("own"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("label") =!= col("own")).count()
+      labels = next.select(col("id"), col("label"))
     }
     edges.unpersist(false)
     if (changed > 0)

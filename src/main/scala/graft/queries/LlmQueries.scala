@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Curation, Dedup, Fingerprint, Multimodal, SimHash, Similarity, TextStats}
+import graft.llm.{Clustering, Curation, Dedup, Fingerprint, Multimodal, SimHash, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Training-data-pipeline operators over the driver's `documents` /
@@ -106,7 +106,27 @@ object LlmQueries {
   def redact(spark: SparkSession, dir: String): DataFrame =
     Curation.redact(docs(spark, dir))
 
+  /** k-means as gated DATA (the ANN-floor pattern): double averaging is
+    * not bit-portable across engines, so the gate pins Lloyd's invariants
+    * — inertia never increases, total improvement clears a floor far
+    * under the observed ~40%, and every cluster stays populated. */
+  def kmeansGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (asg, inertias) = Clustering.kmeans(emb(spark, dir), k = 16, iters = 3)
+    val monotone = inertias.sliding(2).forall {
+      case Seq(a, b) => b <= a * (1 + 1e-9); case _ => true
+    }
+    val improved = 1.0 - inertias.last / inertias.head
+    val nClusters = asg.select("cluster").distinct().count()
+    Seq(
+      ("monotone", 1L, monotone),
+      ("improved", 2500L, improved >= 0.25),
+      ("clusters", 16L, nClusters == 16L)
+    ).toDF("variant", "floor_e4", "meets_floor")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_kmeans" -> (kmeansGate _),
     "llm_sample" -> (sample _),
     "llm_chunk" -> (chunk _),
     "llm_decontam" -> (decontam _),
@@ -128,6 +148,11 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_kmeans" ->
+      """SELECT * FROM (VALUES
+        |  ('monotone', 1::BIGINT, true), ('improved', 2500::BIGINT, true),
+        |  ('clusters', 16::BIGINT, true)
+        |) t(variant, floor_e4, meets_floor)""".stripMargin,
     "llm_sample" -> Curation.sampleOracle,
     "llm_chunk" -> Curation.chunkOracle,
     "llm_decontam" -> Curation.decontamOracle,

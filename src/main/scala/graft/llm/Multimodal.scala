@@ -92,25 +92,31 @@ object Multimodal {
       val channels = le16(bytes, 22)
       val rate = le32(bytes, 24)
       val blockAlign = math.max(1L, le16(bytes, 32))
-      // generic chunk walk from the end of the fmt chunk to `data`; a
-      // corrupt size field (negative/overflowing advance) must fall back to
-      // the stub, not loop forever or index out of bounds
-      var off = 20 + le32(bytes, 16).toInt
-      var dataAt = -1
-      var dataLen = 0L
-      while (dataAt < 0 && off >= 0 && off + 8 <= n) {
-        val sz = le32(bytes, off + 4)
-        if (ascii(bytes, off, "data")) { dataAt = off + 8; dataLen = sz }
-        else if (sz > n) off = -1 // corrupt size field → stub
-        else off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-      }
-      if (dataAt < 0) decodeStub(bytes)
-      else {
-        val len = math.min(dataLen, (n - dataAt).toLong)
-        MediaInfo(-1L, "wav", n, rate, channels, len / blockAlign,
-          payloadChecksum(bytes, dataAt, dataAt + len.toInt))
+      wavData(bytes) match {
+        case None => decodeStub(bytes)
+        case Some((dataAt, len)) =>
+          MediaInfo(-1L, "wav", n, rate, channels, len / blockAlign,
+            payloadChecksum(bytes, dataAt, dataAt + len))
       }
     } else decodeStub(bytes)
+  }
+
+  /** Chunk-walk a RIFF/WAVE blob to its `data` chunk: Some((offset,
+    * clamped byte length)). A corrupt size field (negative/overflowing
+    * advance) returns None — never loops or indexes out of bounds. */
+  private[graft] def wavData(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val n = bytes.length
+    if (n < 44 || !ascii(bytes, 0, "RIFF") || !ascii(bytes, 8, "WAVE") ||
+        !ascii(bytes, 12, "fmt ")) return None
+    var off = 20 + le32(bytes, 16).toInt
+    while (off >= 0 && off + 8 <= n) {
+      val sz = le32(bytes, off + 4)
+      if (ascii(bytes, off, "data"))
+        return Some((off + 8, math.min(sz, (n - off - 8).toLong).toInt))
+      else if (sz > n) off = -1 // corrupt size field
+      else off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    None
   }
 
   // --- fixtures -----------------------------------------------------------
@@ -201,6 +207,79 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Samples per analysis frame of [[pcmFrames]]. */
+  val PcmWindow = 64
+
+  /** Audio feature extraction over REAL decoded samples: every wav blob's
+    * 16-bit little-endian PCM payload is decoded sample-by-sample and
+    * reduced to per-frame integer features — frame absolute-energy sum and
+    * peak — in [[PcmWindow]]-sample windows (the frame-sample step of an
+    * audio pipeline; a spectral front-end would replace the reducer the
+    * same way). Integer features keep the result engine-portable. Channels
+    * are interleaved into the frame stream (energy is channel-agnostic).
+    *
+    * Same scale shape as [[decodeAll]]: a pure `mapPartitions` over the
+    * binary column, no shuffle, output rows ~ total-samples / window. */
+  def pcmFrames(docs: DataFrame, window: Int = PcmWindow): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withMediaColumn(docs).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          wavData(bytes) match {
+            case None => Iterator.empty
+            case Some((at, len)) =>
+              val ns = len / 2
+              Iterator.range(0, ns, window).map { w0 =>
+                val end = math.min(w0 + window, ns)
+                var i = w0
+                var sumAbs = 0L
+                var peak = 0L
+                while (i < end) {
+                  val s = (bytes(at + 2 * i + 1) << 8) | (bytes(at + 2 * i) & 0xff)
+                  val a = math.abs(s)
+                  sumAbs += a
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                (id, (w0 / window).toLong, (end - w0).toLong, sumAbs, peak)
+              }
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "n_samples", "abs_sum", "peak")
+  }
+
+  /** DuckDB twin of [[pcmFrames]]: signed LE16 samples re-read from hex
+    * byte pairs of the payload, same windows, same integer reductions. */
+  val pcmOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |         octet_length(encode(text))::BIGINT AS plen,
+       |         hex(encode(text)) AS hx
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |s AS (
+       |  SELECT doc_id, plen // 2 AS ns,
+       |    list_transform(range(0, plen // 2), i ->
+       |      ('0x' || substr(hx, (2 * i + 1) * 2 + 1, 2))::BIGINT * 256
+       |      + ('0x' || substr(hx, (2 * i) * 2 + 1, 2))::BIGINT
+       |      - CASE WHEN ('0x' || substr(hx, (2 * i + 1) * 2 + 1, 2))::BIGINT
+       |             >= 128 THEN 65536 ELSE 0 END) AS smp
+       |  FROM b),
+       |w AS (SELECT doc_id, ns, smp, unnest(range(0, ns, $PcmWindow)) AS w0
+       |      FROM s),
+       |f AS (
+       |  SELECT doc_id, w0 // $PcmWindow AS frame_idx,
+       |    least(w0 + $PcmWindow, ns) - w0 AS n_samples,
+       |    list_transform(range(w0, least(w0 + $PcmWindow, ns)),
+       |                   i -> abs(smp[i + 1])) AS a
+       |  FROM w)
+       |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+       |  n_samples::BIGINT AS n_samples,
+       |  coalesce(list_sum(a), 0)::BIGINT AS abs_sum,
+       |  coalesce(list_max(a), 0)::BIGINT AS peak
+       |FROM f""".stripMargin
 
   /** DuckDB twin of [[decodeAll]]: recomputes every header-parsed field
     * from the same doc_id arithmetic [[fixtureBlob]] embeds into the bytes;

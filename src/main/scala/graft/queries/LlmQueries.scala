@@ -63,6 +63,9 @@ object LlmQueries {
   def multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAll(docs(spark, dir))
 
+  def pcmFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pcmFrames(docs(spark, dir))
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(emb(spark, dir))
 
@@ -142,6 +145,7 @@ object LlmQueries {
     "llm_sim_topk_lsh" -> (simTopKLsh _), // rows-only: approximate by design
     "llm_sim_topk_ivf" -> (simTopKIvf _), // rows-only: approximate by design
     "llm_multimodal" -> (multimodal _),
+    "llm_pcm_frames" -> (pcmFrames _),
     "llm_dedup_embed" -> (embedNearDup _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_ann_recall" -> (annRecall _)
@@ -277,6 +281,7 @@ object LlmQueries {
         |FROM r WHERE rank <= 5""".stripMargin,
 
     "llm_multimodal" -> Multimodal.oracleSql,
+    "llm_pcm_frames" -> Multimodal.pcmOracleSql,
 
     "llm_dedup_embed" ->
       """WITH e AS (

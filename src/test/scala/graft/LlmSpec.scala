@@ -210,6 +210,33 @@ class LlmSpec extends AnyFunSuite {
     assert(mm(1L).getAs[Long]("checksum") == 0L, "empty payload sums to 0")
   }
 
+  test("pcm frames decode signed LE16 samples into windowed integer features") {
+    import spark.implicits._
+    // payload bytes chosen to exercise sign extension: sample 0 = 0x0102
+    // (lo=0x02, hi=0x01) = 258; sample 1 = 0xFF80 → hi=0xFF → -128
+    val payload = Array[Byte](0x02, 0x01, 0x80.toByte, 0xff.toByte, 0x7f, 0x00)
+    val blob = Multimodal.fixtureBlob(2L, payload) // doc_id%3==2 → wav
+    val (at, len) = Multimodal.wavData(blob).getOrElse(fail("wavData: no data chunk"))
+    assert(len == 6)
+    val samples = (0 until len / 2).map { i =>
+      (blob(at + 2 * i + 1) << 8) | (blob(at + 2 * i) & 0xff)
+    }
+    assert(samples == Seq(258, -128, 127), s"sign extension: $samples")
+    // end-to-end over real docs: frame coverage is exact and contiguous
+    val frames = Multimodal.pcmFrames(docs).cache()
+    val perDoc = frames.groupBy("doc_id")
+      .agg(sum("n_samples").as("ns"), count(lit(1)).as("nf"),
+        max("frame_idx").as("mx"), min("frame_idx").as("mn"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2) * Multimodal.PcmWindow, "frames cover samples")
+      assert(r.getLong(4) == 0L && r.getLong(3) == r.getLong(2) - 1, "contiguous frame idx")
+      assert(r.getLong(0) % 3 == 2, "only wav docs emit frames")
+    }
+    assert(frames.agg(max("peak")).head.getLong(0) <= 32768L)
+  }
+
   test("multimodal decode parses real PNG/BMP/WAV headers, stub only as fallback") {
     val payload = "sample-payload".getBytes("UTF-8")
     // PNG: big-endian IHDR fields

@@ -34,23 +34,20 @@ object Clustering {
     emb.select(col("vec_id").cast("long").as("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  /** One Lloyd assignment pass against broadcast centroids: returns
-    * (vec_id, v, cluster, d2). `centroids(c)` = centroid vector. */
+  /** One Lloyd assignment pass: a PURE PROJECTION — the centroid table
+    * rides into the plan as a literal k×dim array, each row computes its
+    * k distances and takes the argmin in place. No join, no shuffle, no
+    * k-fold row blowup; the stage fuses with whatever reads the corpus.
+    * (Ties take the lowest cluster index — array_position finds the
+    * first exact occurrence of the minimum.) */
   def assign(vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val cdf = centroids.zipWithIndex
-      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
-      .toDF("cluster", "cv")
-    // min_by over the k distances, evaluated against the broadcast side
-    vecs.crossJoin(broadcast(cdf))
-      .select(col("vec_id"), col("v"), col("cluster"),
-        sqDist(col("v"), col("cv")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cluster"), col("d2"), col("v")), col("d2"))
-        .as("best"))
-      .select(col("vec_id"), col("best.v").as("v"),
-        col("best.cluster").as("cluster"), col("best.d2").as("d2"))
+    val cArr = typedLit(centroids.map(_.toSeq).toSeq)
+    vecs
+      .withColumn("dists", transform(cArr, c => sqDist(col("v"), c)))
+      .withColumn("d2", array_min(col("dists")))
+      .withColumn("cluster",
+        (array_position(col("dists"), col("d2")) - 1).cast("long"))
+      .select(col("vec_id"), col("v"), col("cluster"), col("d2"))
   }
 
   /** Centroid update: per-(cluster, dim) mean via explode — map-side

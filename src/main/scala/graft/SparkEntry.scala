@@ -30,7 +30,9 @@ object SparkEntry {
       "q6_window" -> (Analytics.q6Window _),
       "q7_distinct" -> (Analytics.q7Distinct _),
       "q8_events_hourly" -> (Analytics.q8EventsHourly _),
-      "q9_anti" -> (Analytics.q9Anti _)
+      "q9_anti" -> (Analytics.q9Anti _),
+      "q10_asof" -> (Analytics.q10Asof _),
+      "q11_interval" -> (Analytics.q11Interval _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

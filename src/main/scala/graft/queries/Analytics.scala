@@ -121,8 +121,64 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** As-of join: each purchase event ← the same user's most recent
+    * click at-or-before it (µs grain). Union-sort form — ONE exchange
+    * on user_id, no join node, no nested loop (TemporalJoins.asOf);
+    * the DuckDB oracle is its native ASOF LEFT JOIN. */
+  def q10Asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    // clicks deduped to one row per (user, µs) — asOf requires unique
+    // (key, ts); max(event_id) is the deterministic tie-break.
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.operators.TemporalJoins.asOf(purchases, clicks, "user_id", "ts_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("r_click_id").as("click_id"),
+        (col("ts_us") - col("r_ts_us")).as("gap_us"))
+  }
+
+  /** Point-in-interval join: views falling in the 24 h window after
+    * each click by the same user, counted per click. Bucketed
+    * equi-join (TemporalJoins.pointInInterval) — one (key, bucket)
+    * shuffle per side instead of the nested-loop plan Spark picks for
+    * a raw inequality join. */
+  def q11Interval(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = load(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("start_us"),
+        (col("ts_us") + lit(dayUs)).as("end_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"))
+    graft.operators.TemporalJoins.pointInInterval(views, clicks, "user_id",
+        "ts_us", "start_us", "end_us", dayUs)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("p_ts_us")).as("n_views"))
+  }
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q10_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_us, c.click_id,
+        |       p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+    "q11_interval" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t0
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_us(ts) AS tv
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, count(v.tv) AS n_views
+        |FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |  AND v.tv >= c.t0 AND v.tv < c.t0 + 86400000000
+        |GROUP BY 1, 2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2,

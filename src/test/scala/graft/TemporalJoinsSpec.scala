@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the union-sort as-of join and the bucketed
+  * point-in-interval join on hand-built frames, plus plan-shape checks
+  * (no nested-loop join may appear — that is the entire point of the
+  * operators).
+  */
+class TemporalJoinsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asOf: latest prior-or-equal right row per key, null when none") {
+    val left = Seq(
+      (1L, 100L, "p1"), // before any right row -> null
+      (1L, 200L, "p2"), // matches r@150
+      (1L, 300L, "p3"), // equal-ts right row visible -> r@300
+      (2L, 250L, "p4"), // other key isolated -> r@240
+      (3L, 999L, "p5")  // key with no right rows at all
+    ).toDF("k", "ts", "lp")
+    val right = Seq(
+      (1L, 150L, "a"), (1L, 300L, "b"), (1L, 400L, "c"),
+      (2L, 240L, "d"), (2L, 260L, "e")
+    ).toDF("k", "ts", "rp")
+
+    val got = TemporalJoins.asOf(left, right, "k", "ts")
+      .select("lp", "r_ts", "r_rp").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2))).toMap
+    assert(got("p1") == (-1L, null))
+    assert(got("p2") == (150L, "a"))
+    assert(got("p3") == (300L, "b"))
+    assert(got("p4") == (240L, "d"))
+    assert(got("p5") == (-1L, null))
+  }
+
+  test("asOf: left payload and multiple left rows at equal ts survive") {
+    val left = Seq((1L, 10L, 7L), (1L, 10L, 8L)).toDF("k", "ts", "id")
+    val right = Seq((1L, 10L, 99L)).toDF("k", "ts", "v")
+    val out = TemporalJoins.asOf(left, right, "k", "ts")
+    assert(out.count() == 2)
+    assert(out.select("r_v").collect().forall(_.getLong(0) == 99L))
+  }
+
+  test("asOf plan: one exchange, a window, and NO join node") {
+    val left = Seq((1L, 100L, "x")).toDF("k", "ts", "lp")
+    val right = Seq((1L, 50L, "y")).toDF("k", "ts", "rp")
+    val plan = TemporalJoins.asOf(left, right, "k", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop in plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      s"asOf must not plan a join at all:\n$plan")
+    assert(plan.contains("Window"), s"expected window carry:\n$plan")
+  }
+
+  test("pointInInterval: boundary semantics [start, end), zero-match rows kept") {
+    val points = Seq(
+      (1L, 100L, 11L), (1L, 150L, 12L), (1L, 200L, 13L), // 200 == end -> out
+      (2L, 100L, 21L)
+    ).toDF("k", "ts", "pid")
+    val intervals = Seq(
+      (1L, 100L, 200L, "i1"), // matches ts 100 (inclusive) and 150
+      (1L, 500L, 600L, "i2"), // no points
+      (2L, 150L, 250L, "i3")  // wrong-key 150 excluded; no same-key points
+    ).toDF("k", "s", "e", "iv")
+
+    val pairs = TemporalJoins.pointInInterval(points, intervals,
+      "k", "ts", "s", "e", bucketWidth = 100L)
+    val counts = pairs.groupBy("iv").agg(count(col("p_pid")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("i1" -> 2L, "i2" -> 0L, "i3" -> 0L))
+    val matched = pairs.where(col("p_pid").isNotNull)
+      .select("p_pid").collect().map(_.getLong(0)).toSet
+    assert(matched == Set(11L, 12L))
+  }
+
+  test("pointInInterval: each point pairs at most once per interval (no bucket dup)") {
+    // interval spans 3 buckets (len == 2*width), point in middle bucket
+    val points = Seq((1L, 150L, 1L)).toDF("k", "ts", "pid")
+    val intervals = Seq((1L, 60L, 260L, "i")).toDF("k", "s", "e", "iv")
+    val pairs = TemporalJoins.pointInInterval(points, intervals,
+      "k", "ts", "s", "e", bucketWidth = 100L)
+    assert(pairs.where(col("p_pid").isNotNull).count() == 1)
+  }
+
+  test("pointInInterval plan: equi-join, not nested loop") {
+    val points = Seq((1L, 100L, 1L)).toDF("k", "ts", "pid")
+    val intervals = Seq((1L, 50L, 150L, "i")).toDF("k", "s", "e", "iv")
+    val plan = TemporalJoins.pointInInterval(points, intervals,
+      "k", "ts", "s", "e", bucketWidth = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"bucketed interval join must be an equi-join:\n$plan")
+  }
+}

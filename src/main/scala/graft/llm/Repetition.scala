@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repetition and boilerplate analysis for corpus curation — the
+  * Gopher-style quality-filter family (Rae et al. 2021, "Scaling
+  * Language Models", table A1: fraction-of-duplicate-n-gram filters)
+  * plus cross-document boilerplate phrase mining (CCNet-style common
+  * line/phrase removal, Wenzek et al. 2019).
+  *
+  * [[metrics]] is per-row only — tokenize once, every statistic is a
+  * higher-order fold over the token array, no shuffle, embarrassingly
+  * parallel at any corpus size.
+  *
+  * [[boilerplate]] is ONE shuffle: distinct 5-gram phrases per doc
+  * (map-side, inside the scan stage) → groupBy phrase with partial
+  * aggregation → a bounded global top-k (TakeOrdered — only k rows per
+  * partition ever reach the driver-side merge). Head phrases are the
+  * skew risk; the count partials absorb them map-side exactly like any
+  * word-count.
+  */
+object Repetition {
+
+  /** Per-document repetition metrics (all fractions integerized e4):
+    *  - `distinct_frac_e4`   distinct tokens / tokens (low ⇒ repetitive)
+    *  - `top_bigram_frac_e4` occurrences of the most frequent bigram /
+    *    total bigrams (high ⇒ loops/boilerplate)
+    *  - `dup_bigram_frac_e4` excess duplicate bigram occurrences /
+    *    total bigrams
+    * Documents with no tokens (resp. no bigrams) report 0 by convention.
+    */
+  def metrics(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"))
+          .otherwise(array().cast("array<string>")).as("bg"))
+      // max run length over the SORTED bigram list == max bigram count;
+      // a per-row fold, not a groupBy — nothing leaves the row.
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        size(col("bg")).cast("long").as("n_bg"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bg"),
+        expr("""aggregate(array_sort(bg),
+            named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+            (acc, x) -> named_struct(
+              'prev', x,
+              'run', if(x <=> acc.prev, acc.run + 1L, 1L),
+              'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
+            acc -> acc.best)""").as("max_bg"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          floor(col("n_distinct") * lit(1.0e4) / col("n_tokens") + 0.5).cast("long"))
+          .otherwise(0L).as("distinct_frac_e4"),
+        when(col("n_bg") > 0,
+          floor(col("max_bg") * lit(1.0e4) / col("n_bg") + 0.5).cast("long"))
+          .otherwise(0L).as("top_bigram_frac_e4"),
+        when(col("n_bg") > 0,
+          floor((col("n_bg") - col("n_distinct_bg")) * lit(1.0e4) / col("n_bg") + 0.5)
+            .cast("long"))
+          .otherwise(0L).as("dup_bigram_frac_e4"))
+
+  /** The `topK` most document-frequent word-5-gram phrases across the
+    * corpus (ties broken by phrase, so the cut is deterministic).
+    * Phrase → doc-frequency is the boilerplate signal: anything near
+    * df == corpus size is template text a curation pass strips.
+    */
+  def boilerplate(docs: DataFrame, topK: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("w"), 5)).as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("phrase").asc)
+      .limit(topK)
+
+  val metricsOracle: String =
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+      |                                        t -> t != '') w FROM documents),
+      |base AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+      |  len(list_distinct(w))::BIGINT AS n_distinct,
+      |  CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      |       ELSE []::VARCHAR[] END AS bg FROM tok),
+      |mx AS (SELECT doc_id, max(c) AS mxc FROM
+      |        (SELECT doc_id, g, count(*) AS c
+      |         FROM (SELECT doc_id, unnest(bg) AS g FROM base) GROUP BY 1, 2)
+      |       GROUP BY 1)
+      |SELECT b.doc_id::BIGINT AS doc_id, n_tokens,
+      |  CASE WHEN n_tokens > 0
+      |    THEN floor(n_distinct * 1.0e4 / n_tokens + 0.5)::BIGINT ELSE 0 END AS distinct_frac_e4,
+      |  CASE WHEN n_tokens >= 2
+      |    THEN floor(coalesce(mxc, 0) * 1.0e4 / (n_tokens - 1) + 0.5)::BIGINT ELSE 0 END AS top_bigram_frac_e4,
+      |  CASE WHEN n_tokens >= 2
+      |    THEN floor((len(bg) - len(list_distinct(bg))) * 1.0e4 / (n_tokens - 1) + 0.5)::BIGINT
+      |    ELSE 0 END AS dup_bigram_frac_e4
+      |FROM base b LEFT JOIN mx USING (doc_id)""".stripMargin
+
+  val boilerplateOracle: String =
+    """WITH sh AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+      |                                   t -> t != '') w FROM documents))
+      |SELECT g AS phrase, count(*)::BIGINT AS df
+      |FROM sh GROUP BY 1 ORDER BY df DESC, phrase LIMIT 50""".stripMargin
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Clustering, Curation, Dedup, Fingerprint, Multimodal, SimHash, Similarity, TextStats}
+import graft.llm.{Clustering, Curation, Dedup, Fingerprint, Multimodal, Repetition, SimHash, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Training-data-pipeline operators over the driver's `documents` /
@@ -109,6 +109,12 @@ object LlmQueries {
   def redact(spark: SparkSession, dir: String): DataFrame =
     Curation.redact(docs(spark, dir))
 
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Repetition.metrics(docs(spark, dir))
+
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    Repetition.boilerplate(docs(spark, dir))
+
   /** k-means as gated DATA (the ANN-floor pattern): double averaging is
     * not bit-portable across engines, so the gate pins Lloyd's invariants
     * — inertia never increases, total improvement clears a floor far
@@ -135,6 +141,8 @@ object LlmQueries {
     "llm_decontam" -> (decontam _),
     "llm_tfidf" -> (tfidf _),
     "llm_redact" -> (redact _),
+    "llm_repetition" -> (repetition _),
+    "llm_boilerplate" -> (boilerplate _),
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_ngram" -> (dedupNgram _),
@@ -162,6 +170,8 @@ object LlmQueries {
     "llm_decontam" -> Curation.decontamOracle,
     "llm_tfidf" -> Curation.tfidfOracle,
     "llm_redact" -> Curation.redactOracle,
+    "llm_repetition" -> Repetition.metricsOracle,
+    "llm_boilerplate" -> Repetition.boilerplateOracle,
     "llm_dedup_exact" ->
       """SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS text_hash,
         |  count(*)::BIGINT AS dups

@@ -1,0 +1,60 @@
+package graft
+
+import graft.llm.Repetition
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repetition metrics and boilerplate mining on hand-built documents
+  * with known token statistics.
+  */
+class RepetitionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("metrics: known fractions on crafted docs") {
+    val docs = Seq(
+      // "a b a b a b": 6 tokens, 2 distinct; bigrams (5): ab,ba,ab,ba,ab
+      //   -> top bigram "a b" x3 / 5 = 0.6; dup = (5-2)/5 = 0.6
+      (1L, "a b a b a b"),
+      // all-unique tokens: distinct 1.0, every bigram unique
+      (2L, "one two three four"),
+      // single token: no bigrams -> zeros
+      (3L, "solo"),
+      // empty text -> all zeros
+      (4L, "")
+    ).toDF("doc_id", "text")
+
+    val m = Repetition.metrics(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(m(1L) == ((6L, 3333L, 6000L, 6000L)))
+    assert(m(2L) == ((4L, 10000L, 3333L, 0L)))
+    assert(m(3L) == ((1L, 10000L, 0L, 0L)))
+    assert(m(4L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("boilerplate: shared 5-gram phrase ranks by df with phrase tie-break") {
+    val template = "please do not reply to this"
+    val docs = Seq(
+      (1L, s"alpha beta $template gamma"),
+      (2L, s"$template delta"),
+      (3L, s"epsilon $template"),
+      (4L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+
+    val top = Repetition.boilerplate(docs, topK = 3).collect()
+    // the two 5-grams inside the 6-token template appear in all 3 docs
+    val df3 = top.takeWhile(_.getLong(1) == 3L).map(_.getString(0)).toSet
+    assert(df3 == Set("please do not reply to", "do not reply to this"))
+    assert(top(0).getString(0) < top(1).getString(0),
+      "equal df must be phrase-ordered")
+    assert(top(2).getLong(1) == 1L, "cut row comes from the df=1 band")
+  }
+
+  test("metrics plan: no exchange (per-row only)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Repetition.metrics(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"metrics must not shuffle:\n$plan")
+  }
+}

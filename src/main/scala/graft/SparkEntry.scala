@@ -32,7 +32,8 @@ object SparkEntry {
       "q8_events_hourly" -> (Analytics.q8EventsHourly _),
       "q9_anti" -> (Analytics.q9Anti _),
       "q10_asof" -> (Analytics.q10Asof _),
-      "q11_interval" -> (Analytics.q11Interval _)
+      "q11_interval" -> (Analytics.q11Interval _),
+      "q12_sketch" -> (graft.operators.Sketches.gate _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

@@ -161,6 +161,7 @@ object Analytics {
 
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q12_sketch" -> graft.operators.Sketches.oracle,
     "q10_asof" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |           FROM events WHERE event_type = 'purchase'),

@@ -1,0 +1,17 @@
+package graft
+
+import graft.operators.Sketches
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("sketch gate: every approximate aggregate lands inside its bound at sf0.001") {
+    val rows = Sketches.gate(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getBoolean(2)),
+      rows.map(r => s"${r.getString(0)} exact=${r.getLong(1)} ok=${r.getBoolean(2)}")
+        .mkString("; "))
+  }
+}

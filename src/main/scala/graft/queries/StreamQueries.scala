@@ -54,10 +54,24 @@ object StreamQueries {
         expr("firstTs div 1000").as("first_us"),
         col("firstSeq").as("first_seq"))
 
+  /** Stream-stream interval join: views within 24 h of each click by
+    * the same user (click parts ⋈ view parts of the same store). */
+  def join(spark: SparkSession, dir: String): DataFrame = {
+    val df = usAligned(storeDf(spark, dir))
+    StreamOps.intervalJoin(
+        df.filter(col("part").contains("name=click")),
+        df.filter(col("part").contains("name=view")),
+        "user", withinSeconds = 86400, watermarkDelay = "1 hour")
+      .select(col("key"),
+        expr("l_ts div 1000").as("l_us"), col("l_seq"),
+        expr("r_ts div 1000").as("r_us"), col("r_seq"))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_counts" -> (windowCounts _),
     "stream_sessions" -> (sessions _),
-    "stream_dedup" -> (dedup _)
+    "stream_dedup" -> (dedup _),
+    "stream_join" -> (join _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,6 +105,15 @@ object StreamQueries {
          |    row_number() OVER (PARTITION BY tags, user_id
          |                       ORDER BY ts_raw, seq) AS rn
          |  FROM le)
-         |SELECT part, key, first_us, seq AS first_seq FROM r WHERE rn = 1""".stripMargin
+         |SELECT part, key, first_us, seq AS first_seq FROM r WHERE rn = 1""".stripMargin,
+    "stream_join" ->
+      s"""${EventStore.oracleCte},
+         |c AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts_raw) AS l_us,
+         |        seq AS l_seq FROM le WHERE event_type = 'click'),
+         |v AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts_raw) AS r_us,
+         |        seq AS r_seq FROM le WHERE event_type = 'view')
+         |SELECT c.key, c.l_us, c.l_seq, v.r_us, v.r_seq
+         |FROM c JOIN v ON c.key = v.key
+         |  AND v.r_us >= c.l_us AND v.r_us < c.l_us + 86400000000""".stripMargin
   )
 }

@@ -219,4 +219,41 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout)(onGroup _)
   }
+
+  /** Event-time interval join of two event sets: every pair with equal
+    * `fields[keyField]` where the right event lands in
+    * `[l.ts, l.ts + within)` — "views within a day of each click",
+    * "errors within a minute of each deploy".
+    *
+    * UNIFIED batch/stream: the same call joins two `readStream` sides or
+    * two batch frames. Streaming is Spark's watermarked stream-stream
+    * inner join — both sides buffer in join state only until the
+    * watermark clears the time bound, so state is proportional to the
+    * within-horizon window, not the stream length. Batch plans an
+    * equi-join on the key (shuffle hash / sort-merge via AQE) with the
+    * time bound as a residual — never a nested loop, because the key
+    * equality anchors the join.
+    *
+    * The time comparison runs on the µs event-time columns (the grain
+    * Spark's watermark machinery tracks); raw int64-ns timestamps are
+    * carried through for exact output.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyField: String,
+      withinSeconds: Long, watermarkDelay: String): DataFrame = {
+    val l = left
+      .withColumn("l_et", eventTime(col("ts")))
+      .withWatermark("l_et", watermarkDelay)
+      .select(coalesce(element_at(col("fields"), keyField), lit("")).as("key"),
+        col("ts").as("l_ts"), col("seq").as("l_seq"), col("l_et"))
+    val r = right
+      .withColumn("r_et", eventTime(col("ts")))
+      .withWatermark("r_et", watermarkDelay)
+      .select(coalesce(element_at(col("fields"), keyField), lit("")).as("r_key"),
+        col("ts").as("r_ts"), col("seq").as("r_seq"), col("r_et"))
+    l.join(r,
+        col("key") === col("r_key") &&
+          col("r_et") >= col("l_et") &&
+          col("r_et") < col("l_et") + expr(s"INTERVAL $withinSeconds SECOND"))
+      .select(col("key"), col("l_ts"), col("l_seq"), col("r_ts"), col("r_seq"))
+  }
 }

@@ -158,4 +158,42 @@ class StreamOpsSpec extends AnyFunSuite {
     val p3 = drainFirsts()
     assert(p3.isEmpty, s"emitted keys never re-emit: $p3")
   }
+
+  test("intervalJoin: stream-stream pairs match the batch result exactly") {
+    val store = freshStore()
+    // clicks at 100, 500; views at 102, 150, 400 (for u1) — within 60s of
+    // click@100: views 102, 150; view@400 matches nothing; u2 isolated
+    ingest(store, Map("kind" -> "click"), "u1", Seq(100, 500))
+    ingest(store, Map("kind" -> "view"), "u1", Seq(102, 150, 400))
+    ingest(store, Map("kind" -> "click"), "u2", Seq(100))
+    ingest(store, Map("kind" -> "view"), "u2", Seq(520))
+
+    def sides(df: DataFrame): (DataFrame, DataFrame) =
+      (df.filter(col("part") === "kind=click"),
+        df.filter(col("part") === "kind=view"))
+
+    val (bc, bv) = sides(
+      spark.read.format("graft-store").option("root", store.root).load())
+    val batch = StreamOps.intervalJoin(bc, bv, "user", 60, "5 seconds")
+      .collect().map(r => (r.getString(0),
+        r.getLong(1) / 1000000000L, r.getLong(3) / 1000000000L)).toSet
+    // u1 click@100 pairs with views 102 and 150; click@500 has no view in
+    // [500,560); u2's view@520 is outside u2's click@100 window (and the
+    // key equality keeps it away from u1's clicks)
+    assert(batch == Set(("u1", 100L, 102L), ("u1", 100L, 150L)),
+      s"unexpected batch pairs: $batch")
+
+    val cp = Files.createTempDirectory("graft-sops-cp").toString
+    def drainPairs(): Seq[(String, Long, Long)] = {
+      val (sc, sv) = sides(stream(store))
+      drainAll[(String, Long, Long)](
+        StreamOps.intervalJoin(sc, sv, "user", 60, "5 seconds"), cp,
+        df => df.collect().map(r => (r.getString(0),
+          r.getLong(1) / 1000000000L, r.getLong(3) / 1000000000L)).toSeq)
+    }
+    val got = drainPairs()
+    assert(got.toSet == batch,
+      s"stream pairs ${got.toSet} != batch $batch")
+    assert(got.size == got.toSet.size, s"no duplicate emissions: $got")
+  }
 }

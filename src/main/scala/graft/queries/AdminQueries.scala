@@ -332,7 +332,34 @@ object AdminQueries {
     out
   }
 
+  /** Log template mining over the shared (read-only) events store: mask
+    * the variable tokens of `msg` (digit runs → `<n>`), count occurrences
+    * per (partition, template), keep each partition's top 3.
+    *
+    * Scale shape: the groupBy's map-side partial aggregation collapses
+    * the msg stream to one row per distinct template BEFORE the shuffle
+    * (template cardinality, not event cardinality, crosses the wire);
+    * the rank<=k filter compiles to WindowGroupLimit, which prunes to k
+    * rows per partition on the map side of the second (tiny) exchange.
+    * The standard first step of log-pattern analytics (Drain et al.
+    * 2017) that the reference leaves to its clients. */
+  def templates(spark: SparkSession, dir: String): DataFrame = {
+    graft.store.EventStore.engine(spark, dir)
+    val df = spark.read.format("graft-store")
+      .option("root", graft.store.EventStore.storeRoot(dir)).load()
+    val counted = df
+      .select(col("part"),
+        regexp_replace(col("msg"), "[0-9]+", "<n>").as("template"))
+      .groupBy(col("part"), col("template"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("n").desc, col("template").asc)
+    counted.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "log_templates" -> (templates _),
     "lql_stream_source" -> (streamSource _),
     "lql_compact" -> (compaction _),
     "lql_truncate_live" -> (truncateLive _),
@@ -346,6 +373,17 @@ object AdminQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "log_templates" ->
+      s"""${graft.store.EventStore.oracleCte},
+         |t AS (SELECT tags AS part,
+         |        regexp_replace(msg, '[0-9]+', '<n>', 'g') AS template,
+         |        count(*) AS n
+         |      FROM le GROUP BY 1, 2),
+         |r AS (SELECT part, template, n,
+         |        row_number() OVER (PARTITION BY part
+         |                           ORDER BY n DESC, template) AS rank
+         |      FROM t)
+         |SELECT part, template, n, rank FROM r WHERE rank <= 3""".stripMargin,
     "lql_stream_source" ->
       """SELECT * FROM (VALUES
         |  ('phase1', 'app=ss', 'm0'), ('phase1', 'app=ss', 'm1'), ('phase1', 'app=ss', 'm2'),

@@ -388,30 +388,15 @@ final class GraftPartitionReader(p: GraftInputPartition, baseConf: Configuration
   private val needSeqFilter = p.loSeq > -1L || p.hiSeq < Long.MaxValue
   private val needTsFilter = tsLo != Long.MinValue || tsHi != Long.MaxValue
 
-  // parquet projection: requested data columns, plus filter-only ones
-  // (record filters evaluate on the ASSEMBLED record, so a filtered
-  // column must be projected even when not requested)
-  private val readCols: Set[String] = {
-    val base = columns.toSet - "part"
-    val withSeq = if (needSeqFilter) base + "seq" else base
-    if (needTsFilter) withSeq + "ts" else withSeq
-  }
+  // direct-to-InternalRow materialization (projection decided inside
+  // ReadSupport.init from the file's own schema; filter-only seq/ts land
+  // in side channels, not row slots) — see RowReadSupport
+  private val support =
+    new GraftRowReadSupport(columns, p.part, needSeqFilter, needTsFilter)
 
-  private val reader: ParquetReader[Group] = {
+  private val reader: ParquetReader[InternalRow] = {
     val conf = new Configuration(baseConf)
-    // projection = the subset of the FILE's own schema (repetition levels
-    // vary per file with the nullability of the ingested DataFrame, so a
-    // fixed projection string would fail checkContains)
-    val fileSchema = {
-      val in = HadoopInputFile.fromPath(new Path(p.file), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getFileMetaData.getSchema finally r.close()
-    }
-    val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
-    fileSchema.getFields.forEach(f => if (readCols(f.getName)) kept.add(f))
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      new org.apache.parquet.schema.MessageType(fileSchema.getName, kept).toString)
-    val b = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+    val b = ParquetReader.builder(support, new Path(p.file))
       .withConf(conf)
     if (needTsFilter) {
       import org.apache.parquet.filter2.predicate.FilterApi
@@ -427,57 +412,19 @@ final class GraftPartitionReader(p: GraftInputPartition, baseConf: Configuration
     } else b.build()
   }
 
-  private val partUtf8 = UTF8String.fromString(p.part)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    var g = reader.read()
-    while (g != null) {
-      if (!needSeqFilter || {
-        val seq = g.getLong("seq", 0)
-        seq > p.loSeq && seq <= p.hiSeq
-      }) {
-        row = convert(g)
+    var r = reader.read()
+    while (r != null) {
+      if (!needSeqFilter ||
+          (support.lastSeq > p.loSeq && support.lastSeq <= p.hiSeq)) {
+        row = r
         return true
       }
-      g = reader.read()
+      r = reader.read()
     }
     false
-  }
-
-  private def convert(g: Group): InternalRow = {
-    val out = new Array[Any](columns.length)
-    var i = 0
-    while (i < columns.length) {
-      out(i) = columns(i) match {
-        case "ts" => g.getLong("ts", 0)
-        case "seq" => g.getLong("seq", 0)
-        case "part" => partUtf8
-        case "msg" => UTF8String.fromBytes(g.getBinary("msg", 0).getBytes)
-        case "fields" =>
-          if (g.getFieldRepetitionCount("fields") == 0) null
-          else {
-            val fg = g.getGroup("fields", 0)
-            val n = fg.getFieldRepetitionCount("key_value")
-            val keys = new Array[Any](n)
-            val vals = new Array[Any](n)
-            var j = 0
-            while (j < n) {
-              val kv = fg.getGroup("key_value", j)
-              keys(j) = UTF8String.fromBytes(kv.getBinary("key", 0).getBytes)
-              vals(j) =
-                if (kv.getFieldRepetitionCount("value") == 0) null
-                else UTF8String.fromBytes(kv.getBinary("value", 0).getBytes)
-              j += 1
-            }
-            new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
-          }
-        case other =>
-          throw new IllegalArgumentException(s"graft-store: unknown column $other")
-      }
-      i += 1
-    }
-    new GenericInternalRow(out)
   }
 
   override def get(): InternalRow = row

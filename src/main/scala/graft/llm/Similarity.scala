@@ -300,6 +300,60 @@ object Similarity {
       .select(col("qid"), col("nid"), col("score_r"), col("rank").cast("long").as("rank"))
   }
 
+  /** Johnson–Lindenstrauss signed random projection: embed each vector
+    * into `dOut` dims via seeded Gaussian planes — the standard cheap
+    * prefilter for corpus-scale similarity search (project once, search
+    * in the small space, verify survivors exactly). One narrow
+    * `mapPartitions` kernel pass, no shuffle anywhere; the projection
+    * matrix is dim×dOut doubles broadcast once, so the cost is linear in
+    * corpus size and embarrassingly parallel. Output schema matches the
+    * input embedding table, so every downstream operator (brute-force
+    * top-k, LSH, IVF, near-dup) runs unchanged on the reduced space. */
+  def rpReduce(emb: DataFrame, dOut: Int = 16, seed: Long = 7L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = embeddingDim(emb).getOrElse(
+      return emptyResult(spark, "vec_id BIGINT, embedding ARRAY<FLOAT>"))
+    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    val bcP = spark.sparkContext.broadcast(planes(dOut, dim, seed))
+    emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = bcP.value
+        it.map { case (id, v) =>
+          require(v.length == dim,
+            s"embedding dim ${v.length} != $dim (projection sized from the first row)")
+          val out = new Array[Float](ps.length)
+          var j = 0
+          while (j < ps.length) {
+            val p = ps(j)
+            var s = 0.0
+            var k = 0
+            while (k < p.length) { s += v(k) * p(k); k += 1 }
+            out(j) = (s * scale).toFloat
+            j += 1
+          }
+          (id, out)
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** Approximate top-k by prefilter-and-rerank: retrieve a
+    * `k * poolFactor` candidate pool per query in the JL-reduced space
+    * (cheap — `dOut`-float dot products), then exact-rerank ONLY the
+    * pool in the original space. The production two-stage ANN shape:
+    * full-width vectors are touched `k·poolFactor` times per query, not
+    * corpus-size times, and the reduced-space scan streams `dOut/dim` of
+    * the bytes a full brute force would. Recall gated in llm_ann_recall
+    * (reduced-space ordering only has to get the true neighbours into
+    * the pool, not rank them exactly). */
+  def rpTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
+      dOut: Int = 16, seed: Long = 7L, poolFactor: Int = 10): DataFrame = {
+    val pool = bruteForceTopK(rpReduce(emb, dOut, seed), numQueries, k * poolFactor)
+      .select("qid", "nid")
+    exactRerank(emb, pool, numQueries, k)
+  }
+
   /** Deterministic random hyperplanes (seeded JVM LCG — stable across
     * runs/platforms). */
   def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
@@ -343,6 +397,15 @@ object Similarity {
       .where(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()
 
+    exactRerank(emb, pairs, numQueries, k)
+  }
+
+  /** Exact cosine rerank of candidate (qid, nid) pairs in the ORIGINAL
+    * space: the query side broadcasts, candidate vectors join in exactly
+    * once, rank is the same deterministic (score desc, nid asc) order as
+    * [[bruteForceTopK]]. Shared tail of every ANN variant. */
+  private def exactRerank(emb: DataFrame, pairs: DataFrame, numQueries: Int,
+      k: Int): DataFrame = {
     val withNorm = emb.select(
       col("vec_id").cast("long").as("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))

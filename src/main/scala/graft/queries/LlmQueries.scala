@@ -60,6 +60,9 @@ object LlmQueries {
   def simTopKIvf(spark: SparkSession, dir: String): DataFrame =
     topk("ivf", dir)(Similarity.ivfTopK(emb(spark, dir)))
 
+  def simTopKRp(spark: SparkSession, dir: String): DataFrame =
+    topk("rp", dir)(Similarity.rpTopK(emb(spark, dir)))
+
   def multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAll(docs(spark, dir))
 
@@ -88,9 +91,12 @@ object LlmQueries {
       if (exact.isEmpty) 0.0 else (exact & pairs(df)).size.toDouble / exact.size
     val lsh = recallOf(simTopKLsh(spark, dir))
     val ivf = recallOf(simTopKIvf(spark, dir))
+    val rp = recallOf(simTopKRp(spark, dir))
+    System.err.println(s"[annRecall] lsh=$lsh ivf=$ivf rp=$rp")
     Seq(
       ("lsh", 5000L, lsh >= 0.5),
-      ("ivf", 4000L, ivf >= 0.4)
+      ("ivf", 4000L, ivf >= 0.4),
+      ("rp", 3000L, rp >= 0.3)
     ).toDF("variant", "floor_e4", "meets_floor")
   }
 
@@ -152,6 +158,7 @@ object LlmQueries {
     "llm_sim_topk" -> (simTopK _),
     "llm_sim_topk_lsh" -> (simTopKLsh _), // rows-only: approximate by design
     "llm_sim_topk_ivf" -> (simTopKIvf _), // rows-only: approximate by design
+    "llm_sim_topk_rp" -> (simTopKRp _),   // rows-only: approximate by design
     "llm_multimodal" -> (multimodal _),
     "llm_pcm_frames" -> (pcmFrames _),
     "llm_dedup_embed" -> (embedNearDup _),
@@ -309,7 +316,8 @@ object LlmQueries {
 
     "llm_ann_recall" ->
       """SELECT * FROM (VALUES
-        |  ('lsh', 5000::BIGINT, true), ('ivf', 4000::BIGINT, true)
+        |  ('lsh', 5000::BIGINT, true), ('ivf', 4000::BIGINT, true),
+        |  ('rp', 3000::BIGINT, true)
         |) t(variant, floor_e4, meets_floor)""".stripMargin
   )
 }

@@ -124,6 +124,25 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall@5 $recall too low for 16 lists / 4 probes")
   }
 
+  test("JL random-projection top-k recall vs brute force is usable") {
+    val exact = Similarity.bruteForceTopK(emb, numQueries = 10, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.rpTopK(emb, numQueries = 10, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"rp recall@5 = $recall")
+    assert(recall >= 0.3, s"recall@5 $recall too low for a 16-dim JL projection")
+  }
+
+  test("rpReduce: output dims and determinism across invocations") {
+    val red = Similarity.rpReduce(emb, dOut = 16)
+    val a = red.orderBy("vec_id").collect().map(_.getSeq[Float](1).toVector)
+    val b = Similarity.rpReduce(emb, dOut = 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toVector)
+    assert(a.forall(_.length == 16))
+    assert(a.toSeq == b.toSeq, "projection must be deterministic")
+  }
+
   test("brute-force top-k returns k rows per query, ranked") {
     val out = Similarity.bruteForceTopK(emb, numQueries = 5, k = 3).collect()
     assert(out.length == 15)

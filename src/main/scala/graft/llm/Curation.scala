@@ -199,6 +199,75 @@ object Curation {
        |  md5(array_to_string(w[start : start + ${ChunkSize - 1}], ' ')) AS chunk_hash
        |FROM c""".stripMargin
 
+  /** Bloom-filter decontamination, accuracy-gated against the exact
+    * broadcast-set form.
+    *
+    * At 100 TB the exact [[decontaminate]] broadcast (every distinct
+    * benchmark shingle as strings) is the bottleneck: a large benchmark
+    * suite's shingle set runs to GBs per executor. The production shape
+    * is a Bloom filter — ~12 bits/item at 1e-4 fpp, built distributed
+    * (partial sketches OR-merged, one tiny driver merge), broadcast
+    * once, probed per corpus shingle with zero shuffle. Bloom filters
+    * have NO false negatives, so contaminated documents can never slip
+    * through; false positives only send a few extra docs to the exact
+    * verify a production pipeline runs on the flagged set.
+    *
+    * The gate emits (variant, exact, meets_bound):
+    *  - `bloom_no_false_negatives`: every exactly-flagged doc is
+    *    bloom-flagged (must ALWAYS hold, by construction);
+    *  - `bloom_flagged_docs`: the bloom-flagged doc count stays inside
+    *    [exact, exact + 5% of corpus + 8] — the fpp envelope at doc
+    *    granularity (~60 shingles/doc × 1e-4 ≈ 0.6% FP per doc).
+    * Deterministic: Bloom insertion is bit-OR (order-independent) and
+    * the seeded hashes are fixed, so the counts are stable across runs
+    * and partitionings.
+    */
+  def decontamBloomGate(docs: DataFrame, fpp: Double = 1e-4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("w"), DecontamGram)).as("g"))
+    val bench = sh.filter(col("doc_id") % 17 === 0).select("g").distinct()
+    val corpus = sh.filter(col("doc_id") % 17 =!= 0)
+
+    val bf = bench.stat.bloomFilter("g", math.max(bench.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val might = udf((s: String) => bc.value.mightContainString(s))
+    val bloomFlagged = corpus.filter(might(col("g")))
+      .select("doc_id").distinct().persist()
+    val exactFlagged = corpus.join(broadcast(bench), "g")
+      .select("doc_id").distinct().persist()
+    val nBloom = bloomFlagged.count()
+    val nExact = exactFlagged.count()
+    val missed = exactFlagged.join(bloomFlagged, Seq("doc_id"), "left_anti").count()
+    val nCorpusDocs = corpus.select("doc_id").distinct().count()
+    val slack = math.ceil(nCorpusDocs * 0.05).toLong + 8L
+    bloomFlagged.unpersist()
+    exactFlagged.unpersist()
+    Seq(
+      ("bloom_no_false_negatives", nExact, missed == 0L),
+      ("bloom_flagged_docs", nExact, nBloom >= nExact && nBloom <= nExact + slack)
+    ).toDF("variant", "exact", "meets_bound")
+  }
+
+  val decontamBloomOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - ${DecontamGram - 1}, 0) + 1),
+       |    i -> array_to_string(w[i : i + ${DecontamGram - 1}], ' ')))) AS g
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                   x -> x != '') AS w
+       |        FROM documents)),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0),
+       |flagged AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
+       |            WHERE doc_id % 17 != 0)
+       |SELECT v.variant, (SELECT count(*) FROM flagged)::BIGINT AS exact,
+       |       true AS meets_bound
+       |FROM (VALUES ('bloom_no_false_negatives'), ('bloom_flagged_docs')) v(variant)""".stripMargin
+
   val decontamOracle: String =
     s"""WITH sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(

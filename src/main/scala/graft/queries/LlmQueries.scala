@@ -109,6 +109,9 @@ object LlmQueries {
   def decontam(spark: SparkSession, dir: String): DataFrame =
     Curation.decontaminate(docs(spark, dir))
 
+  def decontamBloom(spark: SparkSession, dir: String): DataFrame =
+    Curation.decontamBloomGate(docs(spark, dir))
+
   def tfidf(spark: SparkSession, dir: String): DataFrame =
     Curation.tfidf(docs(spark, dir))
 
@@ -145,6 +148,7 @@ object LlmQueries {
     "llm_sample" -> (sample _),
     "llm_chunk" -> (chunk _),
     "llm_decontam" -> (decontam _),
+    "llm_decontam_bloom" -> (decontamBloom _),
     "llm_tfidf" -> (tfidf _),
     "llm_redact" -> (redact _),
     "llm_repetition" -> (repetition _),
@@ -175,6 +179,7 @@ object LlmQueries {
     "llm_sample" -> Curation.sampleOracle,
     "llm_chunk" -> Curation.chunkOracle,
     "llm_decontam" -> Curation.decontamOracle,
+    "llm_decontam_bloom" -> Curation.decontamBloomOracle,
     "llm_tfidf" -> Curation.tfidfOracle,
     "llm_redact" -> Curation.redactOracle,
     "llm_repetition" -> Repetition.metricsOracle,

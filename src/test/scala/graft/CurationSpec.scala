@@ -105,4 +105,16 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("t").contains("<EMAIL>") && col("t").contains("<PHONE>"))
       .count() == docs.count())
   }
+
+  test("bloom decontamination: no false negatives, FP envelope holds") {
+    val gate = Curation.decontamBloomGate(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(gate("bloom_no_false_negatives")._2,
+      "a Bloom filter can never miss a contaminated doc")
+    assert(gate("bloom_flagged_docs")._2,
+      s"bloom-flagged count outside the fpp envelope (exact=${gate("bloom_flagged_docs")._1})")
+    // both rows report the same exact count, and it matches the exact op
+    val exact = Curation.decontaminate(docs).select("doc_id").distinct().count()
+    assert(gate("bloom_no_false_negatives")._1 == exact)
+  }
 }

@@ -33,7 +33,8 @@ object SparkEntry {
       "q9_anti" -> (Analytics.q9Anti _),
       "q10_asof" -> (Analytics.q10Asof _),
       "q11_interval" -> (Analytics.q11Interval _),
-      "q12_sketch" -> (graft.operators.Sketches.gate _)
+      "q12_sketch" -> (graft.operators.Sketches.gate _),
+      "q13_rollup" -> (Analytics.q13Rollup _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

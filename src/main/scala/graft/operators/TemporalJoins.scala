@@ -48,33 +48,51 @@ object TemporalJoins {
     * duplicate (key, ts) right rows the carried payload among the
     * duplicates is unspecified.
     *
+    * `salts > 1` is the hot-key escape hatch: one key dominating the
+    * input makes any per-key operator (window functions included — AQE
+    * cannot split a single key) a one-task straggler. Salting splits
+    * each key's LEFT rows across `salts` sub-partitions (hashed on ts,
+    * so a sub-partition is still one task's sort) and REPLICATES the
+    * right side into every salt, so each sub-partition carries the full
+    * right history and produces exactly the unsalted result. Cost:
+    * |right| × salts rows through the exchange — the standard trade
+    * (right sides of as-of joins are usually the small/slow-changing
+    * side: configs, dimensions, reference prices).
+    *
     * Output: all `left` columns, plus each non-key right payload column
     * prefixed `r_` (null when no prior right row exists).
     */
-  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      salts: Int = 1): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val payload = right.columns.filter(c => c != keyCol && c != tsCol)
     val rStruct = struct((tsCol +: payload.toSeq).map(col): _*)
     val rNull = struct((tsCol +: payload.toSeq).map(c =>
       lit(null).cast(right.schema(c).dataType).as(c)): _*)
 
-    // Align both sides to (key, ts, __side, __r, leftPayload...); the
-    // right side carries its payload inside __r and nulls for the left
-    // payload, so unionByName stays positional-safe.
+    // Align both sides to (key, ts, __side, __r, __salt, leftPayload...);
+    // the right side carries its payload inside __r and nulls for the
+    // left payload, so unionByName stays positional-safe.
     val leftPayloadCols = left.columns.filter(c => c != keyCol && c != tsCol)
     // when(false, ...) makes __r NULL itself (a struct of null fields is
     // non-null and would defeat last(..., ignoreNulls) below).
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__r", when(lit(false), rNull))
+      .withColumn("__salt",
+        if (salts == 1) lit(0) else pmod(xxhash64(col(tsCol)), lit(salts)).cast("int"))
     val r = right
       .withColumn("__side", lit(0))
       .withColumn("__r", rStruct)
-      .select(Seq(col(keyCol), col(tsCol), col("__side"), col("__r")) ++
+      .withColumn("__salt",
+        if (salts == 1) lit(0) else explode(sequence(lit(0), lit(salts - 1))))
+      .select(Seq(col(keyCol), col(tsCol), col("__side"), col("__r"), col("__salt")) ++
         leftPayloadCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // Right rows sort before left rows at equal ts (side 0 < 1), so an
     // equal-ts right row is already carried when the left row is read.
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+    val w = Window.partitionBy(col(keyCol), col("__salt"))
+      .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = last(col("__r"), ignoreNulls = true).over(w)
 

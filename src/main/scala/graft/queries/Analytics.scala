@@ -159,8 +159,27 @@ object Analytics {
       .agg(count(col("p_ts_us")).as("n_views"))
   }
 
+  /** Multi-level aggregation: ROLLUP over (returnflag, linestatus) with a
+    * grouping_id disambiguating subtotal rows from genuine nulls. One
+    * shuffle — Spark expands the rollup to grouping sets inside the same
+    * partial-aggregate pass, so the fact table streams once regardless of
+    * how many levels roll up. */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+        sum(fx(col("l_quantity"), 2)).as("qty_e2"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("qty_e2"))
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  count(*) AS n,
+        |  SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))::BIGINT AS qty_e2
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q12_sketch" -> graft.operators.Sketches.oracle,
     "q10_asof" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us

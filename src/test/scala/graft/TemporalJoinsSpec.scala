@@ -57,6 +57,27 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected window carry:\n$plan")
   }
 
+  test("asOf salted == unsalted on a skewed fixture (one dominant key)") {
+    import scala.util.Random
+    val rnd = new Random(5)
+    // key 1 dominates; right rows at multiples of 10
+    val left = ((1 to 400).map(i => (1L, rnd.nextInt(1000).toLong, i.toLong)) ++
+      Seq((2L, 77L, 9001L), (3L, 5L, 9002L)))
+      .toDF("k", "ts", "id")
+    val right = ((0 to 99).map(i => (1L, i * 10L, i.toLong)) ++
+      Seq((2L, 70L, 900L))).toDF("k", "ts", "v")
+    def run(salts: Int) =
+      TemporalJoins.asOf(left, right, "k", "ts", salts)
+        .select("id", "r_ts", "r_v").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val base = run(1)
+    assert(base.size == 402)
+    assert(run(8) == base, "salting must not change the result")
+    assert(run(3) == base, "any salt count must agree")
+  }
+
   test("pointInInterval: boundary semantics [start, end), zero-match rows kept") {
     val points = Seq(
       (1L, 100L, 11L), (1L, 150L, 12L), (1L, 200L, 13L), // 200 == end -> out

@@ -179,9 +179,15 @@ final class GraftStoreScan(root: String, from: Option[String],
   private def tsOverlaps(e: graft.store.CatEntry): Boolean =
     e.maxTs >= tsLo && e.minTs <= tsHi
 
-  private def readerFactory: GraftReaderFactory =
+  /** `columnar = true` only for batch scans: batch partitions are always
+    * whole files (no seq cursor bounds), so the vectorized path needs no
+    * per-row filtering; streaming micro-batches carry (lo, hi] seq ranges
+    * and use the row materializer. The flag is scan-level, so a scan's
+    * partitions are uniformly columnar or uniformly row-based (Spark
+    * rejects mixed scans). */
+  private def readerFactory(columnar: Boolean): GraftReaderFactory =
     GraftReaderFactory(new SerializableHadoopConf(hadoopConf),
-      required.fieldNames, tsLo, tsHi)
+      required.fieldNames, tsLo, tsHi, columnar)
 
   override def readSchema(): StructType = required
   override def description(): String = {
@@ -197,7 +203,8 @@ final class GraftStoreScan(root: String, from: Option[String],
     override def planInputPartitions(): Array[InputPartition] =
       catalog.load().filter(e => matches(e.part) && tsOverlaps(e))
         .map(e => GraftInputPartition(e.file, e.part, -1L, Long.MaxValue)).toArray
-    override def createReaderFactory(): PartitionReaderFactory = readerFactory
+    override def createReaderFactory(): PartitionReaderFactory =
+      readerFactory(columnar = true)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -298,7 +305,8 @@ final class GraftStoreScan(root: String, from: Option[String],
         }.toArray
       }
 
-      override def createReaderFactory(): PartitionReaderFactory = readerFactory
+      override def createReaderFactory(): PartitionReaderFactory =
+        readerFactory(columnar = false)
 
       override def deserializeOffset(json: String): Offset = {
         val off = GraftOffset.fromJson(json)
@@ -361,10 +369,15 @@ final case class GraftInputPartition(file: String, part: String,
     loSeq: Long, hiSeq: Long) extends InputPartition
 
 final case class GraftReaderFactory(conf: SerializableHadoopConf,
-    columns: Array[String], tsLo: Long, tsHi: Long)
+    columns: Array[String], tsLo: Long, tsHi: Long, columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], conf.value,
+      columns, tsLo, tsHi)
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarReader(p.asInstanceOf[GraftInputPartition], conf.value,
       columns, tsLo, tsHi)
 }
 

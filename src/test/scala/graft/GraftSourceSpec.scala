@@ -167,4 +167,15 @@ class GraftSourceSpec extends AnyFunSuite {
       scanDesc.contains("columns=[part,ts]"), s"scan not pruned: $scanDesc")
     assert(slim.count() == 5)
   }
+
+  test("batch scans run the vectorized columnar path") {
+    val store = freshStore()
+    ingest(store, Map("app" -> "c"), 1000000000L, 4)
+    val df = batchRead(store)
+    val plan = df.queryExecution.executedPlan.toString
+    // the batch reader hands Spark ColumnarBatches; Spark inserts the
+    // codegen'd columnar-to-row boundary
+    assert(plan.contains("ColumnarToRow"), s"batch scan not columnar:\n$plan")
+    assert(df.count() == 4)
+  }
 }

@@ -34,7 +34,8 @@ object SparkEntry {
       "q10_asof" -> (Analytics.q10Asof _),
       "q11_interval" -> (Analytics.q11Interval _),
       "q12_sketch" -> (graft.operators.Sketches.gate _),
-      "q13_rollup" -> (Analytics.q13Rollup _)
+      "q13_rollup" -> (Analytics.q13Rollup _),
+      "q14_gapfill" -> (Analytics.q14Gapfill _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.TimeSeries
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeSeriesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("gapFill: dense grid, carry-forward, deterministic in-bucket winner") {
+    // bucket width 10: k1 events in buckets 0 (two, tie on ts -> ord 9
+    // wins) and 3; k2 only bucket 1; global grid spans buckets 0..3
+    val events = Seq(
+      (1L, 5L, 1L, 100L), (1L, 5L, 9L, 200L), // same ts, higher ord wins
+      (1L, 31L, 2L, 300L),
+      (2L, 12L, 3L, 400L)
+    ).toDF("k", "ts", "ord", "v")
+
+    val out = TimeSeries.gapFill(events, "k", "ts", "ord", "v", 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+
+    assert(out.size == 8, s"2 keys x 4 buckets, got ${out.size}")
+    assert(out((1L, 0L)) == ((2L, 200L)), "tie broken by ord, count 2")
+    assert(out((1L, 1L)) == ((0L, 200L)), "empty bucket carries value")
+    assert(out((1L, 2L)) == ((0L, 200L)))
+    assert(out((1L, 3L)) == ((1L, 300L)))
+    assert(out((2L, 0L)) == ((0L, -1L)), "null before the key's first event")
+    assert(out((2L, 1L)) == ((1L, 400L)))
+    assert(out((2L, 3L)) == ((0L, 400L)))
+  }
+
+  test("gapFill: empty input yields empty output with the pinned schema") {
+    val empty = Seq.empty[(Long, Long, Long, Long)].toDF("k", "ts", "ord", "v")
+    val out = TimeSeries.gapFill(empty, "k", "ts", "ord", "v", 10L)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("k", "bucket", "n", "v_ff"))
+  }
+}

@@ -225,13 +225,16 @@ object Curation {
   def decontamBloomGate(docs: DataFrame, fpp: Double = 1e-4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the gate drives five actions over the shingle streams (bloom build,
+    // two flag counts, containment, corpus size): persist the shared
+    // frames for the invocation instead of re-exploding per action
     val sh = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         Dedup.tokens(col("text")).as("w"))
       .select(col("doc_id"),
         explode(Dedup.shinglesFromTokens(col("w"), DecontamGram)).as("g"))
-    val bench = sh.filter(col("doc_id") % 17 === 0).select("g").distinct()
-    val corpus = sh.filter(col("doc_id") % 17 =!= 0)
+    val bench = sh.filter(col("doc_id") % 17 === 0).select("g").distinct().persist()
+    val corpus = sh.filter(col("doc_id") % 17 =!= 0).persist()
 
     val bf = bench.stat.bloomFilter("g", math.max(bench.count(), 1L), fpp)
     val bc = spark.sparkContext.broadcast(bf)
@@ -245,8 +248,7 @@ object Curation {
     val missed = exactFlagged.join(bloomFlagged, Seq("doc_id"), "left_anti").count()
     val nCorpusDocs = corpus.select("doc_id").distinct().count()
     val slack = math.ceil(nCorpusDocs * 0.05).toLong + 8L
-    bloomFlagged.unpersist()
-    exactFlagged.unpersist()
+    Seq(bloomFlagged, exactFlagged, corpus, bench).foreach(_.unpersist())
     Seq(
       ("bloom_no_false_negatives", nExact, missed == 0L),
       ("bloom_flagged_docs", nExact, nBloom >= nExact && nBloom <= nExact + slack)

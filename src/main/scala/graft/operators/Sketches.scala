@@ -63,6 +63,46 @@ object Sketches {
       .unionByName(qrow("p99_value_e2", "ex99", "ap99"))
   }
 
+  /** Heavy hitters via Count-Min Sketch, accuracy-gated against exact
+    * counts.
+    *
+    * Exact per-token counts at corpus scale shuffle the full token
+    * stream; a CMS is a fixed (w×d ints) mergeable summary built with
+    * map-side partials — the stream never crosses the wire. CMS
+    * guarantees est >= true and (w.p. `confidence`) est <= true + ε·N.
+    * The gate takes the exact top-`k` tokens (deterministic ties by
+    * token) and pins each sketch estimate inside that envelope, so a
+    * hashing/merge regression in Spark's sketch fails CORRECTNESS.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 10,
+      eps: Double = 1e-3): DataFrame = {
+    import spark.implicits._
+    val toks = load(spark, dir, "documents")
+      .select(explode(graft.llm.Dedup.tokens(col("text"))).as("t"))
+      .persist()
+    val exact = toks.groupBy("t").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("t").asc).limit(k).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val skBytes = toks
+      .select(expr("count_min_sketch(t, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val n = toks.count()
+    toks.unpersist()
+    val bound = math.ceil(eps * n).toLong
+    exact.toSeq.map { case (term, cnt) =>
+      val est = cms.estimateCount(term)
+      (term, cnt, est >= cnt && est <= cnt + bound)
+    }.toDF("term", "exact", "meets_bound")
+  }
+
+  val heavyHittersOracle: String =
+    """SELECT t AS term, count(*)::BIGINT AS exact, true AS meets_bound
+      |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+      |                                x -> x != '')) AS t FROM documents)
+      |GROUP BY 1 ORDER BY exact DESC, term ASC LIMIT 10""".stripMargin
+
   /** DuckDB twin: exact values recomputed, every bound pinned true. */
   val oracle: String =
     """SELECT 'hll_users' AS variant, count(DISTINCT user_id)::BIGINT AS exact,

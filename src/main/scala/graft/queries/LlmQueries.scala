@@ -153,6 +153,8 @@ object LlmQueries {
     "llm_redact" -> (redact _),
     "llm_repetition" -> (repetition _),
     "llm_boilerplate" -> (boilerplate _),
+    "llm_heavy_hitters" ->
+      ((s: SparkSession, d: String) => graft.operators.Sketches.heavyHitters(s, d)),
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_ngram" -> (dedupNgram _),
@@ -184,6 +186,7 @@ object LlmQueries {
     "llm_redact" -> Curation.redactOracle,
     "llm_repetition" -> Repetition.metricsOracle,
     "llm_boilerplate" -> Repetition.boilerplateOracle,
+    "llm_heavy_hitters" -> graft.operators.Sketches.heavyHittersOracle,
     "llm_dedup_exact" ->
       """SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS text_hash,
         |  count(*)::BIGINT AS dups

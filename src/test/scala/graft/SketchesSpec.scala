@@ -14,4 +14,15 @@ class SketchesSpec extends AnyFunSuite {
       rows.map(r => s"${r.getString(0)} exact=${r.getLong(1)} ok=${r.getBoolean(2)}")
         .mkString("; "))
   }
+
+  test("CMS heavy hitters: estimates bound the exact top-k at sf0.001") {
+    val rows = Sketches.heavyHitters(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getBoolean(2)),
+      rows.map(r => s"${r.getString(0)}=${r.getLong(1)} ok=${r.getBoolean(2)}")
+        .mkString("; "))
+    // exact counts strictly ranked (ties broken by term, so descending)
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sortBy(-_))
+  }
 }

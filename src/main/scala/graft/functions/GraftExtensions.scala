@@ -71,6 +71,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"graft_simhash_fold takes 2 arguments, got ${args.length}")
         SimHashFold(args(0), intLit(args(1), "graft_simhash_fold", "bits"))
+      }),
+    (FunctionIdentifier("graft_sorted_max_run_length"),
+      info("graft_sorted_max_run_length",
+        "graft_sorted_max_run_length(a) - longest equal-adjacent run in a SORTED string array (max value multiplicity)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_sorted_max_run_length takes 1 argument, got ${args.length}")
+        SortedMaxRunLength(args(0))
       })
   )
 

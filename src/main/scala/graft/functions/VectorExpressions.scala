@@ -299,6 +299,74 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Longest run of equal adjacent elements in a SORTED string array —
+  * i.e. the highest multiplicity of any value; over a sorted bigram list
+  * this is the top-bigram count of the Gopher repetition filters. One
+  * linear codegen'd walk per row instead of an interpreted higher-order
+  * `aggregate` fold with a struct accumulator (which allocates a lambda
+  * frame per element — the difference between a projection that keeps
+  * whole-stage codegen and one that breaks it on every corpus row).
+  * Null elements (sorted first) are skipped. Empty arrays yield 0.
+  */
+case class SortedMaxRunLength(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_max_run_length expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n && arr.isNullAt(i)) i += 1
+    var best = 0L
+    var run = 0L
+    var prev: org.apache.spark.unsafe.types.UTF8String = null
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (prev != null && cur.compareTo(prev) == 0) run += 1 else run = 1
+      if (run > best) best = run
+      prev = cur
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val run = ctx.freshName("run")
+      val prev = ctx.freshName("prev")
+      val cur = ctx.freshName("cur")
+      s"""
+         |int $n = $a.numElements();
+         |int $i = 0;
+         |while ($i < $n && $a.isNullAt($i)) $i++;
+         |long $best = 0L; long $run = 0L;
+         |org.apache.spark.unsafe.types.UTF8String $prev = null;
+         |while ($i < $n) {
+         |  org.apache.spark.unsafe.types.UTF8String $cur = $a.getUTF8String($i);
+         |  if ($prev != null && $cur.compareTo($prev) == 0) { $run++; } else { $run = 1L; }
+         |  if ($run > $best) $best = $run;
+         |  $prev = $cur;
+         |  $i++;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** Column API: `dot_product(a, b)` in double, left-to-right. */
   def dot_product(a: Column, b: Column): Column =
@@ -311,6 +379,10 @@ object VectorExpressions {
   /** Column API: simhash bit-majority fold of an array<long>. */
   def simhash_fold(hashes: Column, bits: Int): Column =
     GraftColumn.of(SimHashFold(GraftColumn.exprOf(hashes), bits))
+
+  /** Column API: longest equal-adjacent run in a sorted string array. */
+  def sorted_max_run_length(a: Column): Column =
+    GraftColumn.of(SortedMaxRunLength(GraftColumn.exprOf(a)))
 
   /** Column API: all LSH band keys for a shingle array (array<long>). */
   def minhash_band_keys(shingles: Column, bands: Int, rowsPerBand: Int): Column =

@@ -39,19 +39,16 @@ object Repetition {
           expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"))
           .otherwise(array().cast("array<string>")).as("bg"))
       // max run length over the SORTED bigram list == max bigram count;
-      // a per-row fold, not a groupBy — nothing leaves the row.
+      // a per-row codegen'd walk (SortedMaxRunLength), not a groupBy and
+      // not an interpreted HOF fold — nothing leaves the row and the
+      // projection stays inside whole-stage codegen.
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct"),
         size(col("bg")).cast("long").as("n_bg"),
         size(array_distinct(col("bg"))).cast("long").as("n_distinct_bg"),
-        expr("""aggregate(array_sort(bg),
-            named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
-            (acc, x) -> named_struct(
-              'prev', x,
-              'run', if(x <=> acc.prev, acc.run + 1L, 1L),
-              'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
-            acc -> acc.best)""").as("max_bg"))
+        graft.functions.VectorExpressions
+          .sorted_max_run_length(sort_array(col("bg"))).as("max_bg"))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") > 0,
           floor(col("n_distinct") * lit(1.0e4) / col("n_tokens") + 0.5).cast("long"))

@@ -59,6 +59,6 @@ class ExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // must not throw; same list as install()
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
       Seq("graft_dot_product", "graft_minhash_band_keys", "graft_simhash_fold",
-        "graft_sorted_intersect_count"))
+        "graft_sorted_intersect_count", "graft_sorted_max_run_length"))
   }
 }

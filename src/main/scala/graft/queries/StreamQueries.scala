@@ -37,6 +37,14 @@ object StreamQueries {
       .select(unix_micros(col("window_start")).as("window_start_us"),
         col("part"), col("records"))
 
+  /** Sliding 2-hour windows every hour — each event lands in two
+    * overlapping windows. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.windowedCounts(usAligned(storeDf(spark, dir)), "2 hours",
+        "5 seconds", slide = Some("1 hour"))
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("part"), col("records"))
+
   /** Gap-based sessions (1-hour idle timeout) keyed by the `user` field. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
     StreamOps.sessionize(usAligned(storeDf(spark, dir)), "user",
@@ -69,6 +77,7 @@ object StreamQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_counts" -> (windowCounts _),
+    "stream_sliding" -> (slidingCounts _),
     "stream_sessions" -> (sessions _),
     "stream_dedup" -> (dedup _),
     "stream_join" -> (join _)
@@ -80,6 +89,14 @@ object StreamQueries {
          |SELECT (epoch_us(ts_raw) // 3600000000) * 3600000000 AS window_start_us,
          |  tags AS part, count(*) AS records
          |FROM le GROUP BY 1, 2""".stripMargin,
+    "stream_sliding" ->
+      s"""${EventStore.oracleCte}
+         |SELECT ws AS window_start_us, tags AS part, count(*) AS records
+         |FROM (SELECT tags, unnest([
+         |    (epoch_us(ts_raw) // 3600000000) * 3600000000,
+         |    (epoch_us(ts_raw) // 3600000000 - 1) * 3600000000]) AS ws
+         |  FROM le)
+         |GROUP BY 1, 2""".stripMargin,
     "stream_sessions" ->
       s"""${EventStore.oracleCte},
          |b AS (

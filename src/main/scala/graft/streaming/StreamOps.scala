@@ -25,17 +25,23 @@ object StreamOps {
   def eventTime(tsNs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     timestamp_micros((tsNs / 1000L).cast("long"))
 
-  /** Tumbling event-time window counts per partition with a watermark:
-    * in append mode a (window_start, part, records) row is emitted exactly
-    * once, when the watermark passes the window end — the standard
-    * live-rates query a log store feeds a dashboard from.
+  /** Tumbling or sliding event-time window counts per partition with a
+    * watermark: in append mode a (window_start, part, records) row is
+    * emitted exactly once, when the watermark passes the window end —
+    * the standard live-rates query a log store feeds a dashboard from.
+    * `slide` defaults to the window length (tumbling); a smaller slide
+    * assigns each event to `window/slide` overlapping windows (state
+    * stays one row per open (window, part), bounded by the watermark
+    * horizon either way).
     */
   def windowedCounts(events: DataFrame, windowDur: String,
-      watermarkDelay: String): DataFrame =
+      watermarkDelay: String, slide: Option[String] = None): DataFrame =
     events
       .withColumn("event_time", eventTime(col("ts")))
       .withWatermark("event_time", watermarkDelay)
-      .groupBy(window(col("event_time"), windowDur).as("w"), col("part"))
+      .groupBy(
+        window(col("event_time"), windowDur, slide.getOrElse(windowDur)).as("w"),
+        col("part"))
       .agg(count(lit(1)).as("records"))
       .select(col("w.start").as("window_start"), col("part"), col("records"))
 

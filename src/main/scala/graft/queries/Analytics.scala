@@ -134,7 +134,10 @@ object Analytics {
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts_us"))
       .agg(max(col("event_id")).as("click_id"))
-    graft.operators.TemporalJoins.asOf(purchases, clicks, "user_id", "ts_us")
+    // salts = 2 gates the hot-key-salted path against the ASOF oracle
+    // end-to-end (the spec separately proves salted == unsalted)
+    graft.operators.TemporalJoins.asOf(purchases, clicks, "user_id", "ts_us",
+        salts = 2)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("r_click_id").as("click_id"),
         (col("ts_us") - col("r_ts_us")).as("gap_us"))

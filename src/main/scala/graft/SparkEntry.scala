@@ -35,7 +35,8 @@ object SparkEntry {
       "q11_interval" -> (Analytics.q11Interval _),
       "q12_sketch" -> (graft.operators.Sketches.gate _),
       "q13_rollup" -> (Analytics.q13Rollup _),
-      "q14_gapfill" -> (Analytics.q14Gapfill _)
+      "q14_gapfill" -> (Analytics.q14Gapfill _),
+      "q15_bucketed_join" -> (graft.operators.Bucketing.bucketedJoin _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

@@ -189,6 +189,7 @@ object Analytics {
 
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q15_bucketed_join" -> graft.operators.Bucketing.oracle,
     "q14_gapfill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS v,

@@ -108,6 +108,53 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(pairs.where(col("p_pid").isNotNull).count() == 1)
   }
 
+  test("randomized differential: asOf and pointInInterval match naive references") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 6) {
+      val nl = 1 + rnd.nextInt(12)
+      val nr = rnd.nextInt(10)
+      val left = (1 to nl).map(i =>
+        (1L + rnd.nextInt(3), rnd.nextInt(20).toLong, i.toLong))
+      // unique (key, ts) on the right, as asOf requires
+      val right = (1 to nr).map(_ =>
+        (1L + rnd.nextInt(3), rnd.nextInt(20).toLong))
+        .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, 100L + i) }
+      val lDf = left.toDF("k", "ts", "id")
+      val rDf = right.toDF("k", "ts", "v")
+
+      val salts = 1 + rnd.nextInt(3)
+      val got = TemporalJoins.asOf(lDf, rDf, "k", "ts", salts)
+        .select("id", "r_v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val want = left.map { case (k, lts, id) =>
+        val prior = right.filter(r => r._1 == k && r._2 <= lts)
+        id -> (if (prior.isEmpty) -1L else prior.maxBy(_._2)._3)
+      }.toMap
+      assert(got == want, s"asOf mismatch round $round (salts=$salts): " +
+        s"left=$left right=$right")
+
+      // intervals from the same generator; width 5, bucket width 5
+      val iv = (1 to (1 + rnd.nextInt(5))).map(i =>
+        (1L + rnd.nextInt(3), rnd.nextInt(20).toLong, 1000L + i))
+        .map { case (k, s, id) => (k, s, s + 5L, id) }
+      val pts = left.map { case (k, t, id) => (k, t, id) }
+      val gotPairs = TemporalJoins.pointInInterval(
+          pts.toDF("k", "ts", "pid"), iv.toDF("k", "s", "e", "iv"),
+          "k", "ts", "s", "e", bucketWidth = 5L)
+        .where(col("p_pid").isNotNull)
+        .select("iv", "p_pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantPairs = (for {
+        (ik, s, e, iid) <- iv
+        (pk, t, pid) <- pts
+        if pk == ik && t >= s && t < e
+      } yield (iid, pid)).toSet
+      assert(gotPairs == wantPairs,
+        s"interval mismatch round $round: iv=$iv pts=$pts")
+    }
+  }
+
   test("pointInInterval plan: equi-join, not nested loop") {
     val points = Seq((1L, 100L, 1L)).toDF("k", "ts", "pid")
     val intervals = Seq((1L, 50L, 150L, "i")).toDF("k", "s", "e", "iv")

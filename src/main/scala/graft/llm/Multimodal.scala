@@ -74,7 +74,9 @@ object Multimodal {
     *  - WAV: RIFF/WAVE, `fmt ` chunk (channels LE16 at 22, sample rate
     *    LE32 at 24, block align LE16 at 32), then a generic chunk walk to
     *    the `data` chunk; frames = data bytes / block align.
-    * Returns None when no header matches (caller falls back to the stub).
+    *  - JPEG: SOI, then a marker-segment walk to the first SOF0/1/2 frame
+    *    header (height/width big-endian u16); payload after that segment.
+    * Returns the stub when no header matches.
     */
   def decode(bytes: Array[Byte]): MediaInfo = {
     val n = bytes.length
@@ -87,6 +89,23 @@ object Multimodal {
       val h = le32(bytes, 22).toInt // may be negative (top-down rows)
       MediaInfo(-1L, "bmp", n, le32(bytes, 18), math.abs(h).toLong, 1L,
         payloadChecksum(bytes, dataOffset, n))
+    } else if (n >= 4 && (bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xD8) {
+      // JPEG: walk marker segments from SOI to the first SOF0/1/2 frame
+      // header — height/width are big-endian u16 at +5/+7 in the segment
+      var off = 2
+      var res: MediaInfo = null
+      while (res == null && off + 4 <= n && (bytes(off) & 0xff) == 0xFF) {
+        val typ = bytes(off + 1) & 0xff
+        val segLen = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        if (typ >= 0xC0 && typ <= 0xC2 && off + 9 <= n) {
+          val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
+          val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
+          res = MediaInfo(-1L, "jpeg", n, w.toLong, h.toLong, 1L,
+            payloadChecksum(bytes, off + 2 + segLen, n))
+        } else if (segLen < 2) off = n // corrupt length: fall through
+        else off += 2 + segLen
+      }
+      if (res == null) decodeStub(bytes) else res
     } else if (n >= 44 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE") &&
         ascii(bytes, 12, "fmt ")) {
       val channels = le16(bytes, 22)
@@ -122,18 +141,20 @@ object Multimodal {
   // --- fixtures -----------------------------------------------------------
 
   /** Modality assigned to a doc for fixture construction. */
-  def modalityOf(docId: Long): String = (docId % 3) match {
-    case 0 => "png"; case 1 => "bmp"; case _ => "wav"
+  def modalityOf(docId: Long): String = (docId % 4) match {
+    case 0 => "png"; case 1 => "bmp"; case 2 => "wav"; case _ => "jpeg"
   }
 
   /** A blob with a genuine container header wrapping `payload`:
-    *  - png (doc_id%3==0): width doc_id%640+1, height doc_id%480+1;
-    *  - bmp (doc_id%3==1): same dimension derivation, LE fields;
-    *  - wav (doc_id%3==2): sample rate 8000*((doc_id/3)%3+1), channels
-    *    (doc_id/3)%2+1, 16-bit samples.
+    *  - png (doc_id%4==0): width doc_id%640+1, height doc_id%480+1;
+    *  - bmp (doc_id%4==1): same dimension derivation, LE fields;
+    *  - wav (doc_id%4==2): sample rate 8000*((doc_id/4)%3+1), channels
+    *    (doc_id/4)%2+1, 16-bit samples;
+    *  - jpeg (doc_id%4==3): SOI + JFIF APP0 + SOF0 with the png/bmp
+    *    dimension derivation (39 header bytes).
     * All derivations are plain integer arithmetic so the DuckDB oracle can
     * recompute what the Spark side parses out of the actual bytes. */
-  def fixtureBlob(docId: Long, payload: Array[Byte]): Array[Byte] = (docId % 3) match {
+  def fixtureBlob(docId: Long, payload: Array[Byte]): Array[Byte] = (docId % 4) match {
     case 0 =>
       val w = docId % 640 + 1
       val h = docId % 480 + 1
@@ -157,9 +178,9 @@ object Multimodal {
         .putInt(0).putInt(0).putInt(0).putInt(0) // ppm + palette fields
         .put(payload)
       out.array()
-    case _ =>
-      val rate = 8000 * ((docId / 3) % 3 + 1)
-      val channels = (docId / 3) % 2 + 1
+    case 2 =>
+      val rate = 8000 * ((docId / 4) % 3 + 1)
+      val channels = (docId / 4) % 2 + 1
       val blockAlign = channels * 2
       val out = java.nio.ByteBuffer.allocate(44 + payload.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -171,6 +192,24 @@ object Multimodal {
         .putInt((rate * blockAlign).toInt)   // byte rate
         .putShort(blockAlign.toShort).putShort(16)
         .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(payload.length)
+        .put(payload)
+      out.array()
+    case _ =>
+      val w = docId % 640 + 1
+      val h = docId % 480 + 1
+      val out = java.nio.ByteBuffer.allocate(39 + payload.length)
+      out.put(0xFF.toByte).put(0xD8.toByte) // SOI
+        // APP0/JFIF segment (marker + len 16 + 14 payload bytes)
+        .put(0xFF.toByte).put(0xE0.toByte).putShort(16)
+        .put("JFIF".getBytes(StandardCharsets.US_ASCII)).put(0.toByte)
+        .put(1.toByte).put(1.toByte).put(0.toByte)
+        .putShort(1).putShort(1).put(0.toByte).put(0.toByte)
+        // SOF0 (marker + len 17: precision, H, W, 3 components)
+        .put(0xFF.toByte).put(0xC0.toByte).putShort(17).put(8.toByte)
+        .putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+        .put(1.toByte).put(0x11.toByte).put(0.toByte)
+        .put(2.toByte).put(0x11.toByte).put(1.toByte)
+        .put(3.toByte).put(0x11.toByte).put(1.toByte)
         .put(payload)
       out.array()
   }
@@ -258,7 +297,7 @@ object Multimodal {
        |  SELECT doc_id::BIGINT AS doc_id,
        |         octet_length(encode(text))::BIGINT AS plen,
        |         hex(encode(text)) AS hx
-       |  FROM documents WHERE doc_id % 3 = 2),
+       |  FROM documents WHERE doc_id % 4 = 2),
        |s AS (
        |  SELECT doc_id, plen // 2 AS ns,
        |    list_transform(range(0, plen // 2), i ->
@@ -291,13 +330,15 @@ object Multimodal {
       |         octet_length(encode(text))::BIGINT AS plen,
       |         hex(encode(text)) AS hx
       |  FROM documents),
-      |m AS (SELECT *, doc_id % 3 AS mod3, doc_id // 3 AS grp FROM b)
+      |m AS (SELECT *, doc_id % 4 AS md, doc_id // 4 AS grp FROM b)
       |SELECT doc_id,
-      |  CASE mod3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS modality,
-      |  (plen + CASE mod3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 44 END)::BIGINT AS byte_len,
-      |  (CASE WHEN mod3 = 2 THEN 8000 * (grp % 3 + 1) ELSE doc_id % 640 + 1 END)::BIGINT AS width,
-      |  (CASE WHEN mod3 = 2 THEN grp % 2 + 1 ELSE doc_id % 480 + 1 END)::BIGINT AS height,
-      |  (CASE WHEN mod3 = 2 THEN plen // ((grp % 2 + 1) * 2) ELSE 1 END)::BIGINT AS frames,
+      |  CASE md WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
+      |          ELSE 'jpeg' END AS modality,
+      |  (plen + CASE md WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 44
+      |               ELSE 39 END)::BIGINT AS byte_len,
+      |  (CASE WHEN md = 2 THEN 8000 * (grp % 3 + 1) ELSE doc_id % 640 + 1 END)::BIGINT AS width,
+      |  (CASE WHEN md = 2 THEN grp % 2 + 1 ELSE doc_id % 480 + 1 END)::BIGINT AS height,
+      |  (CASE WHEN md = 2 THEN plen // ((grp % 2 + 1) * 2) ELSE 1 END)::BIGINT AS frames,
       |  coalesce(list_sum(list_transform(range(0, plen),
       |     i -> ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT)), 0)::BIGINT % 997 AS checksum
       |FROM m""".stripMargin

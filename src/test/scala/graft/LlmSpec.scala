@@ -234,7 +234,7 @@ class LlmSpec extends AnyFunSuite {
     // payload bytes chosen to exercise sign extension: sample 0 = 0x0102
     // (lo=0x02, hi=0x01) = 258; sample 1 = 0xFF80 → hi=0xFF → -128
     val payload = Array[Byte](0x02, 0x01, 0x80.toByte, 0xff.toByte, 0x7f, 0x00)
-    val blob = Multimodal.fixtureBlob(2L, payload) // doc_id%3==2 → wav
+    val blob = Multimodal.fixtureBlob(2L, payload) // doc_id%4==2 → wav
     val (at, len) = Multimodal.wavData(blob).getOrElse(fail("wavData: no data chunk"))
     assert(len == 6)
     val samples = (0 until len / 2).map { i =>
@@ -251,26 +251,32 @@ class LlmSpec extends AnyFunSuite {
     perDoc.foreach { r =>
       assert(r.getLong(1) <= r.getLong(2) * Multimodal.PcmWindow, "frames cover samples")
       assert(r.getLong(4) == 0L && r.getLong(3) == r.getLong(2) - 1, "contiguous frame idx")
-      assert(r.getLong(0) % 3 == 2, "only wav docs emit frames")
+      assert(r.getLong(0) % 4 == 2, "only wav docs emit frames")
     }
     assert(frames.agg(max("peak")).head.getLong(0) <= 32768L)
   }
 
-  test("multimodal decode parses real PNG/BMP/WAV headers, stub only as fallback") {
+  test("multimodal decode parses real PNG/BMP/WAV/JPEG headers, stub only as fallback") {
     val payload = "sample-payload".getBytes("UTF-8")
-    // PNG: big-endian IHDR fields
-    val png = Multimodal.decode(Multimodal.fixtureBlob(6L, payload))
-    assert(png.modality == "png" && png.width == 7L && png.height == 7L && png.frames == 1L)
+    // PNG: big-endian IHDR fields (8 % 4 == 0)
+    val png = Multimodal.decode(Multimodal.fixtureBlob(8L, payload))
+    assert(png.modality == "png" && png.width == 9L && png.height == 9L && png.frames == 1L)
     // BMP: little-endian fields, payload found via the header's data offset
-    val bmp = Multimodal.decode(Multimodal.fixtureBlob(7L, payload))
-    assert(bmp.modality == "bmp" && bmp.width == 8L && bmp.height == 8L)
+    val bmp = Multimodal.decode(Multimodal.fixtureBlob(9L, payload))
+    assert(bmp.modality == "bmp" && bmp.width == 10L && bmp.height == 10L)
     assert(bmp.checksum == png.checksum, "same payload, same checksum, either header")
     // WAV: fmt chunk + chunk-walk to data; frames = data bytes / block align
-    val wav = Multimodal.decode(Multimodal.fixtureBlob(8L, payload))
+    val wav = Multimodal.decode(Multimodal.fixtureBlob(10L, payload))
     assert(wav.modality == "wav" && wav.width == 24000L && wav.height == 1L)
     assert(wav.frames == payload.length / 2)
+    // JPEG: SOI + APP0 skipped, SOF0 dims parsed big-endian
+    val jpg = Multimodal.decode(Multimodal.fixtureBlob(11L, payload))
+    assert(jpg.modality == "jpeg" && jpg.width == 12L && jpg.height == 12L)
+    assert(jpg.checksum == png.checksum, "payload checksum identical across containers")
     // unrecognized container → the labeled stub fallback
     assert(Multimodal.decode("plain text".getBytes("UTF-8")).modality == "unknown")
+    // truncated JPEG (SOI only, no SOF) falls back, never reads out of bounds
+    assert(Multimodal.decode(Array[Byte](0xFF.toByte, 0xD8.toByte)).modality == "unknown")
   }
 
   test("multimodal decode survives corrupt RIFF chunk sizes (stub, no hang)") {

@@ -31,6 +31,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out((2L, 3L)) == ((0L, 400L)))
   }
 
+  test("randomized differential: gapFill matches a naive reference") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val rows = (1 to (1 + rnd.nextInt(15))).map(i =>
+        (1L + rnd.nextInt(3), rnd.nextInt(40).toLong, i.toLong,
+          rnd.nextInt(100).toLong))
+      val df = rows.toDF("k", "ts", "ord", "v")
+      val got = TimeSeries.gapFill(df, "k", "ts", "ord", "v", 10L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+
+      val b0 = rows.map(_._2 / 10).min
+      val b1 = rows.map(_._2 / 10).max
+      val keys = rows.map(_._1).distinct
+      val want = (for (k <- keys; b <- b0 to b1) yield {
+        val inBucket = rows.filter(r => r._1 == k && r._2 / 10 == b)
+        val n = inBucket.size.toLong
+        // carry: latest event (ts, ord) at or before bucket end
+        val prior = rows.filter(r => r._1 == k && r._2 / 10 <= b)
+        val vff = if (prior.isEmpty) -1L else prior.maxBy(r => (r._2, r._3))._4
+        (k, b) -> ((n, vff))
+      }).toMap
+      assert(got == want, s"gapFill mismatch round $round: rows=$rows")
+    }
+  }
+
   test("gapFill: empty input yields empty output with the pinned schema") {
     val empty = Seq.empty[(Long, Long, Long, Long)].toDF("k", "ts", "ord", "v")
     val out = TimeSeries.gapFill(empty, "k", "ts", "ord", "v", 10L)

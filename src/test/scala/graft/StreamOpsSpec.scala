@@ -159,6 +159,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(p3.isEmpty, s"emitted keys never re-emit: $p3")
   }
 
+  test("randomized differential: batch sessionize matches a naive reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 5) {
+      val rows = (1 to (2 + rnd.nextInt(20))).map { i =>
+        (s"app=s${rnd.nextInt(2)}", Map("user" -> s"u${rnd.nextInt(3)}"),
+          rnd.nextInt(50).toLong * 1000000000L, i.toLong)
+      }
+      val df = rows.toDF("part", "fields", "ts", "seq")
+      val got = StreamOps.sessionize(df, "user", gapSeconds = 5,
+          watermarkDelay = "1 second")
+        .collect().map(s => (s.part, s.key, s.startTs, s.endTs, s.events)).toSet
+
+      val want = rows.groupBy(r => (r._1, r._2("user"))).flatMap {
+        case ((part, key), grp) =>
+          val ts = grp.map(_._3).sorted
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[Vector[Long]]
+          ts.foreach { t =>
+            if (sessions.nonEmpty && t - sessions.last.last <= 5000000000L)
+              sessions(sessions.length - 1) = sessions.last :+ t
+            else sessions += Vector(t)
+          }
+          sessions.map(s => (part, key, s.head, s.last, s.size.toLong))
+      }.toSet
+      assert(got == want, s"sessionize mismatch round $round: rows=$rows")
+    }
+  }
+
   test("intervalJoin: stream-stream pairs match the batch result exactly") {
     val store = freshStore()
     // clicks at 100, 500; views at 102, 150, 400 (for u1) — within 60s of

@@ -46,7 +46,13 @@ object Bench {
         .writeStream.foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => { df.count(); () })
         .option("checkpointLocation", s"$root/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      try q.awaitTermination(60000)
+      finally q.stop() // never leave the warm-up stream running into timed entries
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(root))
     }
     val buildSec = (System.nanoTime() - tb0) / 1e9
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -325,15 +325,16 @@ case class SortedMaxRunLength(child: Expression) extends UnaryExpression {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var i = 0
-    while (i < n && arr.isNullAt(i)) i += 1
     var best = 0L
     var run = 0L
     var prev: org.apache.spark.unsafe.types.UTF8String = null
     while (i < n) {
-      val cur = arr.getUTF8String(i)
-      if (prev != null && cur.compareTo(prev) == 0) run += 1 else run = 1
-      if (run > best) best = run
-      prev = cur
+      if (!arr.isNullAt(i)) { // null elements are skipped wherever they sit
+        val cur = arr.getUTF8String(i)
+        if (prev != null && cur.compareTo(prev) == 0) run += 1 else run = 1
+        if (run > best) best = run
+        prev = cur
+      }
       i += 1
     }
     best
@@ -349,16 +350,14 @@ case class SortedMaxRunLength(child: Expression) extends UnaryExpression {
       val cur = ctx.freshName("cur")
       s"""
          |int $n = $a.numElements();
-         |int $i = 0;
-         |while ($i < $n && $a.isNullAt($i)) $i++;
          |long $best = 0L; long $run = 0L;
          |org.apache.spark.unsafe.types.UTF8String $prev = null;
-         |while ($i < $n) {
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  org.apache.spark.unsafe.types.UTF8String $cur = $a.getUTF8String($i);
          |  if ($prev != null && $cur.compareTo($prev) == 0) { $run++; } else { $run = 1L; }
          |  if ($run > $best) $best = $run;
          |  $prev = $cur;
-         |  $i++;
          |}
          |${ev.value} = $best;
        """.stripMargin

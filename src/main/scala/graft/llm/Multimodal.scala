@@ -96,14 +96,22 @@ object Multimodal {
       var res: MediaInfo = null
       while (res == null && off + 4 <= n && (bytes(off) & 0xff) == 0xFF) {
         val typ = bytes(off + 1) & 0xff
-        val segLen = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-        if (typ >= 0xC0 && typ <= 0xC2 && off + 9 <= n) {
-          val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
-          val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
-          res = MediaInfo(-1L, "jpeg", n, w.toLong, h.toLong, 1L,
-            payloadChecksum(bytes, off + 2 + segLen, n))
-        } else if (segLen < 2) off = n // corrupt length: fall through
-        else off += 2 + segLen
+        if (typ == 0xFF) {
+          off += 1 // legal fill byte (0xFF padding before a marker)
+        } else if (typ == 0x01 || (typ >= 0xD0 && typ <= 0xD9)) {
+          off += 2 // length-less markers: TEM, RSTn, repeated SOI, EOI
+        } else if (typ == 0xDA) {
+          off = n // start of scan: no SOF seen, entropy data follows
+        } else {
+          val segLen = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+          if (typ >= 0xC0 && typ <= 0xC2 && off + 9 <= n) {
+            val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
+            val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
+            res = MediaInfo(-1L, "jpeg", n, w.toLong, h.toLong, 1L,
+              payloadChecksum(bytes, off + 2 + segLen, n))
+          } else if (segLen < 2) off = n // corrupt length: fall through
+          else off += 2 + segLen
+        }
       }
       if (res == null) decodeStub(bytes) else res
     } else if (n >= 44 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE") &&

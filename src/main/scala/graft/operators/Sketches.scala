@@ -84,7 +84,7 @@ object Sketches {
       .orderBy(col("exact").desc, col("t").asc).limit(k).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val skBytes = toks
-      .select(expr("count_min_sketch(t, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .select(expr(s"count_min_sketch(t, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
       .head.getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(skBytes))

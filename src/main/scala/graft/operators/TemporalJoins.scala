@@ -120,12 +120,16 @@ object TemporalJoins {
       tsCol: String, startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
     // Integer `div`, not `/`: ns-scale longs exceed 2^53 and would lose
     // precision through double division.
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
-        // end is exclusive, but an interval ending exactly on a bucket
-        // boundary still can't match points of the next bucket, so the
-        // residual filter makes the extra bucket row harmless.
-        expr(s"CAST($endCol AS BIGINT) div $bucketWidth"))))
+    // __iid identifies an interval ROW across its bucket replicas (one
+    // plan, one computation — safe for monotonically_increasing_id).
+    val iv = intervals
+      .withColumn("__iid", monotonically_increasing_id())
+      .withColumn("__bucket",
+        explode(sequence(expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
+          // end is exclusive, but an interval ending exactly on a bucket
+          // boundary still can't match points of the next bucket, so the
+          // residual filter makes the extra bucket row harmless.
+          expr(s"CAST($endCol AS BIGINT) div $bucketWidth"))))
     val ptPayload = points.columns.filter(c => c != keyCol).toSeq
     val pt = points
       .withColumn("__bucket", expr(s"CAST($tsCol AS BIGINT) div $bucketWidth"))
@@ -135,6 +139,17 @@ object TemporalJoins {
         iv("__bucket") === pt("__bucket") && col(keyCol) === col("__pk") &&
           col(s"p_$tsCol") >= col(startCol) && col(s"p_$tsCol") < col(endCol),
         "left_outer")
+      // every bucket replica of an interval survives the outer join even
+      // when unmatched (null-padded); keep null rows ONLY for intervals
+      // that matched nothing in ANY bucket, and then only the first
+      // replica's — so a point-less interval emits exactly one row and a
+      // matched interval emits exactly its pairs (the contract above)
+      .withColumn("__any",
+        max(col(s"p_$tsCol").isNotNull.cast("int"))
+          .over(Window.partitionBy(col("__iid"))))
+      .filter(col(s"p_$tsCol").isNotNull ||
+        (col("__any") === 0 &&
+          iv("__bucket") === expr(s"CAST($startCol AS BIGINT) div $bucketWidth")))
       .select(intervals.columns.map(col).toSeq ++ ptPayload.map(c => col(s"p_$c")): _*)
   }
 }

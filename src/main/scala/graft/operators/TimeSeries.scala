@@ -36,10 +36,15 @@ object TimeSeries {
       .withColumn("__b", expr(s"$tsCol div $bucketWidth"))
     val bounds = e.agg(min("__b"), max("__b")).head()
     if (bounds.isNullAt(0))
+      // empty-input schema must match the non-empty one, including the
+      // caller's actual key/value types
       return e.sparkSession.createDataFrame(
         e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          s"$keyCol BIGINT, bucket BIGINT, n BIGINT, v_ff BIGINT"))
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(keyCol, events.schema(keyCol).dataType),
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("v_ff", events.schema(valCol).dataType))))
     val (b0, b1) = (bounds.getLong(0), bounds.getLong(1))
 
     val grid = e.select(col(keyCol)).distinct()

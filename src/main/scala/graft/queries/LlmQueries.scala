@@ -92,7 +92,6 @@ object LlmQueries {
     val lsh = recallOf(simTopKLsh(spark, dir))
     val ivf = recallOf(simTopKIvf(spark, dir))
     val rp = recallOf(simTopKRp(spark, dir))
-    System.err.println(s"[annRecall] lsh=$lsh ivf=$ivf rp=$rp")
     Seq(
       ("lsh", 5000L, lsh >= 0.5),
       ("ivf", 4000L, ivf >= 0.4),

@@ -21,9 +21,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamOps {
 
   /** ts int64-ns → event-time timestamp (µs precision, what Spark's
-    * window/watermark machinery operates on). */
+    * window/watermark machinery operates on). Integral `div`, not `/`:
+    * epoch-ns values exceed 2^53, so double division can land 1 µs off
+    * the true floor — enough to flip an exact window/interval boundary. */
   def eventTime(tsNs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros((tsNs / 1000L).cast("long"))
+    timestamp_micros(call_function("div", tsNs, lit(1000L)))
 
   /** Tumbling or sliding event-time window counts per partition with a
     * watermark: in append mode a (window_start, part, records) row is

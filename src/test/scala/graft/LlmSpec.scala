@@ -277,6 +277,12 @@ class LlmSpec extends AnyFunSuite {
     assert(Multimodal.decode("plain text".getBytes("UTF-8")).modality == "unknown")
     // truncated JPEG (SOI only, no SOF) falls back, never reads out of bounds
     assert(Multimodal.decode(Array[Byte](0xFF.toByte, 0xD8.toByte)).modality == "unknown")
+    // legal 0xFF fill padding before a marker must not derail the walk
+    val base = Multimodal.fixtureBlob(11L, payload)
+    val padded = Array[Byte](base(0), base(1), 0xFF.toByte, 0xFF.toByte) ++ base.drop(2)
+    val pj = Multimodal.decode(padded)
+    assert(pj.modality == "jpeg" && pj.width == 12L && pj.height == 12L,
+      s"fill bytes broke the marker walk: $pj")
   }
 
   test("multimodal decode survives corrupt RIFF chunk sizes (stub, no hang)") {

@@ -52,6 +52,15 @@ class RepetitionSpec extends AnyFunSuite {
     assert(top(2).getLong(1) == 1L, "cut row comes from the df=1 band")
   }
 
+  test("sorted_max_run_length skips interior nulls instead of throwing") {
+    import graft.functions.VectorExpressions.sorted_max_run_length
+    val out = Seq(Tuple1(Seq[String]("a", null, "a", "a", null, "b")))
+      .toDF("xs")
+      .select(sorted_max_run_length(col("xs")).as("m")).head.getLong(0)
+    // nulls removed -> a,a,a,b -> run of 3
+    assert(out == 3L)
+  }
+
   test("metrics plan: no exchange (per-row only)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Repetition.metrics(docs).queryExecution.executedPlan.toString

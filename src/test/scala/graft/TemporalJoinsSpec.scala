@@ -106,6 +106,18 @@ class TemporalJoinsSpec extends AnyFunSuite {
     val pairs = TemporalJoins.pointInInterval(points, intervals,
       "k", "ts", "s", "e", bucketWidth = 100L)
     assert(pairs.where(col("p_pid").isNotNull).count() == 1)
+    // a matched interval emits ONLY its pairs — no null rows from the
+    // other (unmatched) bucket replicas
+    assert(pairs.count() == 1, "matched interval must not add null rows")
+  }
+
+  test("pointInInterval: unmatched multi-bucket interval emits exactly one null row") {
+    val points = Seq((2L, 150L, 1L)).toDF("k", "ts", "pid") // wrong key
+    val intervals = Seq((1L, 60L, 260L, "i")).toDF("k", "s", "e", "iv")
+    val out = TemporalJoins.pointInInterval(points, intervals,
+      "k", "ts", "s", "e", bucketWidth = 100L)
+    assert(out.count() == 1)
+    assert(out.where(col("p_pid").isNull).count() == 1)
   }
 
   test("randomized differential: asOf and pointInInterval match naive references") {

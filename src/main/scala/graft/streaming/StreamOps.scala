@@ -246,8 +246,17 @@ object StreamOps {
     * Spark's watermark machinery tracks); raw int64-ns timestamps are
     * carried through for exact output.
     */
+  /** `joinType` "inner" (default) or "left_outer": the outer form also
+    * emits left events with NO in-window right match (null r_ts/r_seq) —
+    * in streaming, such a row is emitted once the watermark proves no
+    * matching right event can still arrive (Spark's watermarked outer
+    * stream-stream join). NOTE the query watermark is the MIN across
+    * both inputs (spark.sql.streaming.multipleWatermarkPolicy): a quiet
+    * LEFT side holds back outer-null emission even when the right side
+    * is far ahead. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyField: String,
-      withinSeconds: Long, watermarkDelay: String): DataFrame = {
+      withinSeconds: Long, watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left
       .withColumn("l_et", eventTime(col("ts")))
       .withWatermark("l_et", watermarkDelay)
@@ -261,7 +270,8 @@ object StreamOps {
     l.join(r,
         col("key") === col("r_key") &&
           col("r_et") >= col("l_et") &&
-          col("r_et") < col("l_et") + expr(s"INTERVAL $withinSeconds SECOND"))
+          col("r_et") < col("l_et") + expr(s"INTERVAL $withinSeconds SECOND"),
+        joinType)
       .select(col("key"), col("l_ts"), col("l_seq"), col("r_ts"), col("r_seq"))
   }
 }

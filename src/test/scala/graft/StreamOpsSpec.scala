@@ -224,4 +224,37 @@ class StreamOpsSpec extends AnyFunSuite {
       s"stream pairs ${got.toSet} != batch $batch")
     assert(got.size == got.toSet.size, s"no duplicate emissions: $got")
   }
+
+  test("intervalJoin left_outer: unmatched clicks emit null rows, stream == batch") {
+    val store = freshStore()
+    ingest(store, Map("kind" -> "click"), "u1", Seq(100, 500))
+    ingest(store, Map("kind" -> "view"), "u1", Seq(110))
+    // the query watermark is the MIN across both watermarked inputs, so
+    // BOTH sides need a far-future event before the unmatched click@500's
+    // null row can emit in streaming mode (u2's click and view pair up)
+    ingest(store, Map("kind" -> "view"), "u2", Seq(5000))
+    ingest(store, Map("kind" -> "click"), "u2", Seq(5000))
+
+    def sides(df: DataFrame): (DataFrame, DataFrame) =
+      (df.filter(col("part") === "kind=click"),
+        df.filter(col("part") === "kind=view"))
+    def shape(rows: Seq[org.apache.spark.sql.Row]): Set[(String, Long, Long)] =
+      rows.map(r => (r.getString(0), r.getLong(1) / 1000000000L,
+        if (r.isNullAt(3)) -1L else r.getLong(3) / 1000000000L)).toSet
+
+    val (bc, bv) = sides(
+      spark.read.format("graft-store").option("root", store.root).load())
+    val batch = shape(
+      StreamOps.intervalJoin(bc, bv, "user", 60, "5 seconds", "left_outer")
+        .collect().toSeq)
+    assert(batch == Set(("u1", 100L, 110L), ("u1", 500L, -1L),
+      ("u2", 5000L, 5000L)), s"unexpected batch outer pairs: $batch")
+
+    val cp = Files.createTempDirectory("graft-sops-cp").toString
+    val (sc, sv) = sides(stream(store))
+    val got = drainAll[(String, Long, Long)](
+      StreamOps.intervalJoin(sc, sv, "user", 60, "5 seconds", "left_outer"), cp,
+      df => shape(df.collect().toSeq).toSeq)
+    assert(got.toSet == batch, s"stream outer ${got.toSet} != batch $batch")
+  }
 }

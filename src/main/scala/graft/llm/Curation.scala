@@ -173,6 +173,37 @@ object Curation {
 
   // -------------------------------------------------------------- oracles
 
+  /** Deterministic train/validation/test split by the same md5 bucket
+    * used for sampling: disjoint and complete BY CONSTRUCTION (every doc
+    * lands in exactly one bucket, each bucket in exactly one split), and
+    * re-run-stable across engines/partitionings — the assignment is pure
+    * per-row arithmetic, no shuffle. Reported as per-(split, lang)
+    * counts; the assignment itself is the obvious projection. */
+  def split(docs: DataFrame): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val splitOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'validation'
+      |            ELSE 'test' END AS split,
+      |  lang, count(*)::BIGINT AS n_docs
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   val sampleOracle: String = {
     val cases = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
       .mkString(" ")

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.llm.{Clustering, Curation, Dedup, Fingerprint, Multimodal, Repetition, SimHash, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Training-data-pipeline operators over the driver's `documents` /
   * `embeddings` tables, each with a DuckDB oracle computing the identical
@@ -36,6 +37,21 @@ object LlmQueries {
 
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(ngramPairs(spark, dir))
+
+  /** The APPLIED dedup: the corpus minus non-survivor duplicates — what
+    * a pipeline actually writes out after clustering. One anti-join of
+    * the doc metadata against the (tiny) drop list. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val drop = Dedup.dupClusters(ngramPairs(spark, dir))
+      .filter(!col("keep")).select("doc_id")
+    docs(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("n_chars").cast("long").as("n_chars"))
+      .join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  def split(spark: SparkSession, dir: String): DataFrame =
+    Curation.split(docs(spark, dir))
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.fingerprints(docs(spark, dir))
@@ -158,6 +174,8 @@ object LlmQueries {
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_ngram" -> (dedupNgram _),
     "llm_dup_clusters" -> (dupClusters _),
+    "llm_dedup_apply" -> (dedupApply _),
+    "llm_split" -> (split _),
     "llm_simhash" -> (simhash _),
     "llm_text_stats" -> (textStats _),
     "llm_sim_topk" -> (simTopK _),
@@ -267,6 +285,37 @@ object LlmQueries {
         |SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
         |  (id = min(r)) AS keep
         |FROM reach GROUP BY id""".stripMargin,
+
+    // same reachability closure, applied: corpus minus non-survivors
+    "llm_dedup_apply" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 0) + 1),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+        |                                   t -> t != '') w
+        |        FROM documents)),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+        |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r))
+        |SELECT doc_id::BIGINT AS doc_id, lang, source, n_chars::BIGINT AS n_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin,
+    "llm_split" -> Curation.splitOracle,
 
     "llm_simhash" ->
       """WITH hs AS (

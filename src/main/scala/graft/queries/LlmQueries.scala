@@ -35,14 +35,20 @@ object LlmQueries {
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir)
 
+  /** Clusters memoized like [[ngramPairs]]: the label propagation feeds
+    * both the cluster view and the applied dedup (tiny result — one row
+    * per clustered doc). */
+  private val clustersCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dupClusters(ngramPairs(spark, dir))
+    clustersCache.getOrElseUpdate(dir,
+      Dedup.dupClusters(ngramPairs(spark, dir)).persist())
 
   /** The APPLIED dedup: the corpus minus non-survivor duplicates — what
     * a pipeline actually writes out after clustering. One anti-join of
     * the doc metadata against the (tiny) drop list. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val drop = Dedup.dupClusters(ngramPairs(spark, dir))
+    val drop = dupClusters(spark, dir)
       .filter(!col("keep")).select("doc_id")
     docs(spark, dir)
       .select(col("doc_id").cast("long").as("doc_id"), col("lang"),

@@ -26,7 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // the box has 128 GiB; 8g under local[32] made the CPU-heavy bench
-  // entries GC-bound (llm_dedup_ngram swung 6-23s run to run)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 8g under local[32] made CPU-heavy bench entries GC-bound, but this
+  // VM services FIRST-TOUCH page faults at ~0.1-0.4 GB/s (measured; warm
+  // pages run at ~8 GB/s), so an oversized heap that keeps touching fresh
+  // pages is just as bad — 16g balances GC pressure against fault cost
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -5,12 +5,25 @@ import graft.queries.{AdminQueries, Analytics, LlmQueries, LqlQueries, StreamQue
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `lql_*` keys are SURVEY §2 operators driven end-to-end through the LQL
-  * engine (parse → catalog prune → filter → order → position → project)
-  * over the materialized LogEvent store; `q*` keys are analytics smoke
-  * queries over the synthetic star schema. Every SQL-expressible key also
-  * appears in [[oracleSql]] with IDENTICAL output column names (the driver
-  * sorts columns by name before hashing).
+  * Entry families (every SQL-expressible key also appears in
+  * [[oracleSql]] with IDENTICAL output column names — the driver sorts
+  * columns by name before hashing):
+  *  - `lql_*`  — SURVEY §2 reference operators driven end-to-end through
+  *    the LQL engine (parse → catalog prune → filter → order → position
+  *    → project) over the materialized LogEvent store, plus store
+  *    lifecycle (ingest parsers, pipes, forwarder, truncate, compaction,
+  *    tail-follow, the public DSv2 connector);
+  *  - `q*`     — analytics over the synthetic star schema: TPC-H-style
+  *    joins/aggregates, as-of + interval joins, sketch gates, ROLLUP,
+  *    gap-fill resampling, co-located bucketed joins;
+  *  - `llm_*`  — the training-data curation layer: dedup (exact, MinHash,
+  *    ngram-Jaccard + clusters + applied, embedding), ANN top-k (brute/
+  *    LSH/IVF/JL-rerank + recall gate), text quality/repetition/
+  *    boilerplate/templates, sampling/split/chunk/decontam (exact +
+  *    Bloom)/TF-IDF/redaction/heavy-hitters, k-means, multimodal decode;
+  *  - `stream_*`/`log_*` — Structured Streaming ops with unified batch
+  *    semantics (windows, sessions, dedup, stream-stream joins) and
+  *    log-template mining.
   */
 object SparkEntry {
 

@@ -173,6 +173,53 @@ object Curation {
 
   // -------------------------------------------------------------- oracles
 
+  /** Unigram language-model quality score per document — the CCNet-style
+    * "perplexity filter" shape (Wenzek et al. 2019 score against a
+    * reference LM; here the corpus itself is the reference): rare-token
+    * documents score high negative-log-likelihood, template/common-token
+    * documents score low.
+    *
+    * Scale shape: ONE aggregation builds the unigram table (map-side
+    * combined, |vocab| rows — at 100 TB this is the thing you broadcast,
+    * not the corpus); scoring joins each token occurrence against the
+    * broadcast table and averages per doc. Everything integerized: the
+    * per-token nll is floored to e6 BEFORE summing, and the mean is an
+    * integer division — bit-identical across engines and partitionings
+    * (the `ln` inputs are exact integer ratios, same trick as tfidf).
+    *
+    * Output: (doc_id, n_tokens, mean_nll_e6).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("tc"))
+    val total = toks.count()
+    val perToken = toks.join(broadcast(vocab), "t")
+      .withColumn("nll_e6",
+        floor(-log(col("tc") / lit(total.toDouble)) * 1e6 + 0.5).cast("long"))
+    perToken.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("nll_e6")).cast("long") / count(lit(1))).cast("long")
+          .as("mean_nll_e6"))
+  }
+
+  val lmScoreOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id::BIGINT AS doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+      |                       x -> x != '')) AS t
+      |  FROM documents),
+      |vocab AS (SELECT t, count(*)::BIGINT AS tc FROM tok GROUP BY 1),
+      |tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
+      |per AS (
+      |  SELECT doc_id,
+      |    floor(-ln(tc / (SELECT n FROM tot)) * 1e6 + 0.5)::BIGINT AS nll_e6
+      |  FROM tok JOIN vocab USING (t))
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  (sum(nll_e6) // count(*))::BIGINT AS mean_nll_e6
+      |FROM per GROUP BY 1""".stripMargin
+
   /** Deterministic train/validation/test split by the same md5 bucket
     * used for sampling: disjoint and complete BY CONSTRUCTION (every doc
     * lands in exactly one bucket, each bucket in exactly one split), and

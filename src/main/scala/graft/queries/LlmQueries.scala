@@ -59,6 +59,9 @@ object LlmQueries {
   def split(spark: SparkSession, dir: String): DataFrame =
     Curation.split(docs(spark, dir))
 
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    Curation.lmScore(docs(spark, dir))
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.fingerprints(docs(spark, dir))
 
@@ -182,6 +185,7 @@ object LlmQueries {
     "llm_dup_clusters" -> (dupClusters _),
     "llm_dedup_apply" -> (dedupApply _),
     "llm_split" -> (split _),
+    "llm_lm_score" -> (lmScore _),
     "llm_simhash" -> (simhash _),
     "llm_text_stats" -> (textStats _),
     "llm_sim_topk" -> (simTopK _),
@@ -322,6 +326,7 @@ object LlmQueries {
         |SELECT doc_id::BIGINT AS doc_id, lang, source, n_chars::BIGINT AS n_chars
         |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin,
     "llm_split" -> Curation.splitOracle,
+    "llm_lm_score" -> Curation.lmScoreOracle,
 
     "llm_simhash" ->
       """WITH hs AS (

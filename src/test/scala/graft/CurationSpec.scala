@@ -106,6 +106,25 @@ class CurationSpec extends AnyFunSuite {
       .count() == docs.count())
   }
 
+  test("lm score: rare-token docs score higher nll than common-token docs") {
+    import spark.implicits._
+    // "the" dominates the corpus; doc 3 is all rare tokens
+    val corpus = Seq(
+      (1L, "the the the the the the"),
+      (2L, "the the the common words"),
+      (3L, "zyxwv qqqqz rarest")
+    ).toDF("doc_id", "text")
+    val scores = Curation.lmScore(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(3L) > scores(1L), s"rare doc must out-score common: $scores")
+    assert(scores(2L) > scores(1L) && scores(2L) < scores(3L),
+      s"mixed doc sits between: $scores")
+    // deterministic across invocations
+    val again = Curation.lmScore(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == scores)
+  }
+
   test("bloom decontamination: no false negatives, FP envelope holds") {
     val gate = Curation.decontamBloomGate(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap

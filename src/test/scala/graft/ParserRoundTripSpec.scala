@@ -148,4 +148,24 @@ class ParserRoundTripSpec extends AnyFunSuite {
       assert(parser.parse(bad).isLeft, s"'$bad' should not parse")
     }
   }
+
+  test("fuzz: random token soup never escapes as a non-parse exception") {
+    val rnd = new scala.util.Random(97)
+    val vocab = Seq("select", "show", "describe", "truncate", "create",
+      "delete", "pipe", "partitions", "from", "range", "where", "position",
+      "offset", "limit", "and", "or", "not", "contains", "like", "prefix",
+      "suffix", "upper", "lower", "msg", "ts", "fields:app", "head", "tail",
+      "{name=x}", "{", "}", "(", ")", "[", "]", ":", ",", "=", "!=", "<",
+      ">", "<=", ">=", "'a b'", "\"q\"", "10m", "-3.5d", "minute", "1G",
+      "*", "???", "\\", "0x12", "9999999999999999999999", "éµ")
+    for (round <- 1 to 500) {
+      val stmt = Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      try parser.parse(stmt) // Left(...) is fine; throwing is the bug
+      catch {
+        case e: Throwable =>
+          fail(s"parser threw ${e.getClass.getSimpleName} on '$stmt': ${e.getMessage}")
+      }
+    }
+  }
 }

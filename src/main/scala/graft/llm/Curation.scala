@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset-curation operators for training-data pipelines: deterministic
@@ -22,23 +22,30 @@ object Curation {
   val SampleRates: Seq[(String, Int)] =
     Seq("en" -> 25, "de" -> 60, "fr" -> 60, "es" -> 60, "zh" -> 90)
 
+  /** The ONE deterministic doc→bucket assignment (md5 of doc_id, first
+    * 15 hex digits, mod 100) shared by sampling and splitting — keep in
+    * lockstep with [[bucketSql]]. */
+  private def docBucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+
+  /** DuckDB twin of [[docBucket]]. */
+  private val bucketSql =
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"
+
   /** Deterministic stratified sampling: a document is kept iff
-    * `bucket(doc_id) < rate(lang)`, where the bucket is a stable content
-    * hash (md5 of the id rendered as a string) mod 100 — NOT `rand()`.
-    * Determinism is what makes sampling auditable and re-runnable at
-    * 100 TB: the same corpus always yields the same sample, a re-run
-    * after a crash resumes identically, and the oracle can verify row-
-    * for-row. The plan is a single narrow filter — no shuffle, prunes to
-    * (doc_id, lang) at the scan. */
+    * `docBucket(doc_id) < rate(lang)` — a stable content hash, NOT
+    * `rand()`. Determinism is what makes sampling auditable and
+    * re-runnable at 100 TB: the same corpus always yields the same
+    * sample, a re-run after a crash resumes identically, and the oracle
+    * can verify row-for-row. The plan is a single narrow filter — no
+    * shuffle, prunes to (doc_id, lang) at the scan. */
   def stratifiedSample(docs: DataFrame): DataFrame = {
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100
     val rate = SampleRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
       when(col("lang") === l, lit(r)).otherwise(acc)
     }
     docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-        bucket.as("bucket"))
+        docBucket.as("bucket"))
       .filter(col("bucket") < rate)
   }
 
@@ -193,15 +200,19 @@ object Curation {
     val toks = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(Dedup.tokens(col("text"))).as("t"))
+    // total token count rides along as a broadcast 1-row aggregate (the
+    // tfidf pattern) — the plan stays fully lazy, no driver-side count job
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("tc"))
-    val total = toks.count()
+      .crossJoin(broadcast(total))
     val perToken = toks.join(broadcast(vocab), "t")
       .withColumn("nll_e6",
-        floor(-log(col("tc") / lit(total.toDouble)) * 1e6 + 0.5).cast("long"))
+        floor(-log(col("tc") / col("total")) * 1e6 + 0.5).cast("long"))
     perToken.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        (sum(col("nll_e6")).cast("long") / count(lit(1))).cast("long")
-          .as("mean_nll_e6"))
+        // integral div, matching the oracle's `//` exactly (double `/`
+        // rounds, which can differ from floor by one at large sums)
+        expr("sum(nll_e6) div count(1)").as("mean_nll_e6"))
   }
 
   val lmScoreOracle: String =
@@ -227,11 +238,8 @@ object Curation {
     * per-row arithmetic, no shuffle. Reported as per-(split, lang)
     * counts; the assignment itself is the obvious projection. */
   def split(docs: DataFrame): DataFrame = {
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100
     docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-        bucket.as("bucket"))
+        docBucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "validation")
@@ -241,22 +249,20 @@ object Curation {
   }
 
   val splitOracle: String =
-    """WITH s AS (
-      |  SELECT doc_id, lang,
-      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
-      |  FROM documents)
-      |SELECT CASE WHEN bucket < 80 THEN 'train'
-      |            WHEN bucket < 90 THEN 'validation'
-      |            ELSE 'test' END AS split,
-      |  lang, count(*)::BIGINT AS n_docs
-      |FROM s GROUP BY 1, 2""".stripMargin
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, $bucketSql AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'validation'
+       |            ELSE 'test' END AS split,
+       |  lang, count(*)::BIGINT AS n_docs
+       |FROM s GROUP BY 1, 2""".stripMargin
 
   val sampleOracle: String = {
     val cases = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
       .mkString(" ")
     s"""WITH s AS (
-       |  SELECT doc_id::BIGINT AS doc_id, lang,
-       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+       |  SELECT doc_id::BIGINT AS doc_id, lang, $bucketSql AS bucket
        |  FROM documents)
        |SELECT doc_id, lang, bucket FROM s
        |WHERE bucket < CASE lang $cases ELSE 0 END""".stripMargin

@@ -199,6 +199,36 @@ object LlmQueries {
     "llm_ann_recall" -> (annRecall _)
   )
 
+  /** The duplicate-cluster reachability closure (word-2-gram Jaccard at
+    * 0.5 → undirected edges → recursive closure), shared verbatim by the
+    * llm_dup_clusters and llm_dedup_apply oracles so the cluster
+    * definition can never diverge between them. */
+  private val clusterClosureCte: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(w) - 1, 0) + 1),
+      |    i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+      |                                   t -> t != '') w
+      |        FROM documents)),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+      |  JOIN sizes sb ON sb.doc_id = inter.doc_b
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_kmeans" ->
       """SELECT * FROM (VALUES
@@ -266,65 +296,20 @@ object LlmQueries {
 
     // connected components over the ngram-Jaccard pairs via a recursive
     // reachability closure (feasible at oracle scale); the Spark side
-    // reaches the same components by min-label propagation
+    // reaches the same components by min-label propagation. ONE closure
+    // definition feeds both the cluster view and the applied dedup.
     "llm_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(
-        |    range(1, greatest(len(w) - 1, 0) + 1),
-        |    i -> w[i] || ' ' || w[i+1])) AS g
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
-        |                                   t -> t != '') w
-        |        FROM documents)),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
-        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
-        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS s, doc_b AS d FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
-        |SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
-        |  (id = min(r)) AS keep
-        |FROM reach GROUP BY id""".stripMargin,
+      s"""$clusterClosureCte
+         |SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
+         |  (id = min(r)) AS keep
+         |FROM reach GROUP BY id""".stripMargin,
 
     // same reachability closure, applied: corpus minus non-survivors
     "llm_dedup_apply" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(
-        |    range(1, greatest(len(w) - 1, 0) + 1),
-        |    i -> w[i] || ' ' || w[i+1])) AS g
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
-        |                                   t -> t != '') w
-        |        FROM documents)),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
-        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
-        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS s, doc_b AS d FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-        |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r))
-        |SELECT doc_id::BIGINT AS doc_id, lang, source, n_chars::BIGINT AS n_chars
-        |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin,
+      s"""$clusterClosureCte,
+         |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r))
+         |SELECT doc_id::BIGINT AS doc_id, lang, source, n_chars::BIGINT AS n_chars
+         |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin,
     "llm_split" -> Curation.splitOracle,
     "llm_lm_score" -> Curation.lmScoreOracle,
 

@@ -245,15 +245,16 @@ object StreamOps {
     * The time comparison runs on the µs event-time columns (the grain
     * Spark's watermark machinery tracks); raw int64-ns timestamps are
     * carried through for exact output.
-    */
-  /** `joinType` "inner" (default) or "left_outer": the outer form also
+    *
+    * `joinType` "inner" (default) or "left_outer": the outer form also
     * emits left events with NO in-window right match (null r_ts/r_seq) —
     * in streaming, such a row is emitted once the watermark proves no
     * matching right event can still arrive (Spark's watermarked outer
     * stream-stream join). NOTE the query watermark is the MIN across
     * both inputs (spark.sql.streaming.multipleWatermarkPolicy): a quiet
     * LEFT side holds back outer-null emission even when the right side
-    * is far ahead. */
+    * is far ahead.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame, keyField: String,
       withinSeconds: Long, watermarkDelay: String,
       joinType: String = "inner"): DataFrame = {

@@ -25,4 +25,12 @@ class SketchesSpec extends AnyFunSuite {
     val counts = rows.map(_.getLong(1)).toSeq
     assert(counts == counts.sortBy(-_))
   }
+
+  test("CMS heavy hitters: a non-default eps keeps sketch and bound consistent") {
+    val rows = Sketches.heavyHitters(spark, "/root/testdata/sf0.001",
+      k = 5, eps = 1e-2).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(2)),
+      "wider-eps sketch must still sit inside its matching wider bound")
+  }
 }

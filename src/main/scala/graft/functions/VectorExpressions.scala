@@ -97,6 +97,96 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two numeric arrays, accumulated in double
+  * LEFT-TO-RIGHT — the k-means assignment kernel.
+  *
+  * Why (same rationale as [[DotProduct]]): the HOF form
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0, _+_)` evaluates
+  * interpreted — two lambda frames and boxed doubles PER ELEMENT — and the
+  * Lloyd assignment evaluates it k times per corpus row per iteration,
+  * which made it the dominant CPU term of the clustering entry. This node
+  * is one primitive loop per row (and a plain Java loop inside whole-stage
+  * codegen). Null/length semantics are exactly the HOF form's: mismatched
+  * lengths or a null element yield NULL, so the swap cannot change a
+  * result — bit-locked by VectorExpressionsSpec.
+  */
+case class SquaredDistance(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"squared_distance expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def containsNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    val guard = containsNulls
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (guard && (x.isNullAt(i) || y.isNullAt(i))) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val bad = ctx.freshName("bad")
+      val lGet = if (isFloat(left)) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (isFloat(right)) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
+      val nullGuard =
+        if (containsNulls) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
+         |double $s = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    double $d = $lGet - $rGet;
+         |    $s += $d * $d;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All `bands` LSH band keys of a shingle array in ONE pass: band b's key
   * is xxhash64(b, [minhash slots b*r .. b*r+r-1]), slot i's minhash is
   * min over shingles of xxhash64(i, shingle) — BIT-IDENTICAL to the
@@ -366,10 +456,161 @@ case class SortedMaxRunLength(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fixed-point base-2 logarithm of an integer ratio `num/den`
+  * (`num >= den >= 1`), with 20 fraction bits: returns
+  * `L ≈ floor(log2(num/den) * 2^20)` computed by the classic
+  * normalize-then-square algorithm in PURE int64 arithmetic — shifts,
+  * multiplies, one integer division. No libm call anywhere, so the result
+  * is bit-identical on every platform AND exactly reproducible by any
+  * engine that has 64-bit integer ops (the DuckDB oracles replay the same
+  * 20 iterations in a recursive CTE).
+  *
+  * Why: the LM-score and tf-idf oracles gate on integerized `ln` of exact
+  * integer ratios. `Math.log` (JVM) and libm `log` (DuckDB) may disagree
+  * by 1 ulp, and a 1-ulp divergence on the floor(x*1e6+0.5) boundary
+  * would flip the gate nondeterministically across platforms. Deriving
+  * the log itself from integer ops removes the hazard at the root
+  * instead of papering over it with tolerances.
+  *
+  * Algorithm (both engines run EXACTLY these steps):
+  *  1. `k = floor(log2(num/den))` via bit lengths + one shift compare;
+  *  2. scale to `a/b ∈ [1,2)` with `a < 2^35` (so `a<<28 < 2^63` fits):
+  *     `sh = max(0, bitlen(num)-34)`, `a = num>>sh`,
+  *     `b = k>=sh ? den<<(k-sh) : den>>(sh-k)`;
+  *  3. 28-bit fixed-point mantissa `m = (a<<28) div b`;
+  *  4. 20 rounds of `m = (m*m)>>28; if m >= 2^29 { m >>= 1; bit=1 }`,
+  *     accumulating bits MSB-first;
+  *  5. result `(k<<20) | bits`.
+  * Truncation makes the result a deterministic ~1e-6-relative
+  * approximation of log2 — well inside what a corpus quality score needs,
+  * and the approximation IS the spec (both engines compute it, so the
+  * hash gate compares identical integers).
+  *
+  * Accepts int/long children; `num < den`, `den <= 0` or null yields NULL.
+  */
+case class Log2Fix(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t == LongType || t == IntegerType
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"log2_fix expects integral children, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullable: Boolean = true
+
+  private def asLong(e: Expression, v: Any): Long = e.dataType match {
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case _           => v.asInstanceOf[Long]
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val num = asLong(left, a)
+    val den = asLong(right, b)
+    if (den <= 0L || num < den) null else Log2Fix.eval(num, den)
+  }
+
+  // interpreted mode delegates to the shared static kernel; codegen emits
+  // a direct static call — one branch + one invocation per row, and the
+  // kernel itself is a tight primitive loop the JIT compiles once
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val num = ctx.freshName("num")
+      val den = ctx.freshName("den")
+      s"""
+         |long $num = (long)($a);
+         |long $den = (long)($b);
+         |if ($den <= 0L || $num < $den) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  graft.functions.Log2Fix$$.MODULE$$.eval($num, $den); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Log2Fix {
+  /** ln(2) in e6 fixed point — the pinned rational constant that converts
+    * a [[Log2Fix]] result to micro-nats: `nll_e6 = (L * Ln2E6) div 2^20`. */
+  val Ln2E6 = 693147L
+
+  /** The integer kernel; requires `num >= den >= 1`. Codegen calls it via
+    * `Log2Fix$.MODULE$` (the case class's inherited `eval` suppresses the
+    * static forwarder, so the plain name won't resolve in janino). */
+  def eval(num: Long, den: Long): Long = {
+    val blNum = 63 - java.lang.Long.numberOfLeadingZeros(num)
+    val blDen = 63 - java.lang.Long.numberOfLeadingZeros(den)
+    val d = blNum - blDen
+    val k = if ((num >> d) >= den) d else d - 1
+    val sh = math.max(0, blNum - 34)
+    val a = num >> sh
+    val b = if (k >= sh) den << (k - sh) else den >> (sh - k)
+    var m = (a << 28) / b
+    var bits = 0L
+    var i = 0
+    while (i < 20) {
+      m = (m * m) >> 28
+      if (m >= (1L << 29)) { m >>= 1; bits = (bits << 1) | 1L }
+      else bits = bits << 1
+      i += 1
+    }
+    (k.toLong << 20) | bits
+  }
+
+  /** The DuckDB replay of [[eval]] as a SQL snippet: given a CTE `{src}`
+    * with BIGINT columns `num`, `den` (and any key columns in `{keys}`),
+    * produces a CTE chain ending in `{out}(…keys, l20)`. Requires the
+    * query to open with `WITH RECURSIVE`. Kept here so every oracle uses
+    * ONE definition of the algorithm. */
+  def duckdbCtes(src: String, keys: String, out: String): String =
+    s"""${out}_bl AS (
+       |  SELECT $keys, num, den,
+       |    length(bin(num)) - 1 AS blnum, length(bin(den)) - 1 AS blden
+       |  FROM $src),
+       |${out}_k AS (
+       |  SELECT $keys, num, den, blnum,
+       |    CASE WHEN (num >> (blnum - blden)) >= den
+       |         THEN blnum - blden ELSE blnum - blden - 1 END AS k,
+       |    greatest(blnum - 34, 0) AS sh
+       |  FROM ${out}_bl),
+       |${out}_m0 AS (
+       |  SELECT $keys, k,
+       |    ((num >> sh) << 28) //
+       |      (CASE WHEN k >= sh THEN den << (k - sh) ELSE den >> (sh - k) END) AS m
+       |  FROM ${out}_k),
+       |${out}_it AS (
+       |  SELECT $keys, k, 0 AS i, m, 0::BIGINT AS bits FROM ${out}_m0
+       |  UNION ALL
+       |  SELECT $keys, k, i + 1,
+       |    CASE WHEN ((m * m) >> 28) >= (1::BIGINT << 29)
+       |         THEN (m * m) >> 29 ELSE (m * m) >> 28 END,
+       |    CASE WHEN ((m * m) >> 28) >= (1::BIGINT << 29)
+       |         THEN (bits << 1) | 1 ELSE bits << 1 END
+       |  FROM ${out}_it WHERE i < 20),
+       |$out AS (
+       |  SELECT $keys, (k::BIGINT << 20) | bits AS l20
+       |  FROM ${out}_it WHERE i = 20)""".stripMargin
+}
+
 object VectorExpressions {
   /** Column API: `dot_product(a, b)` in double, left-to-right. */
   def dot_product(a: Column, b: Column): Column =
     GraftColumn.of(DotProduct(GraftColumn.exprOf(a), GraftColumn.exprOf(b)))
+
+  /** Column API: squared L2 distance in double, left-to-right. */
+  def squared_distance(a: Column, b: Column): Column =
+    GraftColumn.of(SquaredDistance(GraftColumn.exprOf(a), GraftColumn.exprOf(b)))
+
+  /** Column API: fixed-point `floor(log2(num/den) * 2^20)` — pure-integer,
+    * engine-portable (see [[Log2Fix]]). */
+  def log2_fix(num: Column, den: Column): Column =
+    GraftColumn.of(Log2Fix(GraftColumn.exprOf(num), GraftColumn.exprOf(den)))
 
   /** Column API: intersection count of two sorted string arrays. */
   def sorted_intersect_count(a: Column, b: Column): Column =

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
 
 /** Distributed k-means (Lloyd's) over an embedding column — corpus
   * clustering for training-data balancing, dedup bucketing, and IVF-style
@@ -23,11 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Squared L2 distance between two double-array columns (codegen'd HOF
-    * chain — fine off the hot path; assignment uses the same form). */
+  /** Squared L2 distance between two double-array columns — the native
+    * [[graft.functions.SquaredDistance]] expression (primitive loop,
+    * codegen'd): the HOF `aggregate(zip_with(...))` form it replaces
+    * evaluates interpreted (two lambda frames per element) and sat in the
+    * k×corpus×iterations assignment hot path. Null/length semantics are
+    * identical (VectorExpressionsSpec bit-locks the swap). */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    VectorExpressions.squared_distance(a, b)
 
   /** Embeddings → (vec_id, v: array<double>). */
   def vectors(emb: DataFrame): DataFrame =

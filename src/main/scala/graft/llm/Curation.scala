@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.{Log2Fix, VectorExpressions}
 
 /** Dataset-curation operators for training-data pipelines: deterministic
   * stratified sampling, overlapping-window document chunking, benchmark
@@ -113,8 +114,11 @@ object Curation {
   val TfIdfTopK = 5
 
   /** Top-[[TfIdfTopK]] terms per document by tf·idf (idf = ln(N/df)),
-    * scored as `floor(tf * ln(N/df) * 1e4 + 0.5)` so both engines rank
-    * the same integers; ties broken by term ascending.
+    * scored as `(tf * idf_e6) div 100` with `idf_e6` derived from the
+    * pure-integer [[graft.functions.Log2Fix]] kernel — both engines
+    * compute IDENTICAL integers with no libm call anywhere (a 1-ulp
+    * `ln` divergence on a floor boundary was the one residual
+    * cross-platform hazard); ties broken by term ascending.
     *
     * Plan shape: one explode + one (doc_id, term) count, then df as an
     * AGGREGATE-then-JOIN (not a window over term): the per-term aggregate
@@ -136,9 +140,9 @@ object Curation {
     val scored = tf
       .join(dfCounts, "term")
       .crossJoin(broadcast(n))
-      .withColumn("score_r",
-        floor(col("tf") * log(col("n_docs") / col("df")) * 1e4 + 0.5)
-          .cast("long"))
+      .withColumn("idf_e6", shiftright(
+        VectorExpressions.log2_fix(col("n_docs"), col("df")) * Log2Fix.Ln2E6, 20))
+      .withColumn("score_r", expr("(tf * idf_e6) div 100"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
@@ -189,10 +193,14 @@ object Curation {
     * Scale shape: ONE aggregation builds the unigram table (map-side
     * combined, |vocab| rows — at 100 TB this is the thing you broadcast,
     * not the corpus); scoring joins each token occurrence against the
-    * broadcast table and averages per doc. Everything integerized: the
-    * per-token nll is floored to e6 BEFORE summing, and the mean is an
-    * integer division — bit-identical across engines and partitionings
-    * (the `ln` inputs are exact integer ratios, same trick as tfidf).
+    * broadcast table and averages per doc. Everything integerized — and
+    * the log itself is libm-FREE: per-token `nll_e6` comes from the
+    * pure-int64 [[graft.functions.Log2Fix]] kernel times the pinned
+    * rational ln(2) constant, so the value is bit-identical on every
+    * platform/engine by construction (a 1-ulp `Math.log` vs libm `ln`
+    * divergence could otherwise flip an e6 floor boundary and fail the
+    * hash gate nondeterministically). The nll is computed once per VOCAB
+    * row (not per occurrence) before the broadcast join.
     *
     * Output: (doc_id, n_tokens, mean_nll_e6).
     */
@@ -202,12 +210,12 @@ object Curation {
         explode(Dedup.tokens(col("text"))).as("t"))
     // total token count rides along as a broadcast 1-row aggregate (the
     // tfidf pattern) — the plan stays fully lazy, no driver-side count job
-    val total = toks.agg(count(lit(1)).cast("double").as("total"))
+    val total = toks.agg(count(lit(1)).as("total"))
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("tc"))
       .crossJoin(broadcast(total))
-    val perToken = toks.join(broadcast(vocab), "t")
-      .withColumn("nll_e6",
-        floor(-log(col("tc") / col("total")) * 1e6 + 0.5).cast("long"))
+      .withColumn("nll_e6", shiftright(
+        VectorExpressions.log2_fix(col("total"), col("tc")) * Log2Fix.Ln2E6, 20))
+    val perToken = toks.join(broadcast(vocab.select("t", "nll_e6")), "t")
     perToken.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         // integral div, matching the oracle's `//` exactly (double `/`
@@ -216,20 +224,22 @@ object Curation {
   }
 
   val lmScoreOracle: String =
-    """WITH tok AS (
-      |  SELECT doc_id::BIGINT AS doc_id,
-      |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
-      |                       x -> x != '')) AS t
-      |  FROM documents),
-      |vocab AS (SELECT t, count(*)::BIGINT AS tc FROM tok GROUP BY 1),
-      |tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
-      |per AS (
-      |  SELECT doc_id,
-      |    floor(-ln(tc / (SELECT n FROM tot)) * 1e6 + 0.5)::BIGINT AS nll_e6
-      |  FROM tok JOIN vocab USING (t))
-      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-      |  (sum(nll_e6) // count(*))::BIGINT AS mean_nll_e6
-      |FROM per GROUP BY 1""".stripMargin
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                       x -> x != '')) AS t
+       |  FROM documents),
+       |vocab AS (SELECT t, count(*)::BIGINT AS tc FROM tok GROUP BY 1),
+       |src AS (
+       |  SELECT t, (SELECT count(*)::BIGINT FROM tok) AS num, tc AS den
+       |  FROM vocab),
+       |${Log2Fix.duckdbCtes("src", "t", "lg")},
+       |per AS (
+       |  SELECT doc_id, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS nll_e6
+       |  FROM tok JOIN lg USING (t))
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  (sum(nll_e6) // count(*))::BIGINT AS mean_nll_e6
+       |FROM per GROUP BY 1""".stripMargin
 
   /** Deterministic train/validation/test split by the same md5 bucket
     * used for sampling: disjoint and complete BY CONSTRUCTION (every doc
@@ -320,10 +330,32 @@ object Curation {
     val bench = sh.filter(col("doc_id") % 17 === 0).select("g").distinct().persist()
     val corpus = sh.filter(col("doc_id") % 17 =!= 0).persist()
 
-    val bf = bench.stat.bloomFilter("g", math.max(bench.count(), 1L), fpp)
-    val bc = spark.sparkContext.broadcast(bf)
-    val might = udf((s: String) => bc.value.mightContainString(s))
-    val bloomFlagged = corpus.filter(might(col("g")))
+    // Build the filter with Spark's own bloom_filter_agg (map-side partial
+    // sketches, OR-merged — the distributed build stat.bloomFilter also
+    // does, but with a plan-level aggregate instead of a driver
+    // treeAggregate), then probe with the native BloomFilterMightContain
+    // expression over the serialized filter as a BINARY LITERAL: the probe
+    // stays inside whole-stage codegen (the filter deserializes once per
+    // task), where the previous Scala-UDF probe paid an interpreted
+    // invocation + broadcast round-trip per corpus shingle.
+    val nItems = math.max(bench.count(), 1L)
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
+    val bfBytes = bench
+      .agg(org.apache.spark.sql.GraftColumn.of(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          org.apache.spark.sql.GraftColumn.exprOf(xxhash64(col("g"))),
+          org.apache.spark.sql.catalyst.expressions.Literal(nItems),
+          org.apache.spark.sql.catalyst.expressions.Literal(nBits))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain: Column =
+      if (bfBytes == null) lit(false) // empty bench set: nothing can match
+      else org.apache.spark.sql.GraftColumn.of(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bfBytes,
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.GraftColumn.exprOf(xxhash64(col("g")))))
+    val bloomFlagged = corpus.filter(mightContain)
       .select("doc_id").distinct().persist()
     val exactFlagged = corpus.join(broadcast(bench), "g")
       .select("doc_id").distinct().persist()
@@ -369,17 +401,22 @@ object Curation {
        |GROUP BY 1""".stripMargin
 
   val tfidfOracle: String =
-    s"""WITH tok AS (
+    s"""WITH RECURSIVE tok AS (
        |  SELECT doc_id, unnest(list_filter(
        |    string_split_regex(lower(text), '\\W+'), x -> x != '')) AS term
        |  FROM documents),
        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |src AS (
+       |  SELECT term,
+       |    (SELECT count(DISTINCT doc_id)::BIGINT FROM documents) AS num,
+       |    df AS den
+       |  FROM dfc),
+       |${Log2Fix.duckdbCtes("src", "term", "lg")},
        |sc AS (
        |  SELECT doc_id, term, tf,
-       |    floor(tf * ln((SELECT count(DISTINCT doc_id) FROM documents) * 1.0
-       |                  / count(*) OVER (PARTITION BY term)) * 1e4 + 0.5)::BIGINT
-       |      AS score_r
-       |  FROM tf),
+       |    (tf * ((l20 * ${Log2Fix.Ln2E6}) >> 20)) // 100 AS score_r
+       |  FROM tf JOIN lg USING (term)),
        |r AS (
        |  SELECT doc_id, term, tf, score_r,
        |    row_number() OVER (PARTITION BY doc_id

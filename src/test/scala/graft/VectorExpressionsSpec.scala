@@ -115,4 +115,76 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq
     assert(viaSql == builtin)
   }
+
+  test("squared_distance is bit-identical to the HOF form it replaced") {
+    import graft.functions.VectorExpressions.squared_distance
+    val df = (1 to 50).map { i =>
+      (Array.tabulate(48)(j => (i * 17 + j).toDouble / 11.0),
+        Array.tabulate(48)(j => (j * 29 - i).toDouble / 5.0))
+    }.toDF("a", "b")
+    val native = df.select(squared_distance(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    // the exact expression Clustering.sqDist used before the swap
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v).as("d")).collect().map(_.getDouble(0)).toSeq
+    assert(native == hof)
+    // null/length parity with the HOF form
+    val edge = Seq(
+      (Array(1.0, 2.0), Array(1.0)), // ragged
+      (Array(1.0), Array(4.0))
+    ).toDF("a", "b").select(squared_distance(col("a"), col("b")).as("d")).collect()
+    assert(edge(0).isNullAt(0), "ragged arrays must be NULL")
+    assert(edge(1).getDouble(0) == 9.0)
+    // float inputs accumulate through double exactly like dot_product
+    val f = Seq((Array(1.5f, -2.0f), Array(0.5f, 3.0f))).toDF("a", "b")
+      .select(squared_distance(col("a"), col("b")).as("d")).head.getDouble(0)
+    assert(f == 1.0 + 25.0)
+  }
+
+  test("log2_fix replays the integer shift-and-square algorithm exactly") {
+    import graft.functions.{Log2Fix, VectorExpressions}
+    // reference: an independent BigInt transliteration of the spec
+    def ref(num: Long, den: Long): Long = {
+      def bl(v: Long) = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val d = bl(num) - bl(den)
+      val k = if ((num >> d) >= den) d else d - 1
+      val sh = math.max(0, bl(num) - 34)
+      val a = BigInt(num >> sh)
+      val b = if (k >= sh) BigInt(den) << (k - sh) else BigInt(den >> (sh - k))
+      var m = (a << 28) / b
+      var bits = BigInt(0)
+      (0 until 20).foreach { _ =>
+        m = (m * m) >> 28
+        if (m >= (BigInt(1) << 29)) { m >>= 1; bits = (bits << 1) | 1 }
+        else bits = bits << 1
+      }
+      ((BigInt(k) << 20) | bits).toLong
+    }
+    val rnd = new scala.util.Random(11)
+    val cases = Seq((1L, 1L), (2L, 1L), (3L, 2L), (1000000000000L, 1L),
+      (1000000000000L, 999999999999L), ((1L << 40) + 123L, 991L)) ++
+      (1 to 300).map { _ =>
+        val den = 1L + math.abs(rnd.nextLong()) % 1000000000000L
+        val num = den + math.abs(rnd.nextLong()) % (1000000000000L - den + 1)
+        (num, den)
+      }
+    // kernel matches the reference...
+    cases.foreach { case (n, d) =>
+      assert(Log2Fix.eval(n, d) == ref(n, d), s"kernel mismatch at ($n, $d)")
+    }
+    // ...and approximates true log2 to ~1e-6 (sanity, not the contract)
+    cases.foreach { case (n, d) =>
+      val approx = Log2Fix.eval(n, d).toDouble / (1L << 20)
+      assert(math.abs(approx - math.log(n.toDouble / d) / math.log(2.0)) < 2e-6)
+    }
+    // expression path (codegen) equals the kernel; nulls on bad domains
+    val df = cases.toDF("num", "den")
+    val viaExpr = df.select(VectorExpressions.log2_fix(col("num"), col("den")).as("l"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaExpr == cases.map { case (n, d) => Log2Fix.eval(n, d) })
+    val bad = Seq((1L, 2L), (5L, 0L), (5L, -1L)).toDF("num", "den")
+      .select(VectorExpressions.log2_fix(col("num"), col("den")).as("l")).collect()
+    assert(bad.forall(_.isNullAt(0)), "num<den or den<=0 must be NULL")
+  }
 }

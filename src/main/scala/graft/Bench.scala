@@ -81,7 +81,15 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"store_build_sec":$buildSec,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"store_build_sec":$buildSec,"sf":"$sfDir"}"""
+    println(line)
+    // The round driver keeps only the tail of sbt output, which has truncated
+    // the per-query map in past rounds; persist the full line as an artifact
+    // (path overridable for local runs).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"bench artifact write failed: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

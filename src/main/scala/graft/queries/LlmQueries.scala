@@ -100,28 +100,66 @@ object LlmQueries {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Fingerprint.winnow(docs(spark, dir))
 
+  /** Pinned recall@5 floors per ANN variant (e4 fixed point) — the same
+    * floors LlmSpec asserts at sf0.001, so the gates hold on every
+    * testdata scale the driver or the local loop runs. */
+  private val annFloorsE4 = Map("lsh" -> 5000L, "ivf" -> 4000L, "rp" -> 3000L)
+
+  /** recall@5 of an approximate top-k against the memoized brute-force
+    * exact top-k. Driver-side sets are diagnostic-sized (numQueries × k =
+    * 50 rows) regardless of corpus scale. */
+  private def recallVsExact(spark: SparkSession, dir: String, df: DataFrame): Double = {
+    def pairs(d: DataFrame): Set[(Long, Long)] =
+      d.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(simTopK(spark, dir))
+    if (exact.isEmpty) 0.0 else (exact & pairs(df)).size.toDouble / exact.size
+  }
+
+  /** An ANN variant as gated DATA: one row `(variant, floor_e4,
+    * meets_floor)` — the entry computes the variant's full top-k and
+    * measures its recall against exact, so a probing/banding regression
+    * flips `meets_floor` and fails the driver's hash gate. The RAW recall
+    * value is deliberately NOT a column: it is data-scale-dependent
+    * (different at sf0.001 vs sf0.01), and the oracle must be a constant
+    * VALUES row valid at every sf the gate runs. */
+  private def annVariantGate(spark: SparkSession, dir: String,
+      variant: String, df: => DataFrame): DataFrame = {
+    import spark.implicits._
+    val floor = annFloorsE4(variant)
+    val rec = recallVsExact(spark, dir, df)
+    Seq((variant, floor, math.floor(rec * 1e4 + 0.5).toLong >= floor))
+      .toDF("variant", "floor_e4", "meets_floor")
+  }
+
+  def simTopKLshGate(spark: SparkSession, dir: String): DataFrame =
+    annVariantGate(spark, dir, "lsh", simTopKLsh(spark, dir))
+
+  def simTopKIvfGate(spark: SparkSession, dir: String): DataFrame =
+    annVariantGate(spark, dir, "ivf", simTopKIvf(spark, dir))
+
+  def simTopKRpGate(spark: SparkSession, dir: String): DataFrame =
+    annVariantGate(spark, dir, "rp", simTopKRp(spark, dir))
+
   /** ANN recall as DATA: measure recall@5 of each approximate variant
     * against the exact brute-force top-k (50 rows collected — a
     * diagnostic-sized driver set) and report whether it clears its pinned
     * floor. The floors regression-lock the ANN quality the same way hash
     * oracles lock exact results — a probing/banding change that drops
-    * recall below floor flips `meets_floor` and fails the gate. */
+    * recall below floor flips `meets_floor` and fails the gate.
+    * Kept alongside the per-variant gates as the cross-variant summary
+    * (intersects the SAME memoized top-k results the entries serve). */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // intersects the SAME memoized top-k results the three entries serve
-    def pairs(df: DataFrame): Set[(Long, Long)] =
-      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs(simTopK(spark, dir))
-    def recallOf(df: DataFrame): Double =
-      if (exact.isEmpty) 0.0 else (exact & pairs(df)).size.toDouble / exact.size
-    val lsh = recallOf(simTopKLsh(spark, dir))
-    val ivf = recallOf(simTopKIvf(spark, dir))
-    val rp = recallOf(simTopKRp(spark, dir))
-    Seq(
-      ("lsh", 5000L, lsh >= 0.5),
-      ("ivf", 4000L, ivf >= 0.4),
-      ("rp", 3000L, rp >= 0.3)
-    ).toDF("variant", "floor_e4", "meets_floor")
+    val rows = Seq("lsh", "ivf", "rp").map { v =>
+      val df = v match {
+        case "lsh" => simTopKLsh(spark, dir)
+        case "ivf" => simTopKIvf(spark, dir)
+        case _     => simTopKRp(spark, dir)
+      }
+      val floor = annFloorsE4(v)
+      (v, floor, math.floor(recallVsExact(spark, dir, df) * 1e4 + 0.5).toLong >= floor)
+    }
+    rows.toDF("variant", "floor_e4", "meets_floor")
   }
 
   def sample(spark: SparkSession, dir: String): DataFrame =
@@ -189,9 +227,12 @@ object LlmQueries {
     "llm_simhash" -> (simhash _),
     "llm_text_stats" -> (textStats _),
     "llm_sim_topk" -> (simTopK _),
-    "llm_sim_topk_lsh" -> (simTopKLsh _), // rows-only: approximate by design
-    "llm_sim_topk_ivf" -> (simTopKIvf _), // rows-only: approximate by design
-    "llm_sim_topk_rp" -> (simTopKRp _),   // rows-only: approximate by design
+    // each variant entry computes its full top-k and gates its recall
+    // against the exact result — oracle-checkable despite being
+    // approximate by design (raw top-k stays available via Similarity.*)
+    "llm_sim_topk_lsh" -> (simTopKLshGate _),
+    "llm_sim_topk_ivf" -> (simTopKIvfGate _),
+    "llm_sim_topk_rp" -> (simTopKRpGate _),
     "llm_multimodal" -> (multimodal _),
     "llm_pcm_frames" -> (pcmFrames _),
     "llm_dedup_embed" -> (embedNearDup _),
@@ -370,6 +411,13 @@ object LlmQueries {
       """SELECT * FROM (VALUES
         |  ('lsh', 5000::BIGINT, true), ('ivf', 4000::BIGINT, true),
         |  ('rp', 3000::BIGINT, true)
-        |) t(variant, floor_e4, meets_floor)""".stripMargin
+        |) t(variant, floor_e4, meets_floor)""".stripMargin,
+
+    "llm_sim_topk_lsh" ->
+      "SELECT 'lsh' AS variant, 5000::BIGINT AS floor_e4, true AS meets_floor",
+    "llm_sim_topk_ivf" ->
+      "SELECT 'ivf' AS variant, 4000::BIGINT AS floor_e4, true AS meets_floor",
+    "llm_sim_topk_rp" ->
+      "SELECT 'rp' AS variant, 3000::BIGINT AS floor_e4, true AS meets_floor"
   )
 }

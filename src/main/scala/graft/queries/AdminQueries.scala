@@ -245,6 +245,85 @@ object AdminQueries {
     out
   }
 
+  /** Syslog sink DELIVERY as data: two forwarder pumps push the same three
+    * events through [[Forwarder.SyslogTcpSink]] into a loopback TCP server
+    * and [[Forwarder.SyslogUdpSink]] into a loopback datagram socket; the
+    * rows are the frames read OFF THE WIRE — newline-delimited on the TCP
+    * stream (reference pkg/syslog/syslog.go write), one frame per datagram
+    * on UDP (RFC 5426) — gating socket delivery end-to-end the way
+    * `lql_sink_stdout` gates console output. Ports are ephemeral;
+    * loopback TCP preserves order and loopback UDP from a single sender
+    * socket is FIFO, so `ord` is deterministic. */
+  def syslogSink(spark: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(spark)
+    import spark.implicits._
+    val events = Seq(
+      (1704164645000000000L, "boot ok"),
+      (1704164645123456789L, "disk low"),
+      (1704164646500000000L, "done")).toDF("ts", "msg")
+    e.store.write(Map("app" -> "sy"), Map.empty, events)
+    // two pipes over the same source: each pump owns its destination and
+    // position file, so the runs cannot interfere
+    e.execute("CREATE PIPE syt FROM {app=sy}")
+    e.execute("CREATE PIPE syu FROM {app=sy}")
+    e.pipes.processAllAvailable()
+
+    def pump(pipe: String, sink: Forwarder.Sink): Unit = {
+      val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+      Forwarder.run(e, pipe, sink,
+        waitTimeout = java.time.Duration.ofMillis(300),
+        poll = java.time.Duration.ofMillis(50),
+        keepRunning = () => rounds.incrementAndGet() <= 3)
+    }
+
+    // TCP: a one-connection loopback server collects newline-split frames;
+    // the sink's close() ends the stream and the acceptor with it
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    server.setSoTimeout(15000)
+    val tcpFrames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val acceptor = new Thread(() => {
+      try {
+        val s = server.accept()
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        var line = br.readLine()
+        while (line != null) {
+          tcpFrames.synchronized { tcpFrames += line }
+          line = br.readLine()
+        }
+        s.close()
+      } catch { case _: Throwable => () }
+    })
+    acceptor.start()
+    pump("syt", new Forwarder.SyslogTcpSink(
+      "127.0.0.1", server.getLocalPort, hostname = "h"))
+    acceptor.join(15000)
+    server.close()
+
+    // UDP: the OS buffers the (three, tiny) datagrams, so receiving after
+    // the pump completes is race-free
+    val udpSock = new java.net.DatagramSocket(
+      0, java.net.InetAddress.getLoopbackAddress)
+    udpSock.setSoTimeout(15000)
+    pump("syu", new Forwarder.SyslogUdpSink(
+      "127.0.0.1", udpSock.getLocalPort, hostname = "h"))
+    val udpFrames = (0 until 3).map { _ =>
+      val p = new java.net.DatagramPacket(new Array[Byte](65536), 65536)
+      udpSock.receive(p)
+      new String(p.getData, 0, p.getLength, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    udpSock.close()
+    e.pipes.stopAll()
+
+    val out = (tcpFrames.synchronized(tcpFrames.toSeq).map("tcp" -> _) ++
+      udpFrames.map("udp" -> _))
+      .groupBy(_._1).toSeq.flatMap { case (proto, fs) =>
+        fs.zipWithIndex.map { case ((_, f), i) => (proto, i.toLong, f) }
+      }.toDF("proto", "ord", "frame")
+    discard(e)
+    out
+  }
+
   /** SHOW PARTITIONS grand totals (reference pkg/backend/admin.go:93-131
     * prints partition count + total size/records regardless of paging):
     * whole-store totals and a tags-filtered subset; record counts only
@@ -368,6 +447,7 @@ object AdminQueries {
     "lql_forwarder" -> (forwarderFrames _),
     "lql_tail_follow" -> (tailFollow _),
     "lql_sink_stdout" -> (stdoutSink _),
+    "lql_sink_syslog" -> (syslogSink _),
     "lql_show_partitions_totals" -> (partitionTotals _),
     "lql_pipe_resume" -> (pipeResume _)
   )
@@ -429,6 +509,15 @@ object AdminQueries {
         |) t(phase, ord, msg)""".stripMargin,
     "lql_sink_stdout" ->
       "SELECT 'stdout' AS sink, 'boot ok;disk low;done' AS output",
+    "lql_sink_syslog" ->
+      """SELECT * FROM (VALUES
+        |  ('tcp', 0::BIGINT, '<182>1 2024-01-02T03:04:05Z h logrange.pipe=syt - - - boot ok'),
+        |  ('tcp', 1::BIGINT, '<182>1 2024-01-02T03:04:05.123456Z h logrange.pipe=syt - - - disk low'),
+        |  ('tcp', 2::BIGINT, '<182>1 2024-01-02T03:04:06.5Z h logrange.pipe=syt - - - done'),
+        |  ('udp', 0::BIGINT, '<182>1 2024-01-02T03:04:05Z h logrange.pipe=syu - - - boot ok'),
+        |  ('udp', 1::BIGINT, '<182>1 2024-01-02T03:04:05.123456Z h logrange.pipe=syu - - - disk low'),
+        |  ('udp', 2::BIGINT, '<182>1 2024-01-02T03:04:06.5Z h logrange.pipe=syu - - - done')
+        |) t(proto, ord, frame)""".stripMargin,
     "lql_show_partitions_totals" ->
       """SELECT * FROM (VALUES
         |  ('all', 3::BIGINT, 73::BIGINT),

@@ -49,6 +49,7 @@ object SparkEntry {
       "q12_sketch" -> (graft.operators.Sketches.gate _),
       "q13_rollup" -> (Analytics.q13Rollup _),
       "q14_gapfill" -> (Analytics.q14Gapfill _),
+      "q14_gapfill_perkey" -> (Analytics.q14GapfillPerKey _),
       "q15_bucketed_join" -> (graft.operators.Bucketing.bucketedJoin _)
     )
 

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * so every stage stays inside whole-stage codegen.
   *
   * Plan shape: the bucket bounds are ONE tiny driver-side agg (two
-  * longs); the grid generates per key via `explode(sequence(...))` — no
-  * cross join node, rows materialize inside the scan stage; actuals
+  * longs) in global mode, a lazy per-key aggregate in per-key mode, or
+  * caller constants; the grid generates per key via
+  * `explode(sequence(...))` — no cross join node, rows materialize
+  * inside the scan stage; actuals
   * aggregate once on (key, bucket) with map-side partials (`max_by`
   * picks the in-bucket winner deterministically by (ts, ord)); the
   * left join aligns grid and actuals on (key, bucket); the
@@ -24,31 +26,63 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Grid-extent policy for [[gapFill]].
+    *
+    * [[GlobalBounds]] spans every key over the corpus-wide [min,max]
+    * bucket range — the dashboard-aligned default, but at scale it is a
+    * keys × global-span blowup: a key active for one hour inside a
+    * year-long corpus densifies to the full year (8760 hourly buckets of
+    * padding for ONE key). [[PerKeyBounds]] bounds each key's grid to its
+    * own [min,max] — grid size tracks each key's actual activity span,
+    * and the plan stays fully lazy (no driver-side bounds agg).
+    * [[FixedBounds]] pins an explicit [b0,b1] bucket range (ts div
+    * bucketWidth units) — the query-a-time-window shape; events outside
+    * the range are ignored.
+    */
+  sealed trait GridBounds
+  case object GlobalBounds extends GridBounds
+  case object PerKeyBounds extends GridBounds
+  final case class FixedBounds(b0: Long, b1: Long) extends GridBounds
+
   /** @param events frame with `keyCol`, `tsCol` (long, any unit),
     *               `ordCol` (tie-break within a ts), `valCol` (long)
+    * @param bounds grid-extent policy (see [[GridBounds]])
     * @return (keyCol, bucket, n, v_ff): per key × bucket, the event
     *         count and the carried-forward last value (null until the
     *         key's first event) */
   def gapFill(events: DataFrame, keyCol: String, tsCol: String, ordCol: String,
-      valCol: String, bucketWidth: Long): DataFrame = {
+      valCol: String, bucketWidth: Long,
+      bounds: GridBounds = GlobalBounds): DataFrame = {
     val e = events
       .select(col(keyCol), col(tsCol), col(ordCol), col(valCol))
       .withColumn("__b", expr(s"$tsCol div $bucketWidth"))
-    val bounds = e.agg(min("__b"), max("__b")).head()
-    if (bounds.isNullAt(0))
-      // empty-input schema must match the non-empty one, including the
-      // caller's actual key/value types
-      return e.sparkSession.createDataFrame(
-        e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(keyCol, events.schema(keyCol).dataType),
-          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("v_ff", events.schema(valCol).dataType))))
-    val (b0, b1) = (bounds.getLong(0), bounds.getLong(1))
-
-    val grid = e.select(col(keyCol)).distinct()
-      .select(col(keyCol), explode(sequence(lit(b0), lit(b1))).as("__b"))
+    val grid = bounds match {
+      case PerKeyBounds =>
+        // one (key → min,max) aggregate feeds the explode — no driver agg,
+        // and a sparse key cannot blow up to the global span
+        e.groupBy(col(keyCol))
+          .agg(min("__b").as("__kb0"), max("__b").as("__kb1"))
+          .select(col(keyCol),
+            explode(sequence(col("__kb0"), col("__kb1"))).as("__b"))
+      case FixedBounds(b0, b1) =>
+        e.select(col(keyCol)).distinct()
+          .select(col(keyCol), explode(sequence(lit(b0), lit(b1))).as("__b"))
+      case GlobalBounds =>
+        val gb = e.agg(min("__b"), max("__b")).head()
+        if (gb.isNullAt(0))
+          // empty-input schema must match the non-empty one, including the
+          // caller's actual key/value types
+          return e.sparkSession.createDataFrame(
+            e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(keyCol, events.schema(keyCol).dataType),
+              org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("v_ff", events.schema(valCol).dataType))))
+        e.select(col(keyCol)).distinct()
+          .select(col(keyCol),
+            explode(sequence(lit(gb.getLong(0)), lit(gb.getLong(1)))).as("__b"))
+    }
     val act = e.groupBy(col(keyCol), col("__b"))
       .agg(count(lit(1)).as("__n"),
         expr(s"max_by($valCol, struct($tsCol, $ordCol))").as("__lastv"))

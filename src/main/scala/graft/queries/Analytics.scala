@@ -187,6 +187,19 @@ object Analytics {
         "user_id", "ts_us", "event_id", "v", bucketWidth = 3600000000L)
       .select(col("user_id"), col("bucket").as("hour"), col("n"), col("v_ff"))
 
+  /** Same resampling with PER-KEY grid bounds — each user's grid spans
+    * only their own [first,last] active hour (the scale-safe mode: grid
+    * size tracks per-key activity, not keys × global span, and the plan
+    * is fully lazy — no driver-side bounds agg). */
+  def q14GapfillPerKey(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.gapFill(
+        load(spark, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), fx(col("value"), 2).cast("long").as("v")),
+        "user_id", "ts_us", "event_id", "v", bucketWidth = 3600000000L,
+        bounds = graft.operators.TimeSeries.PerKeyBounds)
+      .select(col("user_id"), col("bucket").as("hour"), col("n"), col("v_ff"))
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
     "q15_bucketed_join" -> graft.operators.Bucketing.oracle,
@@ -199,6 +212,24 @@ object Analytics {
         |         FROM (SELECT DISTINCT user_id FROM e) u,
         |              (SELECT unnest(generate_series((SELECT h0 FROM b),
         |                                             (SELECT h1 FROM b))) AS h) g),
+        |r AS (SELECT user_id, h, v, row_number() OVER (PARTITION BY user_id, h
+        |        ORDER BY tus DESC, event_id DESC) AS rn FROM e),
+        |cnt AS (SELECT user_id, h, count(*) AS n FROM e GROUP BY 1, 2),
+        |act AS (SELECT cnt.user_id, cnt.h, cnt.n, r.v AS lastv
+        |        FROM cnt JOIN r ON r.user_id = cnt.user_id AND r.h = cnt.h
+        |          AND r.rn = 1),
+        |j AS (SELECT grid.user_id, grid.h, coalesce(act.n, 0) AS n, act.lastv
+        |      FROM grid LEFT JOIN act USING (user_id, h))
+        |SELECT user_id, h AS hour, n,
+        |  last_value(lastv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+        |FROM j""".stripMargin,
+    "q14_gapfill_perkey" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+        |             epoch_us(ts) // 3600000000 AS h FROM events),
+        |kb AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM kb),
         |r AS (SELECT user_id, h, v, row_number() OVER (PARTITION BY user_id, h
         |        ORDER BY tus DESC, event_id DESC) AS rn FROM e),
         |cnt AS (SELECT user_id, h, count(*) AS n FROM e GROUP BY 1, 2),

@@ -57,6 +57,52 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("gapFill per-key bounds: sparse key does not densify to the global span") {
+    // k1 active in buckets 0..2, k2 only in buckets 100..101: the global
+    // grid would emit 2 x 102 = 204 rows; per-key emits 3 + 2 = 5
+    val events = Seq(
+      (1L, 5L, 1L, 10L), (1L, 25L, 2L, 30L),
+      (2L, 1005L, 3L, 50L), (2L, 1015L, 4L, 70L)
+    ).toDF("k", "ts", "ord", "v")
+    val out = TimeSeries.gapFill(events, "k", "ts", "ord", "v", 10L,
+        bounds = TimeSeries.PerKeyBounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out.size == 5, s"per-key grid should be 3+2 rows, got ${out.size}")
+    assert(out((1L, 0L)) == ((1L, 10L)))
+    assert(out((1L, 1L)) == ((0L, 10L)), "in-span gap still fills and carries")
+    assert(out((1L, 2L)) == ((1L, 30L)))
+    assert(out((2L, 100L)) == ((1L, 50L)), "k2's grid starts at its own min")
+    assert(out((2L, 101L)) == ((1L, 70L)))
+    // and the global default on the same input does densify both keys
+    assert(TimeSeries.gapFill(events, "k", "ts", "ord", "v", 10L).count() == 204L)
+  }
+
+  test("gapFill fixed bounds: explicit window, out-of-range events ignored") {
+    val events = Seq(
+      (1L, 5L, 1L, 10L),   // bucket 0 — before the window
+      (1L, 35L, 2L, 30L),  // bucket 3 — inside
+      (2L, 95L, 3L, 50L)   // bucket 9 — after the window
+    ).toDF("k", "ts", "ord", "v")
+    val out = TimeSeries.gapFill(events, "k", "ts", "ord", "v", 10L,
+        bounds = TimeSeries.FixedBounds(2L, 5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out.size == 8, s"2 keys x 4 fixed buckets, got ${out.size}")
+    assert(out((1L, 2L)) == ((0L, -1L)), "pre-window event does NOT carry in")
+    assert(out((1L, 3L)) == ((1L, 30L)))
+    assert(out((1L, 5L)) == ((0L, 30L)))
+    assert(out((2L, 5L)) == ((0L, -1L)), "post-window event never appears")
+  }
+
+  test("gapFill per-key bounds: empty input stays empty, fully lazy") {
+    val empty = Seq.empty[(Long, Long, Long, Long)].toDF("k", "ts", "ord", "v")
+    val out = TimeSeries.gapFill(empty, "k", "ts", "ord", "v", 10L,
+      bounds = TimeSeries.PerKeyBounds)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("k", "bucket", "n", "v_ff"))
+  }
+
   test("gapFill: empty input yields empty output with the pinned schema") {
     val empty = Seq.empty[(Long, Long, Long, Long)].toDF("k", "ts", "ord", "v")
     val out = TimeSeries.gapFill(empty, "k", "ts", "ord", "v", 10L)

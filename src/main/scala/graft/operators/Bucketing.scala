@@ -22,33 +22,48 @@ import graft.Tables.{fx, load}
   */
 object Bucketing {
 
-  private val built = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  // keyed by (session, dir): table names are only valid in the catalog of
+  // the session that built them — a second session in the same JVM must
+  // build its own. The lock serializes builds (one-time cost), which also
+  // keeps concurrent first calls from racing the warehouse delete/Overwrite.
+  private val built =
+    scala.collection.mutable.Map.empty[(SparkSession, String), (String, String)]
 
   /** Returns the (orders, lineitem) bucketed table names for `dir`,
-    * creating them on first use. */
+    * creating them on first use; cached names are re-validated against the
+    * active session catalog before reuse. */
   private[graft] def bucketedTables(spark: SparkSession, dir: String): (String, String) =
-    built.getOrElseUpdate(dir, {
-      val suffix = dir.replaceAll("[^A-Za-z0-9]+", "_")
-      val (ot, lt) = (s"graft_orders_b$suffix", s"graft_lineitem_b$suffix")
-      // the in-memory catalog forgets tables across JVMs but the warehouse
-      // directory survives — drop AND clear the location before (re)build
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(ot, lt).foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        fs.delete(new org.apache.hadoop.fs.Path(wh, t.toLowerCase), true)
-      }
-      load(spark, dir, "orders")
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(ot)
-      load(spark, dir, "lineitem")
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(lt)
-      (ot, lt)
-    })
+    built.synchronized {
+      val key = (spark, dir)
+      built.get(key)
+        .filter { case (ot, lt) =>
+          spark.catalog.tableExists(ot) && spark.catalog.tableExists(lt)
+        }
+        .getOrElse {
+          val suffix = dir.replaceAll("[^A-Za-z0-9]+", "_")
+          val (ot, lt) = (s"graft_orders_b$suffix", s"graft_lineitem_b$suffix")
+          // the in-memory catalog forgets tables across JVMs but the
+          // warehouse directory survives — drop AND clear the location
+          // before (re)build
+          val wh = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"))
+          val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          Seq(ot, lt).foreach { t =>
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+            fs.delete(new org.apache.hadoop.fs.Path(wh, t.toLowerCase), true)
+          }
+          load(spark, dir, "orders")
+            .write.mode(SaveMode.Overwrite)
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(ot)
+          load(spark, dir, "lineitem")
+            .write.mode(SaveMode.Overwrite)
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(lt)
+          built.put(key, (ot, lt))
+          (ot, lt)
+        }
+    }
 
   /** Revenue per order priority over the bucketed join — the plan joins
     * the two bucketed scans with no exchange below the join. */

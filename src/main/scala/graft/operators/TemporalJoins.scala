@@ -120,10 +120,7 @@ object TemporalJoins {
       tsCol: String, startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
     // Integer `div`, not `/`: ns-scale longs exceed 2^53 and would lose
     // precision through double division.
-    // __iid identifies an interval ROW across its bucket replicas (one
-    // plan, one computation — safe for monotonically_increasing_id).
     val iv = intervals
-      .withColumn("__iid", monotonically_increasing_id())
       .withColumn("__bucket",
         explode(sequence(expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
           // end is exclusive, but an interval ending exactly on a bucket
@@ -143,10 +140,16 @@ object TemporalJoins {
       // when unmatched (null-padded); keep null rows ONLY for intervals
       // that matched nothing in ANY bucket, and then only the first
       // replica's — so a point-less interval emits exactly one row and a
-      // matched interval emits exactly its pairs (the contract above)
+      // matched interval emits exactly its pairs (the contract above).
+      // Replicas are grouped by the interval row's OWN columns — a
+      // synthetic monotonically_increasing_id would be re-assigned on a
+      // stage retry with nondeterministic upstream order, splitting one
+      // interval's replicas across window groups; content identity is
+      // retry-stable, and byte-identical duplicate rows sharing one group
+      // is harmless (their replica sets match identically by construction)
       .withColumn("__any",
         max(col(s"p_$tsCol").isNotNull.cast("int"))
-          .over(Window.partitionBy(col("__iid"))))
+          .over(Window.partitionBy(intervals.columns.map(col).toSeq: _*)))
       .filter(col(s"p_$tsCol").isNotNull ||
         (col("__any") === 0 &&
           iv("__bucket") === expr(s"CAST($startCol AS BIGINT) div $bucketWidth")))

@@ -22,15 +22,27 @@ object LlmQueries {
   def dedupNear(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(docs(spark, dir))
 
+  /** Session-aware memoization for persisted sub-results: keyed by
+    * (session, dir) — a cached plan is bound to the session that built it,
+    * so a later session reusing the JVM must not see it — and entries
+    * whose session has stopped are dropped on access (their persisted
+    * blocks died with the session; the stale plan would otherwise pin the
+    * map for the process lifetime). */
+  private def memo(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      spark: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
+    cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    cache.getOrElseUpdate((spark, key), mk.persist())
+  }
+
   /** The ngram-Jaccard pairs feed TWO entries (the pair list itself and
     * the cluster/survivor view) — exactly how a production pipeline runs
-    * them, pairs computed once. Memoized per testdata dir (a handful per
-    * JVM; the persisted pair lists are tiny — candidates, not corpus). */
+    * them, pairs computed once. Memoized per (session, testdata dir) — a
+    * handful per JVM; the persisted pair lists are tiny (candidates, not
+    * corpus). */
   private val ngramPairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
-    ngramPairsCache.getOrElseUpdate(dir,
-      Dedup.ngramJaccard(docs(spark, dir)).persist())
+    memo(ngramPairsCache, spark, dir)(Dedup.ngramJaccard(docs(spark, dir)))
 
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir)
@@ -39,10 +51,9 @@ object LlmQueries {
     * both the cluster view and the applied dedup (tiny result — one row
     * per clustered doc). */
   private val clustersCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersCache.getOrElseUpdate(dir,
-      Dedup.dupClusters(ngramPairs(spark, dir)).persist())
+    memo(clustersCache, spark, dir)(Dedup.dupClusters(ngramPairs(spark, dir)))
 
   /** The APPLIED dedup: the corpus minus non-survivor duplicates — what
     * a pipeline actually writes out after clustering. One anti-join of
@@ -69,24 +80,25 @@ object LlmQueries {
     TextStats.stats(docs(spark, dir))
 
   /** Each ANN variant's top-k feeds its own entry AND the recall harness
-    * — memoized per dir like [[ngramPairs]] (outputs are k rows per
-    * query, tiny at any corpus scale). */
+    * — memoized per (session, variant, dir) like [[ngramPairs]] (outputs
+    * are k rows per query, tiny at any corpus scale). */
   private val topkCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def topk(variant: String, dir: String)(mk: => DataFrame): DataFrame =
-    topkCache.getOrElseUpdate((variant, dir), mk.persist())
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def topk(spark: SparkSession, variant: String, dir: String)(
+      mk: => DataFrame): DataFrame =
+    memo(topkCache, spark, s"$variant|$dir")(mk)
 
   def simTopK(spark: SparkSession, dir: String): DataFrame =
-    topk("brute", dir)(Similarity.bruteForceTopK(emb(spark, dir)))
+    topk(spark, "brute", dir)(Similarity.bruteForceTopK(emb(spark, dir)))
 
   def simTopKLsh(spark: SparkSession, dir: String): DataFrame =
-    topk("lsh", dir)(Similarity.lshTopK(emb(spark, dir)))
+    topk(spark, "lsh", dir)(Similarity.lshTopK(emb(spark, dir)))
 
   def simTopKIvf(spark: SparkSession, dir: String): DataFrame =
-    topk("ivf", dir)(Similarity.ivfTopK(emb(spark, dir)))
+    topk(spark, "ivf", dir)(Similarity.ivfTopK(emb(spark, dir)))
 
   def simTopKRp(spark: SparkSession, dir: String): DataFrame =
-    topk("rp", dir)(Similarity.rpTopK(emb(spark, dir)))
+    topk(spark, "rp", dir)(Similarity.rpTopK(emb(spark, dir)))
 
   def multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAll(docs(spark, dir))

@@ -53,15 +53,10 @@ final class GraftColumnarReader(p: GraftInputPartition, baseConf: Configuration,
     // what ParquetFileFormat sets before handing a split to this reader
     conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
-    // the schema converter reads these SQLConf keys from the hadoop conf
-    // with NO defaults (ParquetFileFormat seeds them all before a scan)
-    conf.setBoolean("spark.sql.parquet.binaryAsString", true)
-    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
-    conf.setBoolean("spark.sql.caseSensitive", false)
-    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
-    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", true)
-    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
-    conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", false)
+    // the parquet-interpretation SQLConf keys were mirrored from the LIVE
+    // session into baseConf at plan time (seedSessionConfs — the schema
+    // converter reads them from the hadoop conf with NO defaults, exactly
+    // as ParquetFileFormat seeds them before every built-in scan)
     if (tsLo != Long.MinValue || tsHi != Long.MaxValue) {
       val tsCol = FilterApi.longColumn("ts")
       val pred = (tsLo != Long.MinValue, tsHi != Long.MaxValue) match {
@@ -73,6 +68,10 @@ final class GraftColumnarReader(p: GraftInputPartition, baseConf: Configuration,
       }
       ParquetInputFormat.setFilterPredicate(conf, pred)
     }
+    // rebase modes are the RESOLVED per-file values (not the session's
+    // *.RebaseModeInRead, which still needs footer-metadata resolution):
+    // store chunks are always written by this engine on Spark >= 3, whose
+    // writer metadata resolves to CORRECTED unconditionally
     val r = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", /* useOffHeap = */ false,
       BatchSize)
@@ -111,4 +110,29 @@ final class GraftColumnarReader(p: GraftInputPartition, baseConf: Configuration,
   }
 
   override def close(): Unit = reader.close()
+}
+
+object GraftColumnarReader {
+  /** Mirror the session's parquet-interpretation SQLConf values into a
+    * hadoop conf at PLAN time — the live session is not reachable from
+    * executor-side readers, and pinning these to constants would silently
+    * diverge from session behavior on conf changes or Spark upgrades.
+    * Same key set ParquetFileFormat seeds before every built-in scan. */
+  def seedSessionConfs(base: Configuration,
+      spark: org.apache.spark.sql.SparkSession): Configuration = {
+    val conf = new Configuration(base)
+    val sql = spark.sessionState.conf
+    conf.setBoolean("spark.sql.parquet.binaryAsString", sql.isParquetBinaryAsString)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", sql.isParquetINT96AsTimestamp)
+    conf.setBoolean("spark.sql.caseSensitive", sql.caseSensitiveAnalysis)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled",
+      sql.parquetInferTimestampNTZEnabled)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong",
+      sql.legacyParquetNanosAsLong)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled",
+      sql.parquetFieldIdReadEnabled)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing",
+      sql.ignoreMissingParquetFieldId)
+    conf
+  }
 }

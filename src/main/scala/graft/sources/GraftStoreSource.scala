@@ -180,7 +180,9 @@ final class GraftStoreScan(root: String, from: Option[String],
     * partitions are uniformly columnar or uniformly row-based (Spark
     * rejects mixed scans). */
   private def readerFactory(columnar: Boolean): GraftReaderFactory =
-    GraftReaderFactory(new SerializableHadoopConf(hadoopConf),
+    GraftReaderFactory(
+      new SerializableHadoopConf(GraftColumnarReader.seedSessionConfs(
+        hadoopConf, SparkSession.active)),
       required.fieldNames, tsLo, tsHi, columnar)
 
   override def readSchema(): StructType = required

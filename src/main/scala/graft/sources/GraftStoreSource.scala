@@ -196,9 +196,19 @@ final class GraftStoreScan(root: String, from: Option[String],
   }
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      catalog.load().filter(e => matches(e.part) && tsOverlaps(e))
+    override def planInputPartitions(): Array[InputPartition] = {
+      // exact-part pushdown prunes through the per-part index — O(selected
+      // parts), independent of total catalog size; tag-predicate FROMs
+      // fall back to the full driver-side scan
+      val candidates = partsEq match {
+        case Some(parts) =>
+          val idx = catalog.partIndex()
+          parts.toVector.sorted.flatMap(p => idx.getOrElse(p, Vector.empty))
+        case None => catalog.load()
+      }
+      candidates.filter(e => matches(e.part) && tsOverlaps(e))
         .map(e => GraftInputPartition(e.file, e.part, -1L, Long.MaxValue)).toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       readerFactory(columnar = true)
   }

@@ -49,8 +49,8 @@ final class Catalog(fs: FileSystem, path: Path) {
   private val segDir = new Path(path.getParent, path.getName + ".d")
   private val bakPath = new Path(path.getParent, path.getName + ".bak")
 
-  // (fingerprint of on-disk state, parsed entries)
-  @volatile private var cache: (String, Vector[CatEntry]) = null
+  // (fingerprint of on-disk state, parsed entries, per-part index)
+  @volatile private var cache: (String, Vector[CatEntry], Map[String, Vector[CatEntry]]) = null
 
   private def catalogFiles(): Seq[FileStatus] = {
     val base =
@@ -69,11 +69,19 @@ final class Catalog(fs: FileSystem, path: Path) {
   private def fingerprint(files: Seq[FileStatus]): String =
     files.map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}").mkString(";")
 
-  def load(): Vector[CatEntry] = {
+  def load(): Vector[CatEntry] = loadWithIndex()._1
+
+  /** Entries grouped by part line, memoized with [[load]] under the same
+    * fingerprint: a scan whose FROM resolves to exact partitions prunes in
+    * O(selected parts), not O(total chunk count) — the access-path that
+    * keeps a million-chunk catalog out of every query's driver path. */
+  def partIndex(): Map[String, Vector[CatEntry]] = loadWithIndex()._2
+
+  private def loadWithIndex(): (Vector[CatEntry], Map[String, Vector[CatEntry]]) = {
     val files = catalogFiles()
     val fp = fingerprint(files)
     val c = cache
-    if (c != null && c._1 == fp) return c._2
+    if (c != null && c._1 == fp) return (c._2, c._3)
     val raw = files.flatMap { st =>
       val in = fs.open(st.getPath)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -82,8 +90,11 @@ final class Catalog(fs: FileSystem, path: Path) {
     // newest entry per data file wins (crash-residue duplicates collapse)
     val entries = raw.groupBy(_.file).valuesIterator.map(_.maxBy(_.writeTs)).toVector
       .sortBy(e => (e.part, e.writeTs, e.file))
-    cache = (fp, entries)
-    entries
+    // groupBy preserves the sorted per-part order; index shares the entry
+    // objects with the vector (one parse, two views)
+    val idx = entries.groupBy(_.part)
+    cache = (fp, entries, idx)
+    (entries, idx)
   }
 
   private val lock = Catalog.lockFor(path.toString)

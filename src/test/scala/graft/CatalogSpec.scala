@@ -77,6 +77,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.load().size == 2) // cat's fingerprint must detect cat2's segment
   }
 
+  test("partIndex mirrors the full scan and invalidates with it") {
+    val (cat, _) = freshCatalog()
+    cat.append(Seq(entry("a=1", "/f1"), entry("b=2", "/f2"), entry("a=1", "/f3")))
+    val idx = cat.partIndex()
+    assert(idx == cat.load().groupBy(_.part))
+    assert(idx("a=1").map(_.file).toSet == Set("/f1", "/f3"))
+    cat.append(Seq(entry("c=3", "/f4")))
+    assert(cat.partIndex()("c=3").map(_.file) == Vector("/f4"),
+      "index must rebuild when the on-disk catalog changes")
+  }
+
   test("codec round-trips adversarial part/file strings") {
     val (cat, _) = freshCatalog()
     val nasty = "a=\"x,y\",b=back\\slash,c=\"quo\\\"te\",d=new\nline"

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Log2Fix, VectorExpressions}
 
@@ -223,7 +224,11 @@ object Curation {
         expr("sum(nll_e6) div count(1)").as("mean_nll_e6"))
   }
 
-  val lmScoreOracle: String =
+  /** The [[lmScore]] CTE chain up to the per-doc score, shared by the
+    * lm-score and CCNet-bucket oracles so the score definition can never
+    * diverge between them. Ends in `lmdoc(doc_id, n_tokens, mean_nll_e6)`;
+    * requires the query to open with this string (it owns WITH RECURSIVE). */
+  private val lmScoreCtes: String =
     s"""WITH RECURSIVE tok AS (
        |  SELECT doc_id::BIGINT AS doc_id,
        |    unnest(list_filter(string_split_regex(lower(text), '\\W+'),
@@ -236,10 +241,65 @@ object Curation {
        |${Log2Fix.duckdbCtes("src", "t", "lg")},
        |per AS (
        |  SELECT doc_id, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS nll_e6
-       |  FROM tok JOIN lg USING (t))
-       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       |  (sum(nll_e6) // count(*))::BIGINT AS mean_nll_e6
-       |FROM per GROUP BY 1""".stripMargin
+       |  FROM tok JOIN lg USING (t)),
+       |lmdoc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |    (sum(nll_e6) // count(*))::BIGINT AS mean_nll_e6
+       |  FROM per GROUP BY 1)""".stripMargin
+
+  val lmScoreOracle: String =
+    s"""$lmScoreCtes
+       |SELECT doc_id, n_tokens, mean_nll_e6 FROM lmdoc""".stripMargin
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, the CCNet
+    * pipeline): per LANGUAGE, rank documents by unigram-LM mean NLL
+    * ascending and split the ranking into head/middle/tail terciles —
+    * the standard quality stratification a curation pipeline uses to
+    * keep "head" data, sample "middle", and drop "tail".
+    *
+    * Exactness: rank ties break on doc_id, the tercile is integer
+    * arithmetic on (rank, count), and the score is the libm-free
+    * [[lmScore]] — so buckets are bit-identical across engines.
+    *
+    * Scale shape: scoring is the lmScore plan (corpus never shuffles);
+    * bucketing shuffles once on lang. The per-lang window is a total
+    * order per language — correct for the gate, and the documented
+    * 100 TB swap is CCNet's own: derive the two threshold VALUES from a
+    * sample (or a mergeable quantile sketch, q12's machinery), then
+    * bucket by plain per-row comparison with no global sort.
+    *
+    * Output: (doc_id, lang, mean_nll_e6, bucket).
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmScore(docs)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_nll_e6"), col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          (expr("((rn - 1) * 3) div n") + 1).cast("int")))
+      .select(col("doc_id"), col("lang"), col("mean_nll_e6"), col("bucket"))
+  }
+
+  val ccnetBucketsOracle: String =
+    s"""$lmScoreCtes,
+       |j AS (
+       |  SELECT l.doc_id, d.lang, l.mean_nll_e6
+       |  FROM lmdoc l JOIN documents d ON d.doc_id::BIGINT = l.doc_id),
+       |r AS (
+       |  SELECT doc_id, lang, mean_nll_e6,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY mean_nll_e6, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM j)
+       |SELECT doc_id, lang, mean_nll_e6,
+       |  CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM r""".stripMargin
 
   /** Deterministic train/validation/test split by the same md5 bucket
     * used for sampling: disjoint and complete BY CONSTRUCTION (every doc

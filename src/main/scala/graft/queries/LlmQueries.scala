@@ -73,6 +73,12 @@ object LlmQueries {
   def lmScore(spark: SparkSession, dir: String): DataFrame =
     Curation.lmScore(docs(spark, dir))
 
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    Curation.ccnetBuckets(docs(spark, dir))
+
+  def semDedupGate(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.SemDedup.gate(emb(spark, dir))
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.fingerprints(docs(spark, dir))
 
@@ -236,6 +242,8 @@ object LlmQueries {
     "llm_dedup_apply" -> (dedupApply _),
     "llm_split" -> (split _),
     "llm_lm_score" -> (lmScore _),
+    "llm_ccnet_buckets" -> (ccnetBuckets _),
+    "llm_semdedup" -> (semDedupGate _),
     "llm_simhash" -> (simhash _),
     "llm_text_stats" -> (textStats _),
     "llm_sim_topk" -> (simTopK _),
@@ -365,6 +373,15 @@ object LlmQueries {
          |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin,
     "llm_split" -> Curation.splitOracle,
     "llm_lm_score" -> Curation.lmScoreOracle,
+    "llm_ccnet_buckets" -> Curation.ccnetBucketsOracle,
+    // invariant gate (the kmeans-gate pattern): the clustering is
+    // deterministic in-engine but not bit-portable, so the oracle pins
+    // the four SemDeDup invariants as constants
+    "llm_semdedup" ->
+      """SELECT * FROM (VALUES
+        |  ('partition', true), ('one_survivor_per_group', true),
+        |  ('dropped_are_duplicates', true), ('survivors_separated', true)
+        |) t("check", pass)""".stripMargin,
 
     "llm_simhash" ->
       """WITH hs AS (

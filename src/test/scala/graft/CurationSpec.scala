@@ -34,6 +34,57 @@ class CurationSpec extends AnyFunSuite {
              kept.getOrElse("zh", 0L).toDouble / total("zh"))
   }
 
+  test("ccnet buckets: per-lang terciles balance and order by score") {
+    import spark.implicits._
+    // 9 docs in one language with graded token rarity: shared filler keeps
+    // a common vocabulary, doc i adds i copies of its own unique token, so
+    // mean NLL strictly orders with uniqueness share
+    val synth = (0 until 9).map { i =>
+      val rare = (s"zq$i " * (i + 1)).trim
+      (i.toLong, s"the common filler words here $rare", "en")
+    }.toDF("doc_id", "text", "lang")
+    val out = Curation.ccnetBuckets(synth).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 9)
+    val byBucket = out.groupBy(_._4).view.mapValues(_.map(_._3).toSeq).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket.values.forall(_.size == 3), s"terciles must balance: $byBucket")
+    assert(byBucket("head").max <= byBucket("middle").min,
+      "head scores must not exceed middle scores")
+    assert(byBucket("middle").max <= byBucket("tail").min,
+      "middle scores must not exceed tail scores")
+  }
+
+  test("semdedup: near-identical vectors collapse to one survivor per group") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // two well-separated blobs; in each, two near-identical vectors (cos
+    // ~1) and one merely-similar one below the 0.99 threshold
+    val emb = Seq(
+      (0L, v(1.0, 0.0)), (1L, v(0.9999, 0.0001)), (2L, v(0.9, 0.4)),
+      (3L, v(0.0, 1.0)), (4L, v(0.0001, 0.9999)), (5L, v(0.4, 0.9))
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.SemDedup.semDedup(emb, k = 2, iters = 2, thrE6 = 990000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // the near-identical pairs form groups keeping the min id
+    assert(out(0L) == ((0L, true)) && out(1L) == ((0L, false)))
+    assert(out(3L) == ((3L, true)) && out(4L) == ((3L, false)))
+    // the merely-similar vectors are singleton survivors
+    assert(out(2L) == ((2L, true)) && out(5L) == ((5L, true)))
+    // deterministic across invocations
+    val again = graft.llm.SemDedup.semDedup(emb, k = 2, iters = 2, thrE6 = 990000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(again == out)
+  }
+
+  test("semdedup gate invariants hold on the real embeddings") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val gate = graft.llm.SemDedup.gate(emb).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(gate.size == 4 && gate.values.forall(identity), s"gate failed: $gate")
+  }
+
   test("chunking covers every token exactly via stride windows") {
     val w = docs.select(col("doc_id").cast("long").as("doc_id"),
       size(Dedup.tokens(col("text"))).as("n"))

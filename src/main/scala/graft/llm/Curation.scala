@@ -390,27 +390,25 @@ object Curation {
     val bench = sh.filter(col("doc_id") % 17 === 0).select("g").distinct().persist()
     val corpus = sh.filter(col("doc_id") % 17 =!= 0).persist()
 
-    // Build the filter with Spark's own bloom_filter_agg (map-side partial
-    // sketches, OR-merged — the distributed build stat.bloomFilter also
-    // does, but with a plan-level aggregate instead of a driver
-    // treeAggregate), then probe with the native BloomFilterMightContain
-    // expression over the serialized filter as a BINARY LITERAL: the probe
-    // stays inside whole-stage codegen (the filter deserializes once per
-    // task), where the previous Scala-UDF probe paid an interpreted
-    // invocation + broadcast round-trip per corpus shingle.
+    // Build the filter over xxhash64(g) LONGS with the distributed
+    // map-side-partial/OR-merge build (stat.bloomFilter sizes to the
+    // requested fpp with NO cap — BloomFilterAggregate silently clamps to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits,
+    // which would quietly blow the fpp envelope past ~4M shingles), then
+    // probe with the native BloomFilterMightContain expression over the
+    // serialized filter as a BINARY LITERAL: putLong at build matches
+    // mightContainLong at probe, and the probe stays inside whole-stage
+    // codegen (the filter deserializes once per task), where the previous
+    // Scala-UDF probe paid an interpreted invocation per corpus shingle.
     val nItems = math.max(bench.count(), 1L)
-    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
-    val bfBytes = bench
-      .agg(org.apache.spark.sql.GraftColumn.of(
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          org.apache.spark.sql.GraftColumn.exprOf(xxhash64(col("g"))),
-          org.apache.spark.sql.catalyst.expressions.Literal(nItems),
-          org.apache.spark.sql.catalyst.expressions.Literal(nBits))
-          .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val bf = bench.stat.bloomFilter(xxhash64(col("g")), nItems, fpp)
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
     val mightContain: Column =
-      if (bfBytes == null) lit(false) // empty bench set: nothing can match
-      else org.apache.spark.sql.GraftColumn.of(
+      org.apache.spark.sql.GraftColumn.of(
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           org.apache.spark.sql.catalyst.expressions.Literal(bfBytes,
             org.apache.spark.sql.types.BinaryType),

@@ -40,9 +40,16 @@ object SemDedup {
     // within-cluster upper-triangle pairs above the cosine threshold =
     // the duplicate graph's edges
     val edges = a.join(b, Seq("cluster")).where(col("ida") < col("idb"))
+      // zero-norm guard: 0/0 cosine is NaN (long-cast 0), which would let
+      // byte-identical all-zero vectors slip past dedup as "singletons" —
+      // two zero vectors are defined as identical (cos 1e6); zero-vs-
+      // nonzero has no direction to compare and stays unpaired
       .withColumn("cos_e6",
-        floor(VectorExpressions.dot_product(col("va"), col("vb"))
-          / (col("na") * col("nb")) * 1e6 + 0.5).cast("long"))
+        when(col("na") > 0 && col("nb") > 0,
+          floor(VectorExpressions.dot_product(col("va"), col("vb"))
+            / (col("na") * col("nb")) * 1e6 + 0.5).cast("long"))
+          .when(col("na") === 0 && col("nb") === 0, lit(1000000L))
+          .otherwise(lit(Long.MinValue)))
       .filter(col("cos_e6") >= thrE6)
       .select(col("ida").as("doc_a"), col("idb").as("doc_b"))
       .persist()

@@ -34,6 +34,10 @@ object Bucketing {
     * active session catalog before reuse. */
   private[graft] def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     built.synchronized {
+      // drop entries bound to stopped sessions — their names are dead and
+      // the keys would otherwise pin the session object graphs for the
+      // JVM lifetime (same eviction the LlmQueries memo does)
+      built.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
       val key = (spark, dir)
       built.get(key)
         .filter { case (ot, lt) =>

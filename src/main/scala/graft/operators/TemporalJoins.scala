@@ -141,15 +141,18 @@ object TemporalJoins {
       // that matched nothing in ANY bucket, and then only the first
       // replica's — so a point-less interval emits exactly one row and a
       // matched interval emits exactly its pairs (the contract above).
-      // Replicas are grouped by the interval row's OWN columns — a
-      // synthetic monotonically_increasing_id would be re-assigned on a
-      // stage retry with nondeterministic upstream order, splitting one
-      // interval's replicas across window groups; content identity is
-      // retry-stable, and byte-identical duplicate rows sharing one group
-      // is harmless (their replica sets match identically by construction)
+      // Replicas are grouped by (key, start, end) — a synthetic
+      // monotonically_increasing_id would be re-assigned on a stage retry
+      // with nondeterministic upstream order, splitting one interval's
+      // replicas across window groups; content identity is retry-stable.
+      // (key, start, end) alone DETERMINES an interval's match set, so
+      // rows coinciding on the triple (even with different payloads)
+      // matched identically and sharing a window group is harmless — and
+      // the narrow key keeps payload columns (possibly wide or
+      // non-orderable, e.g. maps) out of the window exchange.
       .withColumn("__any",
         max(col(s"p_$tsCol").isNotNull.cast("int"))
-          .over(Window.partitionBy(intervals.columns.map(col).toSeq: _*)))
+          .over(Window.partitionBy(col(keyCol), col(startCol), col(endCol))))
       .filter(col(s"p_$tsCol").isNotNull ||
         (col("__any") === 0 &&
           iv("__bucket") === expr(s"CAST($startCol AS BIGINT) div $bucketWidth")))

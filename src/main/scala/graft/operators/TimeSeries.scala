@@ -65,6 +65,9 @@ object TimeSeries {
           .select(col(keyCol),
             explode(sequence(col("__kb0"), col("__kb1"))).as("__b"))
       case FixedBounds(b0, b1) =>
+        // sequence() silently steps BACKWARD when start > stop, which
+        // would turn an inverted window into the full reversed grid
+        require(b0 <= b1, s"FixedBounds requires b0 <= b1, got [$b0, $b1]")
         e.select(col(keyCol)).distinct()
           .select(col(keyCol), explode(sequence(lit(b0), lit(b1))).as("__b"))
       case GlobalBounds =>

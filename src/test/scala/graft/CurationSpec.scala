@@ -78,6 +78,20 @@ class CurationSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("semdedup: byte-identical zero vectors dedup; zero-vs-nonzero stays unpaired") {
+    import spark.implicits._
+    val z = Array(0.0f, 0.0f)
+    val emb = Seq(
+      (0L, z), (1L, z),                  // identical zero pair: must collapse
+      (2L, Array(1.0f, 0.0f))            // nonzero: unpaired with zeros
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.SemDedup.semDedup(emb, k = 1, iters = 1, thrE6 = 990000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(0L) == ((0L, true)) && out(1L) == ((0L, false)),
+      s"zero-vector pair must collapse to one survivor, got $out")
+    assert(out(2L) == ((2L, true)))
+  }
+
   test("semdedup gate invariants hold on the real embeddings") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val gate = graft.llm.SemDedup.gate(emb).collect()

@@ -46,7 +46,10 @@ class StoreStreamSoakSpec extends AnyFunSuite {
         } finally q.stop()
         ok = true
       } catch {
-        case e: Throwable if attempt <= retries => // file deleted under us
+        // a genuine hang must fail immediately, not burn 5 more drains
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case e: Throwable if attempt <= retries =>
+          info(s"drain attempt $attempt failed (file churned under read?): $e")
       }
     }
   }

@@ -95,6 +95,15 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out((2L, 5L)) == ((0L, -1L)), "post-window event never appears")
   }
 
+  test("gapFill fixed bounds: inverted window is rejected, not silently reversed") {
+    val events = Seq((1L, 5L, 1L, 10L)).toDF("k", "ts", "ord", "v")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.gapFill(events, "k", "ts", "ord", "v", 10L,
+        bounds = TimeSeries.FixedBounds(5L, 2L))
+    }
+    assert(e.getMessage.contains("b0 <= b1"))
+  }
+
   test("gapFill per-key bounds: empty input stays empty, fully lazy") {
     val empty = Seq.empty[(Long, Long, Long, Long)].toDF("k", "ts", "ord", "v")
     val out = TimeSeries.gapFill(empty, "k", "ts", "ord", "v", 10L,

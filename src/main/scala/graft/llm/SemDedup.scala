@@ -81,8 +81,9 @@ object SemDedup {
     val verdicts = verdicts0.persist()
     OpCaches.track("semdedup.verdicts", Seq(verdicts))
     val total = emb.select(col("vec_id")).distinct().count()
-    val nVerdicts = verdicts.count()
-    val nDistinct = verdicts.select("vec_id").distinct().count()
+    val vAgg = verdicts
+      .agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("d")).head()
+    val (nVerdicts, nDistinct) = (vAgg.getLong(0), vAgg.getLong(1))
     val badGroups = verdicts.groupBy(col("group_id"))
       .agg(sum(col("keep").cast("long")).as("nk"))
       .filter(col("nk") =!= 1L).count()

@@ -35,6 +35,16 @@ object Curation {
   private val bucketSql =
     "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"
 
+  /** [[docBucket]] at e6 granularity (mixture rates need finer steps than
+    * percent). 15 hex digits = 60 bits, safely inside int64. */
+  private def mixBucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000
+
+  /** DuckDB twin of [[mixBucket]]. */
+  private val mixBucketSql =
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000"
+
   /** Deterministic stratified sampling: a document is kept iff
     * `docBucket(doc_id) < rate(lang)` — a stable content hash, NOT
     * `rand()`. Determinism is what makes sampling auditable and
@@ -49,6 +59,66 @@ object Curation {
     docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
         docBucket.as("bucket"))
       .filter(col("bucket") < rate)
+  }
+
+  // --------------------------------------------------------------- mixture
+
+  /** Target corpus mixture by language (e4 weights, sum 10000) — the "data
+    * mixing" step of a pretraining pipeline (fixed domain weights à la The
+    * Pile / DoReMi's static baseline). Languages not listed mix at 0. */
+  val MixtureWeightsE4: Seq[(String, Long)] = Seq(
+    "en" -> 4000L, "zh" -> 2000L, "de" -> 1600L, "fr" -> 1400L, "es" -> 1000L)
+
+  /** Deterministic mixture resampling: find the largest total corpus size
+    * T whose target split fits availability (T = min over languages of
+    * n_l·1e4 div w_l), then accept each language's documents at
+    * rate_e6 = (w_l·T div 1e4)·1e6 div n_l by the same stable content
+    * hash the stratified sampler uses — re-run-stable, engine-portable
+    * (pure integer arithmetic), and disjoint decisions per document.
+    *
+    * Scale shape: the corpus never shuffles — per-lang counts are one
+    * map-combined aggregate (|langs| rows), the T reduction and rate
+    * table ride along as broadcast joins, and acceptance is a per-row
+    * hash compare. Output: per-language (lang, n_docs, rate_e6, kept).
+    */
+  def mixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = MixtureWeightsE4.toDF("lang", "w_e4")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(w), Seq("lang"))
+    val tMin = counts.agg(min(expr("n_docs * 10000 div w_e4")).as("t"))
+    val rates = counts.crossJoin(broadcast(tMin))
+      .withColumn("rate_e6",
+        expr("least(1000000, (w_e4 * t div 10000) * 1000000 div n_docs)"))
+      .select(col("lang"), col("n_docs"), col("rate_e6"))
+    val kept = docs.select(col("lang"), mixBucket.as("mb"))
+      .join(broadcast(rates), "lang")
+      .filter(col("mb") < col("rate_e6"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+    rates.join(kept, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_docs"), col("rate_e6"),
+        coalesce(col("kept"), lit(0L)).as("kept"))
+  }
+
+  val mixtureOracle: String = {
+    val values = MixtureWeightsE4
+      .map { case (l, v) => s"('$l', ${v}::BIGINT)" }.mkString(", ")
+    s"""WITH w(lang, w_e4) AS (VALUES $values),
+       |c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+       |cw AS (SELECT c.lang, n_docs, w_e4 FROM c JOIN w USING (lang)),
+       |t AS (SELECT min(n_docs * 10000 // w_e4) AS t FROM cw),
+       |r AS (SELECT lang, n_docs,
+       |        least(1000000,
+       |          (w_e4 * (SELECT t FROM t) // 10000) * 1000000 // n_docs)
+       |          AS rate_e6
+       |      FROM cw),
+       |k AS (SELECT d.lang, count(*)::BIGINT AS kept
+       |      FROM documents d JOIN r USING (lang)
+       |      WHERE $mixBucketSql < rate_e6
+       |      GROUP BY 1)
+       |SELECT r.lang, n_docs, rate_e6, coalesce(k.kept, 0)::BIGINT AS kept
+       |FROM r LEFT JOIN k USING (lang)""".stripMargin
   }
 
   // ----------------------------------------------------------------- chunk

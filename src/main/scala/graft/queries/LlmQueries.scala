@@ -183,6 +183,9 @@ object LlmQueries {
   def sample(spark: SparkSession, dir: String): DataFrame =
     Curation.stratifiedSample(docs(spark, dir))
 
+  def mixture(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixture(docs(spark, dir))
+
   def chunk(spark: SparkSession, dir: String): DataFrame =
     Curation.chunk(docs(spark, dir))
 
@@ -226,6 +229,7 @@ object LlmQueries {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans" -> (kmeansGate _),
     "llm_sample" -> (sample _),
+    "llm_mixture" -> (mixture _),
     "llm_chunk" -> (chunk _),
     "llm_decontam" -> (decontam _),
     "llm_decontam_bloom" -> (decontamBloom _),
@@ -297,6 +301,7 @@ object LlmQueries {
         |  ('clusters', 16::BIGINT, true)
         |) t(variant, floor_e4, meets_floor)""".stripMargin,
     "llm_sample" -> Curation.sampleOracle,
+    "llm_mixture" -> Curation.mixtureOracle,
     "llm_chunk" -> Curation.chunkOracle,
     "llm_decontam" -> Curation.decontamOracle,
     "llm_decontam_bloom" -> Curation.decontamBloomOracle,

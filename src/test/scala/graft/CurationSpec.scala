@@ -34,6 +34,31 @@ class CurationSpec extends AnyFunSuite {
              kept.getOrElse("zh", 0L).toDouble / total("zh"))
   }
 
+  test("mixture: kept proportions track the target weights within hash noise") {
+    val out = Curation.mixture(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val weights = Curation.MixtureWeightsE4.toMap
+    assert(out.map(_._1).toSet == weights.keySet.intersect(
+      docs.select("lang").distinct().collect().map(_.getString(0)).toSet))
+    out.foreach { case (lang, nDocs, rateE6, kept) =>
+      assert(kept <= nDocs, s"$lang kept more than available")
+      assert(rateE6 >= 0 && rateE6 <= 1000000)
+      // the hash acceptance tracks the rate: expected = n*rate/1e6, allow
+      // generous binomial slack on a few hundred docs
+      val expected = nDocs * rateE6 / 1000000.0
+      assert(math.abs(kept - expected) <= math.max(8.0, 4 * math.sqrt(expected + 1)),
+        s"$lang kept=$kept expected~$expected at rate_e6=$rateE6")
+    }
+    // the binding language is fully kept (rate 1e6) and at least one
+    // language is genuinely downsampled
+    assert(out.exists(_._3 == 1000000L), s"no binding language: $out")
+    assert(out.exists(_._3 < 1000000L), s"nothing downsampled: $out")
+    // determinism
+    val again = Curation.mixture(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("ccnet buckets: per-lang terciles balance and order by score") {
     import spark.implicits._
     // 9 docs in one language with graded token rarity: shared filler keeps

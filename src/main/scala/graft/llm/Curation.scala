@@ -121,6 +121,46 @@ object Curation {
        |FROM r LEFT JOIN k USING (lang)""".stripMargin
   }
 
+  // ------------------------------------------------------------------ pack
+
+  val PackBudget = 512L // tokens per shard
+
+  /** Sequence packing: assign documents, in doc_id order, to fixed
+    * token-budget shards — shard i holds the documents whose exact global
+    * running token count lands in [i·budget, (i+1)·budget). The batch
+    * construction step of a pretraining pipeline (greedy first-fit in
+    * arrival order, the common default), and an exact-prefix-sum problem:
+    * a document's shard depends on EVERY preceding document's length.
+    *
+    * Scale shape: [[graft.operators.PrefixSum.cumBefore]] — a plain
+    * windowed `sum() OVER (ORDER BY doc_id)` would single-task the corpus;
+    * the two-pass distributed prefix sum keeps both passes at full
+    * parallelism with only per-partition totals on the driver.
+    *
+    * Output: (doc_id, n_tok, cum_before, shard) — bit-exact across
+    * engines (pure integer arithmetic over an exact sum). */
+  def pack(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.PrefixSum.cumBefore(toks, "doc_id", "n_tok")
+      .withColumn("shard", expr(s"cum_before div $PackBudget"))
+  }
+
+  val packOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |    len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                    x -> x != ''))::BIGINT AS n_tok
+       |  FROM documents)
+       |SELECT doc_id, n_tok,
+       |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |    AS cum_before,
+       |  (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    // $PackBudget)::BIGINT AS shard
+       |FROM tok""".stripMargin
+
   // ----------------------------------------------------------------- chunk
 
   val ChunkSize = 40   // tokens per chunk

@@ -8,7 +8,7 @@ import org.apache.spark.sql.DataFrame
   * CURRENT call's caches must outlive the call — but the previous call's
   * are dead weight that would otherwise pin executor storage for the
   * application lifetime. */
-private[llm] object OpCaches {
+private[graft] object OpCaches {
   private val held = scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
 
   def track(key: String, dfs: Seq[DataFrame]): Unit =

@@ -186,6 +186,9 @@ object LlmQueries {
   def mixture(spark: SparkSession, dir: String): DataFrame =
     Curation.mixture(docs(spark, dir))
 
+  def pack(spark: SparkSession, dir: String): DataFrame =
+    Curation.pack(docs(spark, dir))
+
   def chunk(spark: SparkSession, dir: String): DataFrame =
     Curation.chunk(docs(spark, dir))
 
@@ -230,6 +233,7 @@ object LlmQueries {
     "llm_kmeans" -> (kmeansGate _),
     "llm_sample" -> (sample _),
     "llm_mixture" -> (mixture _),
+    "llm_pack" -> (pack _),
     "llm_chunk" -> (chunk _),
     "llm_decontam" -> (decontam _),
     "llm_decontam_bloom" -> (decontamBloom _),
@@ -302,6 +306,7 @@ object LlmQueries {
         |) t(variant, floor_e4, meets_floor)""".stripMargin,
     "llm_sample" -> Curation.sampleOracle,
     "llm_mixture" -> Curation.mixtureOracle,
+    "llm_pack" -> Curation.packOracle,
     "llm_chunk" -> Curation.chunkOracle,
     "llm_decontam" -> Curation.decontamOracle,
     "llm_decontam_bloom" -> Curation.decontamBloomOracle,

@@ -21,6 +21,17 @@ object TextStats {
     "fr" -> "\\b(le|la|les|et|est|une|dans)\\b",
     "es" -> "\\b(el|los|las|es|una|para)\\b")
 
+  /** Percentage of alphabetic+space characters, rounded; empty text is 0
+    * by convention (unguarded, the division yields null here but NaN-ish
+    * in other engines — the oracles mirror the CASE). Shared by [[stats]]
+    * and the Gopher filter so the quality definition cannot diverge. */
+  def qualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(length(text) > 0,
+      floor(lit(100.0) *
+        length(regexp_replace(text, "[^A-Za-z ]", "")) / length(text)
+        + 0.5).cast("long"))
+      .otherwise(lit(0L))
+
   def stats(docs: DataFrame): DataFrame = {
     var df = docs.select(
       col("doc_id").cast("long").as("doc_id"),
@@ -30,14 +41,7 @@ object TextStats {
         .cast("long").as("n_words"),
       // BPE-ish budget heuristic: ~4 chars per token
       ceil(length(col("text")) / 4.0).cast("long").as("n_tokens_approx"),
-      // quality: percentage of alphabetic+space characters, rounded;
-      // empty text is 0 by convention (unguarded, the division yields null
-      // here but NaN-ish in other engines — the oracle mirrors the CASE)
-      when(length(col("text")) > 0,
-        floor(lit(100.0) *
-          length(regexp_replace(col("text"), "[^A-Za-z ]", "")) / length(col("text"))
-          + 0.5).cast("long"))
-        .otherwise(lit(0L)).as("quality"),
+      qualityCol(col("text")).as("quality"),
       // content fingerprint
       substring(md5(lower(col("text")).cast("binary")), 1, 16).as("fingerprint"))
     for ((lang, re) <- stops)

@@ -207,6 +207,9 @@ object LlmQueries {
   def repetition(spark: SparkSession, dir: String): DataFrame =
     Repetition.metrics(docs(spark, dir))
 
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame =
+    Repetition.gopherFilter(docs(spark, dir))
+
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
     Repetition.boilerplate(docs(spark, dir))
 
@@ -240,6 +243,7 @@ object LlmQueries {
     "llm_tfidf" -> (tfidf _),
     "llm_redact" -> (redact _),
     "llm_repetition" -> (repetition _),
+    "llm_gopher_filter" -> (gopherFilter _),
     "llm_boilerplate" -> (boilerplate _),
     "llm_heavy_hitters" ->
       ((s: SparkSession, d: String) => graft.operators.Sketches.heavyHitters(s, d)),
@@ -313,6 +317,7 @@ object LlmQueries {
     "llm_tfidf" -> Curation.tfidfOracle,
     "llm_redact" -> Curation.redactOracle,
     "llm_repetition" -> Repetition.metricsOracle,
+    "llm_gopher_filter" -> Repetition.gopherFilterOracle,
     "llm_boilerplate" -> Repetition.boilerplateOracle,
     "llm_heavy_hitters" -> graft.operators.Sketches.heavyHittersOracle,
     "llm_dedup_exact" ->

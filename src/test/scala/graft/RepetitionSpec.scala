@@ -61,6 +61,33 @@ class RepetitionSpec extends AnyFunSuite {
     assert(out == 3L)
   }
 
+  test("gopherFilter: rule precedence and reasons on crafted docs") {
+    val docs = Seq(
+      (1L, "a b"),                                   // 2 tokens -> too_short
+      (2L, "1234 5678 9012 3456 7890 1111"),         // digits -> low_alpha
+      (3L, "a b a b a b a b a b"),                   // 2 distinct/10 -> low_diversity
+      // diverse enough (6 distinct / 12 = 5000) but one bigram dominates:
+      // "a b" appears 4x of 11 bigrams = 3636 -> repetitive
+      (4L, "a b a b a b a b x y z w"),
+      // 15 distinct tokens: diversity 1e4, top bigram 1/14 = 714 -> ok
+      (5L, "the quick brown fox jumps over lazy dog near old red barn at dawn today")
+    ).toDF("doc_id", "text")
+    val out = Repetition.gopherFilter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), r.getString(4))).toMap
+    assert(out(1L) == ((false, "too_short")))
+    assert(out(2L) == ((false, "low_alpha")))
+    assert(out(3L) == ((false, "low_diversity")))
+    assert(out(4L) == ((false, "repetitive")))
+    assert(out(5L) == ((true, "ok")))
+  }
+
+  test("gopherFilter plan: no exchange (per-row only)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Repetition.gopherFilter(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherFilter must not shuffle:\n$plan")
+  }
+
   test("metrics plan: no exchange (per-row only)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Repetition.metrics(docs).queryExecution.executedPlan.toString

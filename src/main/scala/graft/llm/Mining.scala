@@ -1,0 +1,297 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Log2Fix, VectorExpressions}
+
+/** Corpus text-mining operators: PMI collocation mining, BM25 keyword
+  * retrieval, and fuzzy (Jaccard) benchmark decontamination.
+  *
+  * Same discipline as [[Curation]]/[[TextStats]]: every score is derived
+  * with pure int64 arithmetic (logs via the [[graft.functions.Log2Fix]]
+  * normalize-then-square kernel that the DuckDB oracles replay exactly),
+  * so both engines produce IDENTICAL integers — no libm, no float
+  * accumulation-order hazard. Scale notes per operator.
+  */
+object Mining {
+
+  /** Positional (non-distinct) adjacent word pairs from a token-array
+    * column — [[Dedup.shinglesFromTokens]] minus the dedup, because
+    * collocation counts are occurrence counts. Same caveat: pass a
+    * materialized attribute, not the tokenization expression. */
+  def bigramSeq(w: Column): Column = {
+    val cnt = size(w) - 1
+    when(cnt >= 1,
+      transform(sequence(lit(1), greatest(cnt, lit(1))), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Signed fixed-point log2 ratio: `floor(log2(num/den) * 2^20)` for
+    * num,den >= 1 in either order (Log2Fix itself requires num >= den;
+    * the reflection gives the negative branch — exact, since
+    * log2(a/b) = -log2(b/a)). */
+  private def slog2(num: Column, den: Column): Column =
+    when(num >= den, VectorExpressions.log2_fix(num, den))
+      .otherwise(-VectorExpressions.log2_fix(den, num))
+
+  val CollocMinCount = 5
+  val CollocTopK = 50
+
+  /** Top-[[CollocTopK]] bigram collocations by pointwise mutual
+    * information. With N total tokens, B total bigram slots, c_xy the
+    * bigram's occurrence count and c_x/c_y the word occurrence counts,
+    *
+    *   PMI = log2( (c_xy/B) / ((c_x/N)(c_y/N)) )
+    *       = log2(c_xy*N / (c_x*c_y)) + log2(N/B)
+    *
+    * computed as `pmi20` = floor(PMI * 2^20) from the two Log2Fix terms
+    * (the split keeps every product inside int64 up to ~3e9 tokens; past
+    * that a production run would pre-scale the counts — the ranking only
+    * needs the ratio). Bigrams below [[CollocMinCount]] occurrences are
+    * noise and excluded, ties broken by bigram ascending.
+    *
+    * Plan shape: ONE corpus scan — unigrams and bigrams melt into a
+    * single keyed stream (`(kind, gram)` structs) feeding ONE
+    * map-side-combined count aggregate, so only (gram, partial-count)
+    * rows shuffle. The aggregated count table is gram-vocabulary-bounded
+    * (zipf-tiny next to the corpus) and is persisted, because every
+    * downstream branch — bigram candidates, the two c_x/c_y lookups, the
+    * N/B totals — re-reads it instead of re-scanning the corpus (without
+    * the persist each DataFrame branch would replay the scan: four
+    * tokenize passes, plan-verified). Downstream joins are vocab-sized;
+    * the corpus itself never joins, and totals are a 1-row aggregate
+    * cross-joined as a broadcast literal. */
+  def collocations(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(Dedup.tokens(col("text")).as("w"))
+      .select(explode(concat(
+        transform(col("w"), t => struct(lit("u").as("k"), t.as("g"))),
+        transform(bigramSeq(col("w")), g => struct(lit("b").as("k"), g.as("g")))))
+        .as("kg"))
+      .groupBy(col("kg.k").as("k"), col("kg.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    OpCaches.track("mining.colloc", Seq(counts))
+
+    val totals = counts
+      .agg(sum(when(col("k") === "u", col("c")).otherwise(0)).as("n_tok"),
+        sum(when(col("k") === "b", col("c")).otherwise(0)).as("n_big"))
+    val ucnt = counts.where(col("k") === "u")
+      .select(col("g").as("t"), col("c"))
+    val bcnt = counts.where(col("k") === "b" && col("c") >= CollocMinCount)
+      .select(col("g").as("bigram"), col("c").as("pairs"))
+      // word keys recovered on the aggregated (vocab-sized) side only
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+
+    val joined = bcnt
+      .join(ucnt.select(col("t").as("x"), col("c").as("cx")), "x")
+      .join(ucnt.select(col("t").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(totals))
+    joined
+      .withColumn("pmi20",
+        slog2(col("pairs") * col("n_tok"), col("cx") * col("cy")) +
+          VectorExpressions.log2_fix(col("n_tok"), col("n_big")))
+      .orderBy(col("pmi20").desc, col("bigram").asc)
+      .limit(CollocTopK)
+      .select(col("bigram"), col("pairs"), col("pmi20"))
+  }
+
+  /** DuckDB twin of [[collocations]] — replays both Log2Fix chains. */
+  val collocationsOracle: String = {
+    val lg1 = Log2Fix.duckdbCtes("r1", "bigram, pairs, sgn", "lg1")
+    // dummy key "kk" (NOT "k" — the Log2Fix CTE chain has its own k column)
+    val lg2 = Log2Fix.duckdbCtes("r2", "kk", "lg2")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+       |                     t -> t != '') AS w FROM documents),
+       |tot AS (
+       |  SELECT sum(len(w))::BIGINT AS n_tok,
+       |    sum(greatest(len(w) - 1, 0))::BIGINT AS n_big FROM tok),
+       |big AS (
+       |  SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+       |    i -> w[i] || ' ' || w[i+1])) AS bigram FROM tok),
+       |bcnt AS (
+       |  SELECT bigram, count(*)::BIGINT AS pairs FROM big GROUP BY 1
+       |  HAVING count(*) >= $CollocMinCount),
+       |uni AS (SELECT unnest(w) AS t FROM tok),
+       |ucnt AS (SELECT t, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+       |j AS (
+       |  SELECT bigram, pairs, pairs * n_tok AS p1, cx.c * cy.c AS p2
+       |  FROM bcnt
+       |  JOIN ucnt cx ON cx.t = string_split(bigram, ' ')[1]
+       |  JOIN ucnt cy ON cy.t = string_split(bigram, ' ')[2], tot),
+       |r1 AS (
+       |  SELECT bigram, pairs, CASE WHEN p1 >= p2 THEN 1 ELSE -1 END AS sgn,
+       |    greatest(p1, p2) AS num, least(p1, p2) AS den FROM j),
+       |$lg1,
+       |r2 AS (SELECT 1 AS kk, n_tok AS num, n_big AS den FROM tot),
+       |$lg2
+       |SELECT bigram, pairs,
+       |  (sgn * lg1.l20 + (SELECT l20 FROM lg2))::BIGINT AS pmi20
+       |FROM lg1 ORDER BY pmi20 DESC, bigram LIMIT $CollocTopK""".stripMargin
+  }
+
+  /** The fixed keyword query for the BM25 entry: two common terms and one
+    * rare term ("dup" appears only in the planted duplicate docs), so the
+    * ranking exercises the idf spread. */
+  val Bm25Terms: Seq[String] = Seq("spark", "merge", "dup")
+  val Bm25TopK = 10
+
+  /** BM25 top-[[Bm25TopK]] retrieval for [[Bm25Terms]], integerized.
+    * Per matching (doc, term) with term frequency tf, doc length dl
+    * (tokens), N docs, avgdl the mean doc length:
+    *
+    *   idf        = ln((N + 1) / (df + 0.5))          [Lucene's +1 form:
+    *                                                   never negative]
+    *   term score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    *
+    * with k1 = 1.2, b = 0.75. Integerization: `avgdl_e3 = n_tok*1000 div
+    * N`; `idf_e6` from Log2Fix on the doubled ratio (2N+2)/(2df+1); the
+    * rational term-score multiplies through by 10*avgdl_e3 so the ONE
+    * division is the final integer div:
+    *
+    *   ts = (idf_e6 * 22*tf*avgdl_e3)
+    *          div (10*tf*avgdl_e3 + 3*avgdl_e3 + 9000*dl)
+    *
+    * (bounds: tf,dl <= 1e6-token docs and idf_e6 <= ~3e7 keep the
+    * numerator under ~6e17 — inside int64.)
+    *
+    * Plan shape: the corpus explodes to its token stream but is filtered
+    * to the query terms BEFORE any shuffle — only matching postings (a
+    * |terms|-bounded sliver) reach the (doc, term) aggregate. df and the
+    * corpus stats are tiny aggregates; idf joins back as a broadcast.
+    * The final top-k is a TakeOrderedAndProject (per-partition heaps, no
+    * global sort), deterministic via the (score desc, doc_id) total
+    * order. */
+  def bm25(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      Dedup.tokens(col("text")).as("w"))
+    val stats = toks
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("n_tok"))
+      .select(col("n_docs"), expr("n_tok * 1000 div n_docs").as("avgdl_e3"))
+
+    val tf = toks
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .where(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_e6", shiftright(
+        VectorExpressions.log2_fix(col("n_docs") * 2 + 2, col("df") * 2 + 1) *
+          Log2Fix.Ln2E6, 20))
+      .select(col("term"), col("idf_e6"), col("avgdl_e3"))
+
+    tf.join(broadcast(idf), "term")
+      .withColumn("ts", expr(
+        """(idf_e6 * (22 * tf * avgdl_e3))
+          | div (10 * tf * avgdl_e3 + 3 * avgdl_e3 + 9000 * dl)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("ts")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .select(col("doc_id"), col("n_terms"), col("score_e6"))
+  }
+
+  /** DuckDB twin of [[bm25]]. */
+  val bm25Oracle: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val lg = Log2Fix.duckdbCtes("r1", "term, df", "lg")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                             t -> t != '') AS w FROM documents),
+       |st AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |    sum(len(w))::BIGINT * 1000 // count(*) AS avgdl_e3 FROM tok),
+       |tf AS (
+       |  SELECT doc_id, t AS term, count(*)::BIGINT AS tf,
+       |    max(dln)::BIGINT AS dl
+       |  FROM (SELECT doc_id, len(w) AS dln, unnest(w) AS t FROM tok)
+       |  WHERE t IN ($terms) GROUP BY 1, 2),
+       |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |r1 AS (
+       |  SELECT term, df, 2 * n_docs + 2 AS num, 2 * df + 1 AS den
+       |  FROM dfc, st),
+       |$lg,
+       |idf AS (SELECT term, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS idf_e6 FROM lg),
+       |sc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_terms,
+       |    sum((idf_e6 * (22 * tf * avgdl_e3))
+       |        // (10 * tf * avgdl_e3 + 3 * avgdl_e3 + 9000 * dl))::BIGINT
+       |      AS score_e6
+       |  FROM tf JOIN idf USING (term), st GROUP BY 1)
+       |SELECT doc_id::BIGINT AS doc_id, n_terms, score_e6
+       |FROM sc ORDER BY score_e6 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  val FuzzyGram = 3
+  val FuzzyThreshold = 0.5
+
+  /** Fuzzy benchmark decontamination: flag training documents whose
+    * distinct word [[FuzzyGram]]-gram Jaccard against ANY benchmark
+    * document (the same `doc_id % 17 = 0` stand-in as
+    * [[Curation.decontaminate]]) reaches [[FuzzyThreshold]] — the
+    * near-match contamination filter (exact n-gram overlap misses
+    * lightly-edited eval copies; Jaccard catches them). Emits one row per
+    * contaminated (doc, bench) pair with the rounded similarity.
+    *
+    * Plan shape: the benchmark side is an eval suite — tiny at any corpus
+    * scale — so its full inverted shingle index (g -> bench_id, |bench
+    * shingles|) broadcasts, the corpus shingle stream filters against it
+    * MAP-SIDE, and only matching slivers reach the one (doc, bench)
+    * count-aggregate. Intersection counts come straight from that
+    * aggregate (no second corpus pass, no candidate re-join), and the
+    * Jaccard test is exact — unlike banded MinHash there are no false
+    * negatives at the threshold, which is what lets the DuckDB all-pairs
+    * oracle match row-for-row. */
+  def fuzzyDecontam(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= FuzzyGram)
+      .select(col("doc_id"),
+        Dedup.shinglesFromTokens(col("w"), FuzzyGram).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("g"))
+    val bench = sh.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("bench_id"), col("n").as("nb"), col("g"))
+    val c = sh.where(col("doc_id") % 17 =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("c"), max(col("n")).as("na"), max(col("nb")).as("nb"))
+    val jac = col("c").cast("double") /
+      (col("na") + col("nb") - col("c")).cast("double")
+    c.where(jac >= FuzzyThreshold)
+      .select(col("doc_id"), col("bench_id"),
+        floor(jac * 1e4 + 0.5).cast("long").as("jaccard_r"))
+  }
+
+  /** DuckDB twin of [[fuzzyDecontam]] — plain all-pairs vs the benchmark
+    * subset (feasible at oracle scale). */
+  val fuzzyDecontamOracle: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(w) - ${FuzzyGram - 1}, 0) + 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                   t -> t != '') w
+       |        FROM documents WHERE len(list_filter(
+       |          string_split_regex(lower(text), '\\W+'), t -> t != ''))
+       |          >= $FuzzyGram)),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS c
+       |  FROM sh a JOIN sh b USING (g)
+       |  WHERE a.doc_id % 17 != 0 AND b.doc_id % 17 = 0
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+       |SELECT i.doc_id::BIGINT AS doc_id, bench_id::BIGINT AS bench_id,
+       |  floor(c * 1.0e4 / (sa.n + sb.n - c) + 0.5)::BIGINT AS jaccard_r
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_id
+       |JOIN sizes sb ON sb.doc_id = i.bench_id
+       |WHERE c * 1.0 / (sa.n + sb.n - c) >= $FuzzyThreshold""".stripMargin
+}

@@ -90,6 +90,8 @@ object LlmQueries {
     * are k rows per query, tiny at any corpus scale). */
   private val topkCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val collocCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def topk(spark: SparkSession, variant: String, dir: String)(
       mk: => DataFrame): DataFrame =
     memo(topkCache, spark, s"$variant|$dir")(mk)
@@ -269,7 +271,19 @@ object LlmQueries {
     "llm_pcm_frames" -> (pcmFrames _),
     "llm_dedup_embed" -> (embedNearDup _),
     "llm_fingerprint" -> (fingerprint _),
-    "llm_ann_recall" -> (annRecall _)
+    "llm_ann_recall" -> (annRecall _),
+    // memoized per (session, dir): collocations persists its melted
+    // gram-count table mid-plan, and a rebuild per invocation would churn
+    // that cache through OpCaches (each call's track unpersists the
+    // previous — identical — plan, silently reverting every later run to
+    // re-scanning the corpus once per branch)
+    "llm_collocations" ->
+      ((s: SparkSession, d: String) =>
+        memo(collocCache, s, d)(graft.llm.Mining.collocations(docs(s, d)))),
+    "llm_bm25" ->
+      ((s: SparkSession, d: String) => graft.llm.Mining.bm25(docs(s, d))),
+    "llm_decontam_fuzzy" ->
+      ((s: SparkSession, d: String) => graft.llm.Mining.fuzzyDecontam(docs(s, d)))
   )
 
   /** The duplicate-cluster reachability closure (word-2-gram Jaccard at
@@ -309,6 +323,9 @@ object LlmQueries {
         |  ('clusters', 16::BIGINT, true)
         |) t(variant, floor_e4, meets_floor)""".stripMargin,
     "llm_sample" -> Curation.sampleOracle,
+    "llm_collocations" -> graft.llm.Mining.collocationsOracle,
+    "llm_bm25" -> graft.llm.Mining.bm25Oracle,
+    "llm_decontam_fuzzy" -> graft.llm.Mining.fuzzyDecontamOracle,
     "llm_mixture" -> Curation.mixtureOracle,
     "llm_pack" -> Curation.packOracle,
     "llm_chunk" -> Curation.chunkOracle,

@@ -1,0 +1,147 @@
+package graft
+
+import graft.functions.Log2Fix
+import graft.llm.Mining
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioural tests of the text-mining operators: PMI collocations
+  * (bit-locked to the Log2Fix kernel), BM25 ranking (idf monotonicity +
+  * hand-computed integer score), fuzzy decontamination (exact Jaccard vs
+  * the benchmark subset, no false positives/negatives at the threshold).
+  */
+class MiningSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  // ---------------------------------------------------------- collocations
+
+  test("collocations: a planted collocation tops the ranking with the exact Log2Fix pmi20") {
+    // 10 docs of "alpha beta" + filler words that never co-occur with each
+    // other twice; "alpha beta" always adjacent -> maximal PMI.
+    val rows = (0L until 10L).map(i => (i, s"alpha beta w$i x$i y$i z$i"))
+    val out = Mining.collocations(mkDocs(rows)).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getString(0) == "alpha beta")
+    // hand-computed: N = 60 tokens, B = 50 bigram slots, c_xy = 10,
+    // c_alpha = c_beta = 10 -> pmi20 = slog2(10*60, 10*10) + log2fix(60, 50)
+    val expected = Log2Fix.eval(600, 100) + Log2Fix.eval(60, 50)
+    assert(top.getLong(2) == expected,
+      s"pmi20 must equal the Log2Fix kernel: got ${top.getLong(2)}, want $expected")
+    assert(top.getLong(1) == 10L)
+  }
+
+  test("collocations: min-count threshold and (pmi desc, bigram asc) ordering hold on the corpus") {
+    val out = Mining.collocations(docs).collect()
+    assert(out.length == Mining.CollocTopK)
+    assert(out.forall(_.getLong(1) >= Mining.CollocMinCount))
+    val keys = out.map(r => (r.getLong(2), r.getString(0)))
+    val sorted = keys.sortBy { case (p, b) => (-p, b) }
+    assert(keys.toSeq == sorted.toSeq, "rows must arrive ranked")
+  }
+
+  test("collocations: anti-collocations get a NEGATIVE pmi20 (signed log path)") {
+    // c and d are each frequent (20 occurrences) but adjacent only 5
+    // times in 70 tokens: c_xy*N = 350 < c_x*c_y = 400, so the PMI ratio
+    // is below 1 and the slog2 reflection must produce a negative term.
+    val rows = Seq(
+      (1L, "c d c d c d c d c d"),
+      (2L, Seq.fill(15)("c e").mkString(" ")),
+      (3L, Seq.fill(15)("d e").mkString(" ")))
+    val out = Mining.collocations(mkDocs(rows))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.contains("c d") && out.contains("c e"))
+    assert(out("c d") < 0L, s"anti-collocation must have negative PMI: $out")
+    assert(out("c e") > 0L && out("c e") > out("c d"))
+  }
+
+  // ------------------------------------------------------------------ bm25
+
+  test("bm25: a rare-term doc outranks common-term docs; score matches the integer formula") {
+    // term universe: "dup" rare (1 doc), "spark" common (all docs).
+    val rows = Seq(
+      (1L, "dup spark pad1 pad2"),
+      (2L, "spark pad1 pad2 pad3"),
+      (3L, "spark pad1 pad2 pad3"),
+      (4L, "spark pad1 pad2 pad3"))
+    val out = Mining.bm25(mkDocs(rows)).collect()
+    assert(out.head.getLong(0) == 1L, "the rare-term doc must rank first")
+    // hand-replay: N=4 docs, n_tok=16, avgdl_e3=4000, dl=4 for all.
+    val avgdl = 16L * 1000 / 4
+    def idfE6(df: Long) = (Log2Fix.eval(2 * 4 + 2, 2 * df + 1) * Log2Fix.Ln2E6) >> 20
+    def ts(idf: Long, tf: Long, dl: Long) =
+      (idf * (22 * tf * avgdl)) / (10 * tf * avgdl + 3 * avgdl + 9000 * dl)
+    val expTop = ts(idfE6(1), 1, 4) + ts(idfE6(4), 1, 4)
+    assert(out.head.getLong(2) == expTop,
+      s"integer BM25 mismatch: got ${out.head.getLong(2)}, want $expTop")
+    assert(out.head.getLong(1) == 2L)
+  }
+
+  test("bm25: corpus rows are ranked, capped at topK, and every doc matched a query term") {
+    val out = Mining.bm25(docs).collect()
+    assert(out.length == Mining.Bm25TopK)
+    val scores = out.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(out.forall(_.getLong(1) >= 1L))
+    // tf>0 for some query term really holds for every returned doc
+    val ids = out.map(_.getLong(0)).toSet
+    val withTerm = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(graft.llm.Dedup.tokens(col("text"))).as("t"))
+      .where(col("t").isin(Mining.Bm25Terms: _*))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(withTerm))
+  }
+
+  // -------------------------------------------------------- fuzzyDecontam
+
+  test("fuzzy decontam: identical cross-boundary docs hit at 10000; sub-threshold pairs don't") {
+    val benchText = "q w e r t y u i o p"   // bench doc (id 17)
+    val nearText = "q w e r t y u i o p zz" // J = 8/9 of 3-gram sets
+    val farText = "q w e zz aa bb cc dd ee ff" // one shared shingle, J < 0.5
+    val rows = Seq(
+      (17L, benchText), (1L, benchText), (2L, nearText), (3L, farText),
+      (34L, "totally different bench words here all the way down"))
+    val out = Mining.fuzzyDecontam(mkDocs(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains((1L, 17L, 10000L)), s"exact copy must hit 10000: $out")
+    val near = out.find(t => t._1 == 2L && t._2 == 17L)
+    assert(near.isDefined, "lightly-edited copy must be caught")
+    assert(near.get._3 == Math.floor(8.0 / 9.0 * 1e4 + 0.5).toLong)
+    assert(!out.exists(_._1 == 3L), "J<0.5 pair must not be flagged")
+    assert(out.forall(t => t._1 % 17 != 0 && t._2 % 17 == 0))
+  }
+
+  test("fuzzy decontam matches brute-force all-pairs on the corpus") {
+    val out = Mining.fuzzyDecontam(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.llm.Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= Mining.FuzzyGram)
+      .select(col("doc_id"),
+        graft.llm.Dedup.shinglesFromTokens(col("w"), Mining.FuzzyGram).as("sh"))
+    val a = sh.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id").as("da"), col("sh").as("sha"))
+    val b = sh.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("db"), col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val jac = inter.cast("double") /
+      (size(col("sha")) + size(col("shb")) - inter).cast("double")
+    val brute = a.crossJoin(b).where(jac >= Mining.FuzzyThreshold)
+      .select(col("da"), col("db"), floor(jac * 1e4 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "expected planted cross-boundary near-dups")
+    assert(out == brute, s"missing=${brute -- out} extra=${out -- brute}")
+  }
+}

@@ -228,6 +228,116 @@ object Mining {
        |FROM sc ORDER BY score_e6 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  val SpanGram = 5
+
+  /** Positional word n-gram starts: `(p, gram)` structs, p 1-based. Same
+    * materialized-attribute caveat as [[Dedup.shinglesFromTokens]]. */
+  def posShingleSeq(w: Column, n: Int): Column = {
+    val cnt = size(w) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), greatest(cnt, lit(1))), i =>
+        struct(i.cast("long").as("p"),
+          concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*).as("g"))))
+      .otherwise(array().cast("array<struct<p:long,g:string>>"))
+  }
+
+  /** Duplicated-span detection (the Lee et al. 2022 "Deduplicating
+    * Training Data" shape): mark every position where a word
+    * [[SpanGram]]-gram occurs MORE THAN ONCE corpus-wide, merge the
+    * covered token ranges per document, and report the duplicated-token
+    * fraction — the per-document evidence a span-cutting dedup pass acts
+    * on (doc-level Jaccard misses a copied paragraph inside an otherwise
+    * unique doc; this finds exactly the copied tokens). Emits one row per
+    * document with at least one duplicated span: `(doc_id, n_spans,
+    * dup_tok, n_tokens, dup_frac_e4)` where spans are maximal contiguous
+    * covered ranges.
+    *
+    * Plan shape: the positional gram stream is generated TWICE (a count
+    * pass and a mark pass) and deliberately never persisted — unlike the
+    * collocation count table it is corpus-sized, so re-streaming the
+    * narrow scan beats materializing it at any real scale. The
+    * duplicated-gram set comes from ONE map-side-combined count
+    * aggregate (no collect_list per gram — hot boilerplate grams stay
+    * skew-safe, same argument as the tfidf df aggregate); the membership
+    * join back is gram-keyed (broadcast while the dup set is small, AQE
+    * skew-split otherwise). The interval merge is two window functions
+    * sharing ONE sort over ONE (doc_id)-keyed shuffle of only the
+    * duplicated starts — a sliver of the corpus — and per-doc token
+    * counts ride the gram rows so no third scan is needed. */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = SpanGram
+    val grams = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= L)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        explode(posShingleSeq(col("w"), L)).as("pg"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pg.p").as("p"), col("pg.g").as("g"))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("g")
+    val starts = grams.join(dup, "g")
+      .select(col("doc_id"), col("n_tokens"), col("p"))
+
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val prevEnd = max(col("p") + lit(L - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = starts
+      .withColumn("isnew",
+        when(col("p") > coalesce(prevEnd, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("isnew"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(max(col("n_tokens")).as("n_tokens"), min(col("p")).as("s"),
+        (max(col("p")) + lit(L - 1)).as("e"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tok"),
+        max(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tok"), col("n_tokens"),
+        floor(col("dup_tok") * lit(1e4) / col("n_tokens") + 0.5)
+          .cast("long").as("dup_frac_e4"))
+  }
+
+  /** DuckDB twin of [[dupSpans]]. */
+  val dupSpansOracle: String = {
+    val L = SpanGram
+    val gramExpr = (1 to L).map(o => s"w[i+${o - 1}]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                               t -> t != '') AS w FROM documents)
+       |  WHERE len(w) >= $L),
+       |ge AS (
+       |  SELECT doc_id, len(w)::BIGINT AS n_tokens, unnest(
+       |    list_transform(range(1, len(w) - ${L - 1} + 1),
+       |      i -> struct_pack(p := i::BIGINT, g := $gramExpr))) AS pg
+       |  FROM tok),
+       |gp AS (SELECT doc_id, n_tokens, pg.p AS p, pg.g AS g FROM ge),
+       |dup AS (SELECT g FROM gp GROUP BY g HAVING count(*) >= 2),
+       |ds AS (SELECT doc_id, n_tokens, p FROM gp JOIN dup USING (g)),
+       |m AS (
+       |  SELECT doc_id, n_tokens, p,
+       |    CASE WHEN p > coalesce(max(p + ${L - 1}) OVER (
+       |        PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |      THEN 1 ELSE 0 END AS isnew
+       |  FROM ds),
+       |gi AS (
+       |  SELECT doc_id, n_tokens, p, sum(isnew) OVER (
+       |    PARTITION BY doc_id ORDER BY p) AS gid FROM m),
+       |iv AS (
+       |  SELECT doc_id, gid, max(n_tokens) AS n_tokens, min(p) AS s,
+       |    max(p) + ${L - 1} AS e
+       |  FROM gi GROUP BY 1, 2)
+       |SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_spans,
+       |  sum(e - s + 1)::BIGINT AS dup_tok,
+       |  max(n_tokens)::BIGINT AS n_tokens,
+       |  floor(sum(e - s + 1) * 1.0e4 / max(n_tokens) + 0.5)::BIGINT
+       |    AS dup_frac_e4
+       |FROM iv GROUP BY doc_id""".stripMargin
+  }
+
   val FuzzyGram = 3
   val FuzzyThreshold = 0.5
 

@@ -283,7 +283,9 @@ object LlmQueries {
     "llm_bm25" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.bm25(docs(s, d))),
     "llm_decontam_fuzzy" ->
-      ((s: SparkSession, d: String) => graft.llm.Mining.fuzzyDecontam(docs(s, d)))
+      ((s: SparkSession, d: String) => graft.llm.Mining.fuzzyDecontam(docs(s, d))),
+    "llm_dup_spans" ->
+      ((s: SparkSession, d: String) => graft.llm.Mining.dupSpans(docs(s, d)))
   )
 
   /** The duplicate-cluster reachability closure (word-2-gram Jaccard at
@@ -326,6 +328,7 @@ object LlmQueries {
     "llm_collocations" -> graft.llm.Mining.collocationsOracle,
     "llm_bm25" -> graft.llm.Mining.bm25Oracle,
     "llm_decontam_fuzzy" -> graft.llm.Mining.fuzzyDecontamOracle,
+    "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,
     "llm_mixture" -> Curation.mixtureOracle,
     "llm_pack" -> Curation.packOracle,
     "llm_chunk" -> Curation.chunkOracle,

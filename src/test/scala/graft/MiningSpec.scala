@@ -103,6 +103,52 @@ class MiningSpec extends AnyFunSuite {
     assert(ids.subsetOf(withTerm))
   }
 
+  // ------------------------------------------------------------- dupSpans
+
+  test("dup spans: a copied 5-gram is found in both docs, exact copies cover 100%") {
+    // docs 1/2 share exactly one 5-token span inside otherwise-unique
+    // text; docs 3/4 are identical (full coverage).
+    val shared = "v w x y z"
+    val rows = Seq(
+      (1L, s"a1 b1 c1 $shared d1 e1 f1"),
+      (2L, s"a2 b2 $shared c2 d2 e2 f2"),
+      (3L, "m n o p q r s t"),
+      (4L, "m n o p q r s t"))
+    val out = Mining.dupSpans(mkDocs(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((1L, 5L, 11L, Math.floor(5.0 / 11 * 1e4 + 0.5).toLong)))
+    assert(out(2L) == ((1L, 5L, 11L, Math.floor(5.0 / 11 * 1e4 + 0.5).toLong)))
+    assert(out(3L) == ((1L, 8L, 8L, 10000L)), s"full-copy doc must cover 100%: $out")
+    assert(out(4L) == ((1L, 8L, 8L, 10000L)))
+  }
+
+  test("dup spans: overlapping gram starts merge into one maximal span") {
+    // a 7-token copied run -> 3 duplicated 5-gram starts (positions
+    // 1,2,3 within the run) that must merge to ONE span of 7 tokens.
+    val run = "k1 k2 k3 k4 k5 k6 k7"
+    val rows = Seq(
+      (1L, s"$run a b c"),
+      (2L, s"x y $run"))
+    val out = Mining.dupSpans(mkDocs(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((1L, 7L)), s"3 overlapping starts must merge: $out")
+    assert(out(2L) == ((1L, 7L)))
+  }
+
+  test("dup spans: disjoint duplicated regions stay separate spans") {
+    val r1 = "s1 s2 s3 s4 s5"
+    val r2 = "t1 t2 t3 t4 t5"
+    val rows = Seq(
+      (1L, s"$r1 gapa gapb $r2"),
+      (2L, s"$r1 other words here entirely"),
+      (3L, s"pre tokens also $r2"))
+    val out = Mining.dupSpans(mkDocs(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 10L)), s"two disjoint spans expected: $out")
+  }
+
   // -------------------------------------------------------- fuzzyDecontam
 
   test("fuzzy decontam: identical cross-boundary docs hit at 10000; sub-threshold pairs don't") {

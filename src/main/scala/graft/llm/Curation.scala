@@ -61,6 +61,43 @@ object Curation {
       .filter(col("bucket") < rate)
   }
 
+  // ------------------------------------------------------------ domain cap
+
+  val DomainCapN = 8
+
+  /** Per-domain cap (RefinedWeb's "no more than N documents per source"):
+    * within each (source, lang) group keep the [[DomainCapN]] documents
+    * with the smallest stable content hash — deterministic (re-runs and
+    * the oracle agree row-for-row), unbiased (hash order is unrelated to
+    * any document property), and rank-stable under corpus growth for the
+    * kept set's ORDER (unlike rand()-based caps).
+    *
+    * Plan shape: a rank()<=N filter over a (source, lang) window, which
+    * Spark rewrites to WindowGroupLimit — each input partition prunes to
+    * its own top-N BEFORE the shuffle, so a giant domain contributes at
+    * most N rows per upstream partition to the exchange instead of its
+    * full membership (the skew escape a naive window lacks). */
+  def domainCap(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("source"))
+      .withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .where(col("rank_in_group") <= DomainCapN)
+  }
+
+  /** DuckDB twin of [[domainCap]]. */
+  val domainCapOracle: String =
+    s"""SELECT doc_id::BIGINT AS doc_id, lang, source,
+       |  rn::BIGINT AS rank_in_group
+       |FROM (
+       |  SELECT doc_id, lang, source, row_number() OVER (
+       |    PARTITION BY source, lang
+       |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $DomainCapN""".stripMargin
+
   // --------------------------------------------------------------- mixture
 
   /** Target corpus mixture by language (e4 weights, sum 10000) — the "data

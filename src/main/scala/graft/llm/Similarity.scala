@@ -421,4 +421,61 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("score_r"), col("rank").cast("long").as("rank"))
   }
+
+  val OutlierTopK = 20
+
+  /** Embedding outlier detection: the [[OutlierTopK]] vectors farthest
+    * (squared L2) from the corpus centroid — the standard embedding-space
+    * quality filter (OOD/garbage vectors sit far from the mass).
+    *
+    * Exactness discipline: each float coordinate is integerized to e6
+    * FIRST (`floor(x*1e6+0.5)`, bit-identical in both engines), per-dim
+    * sums are exact int64, the centroid is a truncating integer division
+    * (Spark `div` ≡ DuckDB `//`, both toward zero), and the distance is
+    * computed by the codegen'd [[graft.functions.SquaredDistance]] over
+    * int-valued doubles — every intermediate stays under 2^53, so the
+    * double arithmetic is EXACT and partition-order-independent (no
+    * float-accumulation nondeterminism, unlike a naive mean over floats).
+    *
+    * Plan shape: per-dim sums are ONE map-side-combined aggregate (dim ×
+    * partition partial rows); the centroid (dim values, corpus-size-
+    * independent) is a bounded driver collect — the k-means-centroid
+    * precedent — re-entering the plan as a broadcast literal, so the
+    * corpus itself streams once through a narrow projection into a
+    * TakeOrderedAndProject top-k. No corpus shuffle anywhere. */
+  def embedOutliers(emb: DataFrame): DataFrame = {
+    val ve = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("label").cast("long").as("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")).as("ve"))
+    val sums = ve
+      .select(posexplode(col("ve")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1) / r.getLong(2)))
+      .sortBy(_._1).map(_._2)
+    val cArr = array(sums.map(c => lit(c.toDouble)): _*)
+    ve
+      .withColumn("dist2", graft.functions.VectorExpressions
+        .squared_distance(transform(col("ve"), x => x.cast("double")), cArr)
+        .cast("long"))
+      .orderBy(col("dist2").desc, col("vec_id").asc)
+      .limit(OutlierTopK)
+      .select(col("vec_id"), col("label"), col("dist2"))
+  }
+
+  /** DuckDB twin of [[embedOutliers]]. */
+  val embedOutliersOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
+       |    list_transform(embedding,
+       |      x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS ve
+       |  FROM embeddings),
+       |de AS (SELECT generate_subscripts(ve, 1) AS i, unnest(ve) AS x FROM v),
+       |cs AS (SELECT i, (sum(x) // count(*))::BIGINT AS c FROM de GROUP BY i),
+       |cent AS (SELECT list(c ORDER BY i) AS ce FROM cs)
+       |SELECT vec_id, label,
+       |  list_sum(list_transform(range(1, len(ve) + 1),
+       |    j -> (ve[j] - ce[j]) * (ve[j] - ce[j])))::BIGINT AS dist2
+       |FROM v, cent
+       |ORDER BY dist2 DESC, vec_id LIMIT $OutlierTopK""".stripMargin
 }

@@ -285,7 +285,11 @@ object LlmQueries {
     "llm_decontam_fuzzy" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.fuzzyDecontam(docs(s, d))),
     "llm_dup_spans" ->
-      ((s: SparkSession, d: String) => graft.llm.Mining.dupSpans(docs(s, d)))
+      ((s: SparkSession, d: String) => graft.llm.Mining.dupSpans(docs(s, d))),
+    "llm_domain_cap" ->
+      ((s: SparkSession, d: String) => Curation.domainCap(docs(s, d))),
+    "llm_embed_outliers" ->
+      ((s: SparkSession, d: String) => Similarity.embedOutliers(emb(s, d)))
   )
 
   /** The duplicate-cluster reachability closure (word-2-gram Jaccard at
@@ -329,6 +333,8 @@ object LlmQueries {
     "llm_bm25" -> graft.llm.Mining.bm25Oracle,
     "llm_decontam_fuzzy" -> graft.llm.Mining.fuzzyDecontamOracle,
     "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,
+    "llm_domain_cap" -> Curation.domainCapOracle,
+    "llm_embed_outliers" -> Similarity.embedOutliersOracle,
     "llm_mixture" -> Curation.mixtureOracle,
     "llm_pack" -> Curation.packOracle,
     "llm_chunk" -> Curation.chunkOracle,

@@ -226,4 +226,28 @@ class CurationSpec extends AnyFunSuite {
     val exact = Curation.decontaminate(docs).select("doc_id").distinct().count()
     assert(gate("bloom_no_false_negatives")._1 == exact)
   }
+
+  test("domain cap: every (source, lang) group is capped at N, deterministically") {
+    val out = Curation.domainCap(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val byGroup = out.groupBy(t => (t._3, t._2))
+    assert(byGroup.values.forall(_.length <= Curation.DomainCapN))
+    // groups at/above the cap in the corpus come back with exactly N rows
+    val corpusSizes = docs.groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(corpusSizes.exists(_._2 > Curation.DomainCapN),
+      "fixture must contain an over-cap group for the test to bite")
+    corpusSizes.foreach { case (g, n) =>
+      val kept = byGroup.get(g).map(_.length).getOrElse(0)
+      assert(kept == math.min(n, Curation.DomainCapN.toLong),
+        s"group $g: corpus=$n kept=$kept")
+    }
+    // ranks are contiguous 1..k within each group, and re-runs agree
+    byGroup.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val again = Curation.domainCap(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(again.toSet == out.toSet)
+  }
 }

@@ -317,4 +317,33 @@ class LlmSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[String]("modality") != "unknown"),
       "every fixture header must parse — the stub is only for foreign blobs")
   }
+
+  test("embedding outliers: a planted far vector ranks first with the exact integer distance") {
+    import spark.implicits._
+    // 9 near-zero vectors + one far vector; centroid ~ the far vector / 10
+    val dim = 4
+    val base = (0L until 9L).map(i => (i, Array.fill(dim)(0.0f), 0))
+    val far = Seq((9L, Array.fill(dim)(1.0f), 1))
+    val emb = (base ++ far).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedOutliers(emb).collect()
+    assert(out.head.getLong(0) == 9L)
+    // hand-replay: e6 ints are 0 and 1000000; per-dim sum 1000000 over 10
+    // rows -> centroid 100000; dist2(far) = 4*(900000)^2
+    assert(out.head.getLong(2) == 4L * 900000L * 900000L)
+    val zeroDist = 4L * 100000L * 100000L
+    assert(out.tail.forall(_.getLong(2) == zeroDist))
+    // ordering: dist2 non-increasing, vec_id ascending within ties
+    val pairs = out.map(r => (r.getLong(2), r.getLong(0)))
+    assert(pairs.sliding(2).forall { case Array((d1, v1), (d2, v2)) =>
+      d1 > d2 || (d1 == d2 && v1 < v2) })
+  }
+
+  test("embedding outliers on the corpus: topK rows, deterministic across runs") {
+    val out = Similarity.embedOutliers(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.length == Similarity.OutlierTopK)
+    val again = Similarity.embedOutliers(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
 }

@@ -338,7 +338,11 @@ object Mining {
        |FROM iv GROUP BY doc_id""".stripMargin
   }
 
-  val FuzzyGram = 3
+  val FuzzyGram = 4 // keep in lockstep with Curation.DecontamGram — the
+                    // 13-gram analog for the tiny synthetic vocab; a
+                    // shorter gram explodes chance collisions (31^3
+                    // possible grams ≈ corpus shingle count) and with
+                    // them the candidate-pair density
   val FuzzyThreshold = 0.5
 
   /** Fuzzy benchmark decontamination: flag training documents whose
@@ -359,17 +363,30 @@ object Mining {
     * negatives at the threshold, which is what lets the DuckDB all-pairs
     * oracle match row-for-row. */
   def fuzzyDecontam(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // The repartition is a MATERIALIZATION BARRIER, not a distribution
+    // choice (the ngramJaccard precedent, Dedup.scala): without it
+    // InferFiltersFromGenerate pushes a `size(shingles) > 0` prune below
+    // this projection and inlines the tokenization into every element_at
+    // of the shingle lambda — measured ~70 split() calls per row. The
+    // compact (doc_id, n, sh) form is persisted because BOTH the bench
+    // and corpus branches read it (otherwise each branch replays the
+    // scan+shingle work); OpCaches bounds the lifetime, and the entry is
+    // memoized per (session, dir) so repeat invocations don't churn it.
     val sh = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         Dedup.tokens(col("text")).as("w"))
       .where(size(col("w")) >= FuzzyGram)
+      .repartition(par, col("doc_id"))
       .select(col("doc_id"),
         Dedup.shinglesFromTokens(col("w"), FuzzyGram).as("sh"))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-        explode(col("sh")).as("g"))
-    val bench = sh.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"), col("sh"))
+      .persist()
+    OpCaches.track("mining.fuzzy", Seq(sh))
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+    val bench = ex.where(col("doc_id") % 17 === 0)
       .select(col("doc_id").as("bench_id"), col("n").as("nb"), col("g"))
-    val c = sh.where(col("doc_id") % 17 =!= 0)
+    val c = ex.where(col("doc_id") % 17 =!= 0)
       .join(broadcast(bench), "g")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("c"), max(col("n")).as("na"), max(col("nb")).as("nb"))
@@ -382,11 +399,12 @@ object Mining {
 
   /** DuckDB twin of [[fuzzyDecontam]] — plain all-pairs vs the benchmark
     * subset (feasible at oracle scale). */
-  val fuzzyDecontamOracle: String =
+  val fuzzyDecontamOracle: String = {
+    val gramExpr = (0 until FuzzyGram).map(o => s"w[i+$o]").mkString(" || ' ' || ")
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, unnest(list_transform(
        |    range(1, greatest(len(w) - ${FuzzyGram - 1}, 0) + 1),
-       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+       |    i -> $gramExpr)) AS g
        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
        |                                   t -> t != '') w
        |        FROM documents WHERE len(list_filter(
@@ -404,4 +422,5 @@ object Mining {
        |JOIN sizes sa ON sa.doc_id = i.doc_id
        |JOIN sizes sb ON sb.doc_id = i.bench_id
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= $FuzzyThreshold""".stripMargin
+  }
 }

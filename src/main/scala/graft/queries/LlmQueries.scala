@@ -90,7 +90,7 @@ object LlmQueries {
     * are k rows per query, tiny at any corpus scale). */
   private val topkCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val collocCache =
+  private val miningCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def topk(spark: SparkSession, variant: String, dir: String)(
       mk: => DataFrame): DataFrame =
@@ -279,11 +279,14 @@ object LlmQueries {
     // re-scanning the corpus once per branch)
     "llm_collocations" ->
       ((s: SparkSession, d: String) =>
-        memo(collocCache, s, d)(graft.llm.Mining.collocations(docs(s, d)))),
+        memo(miningCache, s, d)(graft.llm.Mining.collocations(docs(s, d)))),
     "llm_bm25" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.bm25(docs(s, d))),
+    // memoized like llm_collocations: fuzzyDecontam persists its shingle
+    // table mid-plan (see the OpCaches churn note there)
     "llm_decontam_fuzzy" ->
-      ((s: SparkSession, d: String) => graft.llm.Mining.fuzzyDecontam(docs(s, d))),
+      ((s: SparkSession, d: String) =>
+        memo(miningCache, s, s"fuzzy|$d")(graft.llm.Mining.fuzzyDecontam(docs(s, d)))),
     "llm_dup_spans" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.dupSpans(docs(s, d))),
     "llm_domain_cap" ->

@@ -152,9 +152,9 @@ class MiningSpec extends AnyFunSuite {
   // -------------------------------------------------------- fuzzyDecontam
 
   test("fuzzy decontam: identical cross-boundary docs hit at 10000; sub-threshold pairs don't") {
-    val benchText = "q w e r t y u i o p"   // bench doc (id 17)
-    val nearText = "q w e r t y u i o p zz" // J = 8/9 of 3-gram sets
-    val farText = "q w e zz aa bb cc dd ee ff" // one shared shingle, J < 0.5
+    val benchText = "q w e r t y u i o p"     // bench doc (id 17): 7 4-grams
+    val nearText = "q w e r t y u i o p zz"   // J = 7/8 of 4-gram sets
+    val farText = "q w e r zz aa bb cc dd ee" // one shared 4-gram, J = 1/13
     val rows = Seq(
       (17L, benchText), (1L, benchText), (2L, nearText), (3L, farText),
       (34L, "totally different bench words here all the way down"))
@@ -163,7 +163,7 @@ class MiningSpec extends AnyFunSuite {
     assert(out.contains((1L, 17L, 10000L)), s"exact copy must hit 10000: $out")
     val near = out.find(t => t._1 == 2L && t._2 == 17L)
     assert(near.isDefined, "lightly-edited copy must be caught")
-    assert(near.get._3 == Math.floor(8.0 / 9.0 * 1e4 + 0.5).toLong)
+    assert(near.get._3 == Math.floor(7.0 / 8.0 * 1e4 + 0.5).toLong)
     assert(!out.exists(_._1 == 3L), "J<0.5 pair must not be flagged")
     assert(out.forall(t => t._1 % 17 != 0 && t._2 % 17 == 0))
   }

@@ -62,6 +62,28 @@ object StreamQueries {
         expr("firstTs div 1000").as("first_us"),
         col("firstSeq").as("first_seq"))
 
+  /** Incremental dedup: first event per NOVEL (part, user) after the 5%
+    * mark of the store's time range, where "novel" means the key never
+    * appeared before it (the static history side) — the new-visitor /
+    * incremental-crawl shape. The cutoff is a bounded 1-row aggregate
+    * collect, deterministic integer arithmetic mirrored by the oracle;
+    * 5% (not the midpoint) keeps the gate honest on this corpus: its
+    * keys are uniformly active, so a late cutoff leaves zero novel keys
+    * and the entry would assert nothing. */
+  def incrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val df = usAligned(storeDf(spark, dir))
+    val mm = df.agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head()
+    val cutUs = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 20
+    StreamOps.incrementalDedup(
+        df.filter(expr(s"ts div 1000 > $cutUs")),
+        df.filter(expr(s"ts div 1000 <= $cutUs")),
+        "user", "1 hour")
+      .toDF()
+      .select(col("part"), col("key"),
+        expr("firstTs div 1000").as("first_us"),
+        col("firstSeq").as("first_seq"))
+  }
+
   /** Stream-stream interval join: views within 24 h of each click by
     * the same user (click parts ⋈ view parts of the same store). */
   def join(spark: SparkSession, dir: String): DataFrame = {
@@ -80,6 +102,7 @@ object StreamQueries {
     "stream_sliding" -> (slidingCounts _),
     "stream_sessions" -> (sessions _),
     "stream_dedup" -> (dedup _),
+    "stream_incr_dedup" -> (incrDedup _),
     "stream_join" -> (join _)
   )
 
@@ -122,6 +145,27 @@ object StreamQueries {
          |    row_number() OVER (PARTITION BY tags, user_id
          |                       ORDER BY ts_raw, seq) AS rn
          |  FROM le)
+         |SELECT part, key, first_us, seq AS first_seq FROM r WHERE rn = 1""".stripMargin,
+    "stream_incr_dedup" ->
+      s"""${EventStore.oracleCte},
+         |c AS (SELECT min(epoch_us(ts_raw)) +
+         |        (max(epoch_us(ts_raw)) - min(epoch_us(ts_raw))) // 20
+         |        AS cut FROM le),
+         |known AS (
+         |  SELECT DISTINCT tags AS part, CAST(user_id AS VARCHAR) AS key
+         |  FROM le, c WHERE epoch_us(ts_raw) <= cut),
+         |post AS (
+         |  SELECT tags AS part, CAST(user_id AS VARCHAR) AS key,
+         |    epoch_us(ts_raw) AS tus, seq, ts_raw
+         |  FROM le, c WHERE epoch_us(ts_raw) > cut),
+         |novel AS (
+         |  SELECT p.* FROM post p LEFT JOIN known k USING (part, key)
+         |  WHERE k.key IS NULL),
+         |r AS (
+         |  SELECT part, key, tus AS first_us, seq,
+         |    row_number() OVER (PARTITION BY part, key
+         |                       ORDER BY ts_raw, seq) AS rn
+         |  FROM novel)
          |SELECT part, key, first_us, seq AS first_seq FROM r WHERE rn = 1""".stripMargin,
     "stream_join" ->
       s"""${EventStore.oracleCte},

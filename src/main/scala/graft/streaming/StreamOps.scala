@@ -175,18 +175,59 @@ object StreamOps {
     * cap the key domain (or run per time-bucketed keys) if it is
     * unbounded. */
   def dedupFirst(events: DataFrame, keyField: String,
-      watermarkDelay: String): Dataset[First] = {
-    val spark = events.sparkSession
+      watermarkDelay: String): Dataset[First] =
+    firstOccurrence(projectKeys(events, keyField, watermarkDelay))
+
+  /** The (part, key, ts, seq[, event_time]) projection shared by
+    * [[dedupFirst]] and [[incrementalDedup]]: key = fields[keyField],
+    * missing ⇒ "". In streaming mode the WATERMARK is attached here —
+    * before any downstream join — so every source event advances it:
+    * [[incrementalDedup]]'s anti-join drops known-key rows, and a
+    * watermark attached after the join would stall whenever the incoming
+    * traffic is dominated by known keys, leaving novel winners buffered
+    * forever. */
+  private def projectKeys(events: DataFrame, keyField: String,
+      watermarkDelay: String): DataFrame = {
+    val p = events.select(col("part"),
+      coalesce(element_at(col("fields"), keyField), lit("")).as("key"),
+      col("ts"), col("seq"))
+    if (events.isStreaming)
+      p.withColumn("event_time", eventTime(col("ts")))
+        .withWatermark("event_time", watermarkDelay)
+    else p
+  }
+
+  /** [[dedupFirst]] against a STATIC known-key history: only events whose
+    * (part, key) has never been seen in `history` are eligible, and each
+    * novel key still emits exactly its earliest (ts, seq) row — the
+    * incremental-ingest shape (today's crawl against the historical
+    * corpus, new-visitor detection against the user store).
+    *
+    * UNIFIED batch/stream: in streaming mode this is a stream-static
+    * LEFT ANTI join (the static side re-plans per micro-batch, so a
+    * growing history is picked up batch-to-batch) feeding the same
+    * tombstoned keyed state as [[dedupFirst]]; in batch mode the same
+    * anti-join feeds the same one-shuffle window. The history side
+    * reduces to DISTINCT (part, key) before the join — at scale that
+    * aggregate is what bounds the join build, not the raw history row
+    * count. */
+  def incrementalDedup(events: DataFrame, history: DataFrame,
+      keyField: String, watermarkDelay: String): Dataset[First] = {
+    val known = projectKeys(history, keyField, watermarkDelay)
+      .select(col("part"), col("key")).distinct()
+    firstOccurrence(projectKeys(events, keyField, watermarkDelay)
+      .join(known, Seq("part", "key"), "left_anti"))
+  }
+
+  private def firstOccurrence(projected: DataFrame): Dataset[First] = {
+    val spark = projected.sparkSession
     import spark.implicits._
 
-    if (!events.isStreaming) {
+    if (!projected.isStreaming) {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("part"), col("key"))
         .orderBy(col("ts"), col("seq"))
-      return events
-        .select(col("part"),
-          coalesce(element_at(col("fields"), keyField), lit("")).as("key"),
-          col("ts"), col("seq"))
+      return projected
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("part"), col("key"), col("ts").as("firstTs"),
@@ -217,11 +258,8 @@ object StreamOps {
       }
     }
 
-    events
-      .withColumn("event_time", eventTime(col("ts")))
-      .withWatermark("event_time", watermarkDelay)
-      .select(col("part"), coalesce(element_at(col("fields"), keyField), lit(""))
-        .as("key"), col("ts"), col("seq"), col("event_time"))
+    projected
+      .select(col("part"), col("key"), col("ts"), col("seq"), col("event_time"))
       .as[(String, String, Long, Long, java.sql.Timestamp)]
       .groupByKey { case (part, key, _, _, _) => (part, key) }
       .flatMapGroupsWithState(OutputMode.Append(),

@@ -159,6 +159,44 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(p3.isEmpty, s"emitted keys never re-emit: $p3")
   }
 
+  test("incrementalDedup: history keys are suppressed, novel keys emit their earliest once") {
+    val histStore = freshStore()
+    ingest(histStore, Map("app" -> "i"), "u1", Seq(10, 20))
+    ingest(histStore, Map("app" -> "i"), "u2", Seq(30))
+    val history = spark.read.format("graft-store").option("root", histStore.root).load()
+
+    val store = freshStore()
+    ingest(store, Map("app" -> "i"), "u1", Seq(100))      // known -> never emits
+    ingest(store, Map("app" -> "i"), "u3", Seq(210, 200)) // novel -> earliest wins
+    // (210 puts the watermark at 205 > the winner's 200, so the novel
+    // key finalizes within the first drain sequence)
+
+    // batch: anti-join + first-occurrence
+    val batch = StreamOps.incrementalDedup(
+      spark.read.format("graft-store").option("root", store.root).load(),
+      history, "user", "5 seconds")
+      .collect().map(f => (f.key, f.firstTs / 1000000000L)).toSet
+    assert(batch == Set(("u3", 200L)), s"only the novel key's earliest: $batch")
+
+    // streaming: same result, emitted exactly once across drains
+    val cp = Files.createTempDirectory("graft-sops-incr-cp").toString
+    def drain(): Seq[(String, Long)] =
+      drainAll[(String, Long)](
+        StreamOps.incrementalDedup(stream(store), history, "user", "5 seconds").toDF(),
+        cp, df => df.collect().map(r =>
+          (r.getString(1), r.getLong(2) / 1000000000L)).toSeq)
+    val p1 = drain()
+    assert(p1 == Seq(("u3", 200L)), s"stream must match batch: $p1")
+
+    // a later u3 event and a fresh novel u4: only u4 emits (u3 tombstoned),
+    // and the known u1 stays suppressed through new batches
+    ingest(store, Map("app" -> "i"), "u3", Seq(300))
+    ingest(store, Map("app" -> "i"), "u1", Seq(301))
+    ingest(store, Map("app" -> "i"), "u4", Seq(302, 400))
+    val p2 = drain()
+    assert(p2 == Seq(("u4", 302L)), s"tombstones + history suppression hold: $p2")
+  }
+
   test("randomized differential: batch sessionize matches a naive reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -38,9 +38,32 @@ object Mining {
   val CollocMinCount = 5
   val CollocTopK = 50
 
+  /** The melted gram-count table `(k, g, c)` — k = "u" (unigram) / "b"
+    * (bigram) — built in ONE corpus scan feeding ONE map-side-combined
+    * aggregate. Vocabulary-bounded (zipf-tiny next to the corpus) and
+    * consumed multiple times by [[collocationsFrom]] and [[lm2Score]]:
+    * callers on a hot path should persist/memoize it (the entry layer
+    * memoizes per (session, dir)); an unpersisted table recomputes the
+    * scan once per downstream branch. */
+  def gramCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(Dedup.tokens(col("text")).as("w"))
+      .select(explode(concat(
+        transform(col("w"), t => struct(lit("u").as("k"), t.as("g"))),
+        transform(bigramSeq(col("w")), g => struct(lit("b").as("k"), g.as("g")))))
+        .as("kg"))
+      .groupBy(col("kg.k").as("k"), col("kg.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Convenience form for tests/small inputs; hot paths should build
+    * [[gramCounts]] once, persist it, and call [[collocationsFrom]]. */
+  def collocations(docs: DataFrame): DataFrame =
+    collocationsFrom(gramCounts(docs))
+
   /** Top-[[CollocTopK]] bigram collocations by pointwise mutual
-    * information. With N total tokens, B total bigram slots, c_xy the
-    * bigram's occurrence count and c_x/c_y the word occurrence counts,
+    * information from a [[gramCounts]] table. With N total tokens, B
+    * total bigram slots, c_xy the bigram's occurrence count and c_x/c_y
+    * the word occurrence counts,
     *
     *   PMI = log2( (c_xy/B) / ((c_x/N)(c_y/N)) )
     *       = log2(c_xy*N / (c_x*c_y)) + log2(N/B)
@@ -51,29 +74,12 @@ object Mining {
     * needs the ratio). Bigrams below [[CollocMinCount]] occurrences are
     * noise and excluded, ties broken by bigram ascending.
     *
-    * Plan shape: ONE corpus scan — unigrams and bigrams melt into a
-    * single keyed stream (`(kind, gram)` structs) feeding ONE
-    * map-side-combined count aggregate, so only (gram, partial-count)
-    * rows shuffle. The aggregated count table is gram-vocabulary-bounded
-    * (zipf-tiny next to the corpus) and is persisted, because every
-    * downstream branch — bigram candidates, the two c_x/c_y lookups, the
-    * N/B totals — re-reads it instead of re-scanning the corpus (without
-    * the persist each DataFrame branch would replay the scan: four
-    * tokenize passes, plan-verified). Downstream joins are vocab-sized;
-    * the corpus itself never joins, and totals are a 1-row aggregate
-    * cross-joined as a broadcast literal. */
-  def collocations(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(Dedup.tokens(col("text")).as("w"))
-      .select(explode(concat(
-        transform(col("w"), t => struct(lit("u").as("k"), t.as("g"))),
-        transform(bigramSeq(col("w")), g => struct(lit("b").as("k"), g.as("g")))))
-        .as("kg"))
-      .groupBy(col("kg.k").as("k"), col("kg.g").as("g"))
-      .agg(count(lit(1)).as("c"))
-      .persist()
-    OpCaches.track("mining.colloc", Seq(counts))
-
+    * Plan shape: everything downstream of the count table is vocab-sized
+    * — bigram candidates, the two c_x/c_y lookups (word keys recovered by
+    * splitting the aggregated bigram strings, never per-occurrence), and
+    * the 1-row totals broadcast; the corpus itself never joins, and the
+    * top-k is a TakeOrderedAndProject. */
+  def collocationsFrom(counts: DataFrame): DataFrame = {
     val totals = counts
       .agg(sum(when(col("k") === "u", col("c")).otherwise(0)).as("n_tok"),
         sum(when(col("k") === "b", col("c")).otherwise(0)).as("n_big"))
@@ -131,6 +137,74 @@ object Mining {
        |SELECT bigram, pairs,
        |  (sgn * lg1.l20 + (SELECT l20 FROM lg2))::BIGINT AS pmi20
        |FROM lg1 ORDER BY pmi20 DESC, bigram LIMIT $CollocTopK""".stripMargin
+  }
+
+  /** Bigram language-model quality score with add-one smoothing — the
+    * perplexity filter one order up from [[Curation.lmScore]]'s unigram
+    * model (a bigram LM separates natural word order from shuffled soup,
+    * which a unigram model cannot). Per bigram slot (w1, w2):
+    *
+    *   p(w2|w1) = (c12 + 1) / (c1 + V)      [add-one smoothing, V = vocab]
+    *   nll_e6   = floor(ln((c1 + V)/(c12 + 1)) * 1e6)
+    *
+    * Add-one smoothing is what keeps the arithmetic sign-free for the
+    * Log2Fix kernel: c1 + V >= c12 + 1 always (c12 <= c1, V >= 1), so the
+    * ratio never drops below 1 and no signed-log branch is needed. The
+    * per-doc score is the integer mean over the doc's bigram slots; docs
+    * with fewer than two tokens have no slots and are excluded.
+    *
+    * Plan shape: the nll table is computed per DISTINCT bigram on the
+    * vocab-bounded [[gramCounts]] side (c1 looked up by splitting the
+    * aggregated bigram string — never per occurrence) and broadcasts into
+    * the per-doc bigram stream, which then feeds ONE doc-keyed aggregate
+    * — the corpus streams once and shuffles only (doc_id, partial-sum)
+    * rows. Output: (doc_id, n_bigrams, mean_nll2_e6). */
+  def lm2Score(docs: DataFrame, counts: DataFrame): DataFrame = {
+    val ucnt = counts.where(col("k") === "u").select(col("g").as("t"), col("c"))
+    val vsize = ucnt.agg(count(lit(1)).as("v"))
+    val nll = counts.where(col("k") === "b")
+      .select(col("g"), col("c").as("c12"))
+      .withColumn("x", split(col("g"), " ").getItem(0))
+      .join(ucnt.select(col("t").as("x"), col("c").as("c1")), "x")
+      .crossJoin(broadcast(vsize))
+      .withColumn("nll_e6", shiftright(
+        VectorExpressions.log2_fix(col("c1") + col("v"), col("c12") + 1) *
+          Log2Fix.Ln2E6, 20))
+      .select(col("g"), col("nll_e6"))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigramSeq(col("w"))).as("g"))
+      .join(broadcast(nll), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(nll_e6) div count(1)").as("mean_nll2_e6"))
+  }
+
+  /** DuckDB twin of [[lm2Score]]. */
+  val lm2ScoreOracle: String = {
+    val lg = Log2Fix.duckdbCtes("src", "g", "lg")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\W+'),
+       |                t -> t != '') AS w FROM documents),
+       |big AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(w) - 1, 0) + 1),
+       |    i -> w[i] || ' ' || w[i+1])) AS g FROM tok),
+       |bcnt AS (SELECT g, count(*)::BIGINT AS c12 FROM big GROUP BY 1),
+       |ucnt AS (
+       |  SELECT t, count(*)::BIGINT AS c1
+       |  FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
+       |vs AS (SELECT count(*)::BIGINT AS v FROM ucnt),
+       |src AS (
+       |  SELECT g, c1 + v AS num, c12 + 1 AS den
+       |  FROM bcnt JOIN ucnt ON t = string_split(g, ' ')[1], vs),
+       |$lg,
+       |nll AS (SELECT g, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS nll_e6 FROM lg)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  (sum(nll_e6) // count(*))::BIGINT AS mean_nll2_e6
+       |FROM big JOIN nll USING (g) GROUP BY doc_id""".stripMargin
   }
 
   /** The fixed keyword query for the BM25 entry: two common terms and one

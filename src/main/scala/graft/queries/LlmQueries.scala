@@ -92,6 +92,13 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val miningCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The melted unigram+bigram count table shared by llm_collocations and
+    * llm_lm2_score — memoized/persisted like [[ngramPairs]] (vocab-
+    * bounded, one corpus pass). */
+  private def gramCounts(spark: SparkSession, dir: String): DataFrame =
+    memo(miningCache, spark, s"grams|$dir")(
+      graft.llm.Mining.gramCounts(docs(spark, dir)))
   private def topk(spark: SparkSession, variant: String, dir: String)(
       mk: => DataFrame): DataFrame =
     memo(topkCache, spark, s"$variant|$dir")(mk)
@@ -272,14 +279,15 @@ object LlmQueries {
     "llm_dedup_embed" -> (embedNearDup _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_ann_recall" -> (annRecall _),
-    // memoized per (session, dir): collocations persists its melted
-    // gram-count table mid-plan, and a rebuild per invocation would churn
-    // that cache through OpCaches (each call's track unpersists the
-    // previous — identical — plan, silently reverting every later run to
-    // re-scanning the corpus once per branch)
+    // ONE persisted gram-count table (memoized per session+dir) feeds both
+    // the collocation miner and the bigram LM — the production shape: the
+    // expensive corpus pass is shared, the per-entry plans are vocab-sized
     "llm_collocations" ->
       ((s: SparkSession, d: String) =>
-        memo(miningCache, s, d)(graft.llm.Mining.collocations(docs(s, d)))),
+        graft.llm.Mining.collocationsFrom(gramCounts(s, d))),
+    "llm_lm2_score" ->
+      ((s: SparkSession, d: String) =>
+        graft.llm.Mining.lm2Score(docs(s, d), gramCounts(s, d))),
     "llm_bm25" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.bm25(docs(s, d))),
     // memoized like llm_collocations: fuzzyDecontam persists its shingle
@@ -334,6 +342,7 @@ object LlmQueries {
     "llm_sample" -> Curation.sampleOracle,
     "llm_collocations" -> graft.llm.Mining.collocationsOracle,
     "llm_bm25" -> graft.llm.Mining.bm25Oracle,
+    "llm_lm2_score" -> graft.llm.Mining.lm2ScoreOracle,
     "llm_decontam_fuzzy" -> graft.llm.Mining.fuzzyDecontamOracle,
     "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,
     "llm_domain_cap" -> Curation.domainCapOracle,

@@ -65,6 +65,34 @@ class MiningSpec extends AnyFunSuite {
     assert(out("c e") > 0L && out("c e") > out("c d"))
   }
 
+  // ------------------------------------------------------------- lm2Score
+
+  test("bigram LM: repeated word order scores better than a shuffle the unigram LM can't separate") {
+    // docs 1-8: the same 6-token sentence (frequent bigrams); doc 9: the
+    // SAME words permuted (identical unigram profile, novel bigrams).
+    val sent = "alpha beta gamma delta epsilon zeta"
+    val rows = (1L to 8L).map(i => (i, sent)) :+ (9L, "beta alpha delta gamma zeta epsilon")
+    val df = mkDocs(rows)
+    val out = Mining.lm2Score(df, Mining.gramCounts(df)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) < out(9L),
+      s"natural-order docs must score lower NLL than the shuffle: $out")
+    assert((1L to 8L).forall(i => out(i) == out(1L)))
+    // hand-replay doc 1: V=6; every bigram slot has c12=8, and c1=9
+    // (each word occurs once in docs 1-8 AND once in the permuted doc 9)
+    // -> nll = ln((9+6)/(8+1)) via the kernel
+    val slot = (graft.functions.Log2Fix.eval(15, 9) * graft.functions.Log2Fix.Ln2E6) >> 20
+    assert(out(1L) == slot, s"uniform slots -> mean == slot nll: ${out(1L)} vs $slot")
+  }
+
+  test("bigram LM on the corpus: every doc with >=2 tokens scores, mean is nonnegative") {
+    val out = Mining.lm2Score(docs, Mining.gramCounts(docs)).collect()
+    val eligible = docs.where(size(graft.llm.Dedup.tokens(col("text"))) >= 2).count()
+    assert(out.length == eligible)
+    assert(out.forall(_.getLong(2) >= 0L))
+    assert(out.forall(r => r.getLong(1) >= 1L))
+  }
+
   // ------------------------------------------------------------------ bm25
 
   test("bm25: a rare-term doc outranks common-term docs; score matches the integer formula") {

@@ -24,24 +24,41 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\W+"), t => t =!= "")
 
-  /** Distinct word n-gram shingles from a token-array column. IMPORTANT:
-    * pass a materialized attribute, not the [[tokens]] expression — the
-    * token array is referenced n+1 times per element here, and an inlined
-    * tokenization would re-split the text once per shingle (a plan-visible
-    * 100x blowup). */
-  def shinglesFromTokens(w: Column, n: Int = 3): Column = {
+  /** The ONE gram-generation kernel: positional (non-distinct) word
+    * n-grams from a token-array column, in document order. Every other
+    * gram shape ([[shinglesFromTokens]], Mining's bigram/positional
+    * variants) wraps this, so the empty-array guard and the
+    * space-joining live in exactly one place. IMPORTANT: pass a
+    * materialized attribute, not the [[tokens]] expression — the token
+    * array is referenced n+1 times per element here, and an inlined
+    * tokenization would re-split the text once per shingle (a
+    * plan-visible 100x blowup). */
+  def gramSeq(w: Column, n: Int): Column = {
     val cnt = size(w) - (n - 1)
-    array_distinct(
-      when(cnt >= 1,
-        transform(sequence(lit(1), greatest(cnt, lit(1))), i =>
-          concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
-        .otherwise(array().cast("array<string>")))
+    when(cnt >= 1,
+      transform(sequence(lit(1), greatest(cnt, lit(1))), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram shingles from a token-array column (the
+    * [[gramSeq]] caveat applies). */
+  def shinglesFromTokens(w: Column, n: Int = 3): Column =
+    array_distinct(gramSeq(w, n))
 
   /** Convenience single-expression form (tests / small inputs only — see
     * the [[shinglesFromTokens]] caveat). */
   def wordShingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(tokens(text), n)
+
+  /** Rounded e4 Jaccard in the ORACLE's evaluation order: ONE double
+    * division of (inter·1e4)/union — NOT (inter/union)·1e4. The two
+    * orders differ by 1 ulp on real pairs (427/800: 5337 vs 5338,
+    * verified against DuckDB), which is enough to flip the floor and
+    * break the bit-identical gate; every Jaccard emitter must go through
+    * this ONE definition. */
+  def jaccardE4(inter: Column, union: Column): Column =
+    floor(inter.cast("double") * 1e4 / union.cast("double") + 0.5).cast("long")
 
   /** Exact dedup: group by full-content hash, keep the smallest doc_id as
     * the survivor. */
@@ -128,7 +145,8 @@ object Dedup {
       (size(col("sha")) + size(col("shb")) - inter).cast("double")
     withSh.where(jac >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        floor(jac * 1e4 + 0.5).cast("long").as("jaccard_r"))
+        jaccardE4(inter, size(col("sha")) + size(col("shb")) - inter)
+          .as("jaccard_r"))
   }
 
   /** EXACT n-gram Jaccard duplicate pairs (doc_a < doc_b, J >= `threshold`)
@@ -229,7 +247,8 @@ object Dedup {
       (size(col("sha")) + size(col("shb")) - inter).cast("double")
     withSh.where(jac >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        floor(jac * 1e4 + 0.5).cast("long").as("jaccard_r"))
+        jaccardE4(inter, size(col("sha")) + size(col("shb")) - inter)
+          .as("jaccard_r"))
   }
 
   /** Duplicate CLUSTERS from a near-duplicate pair table (doc_a, doc_b):

@@ -15,17 +15,9 @@ import graft.functions.{Log2Fix, VectorExpressions}
   */
 object Mining {
 
-  /** Positional (non-distinct) adjacent word pairs from a token-array
-    * column — [[Dedup.shinglesFromTokens]] minus the dedup, because
-    * collocation counts are occurrence counts. Same caveat: pass a
-    * materialized attribute, not the tokenization expression. */
-  def bigramSeq(w: Column): Column = {
-    val cnt = size(w) - 1
-    when(cnt >= 1,
-      transform(sequence(lit(1), greatest(cnt, lit(1))), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Positional (non-distinct) adjacent word pairs — [[Dedup.gramSeq]]
+    * at n = 2, because collocation counts are occurrence counts. */
+  def bigramSeq(w: Column): Column = Dedup.gramSeq(w, 2)
 
   /** Signed fixed-point log2 ratio: `floor(log2(num/den) * 2^20)` for
     * num,den >= 1 in either order (Log2Fix itself requires num >= den;
@@ -221,16 +213,19 @@ object Mining {
     *                                                   never negative]
     *   term score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
     *
-    * with k1 = 1.2, b = 0.75. Integerization: `avgdl_e3 = n_tok*1000 div
-    * N`; `idf_e6` from Log2Fix on the doubled ratio (2N+2)/(2df+1); the
-    * rational term-score multiplies through by 10*avgdl_e3 so the ONE
-    * division is the final integer div:
+    * with k1 = 1.2, b = 0.75. Integerization: `idf_e6` from Log2Fix on
+    * the doubled ratio (2N+2)/(2df+1); the doc-length ratio is reduced
+    * FIRST to a per-doc e3 integer `r_e3 = dl*1000 div max(avgdl_tok, 1)`
+    * (avgdl_tok = n_tok div N), and the rational term-score multiplies
+    * through by 1e4 so the ONE division is the final integer div:
     *
-    *   ts = (idf_e6 * 22*tf*avgdl_e3)
-    *          div (10*tf*avgdl_e3 + 3*avgdl_e3 + 9000*dl)
+    *   ts = (idf_e6 * 22000 * tf) div (10000*tf + 3000 + 9*r_e3)
     *
-    * (bounds: tf,dl <= 1e6-token docs and idf_e6 <= ~3e7 keep the
-    * numerator under ~6e17 — inside int64.)
+    * Overflow bound — deliberately INDEPENDENT of corpus shape: the
+    * numerator is idf_e6 (≤ ~3e7 at N = 1e12 docs) × 22000 × tf, inside
+    * int64 for tf up to ~1e7 occurrences of one term in one document;
+    * folding avgdl into the numerator instead (the obvious
+    * multiply-through) overflows at realistic avgdl×tf under ANSI mode.
     *
     * Plan shape: the corpus explodes to its token stream but is filtered
     * to the query terms BEFORE any shuffle — only matching postings (a
@@ -244,7 +239,8 @@ object Mining {
       Dedup.tokens(col("text")).as("w"))
     val stats = toks
       .agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("n_tok"))
-      .select(col("n_docs"), expr("n_tok * 1000 div n_docs").as("avgdl_e3"))
+      .select(col("n_docs"),
+        greatest(expr("n_tok div n_docs"), lit(1L)).as("avgdl_tok"))
 
     val tf = toks
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
@@ -258,12 +254,12 @@ object Mining {
       .withColumn("idf_e6", shiftright(
         VectorExpressions.log2_fix(col("n_docs") * 2 + 2, col("df") * 2 + 1) *
           Log2Fix.Ln2E6, 20))
-      .select(col("term"), col("idf_e6"), col("avgdl_e3"))
+      .select(col("term"), col("idf_e6"), col("avgdl_tok"))
 
     tf.join(broadcast(idf), "term")
+      .withColumn("r_e3", expr("(dl * 1000) div avgdl_tok"))
       .withColumn("ts", expr(
-        """(idf_e6 * (22 * tf * avgdl_e3))
-          | div (10 * tf * avgdl_e3 + 3 * avgdl_e3 + 9000 * dl)""".stripMargin))
+        "(idf_e6 * 22000 * tf) div (10000 * tf + 3000 + 9 * r_e3)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("ts")).as("score_e6"))
       .orderBy(col("score_e6").desc, col("doc_id").asc)
@@ -280,7 +276,7 @@ object Mining {
        |                             t -> t != '') AS w FROM documents),
        |st AS (
        |  SELECT count(*)::BIGINT AS n_docs,
-       |    sum(len(w))::BIGINT * 1000 // count(*) AS avgdl_e3 FROM tok),
+       |    greatest(sum(len(w))::BIGINT // count(*), 1) AS avgdl_tok FROM tok),
        |tf AS (
        |  SELECT doc_id, t AS term, count(*)::BIGINT AS tf,
        |    max(dln)::BIGINT AS dl
@@ -294,8 +290,8 @@ object Mining {
        |idf AS (SELECT term, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS idf_e6 FROM lg),
        |sc AS (
        |  SELECT doc_id, count(*)::BIGINT AS n_terms,
-       |    sum((idf_e6 * (22 * tf * avgdl_e3))
-       |        // (10 * tf * avgdl_e3 + 3 * avgdl_e3 + 9000 * dl))::BIGINT
+       |    sum((idf_e6 * 22000 * tf)
+       |        // (10000 * tf + 3000 + 9 * ((dl * 1000) // avgdl_tok)))::BIGINT
        |      AS score_e6
        |  FROM tf JOIN idf USING (term), st GROUP BY 1)
        |SELECT doc_id::BIGINT AS doc_id, n_terms, score_e6
@@ -304,16 +300,13 @@ object Mining {
 
   val SpanGram = 5
 
-  /** Positional word n-gram starts: `(p, gram)` structs, p 1-based. Same
-    * materialized-attribute caveat as [[Dedup.shinglesFromTokens]]. */
-  def posShingleSeq(w: Column, n: Int): Column = {
-    val cnt = size(w) - (n - 1)
-    when(cnt >= 1,
-      transform(sequence(lit(1), greatest(cnt, lit(1))), i =>
-        struct(i.cast("long").as("p"),
-          concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*).as("g"))))
-      .otherwise(array().cast("array<struct<p:long,g:string>>"))
-  }
+  /** Positional word n-gram starts: `(p, gram)` structs, p 1-based —
+    * [[Dedup.gramSeq]] zipped with its indices (the gram list is already
+    * in document order, so the 0-based transform index + 1 IS the start
+    * position). */
+  def posShingleSeq(w: Column, n: Int): Column =
+    transform(Dedup.gramSeq(w, n),
+      (g, i) => struct((i + 1).cast("long").as("p"), g.as("g")))
 
   /** Duplicated-span detection (the Lee et al. 2022 "Deduplicating
     * Training Data" shape): mark every position where a word
@@ -468,7 +461,8 @@ object Mining {
       (col("na") + col("nb") - col("c")).cast("double")
     c.where(jac >= FuzzyThreshold)
       .select(col("doc_id"), col("bench_id"),
-        floor(jac * 1e4 + 0.5).cast("long").as("jaccard_r"))
+        Dedup.jaccardE4(col("c"), col("na") + col("nb") - col("c"))
+          .as("jaccard_r"))
   }
 
   /** DuckDB twin of [[fuzzyDecontam]] — plain all-pairs vs the benchmark

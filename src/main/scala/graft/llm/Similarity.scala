@@ -428,14 +428,18 @@ object Similarity {
     * (squared L2) from the corpus centroid — the standard embedding-space
     * quality filter (OOD/garbage vectors sit far from the mass).
     *
-    * Exactness discipline: each float coordinate is integerized to e6
-    * FIRST (`floor(x*1e6+0.5)`, bit-identical in both engines), per-dim
+    * Exactness discipline: each float coordinate is integerized to e5
+    * FIRST (`floor(x*1e5+0.5)`, bit-identical in both engines), per-dim
     * sums are exact int64, the centroid is a truncating integer division
     * (Spark `div` ≡ DuckDB `//`, both toward zero), and the distance is
     * computed by the codegen'd [[graft.functions.SquaredDistance]] over
-    * int-valued doubles — every intermediate stays under 2^53, so the
-    * double arithmetic is EXACT and partition-order-independent (no
-    * float-accumulation nondeterminism, unlike a naive mean over floats).
+    * int-valued doubles. The double arithmetic is EXACT — and therefore
+    * partition-order-independent — only while every intermediate stays
+    * under 2^53, which the e5 scale guarantees for coordinate magnitudes
+    * up to ~59 at dim 64 (diff ≤ 2·59·1e5, squared ×64 ≈ 8.9e15 < 2^53);
+    * e6 would already break parity at coords ~6, i.e. any unnormalized
+    * logit-scale embedding. Wider domains need a coarser scale, not a
+    * silent precision cliff.
     *
     * Plan shape: per-dim sums are ONE map-side-combined aggregate (dim ×
     * partition partial rows); the centroid (dim values, corpus-size-
@@ -447,7 +451,7 @@ object Similarity {
     val ve = emb.select(col("vec_id").cast("long").as("vec_id"),
       col("label").cast("long").as("label"),
       transform(col("embedding"),
-        x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")).as("ve"))
+        x => floor(x.cast("double") * 1e5 + lit(0.5)).cast("long")).as("ve"))
     val sums = ve
       .select(posexplode(col("ve")).as(Seq("i", "x")))
       .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -468,7 +472,7 @@ object Similarity {
     s"""WITH v AS (
        |  SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
        |    list_transform(embedding,
-       |      x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS ve
+       |      x -> floor(x::DOUBLE * 100000 + 0.5)::BIGINT) AS ve
        |  FROM embeddings),
        |de AS (SELECT generate_subscripts(ve, 1) AS i, unnest(ve) AS x FROM v),
        |cs AS (SELECT i, (sum(x) // count(*))::BIGINT AS c FROM de GROUP BY i),

@@ -43,7 +43,8 @@ class LlmSpec extends AnyFunSuite {
     val jac = inter.cast("double") /
       (size(col("sha")) + size(col("shb")) - inter).cast("double")
     val brute = a.crossJoin(b).where(col("doc_a") < col("doc_b")).where(jac >= 0.5)
-      .select(col("doc_a"), col("doc_b"), floor(jac * 1e4 + 0.5).cast("long").as("j"))
+      .select(col("doc_a"), col("doc_b"),
+        Dedup.jaccardE4(inter, size(col("sha")) + size(col("shb")) - inter).as("j"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(brute.nonEmpty, "expected planted duplicate pairs at J >= 0.5")
     assert(out == brute,
@@ -327,10 +328,10 @@ class LlmSpec extends AnyFunSuite {
     val emb = (base ++ far).toDF("vec_id", "embedding", "label")
     val out = Similarity.embedOutliers(emb).collect()
     assert(out.head.getLong(0) == 9L)
-    // hand-replay: e6 ints are 0 and 1000000; per-dim sum 1000000 over 10
-    // rows -> centroid 100000; dist2(far) = 4*(900000)^2
-    assert(out.head.getLong(2) == 4L * 900000L * 900000L)
-    val zeroDist = 4L * 100000L * 100000L
+    // hand-replay: e5 ints are 0 and 100000; per-dim sum 100000 over 10
+    // rows -> centroid 10000; dist2(far) = 4*(90000)^2
+    assert(out.head.getLong(2) == 4L * 90000L * 90000L)
+    val zeroDist = 4L * 10000L * 10000L
     assert(out.tail.forall(_.getLong(2) == zeroDist))
     // ordering: dist2 non-increasing, vec_id ascending within ties
     val pairs = out.map(r => (r.getLong(2), r.getLong(0)))

@@ -104,12 +104,12 @@ class MiningSpec extends AnyFunSuite {
       (4L, "spark pad1 pad2 pad3"))
     val out = Mining.bm25(mkDocs(rows)).collect()
     assert(out.head.getLong(0) == 1L, "the rare-term doc must rank first")
-    // hand-replay: N=4 docs, n_tok=16, avgdl_e3=4000, dl=4 for all.
-    val avgdl = 16L * 1000 / 4
+    // hand-replay: N=4 docs, n_tok=16, avgdl_tok=4, dl=4 -> r_e3=1000.
     def idfE6(df: Long) = (Log2Fix.eval(2 * 4 + 2, 2 * df + 1) * Log2Fix.Ln2E6) >> 20
-    def ts(idf: Long, tf: Long, dl: Long) =
-      (idf * (22 * tf * avgdl)) / (10 * tf * avgdl + 3 * avgdl + 9000 * dl)
-    val expTop = ts(idfE6(1), 1, 4) + ts(idfE6(4), 1, 4)
+    def ts(idf: Long, tf: Long, rE3: Long) =
+      (idf * 22000 * tf) / (10000 * tf + 3000 + 9 * rE3)
+    // dl == avgdl and tf=1 -> denominator 22000 -> ts == idf exactly
+    val expTop = ts(idfE6(1), 1, 1000) + ts(idfE6(4), 1, 1000)
     assert(out.head.getLong(2) == expTop,
       s"integer BM25 mismatch: got ${out.head.getLong(2)}, want $expTop")
     assert(out.head.getLong(1) == 2L)
@@ -146,8 +146,8 @@ class MiningSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
     assert(out.keySet == Set(1L, 2L, 3L, 4L))
-    assert(out(1L) == ((1L, 5L, 11L, Math.floor(5.0 / 11 * 1e4 + 0.5).toLong)))
-    assert(out(2L) == ((1L, 5L, 11L, Math.floor(5.0 / 11 * 1e4 + 0.5).toLong)))
+    assert(out(1L) == ((1L, 5L, 11L, Math.floor(5.0 * 1e4 / 11 + 0.5).toLong)))
+    assert(out(2L) == ((1L, 5L, 11L, Math.floor(5.0 * 1e4 / 11 + 0.5).toLong)))
     assert(out(3L) == ((1L, 8L, 8L, 10000L)), s"full-copy doc must cover 100%: $out")
     assert(out(4L) == ((1L, 8L, 8L, 10000L)))
   }
@@ -191,7 +191,7 @@ class MiningSpec extends AnyFunSuite {
     assert(out.contains((1L, 17L, 10000L)), s"exact copy must hit 10000: $out")
     val near = out.find(t => t._1 == 2L && t._2 == 17L)
     assert(near.isDefined, "lightly-edited copy must be caught")
-    assert(near.get._3 == Math.floor(7.0 / 8.0 * 1e4 + 0.5).toLong)
+    assert(near.get._3 == Math.floor(7.0 * 1e4 / 8.0 + 0.5).toLong)
     assert(!out.exists(_._1 == 3L), "J<0.5 pair must not be flagged")
     assert(out.forall(t => t._1 % 17 != 0 && t._2 % 17 == 0))
   }
@@ -213,7 +213,8 @@ class MiningSpec extends AnyFunSuite {
     val jac = inter.cast("double") /
       (size(col("sha")) + size(col("shb")) - inter).cast("double")
     val brute = a.crossJoin(b).where(jac >= Mining.FuzzyThreshold)
-      .select(col("da"), col("db"), floor(jac * 1e4 + 0.5).cast("long"))
+      .select(col("da"), col("db"),
+        graft.llm.Dedup.jaccardE4(inter, size(col("sha")) + size(col("shb")) - inter))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(brute.nonEmpty, "expected planted cross-boundary near-dups")
     assert(out == brute, s"missing=${brute -- out} extra=${out -- brute}")

@@ -1,0 +1,174 @@
+package graft
+
+import graft.functions.Log2Fix
+import graft.llm.{Dedup, Mining}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized differential tests: each mining operator vs a naive
+  * driver-side Scala reference on small random corpora (tiny vocab, doc
+  * lengths 0..12 so empty/one-token/short-doc edges are hit constantly).
+  * The references re-implement the SPEC (same integer arithmetic, same
+  * Log2Fix kernel, same tie-breaks) with none of the distributed plan
+  * machinery — so a divergence is a plan bug, not a formula choice.
+  */
+class MiningFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tok(text: String): Vector[String] =
+    text.toLowerCase.split("\\W+").filterNot(_.isEmpty).toVector
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Random docs with planted copies (some docs repeat an earlier doc's
+    * text verbatim, the substrate for dup spans / collocation mass). */
+  private def corpus(seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val n = 4 + rnd.nextInt(20)
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until n).foreach { i =>
+      if (i > 0 && rnd.nextInt(4) == 0) texts += texts(rnd.nextInt(i))
+      else texts += (0 until rnd.nextInt(13))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq
+  }
+
+  test("collocations matches the naive reference on random corpora") {
+    for (seed <- 1 to 6) {
+      val rows = corpus(seed)
+      val toks = rows.map { case (_, t) => tok(t) }
+      val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bigrams = toks.flatMap(w => w.zip(w.drop(1)).map { case (x, y) => s"$x $y" })
+      val bcnt = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nTok = toks.map(_.size.toLong).sum
+      val nBig = toks.map(w => math.max(w.size - 1, 0).toLong).sum
+      def slog(num: Long, den: Long): Long =
+        if (num >= den) Log2Fix.eval(num, den) else -Log2Fix.eval(den, num)
+      val want = bcnt.toSeq
+        .filter(_._2 >= Mining.CollocMinCount)
+        .map { case (g, cxy) =>
+          val Array(x, y) = g.split(" ")
+          (g, cxy, slog(cxy * nTok, uni(x) * uni(y)) + Log2Fix.eval(nTok, nBig))
+        }
+        .sortBy { case (g, _, p) => (-p, g) }
+        .take(Mining.CollocTopK)
+      val got = Mining.collocations(mkDocs(rows)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"seed=$seed rows=$rows")
+    }
+  }
+
+  test("lm2Score matches the naive reference on random corpora") {
+    for (seed <- 11 to 16) {
+      val rows = corpus(seed)
+      val toks = rows.map { case (id, t) => id -> tok(t) }.toMap
+      val uni = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val allBg = toks.values.flatMap(w => w.zip(w.drop(1)).map { case (x, y) => s"$x $y" })
+      val bcnt = allBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val v = uni.size.toLong
+      def nll(g: String): Long = {
+        val c1 = uni(g.split(" ")(0))
+        (Log2Fix.eval(c1 + v, bcnt(g) + 1) * Log2Fix.Ln2E6) >> 20
+      }
+      val want = toks.toSeq.flatMap { case (id, w) =>
+        val bg = w.zip(w.drop(1)).map { case (x, y) => s"$x $y" }
+        if (bg.isEmpty) None
+        else Some((id, bg.size.toLong, bg.map(nll).sum / bg.size))
+      }.sortBy(_._1)
+      val df = mkDocs(rows)
+      val got = Mining.lm2Score(df, Mining.gramCounts(df)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed rows=$rows")
+    }
+  }
+
+  test("dupSpans matches the naive reference on random corpora with planted copies") {
+    val L = Mining.SpanGram
+    for (seed <- 21 to 26) {
+      val rows = corpus(seed)
+      val toks = rows.map { case (id, t) => id -> tok(t) }
+      val grams = toks.flatMap { case (id, w) =>
+        w.sliding(L).filter(_.size == L).zipWithIndex
+          .map { case (g, i) => (id, i + 1L, g.mkString(" ")) }
+      }
+      val cnt = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val want = toks.flatMap { case (id, w) =>
+        val starts = grams.filter(g => g._1 == id && cnt(g._3) >= 2).map(_._2).sorted
+        if (starts.isEmpty) None
+        else {
+          // merge contiguous coverage [p, p+L-1]
+          val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          starts.foreach { p =>
+            if (spans.nonEmpty && p <= spans.last._2 + 1)
+              spans(spans.length - 1) = (spans.last._1, math.max(spans.last._2, p + L - 1))
+            else spans += ((p, p + L - 1))
+          }
+          val dupTok = spans.map { case (s, e) => e - s + 1 }.sum
+          val n = w.size.toLong
+          Some((id, spans.size.toLong, dupTok, n,
+            math.floor(dupTok * 1e4 / n + 0.5).toLong))
+        }
+      }.sortBy(_._1)
+      val got = Mining.dupSpans(mkDocs(rows)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed rows=$rows")
+    }
+  }
+
+  test("bm25 matches the naive reference on random corpora") {
+    for (seed <- 31 to 36) {
+      // vocab overlaps the fixed query terms so matches actually occur
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("spark", "merge", "dup", "x", "y", "z")
+      val rows = (0 until 4 + rnd.nextInt(16)).map { i =>
+        (i.toLong, (0 until rnd.nextInt(13))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val toks = rows.map { case (id, t) => id -> tok(t) }
+      val nDocs = toks.size.toLong
+      val nTok = toks.map(_._2.size.toLong).sum
+      val avgdl = math.max(nTok / nDocs, 1L)
+      val tf = toks.flatMap { case (id, w) =>
+        w.filter(Mining.Bm25Terms.contains).groupBy(identity)
+          .map { case (t, o) => (id, t, o.size.toLong, w.size.toLong) }
+      }
+      val dfc = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      def idf(t: String): Long =
+        (Log2Fix.eval(2 * nDocs + 2, 2 * dfc(t) + 1) * Log2Fix.Ln2E6) >> 20
+      val want = tf.groupBy(_._1).map { case (id, ts) =>
+        val score = ts.map { case (_, t, f, dl) =>
+          val rE3 = dl * 1000 / avgdl
+          (idf(t) * 22000 * f) / (10000 * f + 3000 + 9 * rE3)
+        }.sum
+        (id, ts.size.toLong, score)
+      }.toSeq.sortBy { case (id, _, s) => (-s, id) }.take(Mining.Bm25TopK)
+      val got = Mining.bm25(mkDocs(rows)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"seed=$seed rows=$rows")
+    }
+  }
+
+  test("jaccardE4 stays in [0, 10000] and matches integer expectations on exact pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 200).map { _ =>
+      val u = 1L + rnd.nextInt(1000)
+      val c = rnd.nextLong(u + 1)
+      (c, u)
+    }
+    val out = pairs.toDF("c", "u")
+      .select(Dedup.jaccardE4(col("c"), col("u")).as("j"))
+      .collect().map(_.getLong(0))
+    out.zip(pairs).foreach { case (j, (c, u)) =>
+      assert(j >= 0 && j <= 10000)
+      assert(j == math.floor(c.toDouble * 1e4 / u.toDouble + 0.5).toLong)
+    }
+  }
+}

@@ -61,6 +61,50 @@ object Curation {
       .filter(col("bucket") < rate)
   }
 
+  // --------------------------------------------------------------- shuffle
+
+  val ShuffleTopK = 100
+
+  /** Deterministic training-order shuffle: every document gets a stable
+    * pseudorandom rank key (the md5-derived 60-bit integer the sampler
+    * family uses — content-stable, salt-free, engine-portable), defining
+    * the corpus's global training order. The entry emits the first
+    * [[ShuffleTopK]] documents of that order with their rank — enough for
+    * the oracle to pin the ORDER itself.
+    *
+    * Scale shape: the top-k prefix is a TakeOrderedAndProject
+    * (per-partition heaps, no global sort); materializing the WHOLE
+    * shuffled corpus — the actual pipeline step — is
+    * `repartitionByRange(shuffle_key) + sortWithinPartitions`, Spark's
+    * sampled range-exchange total order, which never funnels through one
+    * task. Ties cannot occur (the key is salted with doc_id... the key IS
+    * doc_id-derived and doc_id is unique), but doc_id remains the formal
+    * tiebreak so the order is total by construction. */
+  def shuffleOrder(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .withColumn("shuffle_key",
+        conv(substring(md5(concat(lit("shuf:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+    keyed
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+      .limit(ShuffleTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("shuffle_key").asc, col("doc_id").asc)).cast("long"))
+  }
+
+  /** DuckDB twin of [[shuffleOrder]]. */
+  val shuffleOrderOracle: String =
+    s"""SELECT doc_id::BIGINT AS doc_id, lang,
+       |  ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |    AS shuffle_key,
+       |  row_number() OVER (ORDER BY
+       |    ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+       |    doc_id)::BIGINT AS rank
+       |FROM documents
+       |ORDER BY shuffle_key, doc_id LIMIT $ShuffleTopK""".stripMargin
+
   // ------------------------------------------------------------ domain cap
 
   val DomainCapN = 8

@@ -299,6 +299,8 @@ object LlmQueries {
       ((s: SparkSession, d: String) => graft.llm.Mining.dupSpans(docs(s, d))),
     "llm_domain_cap" ->
       ((s: SparkSession, d: String) => Curation.domainCap(docs(s, d))),
+    "llm_shuffle" ->
+      ((s: SparkSession, d: String) => Curation.shuffleOrder(docs(s, d))),
     "llm_embed_outliers" ->
       ((s: SparkSession, d: String) => Similarity.embedOutliers(emb(s, d)))
   )
@@ -346,6 +348,7 @@ object LlmQueries {
     "llm_decontam_fuzzy" -> graft.llm.Mining.fuzzyDecontamOracle,
     "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,
     "llm_domain_cap" -> Curation.domainCapOracle,
+    "llm_shuffle" -> Curation.shuffleOrderOracle,
     "llm_embed_outliers" -> Similarity.embedOutliersOracle,
     "llm_mixture" -> Curation.mixtureOracle,
     "llm_pack" -> Curation.packOracle,

@@ -227,6 +227,25 @@ class CurationSpec extends AnyFunSuite {
     assert(gate("bloom_no_false_negatives")._1 == exact)
   }
 
+  test("shuffle order: ranks follow the md5 key, stable across runs, no rank gaps") {
+    val out = Curation.shuffleOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.length == Curation.ShuffleTopK)
+    assert(out.map(_._3).toSeq == (1L to out.length).toSeq, "ranks contiguous in order")
+    val keys = out.map(_._2)
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b }, "ascending key order")
+    // the key really is the documented md5 derivation
+    out.take(5).foreach { case (id, key, _) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shuf:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      assert(key == java.lang.Long.parseLong(hex, 16), s"doc $id key mismatch")
+    }
+    val again = Curation.shuffleOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq, "shuffle order must be re-run-stable")
+  }
+
   test("domain cap: every (source, lang) group is capped at N, deterministically") {
     val out = Curation.domainCap(docs).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))

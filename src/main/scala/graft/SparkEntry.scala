@@ -50,7 +50,8 @@ object SparkEntry {
       "q13_rollup" -> (Analytics.q13Rollup _),
       "q14_gapfill" -> (Analytics.q14Gapfill _),
       "q14_gapfill_perkey" -> (Analytics.q14GapfillPerKey _),
-      "q15_bucketed_join" -> (graft.operators.Bucketing.bucketedJoin _)
+      "q15_bucketed_join" -> (graft.operators.Bucketing.bucketedJoin _),
+      "q16_rolling" -> (Analytics.q16Rolling _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

@@ -110,6 +110,32 @@ object Analytics {
         sum(fx(col("value"), 2)).as("sum_value_e2"))
       .orderBy("hour_bucket", "event_type")
 
+  /** Trailing 7-bucket rolling aggregate over the hourly event series —
+    * the moving-average operator family (ROWS frame, not RANGE: a bucket
+    * rolls over the previous six PRESENT buckets; the gap-fill operator
+    * is the densify step when calendar-frame semantics are wanted).
+    *
+    * Scale note: the ONLY corpus-scale pass is the map-side-combined
+    * hourly aggregate; the window then runs over the aggregated series,
+    * whose size is (time buckets × event types) — corpus-size-INDEPENDENT
+    * — so the low-cardinality partitionBy is not a single-task hazard
+    * here, unlike a window over raw events (which is what PrefixSum
+    * exists for). The rolling average is an integer div of two exact
+    * integer rolling sums. */
+  def q16Rolling(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = load(spark, dir, "events")
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(fx(col("value"), 2)).as("v_e2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_bucket"))
+      .rowsBetween(-6, Window.currentRow)
+    hourly
+      .select(col("event_type"), col("hour_bucket"), col("n"),
+        sum(col("n")).over(w).as("roll_n"),
+        sum(col("v_e2")).over(w).as("roll_value_e2"))
+      .withColumn("roll_avg_e2", expr("roll_value_e2 div roll_n"))
+  }
+
   /** NOT EXISTS → left-anti join (filtered right side so it's non-empty). */
   def q9Anti(spark: SparkSession, dir: String): DataFrame = {
     val cust = load(spark, dir, "customer")
@@ -321,6 +347,22 @@ object Analytics {
       """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_rolling" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |    COUNT(*)::BIGINT AS n,
+        |    CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS v_e2
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, hour_bucket, n,
+        |    sum(n) OVER w AS roll_n, sum(v_e2) OVER w AS roll_value_e2
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hour_bucket, n, roll_n::BIGINT AS roll_n,
+        |  roll_value_e2::BIGINT AS roll_value_e2,
+        |  (roll_value_e2 // roll_n)::BIGINT AS roll_avg_e2
+        |FROM r""".stripMargin
   )
 }

@@ -118,4 +118,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.count() == 0)
     assert(out.columns.toSeq == Seq("k", "bucket", "n", "v_ff"))
   }
+
+  test("q16 rolling: trailing 7-row frame matches a naive reference on sf0.001") {
+    val rows = graft.queries.Analytics.q16Rolling(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val s = series.sortBy(_._2)
+      s.indices.foreach { i =>
+        val frame = s.slice(math.max(0, i - 6), i + 1)
+        assert(s(i)._4 == frame.map(_._3).sum,
+          s"roll_n mismatch at ${s(i)._1}/${s(i)._2}")
+        assert(s(i)._6 == s(i)._5 / s(i)._4, "roll_avg must be the integer div")
+      }
+    }
+  }
 }

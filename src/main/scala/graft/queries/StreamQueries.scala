@@ -97,7 +97,13 @@ object StreamQueries {
         expr("r_ts div 1000").as("r_us"), col("r_seq"))
   }
 
+  /** Per-hour top user (windowed heavy hitter, chained aggregations). */
+  def windowTop(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.windowTopKey(usAligned(storeDf(spark, dir)), "user", "1 hour",
+      "5 seconds")
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_top" -> (windowTop _),
     "stream_window_counts" -> (windowCounts _),
     "stream_sliding" -> (slidingCounts _),
     "stream_sessions" -> (sessions _),
@@ -146,6 +152,18 @@ object StreamQueries {
          |                       ORDER BY ts_raw, seq) AS rn
          |  FROM le)
          |SELECT part, key, first_us, seq AS first_seq FROM r WHERE rn = 1""".stripMargin,
+    "stream_window_top" ->
+      s"""${EventStore.oracleCte},
+         |cnt AS (
+         |  SELECT (epoch_us(ts_raw) // 3600000000) * 3600000000
+         |    AS window_start_us,
+         |    CAST(user_id AS VARCHAR) AS key, count(*)::BIGINT AS cnt
+         |  FROM le GROUP BY 1, 2),
+         |r AS (
+         |  SELECT window_start_us, key, cnt, row_number() OVER (
+         |    PARTITION BY window_start_us ORDER BY cnt DESC, key DESC) AS rn
+         |  FROM cnt)
+         |SELECT window_start_us, key, cnt FROM r WHERE rn = 1""".stripMargin,
     "stream_incr_dedup" ->
       s"""${EventStore.oracleCte},
          |c AS (SELECT min(epoch_us(ts_raw)) +

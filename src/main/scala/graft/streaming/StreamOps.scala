@@ -47,6 +47,35 @@ object StreamOps {
       .agg(count(lit(1)).as("records"))
       .select(col("w.start").as("window_start"), col("part"), col("records"))
 
+  /** Per-window top key: which `fields[keyField]` value dominated each
+    * event-time window — the windowed heavy-hitter shape — computed as
+    * TWO CHAINED AGGREGATIONS: windowed (window, key) counts feeding a
+    * per-window argmax. In streaming append mode this exercises Spark
+    * 4's multiple-stateful-operator support (the second aggregate
+    * re-windows on `window_time` of the first's window column, the
+    * documented chaining form); each window's winner emits exactly once,
+    * when the watermark closes it. Ties break toward the LARGEST key
+    * (max over (cnt, key) structs) — pinned, so the oracle can mirror it.
+    *
+    * Scale: stage 1 is the standard map-side-combined windowed count;
+    * stage 2's input is (windows × keys) rows — aggregate-sized, not
+    * corpus-sized. */
+  def windowTopKey(events: DataFrame, keyField: String, windowDur: String,
+      watermarkDelay: String): DataFrame = {
+    val base = events.withColumn("event_time", eventTime(col("ts")))
+    val wm = if (events.isStreaming)
+      base.withWatermark("event_time", watermarkDelay) else base
+    val counts = wm
+      .groupBy(window(col("event_time"), windowDur).as("w"),
+        coalesce(element_at(col("fields"), keyField), lit("")).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(window(window_time(col("w")), windowDur).as("w2"))
+      .agg(max(struct(col("cnt"), col("key"))).as("top"))
+      .select(unix_micros(col("w2.start")).as("window_start_us"),
+        col("top.key").as("key"), col("top.cnt").as("cnt"))
+  }
+
   /** One closed session: a maximal run of events for (part, key) with no
     * gap larger than the configured idle timeout. */
   final case class Session(part: String, key: String, startTs: Long,

@@ -159,6 +159,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(p3.isEmpty, s"emitted keys never re-emit: $p3")
   }
 
+  test("windowTopKey: chained stateful aggs emit each window's winner exactly once") {
+    val store = freshStore()
+    // window [0h,1h): u1 x3, u2 x2 -> winner u1/3; tie check in [1h,2h):
+    // u1 x2, u2 x2 -> winner = larger key u2
+    ingest(store, Map("app" -> "t"), "u1", Seq(100, 200, 300))
+    ingest(store, Map("app" -> "t"), "u2", Seq(400, 500))
+    ingest(store, Map("app" -> "t"), "u1", Seq(3700, 3800))
+    ingest(store, Map("app" -> "t"), "u2", Seq(3900, 4000))
+
+    // batch: same call, same winners
+    val batch = StreamOps.windowTopKey(
+      spark.read.format("graft-store").option("root", store.root).load(),
+      "user", "1 hour", "5 seconds")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch == Set((0L, "u1", 3L), (3600000000L, "u2", 2L)), s"batch: $batch")
+
+    val cp = Files.createTempDirectory("graft-sops-wt-cp").toString
+    def drain(): Seq[(Long, String, Long)] =
+      drainAll[(Long, String, Long)](
+        StreamOps.windowTopKey(stream(store), "user", "1 hour", "5 seconds"),
+        cp, df => df.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+    // watermark 4000-5 s: closes [0,1h), not [1h,2h)
+    val p1 = drain()
+    assert(p1 == Seq((0L, "u1", 3L)), s"only the closed window emits: $p1")
+    // push the watermark past 2h: the second window's winner emits once
+    ingest(store, Map("app" -> "t"), "u3", Seq(7300))
+    val p2 = drain()
+    assert(p2 == Seq((3600000000L, "u2", 2L)), s"tie -> larger key, once: $p2")
+  }
+
   test("incrementalDedup: history keys are suppressed, novel keys emit their earliest once") {
     val histStore = freshStore()
     ingest(histStore, Map("app" -> "i"), "u1", Seq(10, 20))

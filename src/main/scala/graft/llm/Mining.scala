@@ -32,11 +32,21 @@ object Mining {
 
   /** The melted gram-count table `(k, g, c)` — k = "u" (unigram) / "b"
     * (bigram) — built in ONE corpus scan feeding ONE map-side-combined
-    * aggregate. Vocabulary-bounded (zipf-tiny next to the corpus) and
-    * consumed multiple times by [[collocationsFrom]] and [[lm2Score]]:
-    * callers on a hot path should persist/memoize it (the entry layer
-    * memoizes per (session, dir)); an unpersisted table recomputes the
-    * scan once per downstream branch. */
+    * aggregate, and consumed multiple times by [[collocationsFrom]] and
+    * [[lm2Score]]: callers on a hot path should persist/memoize it (the
+    * entry layer memoizes per (session, dir)); an unpersisted table
+    * recomputes the scan once per downstream branch.
+    *
+    * Size honesty at 100 TB: the unigram side is zipf-tiny, but the
+    * DISTINCT-bigram side is corpus-SUBLINEAR, not small (heavy hapax
+    * tail — often 10-30% of token count on web text). The persist spills
+    * (MEMORY_AND_DISK) rather than OOMs, and the production refinement
+    * when the table itself becomes the bottleneck is a hapax pre-filter
+    * (approximate-count prefilter, then exact counts for survivors only)
+    * — semantics-preserving for collocations (CollocMinCount already
+    * discards the tail) and a small, bounded approximation for the LM
+    * (filtered grams fall back to the add-one floor ln((c1+V)/1) via a
+    * left join instead of today's inner join). */
   def gramCounts(docs: DataFrame): DataFrame =
     docs
       .select(Dedup.tokens(col("text")).as("w"))

@@ -27,6 +27,14 @@ object StreamOps {
   def eventTime(tsNs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     timestamp_micros(call_function("div", tsNs, lit(1000L)))
 
+  /** The ONE key projection every keyed operator uses: fields[keyField],
+    * with a missing key mapping to "" (a real group, not a dropped row —
+    * the reference treats absent fields as empty strings). Changing the
+    * missing-key semantics here changes every operator AND must be
+    * mirrored in each oracle. */
+  private def keyOf(keyField: String): org.apache.spark.sql.Column =
+    coalesce(element_at(col("fields"), keyField), lit(""))
+
   /** Tumbling or sliding event-time window counts per partition with a
     * watermark: in append mode a (window_start, part, records) row is
     * emitted exactly once, when the watermark passes the window end —
@@ -67,7 +75,7 @@ object StreamOps {
       base.withWatermark("event_time", watermarkDelay) else base
     val counts = wm
       .groupBy(window(col("event_time"), windowDur).as("w"),
-        coalesce(element_at(col("fields"), keyField), lit("")).as("key"))
+        keyOf(keyField).as("key"))
       .agg(count(lit(1)).as("cnt"))
     counts
       .groupBy(window(window_time(col("w")), windowDur).as("w2"))
@@ -124,9 +132,7 @@ object StreamOps {
       val brk = when(col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L)
         .otherwise(0L)
       return events
-        .select(col("part"),
-          coalesce(element_at(col("fields"), keyField), lit("")).as("key"),
-          col("ts"))
+        .select(col("part"), keyOf(keyField).as("key"), col("ts"))
         // default RANGE frame: ts-tied peers share one cumsum value, so
         // equal-ts events land in the same session no matter the tie order
         .withColumn("sid", sum(brk).over(w))
@@ -169,8 +175,8 @@ object StreamOps {
     events
       .withColumn("event_time", eventTime(col("ts")))
       .withWatermark("event_time", watermarkDelay)
-      .select(col("part"), coalesce(element_at(col("fields"), keyField), lit(""))
-        .as("key"), col("ts"), col("event_time"))
+      .select(col("part"), keyOf(keyField).as("key"), col("ts"),
+        col("event_time"))
       .as[(String, String, Long, java.sql.Timestamp)]
       .groupByKey { case (part, key, _, _) => (part, key) }
       .flatMapGroupsWithState(OutputMode.Append(),
@@ -217,8 +223,7 @@ object StreamOps {
     * forever. */
   private def projectKeys(events: DataFrame, keyField: String,
       watermarkDelay: String): DataFrame = {
-    val p = events.select(col("part"),
-      coalesce(element_at(col("fields"), keyField), lit("")).as("key"),
+    val p = events.select(col("part"), keyOf(keyField).as("key"),
       col("ts"), col("seq"))
     if (events.isStreaming)
       p.withColumn("event_time", eventTime(col("ts")))
@@ -328,12 +333,12 @@ object StreamOps {
     val l = left
       .withColumn("l_et", eventTime(col("ts")))
       .withWatermark("l_et", watermarkDelay)
-      .select(coalesce(element_at(col("fields"), keyField), lit("")).as("key"),
+      .select(keyOf(keyField).as("key"),
         col("ts").as("l_ts"), col("seq").as("l_seq"), col("l_et"))
     val r = right
       .withColumn("r_et", eventTime(col("ts")))
       .withWatermark("r_et", watermarkDelay)
-      .select(coalesce(element_at(col("fields"), keyField), lit("")).as("r_key"),
+      .select(keyOf(keyField).as("r_key"),
         col("ts").as("r_ts"), col("seq").as("r_seq"), col("r_et"))
     l.join(r,
         col("key") === col("r_key") &&

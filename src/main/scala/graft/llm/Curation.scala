@@ -519,15 +519,20 @@ object Curation {
        |  lang, count(*)::BIGINT AS n_docs
        |FROM s GROUP BY 1, 2""".stripMargin
 
-  val sampleOracle: String = {
+  /** The sampling keep-predicate over a `documents` row, shared by the
+    * sample oracle and the composed-pipeline oracle. */
+  val sampleKeepSql: String = {
     val cases = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
       .mkString(" ")
+    s"$bucketSql < CASE lang $cases ELSE 0 END"
+  }
+
+  val sampleOracle: String =
     s"""WITH s AS (
        |  SELECT doc_id::BIGINT AS doc_id, lang, $bucketSql AS bucket
        |  FROM documents)
        |SELECT doc_id, lang, bucket FROM s
-       |WHERE bucket < CASE lang $cases ELSE 0 END""".stripMargin
-  }
+       |WHERE $sampleKeepSql""".stripMargin
 
   val chunkOracle: String =
     s"""WITH t AS (
@@ -635,15 +640,21 @@ object Curation {
        |       true AS meets_bound
        |FROM (VALUES ('bloom_no_false_negatives'), ('bloom_flagged_docs')) v(variant)""".stripMargin
 
-  val decontamOracle: String =
-    s"""WITH sh AS (
+  /** The decontamination shingle/bench CTE pair with caller-chosen names,
+    * so the composed-pipeline oracle can embed the SAME definition next
+    * to other stages' CTEs without name collisions. */
+  def decontamCtes(sh: String, bench: String): String =
+    s"""$sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, greatest(len(w) - ${DecontamGram - 1}, 0) + 1),
        |    i -> array_to_string(w[i : i + ${DecontamGram - 1}], ' ')))) AS g
        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
        |                                   x -> x != '') AS w
        |        FROM documents)),
-       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0)
+       |$bench AS (SELECT DISTINCT g FROM $sh WHERE doc_id % 17 = 0)""".stripMargin
+
+  val decontamOracle: String =
+    s"""WITH ${decontamCtes("sh", "bench")}
        |SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_shared
        |FROM sh JOIN bench USING (g)
        |WHERE doc_id % 17 != 0

@@ -115,8 +115,11 @@ object Repetition {
       .select(col("doc_id"), col("n_tokens"), col("quality"),
         (col("reason") === "ok").as("keep"), col("reason"))
 
-  val gopherFilterOracle: String =
-    s"""WITH tok AS (SELECT doc_id, text,
+  /** The Gopher-filter CTE chain (tok/base/mx/m/v, ending in
+    * `v(doc_id, n_tokens, quality, reason)`), exposed so the
+    * composed-pipeline oracle can embed the SAME rule definitions. */
+  val gopherCtes: String =
+    s"""tok AS (SELECT doc_id, text,
        |    list_filter(string_split_regex(lower(text), '\\W+'), t -> t != '') w
        |  FROM documents),
        |base AS (SELECT doc_id, text, len(w)::BIGINT AS n_tokens,
@@ -143,7 +146,10 @@ object Repetition {
        |       WHEN dfrac < $MinDistinctFracE4 THEN 'low_diversity'
        |       WHEN tbf > $MaxTopBigramFracE4 THEN 'repetitive'
        |       ELSE 'ok' END AS reason
-       |  FROM m)
+       |  FROM m)""".stripMargin
+
+  val gopherFilterOracle: String =
+    s"""WITH $gopherCtes
        |SELECT doc_id, n_tokens, quality, (reason = 'ok') AS keep, reason
        |FROM v""".stripMargin
 

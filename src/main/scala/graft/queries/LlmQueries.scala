@@ -67,6 +67,33 @@ object LlmQueries {
       .join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** The COMPOSED curation pipeline — the DAG a user actually runs:
+    * Gopher quality filter ∧ duplicate-cluster non-survivor removal ∧
+    * benchmark decontamination ∧ deterministic stratified sampling, then
+    * per-language survivor counts (+ a doc_id checksum so the oracle
+    * pins the exact surviving SET, not just its size). Every stage is
+    * the SAME operator its standalone entry gates — the cluster drop
+    * list even reuses the memoized pair computation — so this entry
+    * asserts the stages compose: one plan, semi/anti joins against the
+    * (tiny) stage verdict sets, corpus streamed once through the join
+    * chain. */
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val d = docs(spark, dir)
+    val qualityKeep = Repetition.gopherFilter(d)
+      .where(col("keep")).select("doc_id")
+    val dupDrop = dupClusters(spark, dir).filter(!col("keep")).select("doc_id")
+    val contaminated = Curation.decontaminate(d).select("doc_id")
+    val sampled = Curation.stratifiedSample(d).select("doc_id")
+    d.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .join(qualityKeep, "doc_id")
+      .join(sampled, "doc_id")
+      .join(dupDrop, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+  }
+
   def split(spark: SparkSession, dir: String): DataFrame =
     Curation.split(docs(spark, dir))
 
@@ -301,6 +328,7 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Curation.domainCap(docs(s, d))),
     "llm_shuffle" ->
       ((s: SparkSession, d: String) => Curation.shuffleOrder(docs(s, d))),
+    "llm_pipeline" -> (pipeline _),
     "llm_embed_outliers" ->
       ((s: SparkSession, d: String) => Similarity.embedOutliers(emb(s, d)))
   )
@@ -349,6 +377,27 @@ object LlmQueries {
     "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,
     "llm_domain_cap" -> Curation.domainCapOracle,
     "llm_shuffle" -> Curation.shuffleOrderOracle,
+    // the composed pipeline's oracle is assembled from the SAME CTE
+    // definitions the standalone stage oracles use (closure, gopher
+    // rules, decontam shingles, sample predicate) — the stage semantics
+    // cannot diverge between the standalone gates and the composition
+    "llm_pipeline" ->
+      s"""$clusterClosureCte,
+         |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r)),
+         |${Repetition.gopherCtes},
+         |${Curation.decontamCtes("csh", "cbench")},
+         |contam AS (
+         |  SELECT DISTINCT doc_id FROM csh JOIN cbench USING (g)
+         |  WHERE doc_id % 17 != 0),
+         |keep AS (
+         |  SELECT doc_id::BIGINT AS doc_id, lang FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM v WHERE reason = 'ok')
+         |    AND ${Curation.sampleKeepSql}
+         |    AND doc_id NOT IN (SELECT id FROM dropped)
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(doc_id)::BIGINT AS sum_doc_id
+         |FROM keep GROUP BY lang""".stripMargin,
     "llm_embed_outliers" -> Similarity.embedOutliersOracle,
     "llm_mixture" -> Curation.mixtureOracle,
     "llm_pack" -> Curation.packOracle,

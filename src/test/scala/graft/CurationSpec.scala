@@ -227,6 +227,29 @@ class CurationSpec extends AnyFunSuite {
     assert(gate("bloom_no_false_negatives")._1 == exact)
   }
 
+  test("composed pipeline equals the intersection of its standalone stages") {
+    val spark2 = spark
+    val got = graft.queries.LlmQueries.pipeline(spark2, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // recompute from the STANDALONE stage outputs, driver-side
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepQ = ids(graft.llm.Repetition.gopherFilter(docs).where(col("keep")))
+    val sampled = ids(Curation.stratifiedSample(docs))
+    val dropped = ids(graft.queries.LlmQueries.dupClusters(spark2, dir)
+      .filter(!col("keep")))
+    val contam = ids(Curation.decontaminate(docs))
+    val survivors = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) =>
+        keepQ(id) && sampled(id) && !dropped(id) && !contam(id) }
+    val want = survivors.groupBy(_._2)
+      .map { case (l, xs) => (l, xs.size.toLong, xs.map(_._1).sum) }.toSet
+    assert(got == want, s"pipeline != composed stages: got=$got want=$want")
+    assert(got.nonEmpty, "the composed pipeline must keep documents")
+  }
+
   test("shuffle order: ranks follow the md5 key, stable across runs, no rank gaps") {
     val out = Curation.shuffleOrder(docs).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))

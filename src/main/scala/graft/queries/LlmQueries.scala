@@ -80,7 +80,7 @@ object LlmQueries {
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, sum}
     val d = docs(spark, dir)
-    val qualityKeep = Repetition.gopherFilter(d)
+    val qualityKeep = gopherVerdicts(spark, dir)
       .where(col("keep")).select("doc_id")
     val dupDrop = dupClusters(spark, dir).filter(!col("keep")).select("doc_id")
     val contaminated = Curation.decontaminate(d).select("doc_id")
@@ -126,6 +126,18 @@ object LlmQueries {
   private def gramCounts(spark: SparkSession, dir: String): DataFrame =
     memo(miningCache, spark, s"grams|$dir")(
       graft.llm.Mining.gramCounts(docs(spark, dir)))
+
+  /** The per-doc Gopher verdict table, shared by llm_gopher_filter and
+    * the composed pipeline. Persisted for a further reason than reuse: a
+    * downstream filter on the DERIVED `keep` column would otherwise be
+    * pushed through every projection to the scan with the whole
+    * tokenize+metric expression chain INLINED into the predicate
+    * (~20 re-tokenizations per row, measured 10.3 s vs ~1 s at sf0.1 —
+    * the fuzzyDecontam lesson); against the persisted table the filter
+    * lands on materialized columns. */
+  private def gopherVerdicts(spark: SparkSession, dir: String): DataFrame =
+    memo(miningCache, spark, s"gopher|$dir")(
+      Repetition.gopherFilter(docs(spark, dir)))
   private def topk(spark: SparkSession, variant: String, dir: String)(
       mk: => DataFrame): DataFrame =
     memo(topkCache, spark, s"$variant|$dir")(mk)
@@ -244,7 +256,7 @@ object LlmQueries {
     Repetition.metrics(docs(spark, dir))
 
   def gopherFilter(spark: SparkSession, dir: String): DataFrame =
-    Repetition.gopherFilter(docs(spark, dir))
+    gopherVerdicts(spark, dir)
 
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
     Repetition.boilerplate(docs(spark, dir))

@@ -30,32 +30,110 @@ object Mining {
   val CollocMinCount = 5
   val CollocTopK = 50
 
-  /** The melted gram-count table `(k, g, c)` — k = "u" (unigram) / "b"
-    * (bigram) — built in ONE corpus scan feeding ONE map-side-combined
-    * aggregate, and consumed multiple times by [[collocationsFrom]] and
-    * [[lm2Score]]: callers on a hot path should persist/memoize it (the
-    * entry layer memoizes per (session, dir)); an unpersisted table
-    * recomputes the scan once per downstream branch.
-    *
-    * Size honesty at 100 TB: the unigram side is zipf-tiny, but the
-    * DISTINCT-bigram side is corpus-SUBLINEAR, not small (heavy hapax
-    * tail — often 10-30% of token count on web text). The persist spills
-    * (MEMORY_AND_DISK) rather than OOMs, and the production refinement
-    * when the table itself becomes the bottleneck is a hapax pre-filter
-    * (approximate-count prefilter, then exact counts for survivors only)
-    * — semantics-preserving for collocations (CollocMinCount already
-    * discards the tail) and a small, bounded approximation for the LM
-    * (filtered grams fall back to the add-one floor ln((c1+V)/1) via a
-    * left join instead of today's inner join). */
-  def gramCounts(docs: DataFrame): DataFrame =
+  /** Bigrams below this EXACT corpus count are dropped from the persisted
+    * gram table — the hapax pre-filter. The table's semantics are defined
+    * on exact counts (NOT on any hash/bucket artifact), so the DuckDB
+    * oracles replay it as a plain `HAVING count(*) >= HapaxMin`. */
+  val HapaxMin = 2
+
+  /** Width of the approximate-count bucket table (2^bits buckets) used by
+    * the pre-filter's first pass. 2^22 longs ≈ 32 MB aggregated state —
+    * sized for the test corpora; a 100 TB run raises this toward 2^30
+    * (the bucket aggregate is distributed; only the Bloom filter built
+    * OVER the surviving bucket ids ships to tasks). */
+  val PrefilterBits = 22
+
+  /** FPP for the Bloom over surviving bucket ids. False positives only
+    * let extra grams into the exact second pass (where the final exact
+    * `c >= HapaxMin` filter removes them); false negatives are impossible
+    * (Bloom property), so the filter never changes the result. */
+  val PrefilterFpp = 0.01
+
+  /** The unigram-count side of the table PLUS the exact bigram-slot
+    * total as one `(k="bt", g="", c)` row — both from ONE corpus scan
+    * (the total rides along as a per-doc weight `max(len-1, 0)`, so the
+    * filtered bigram side never has to answer "how many slots were
+    * there" — a question the filtered counts cannot). */
+  private def uniCounts(docs: DataFrame): DataFrame =
     docs
       .select(Dedup.tokens(col("text")).as("w"))
       .select(explode(concat(
-        transform(col("w"), t => struct(lit("u").as("k"), t.as("g"))),
-        transform(bigramSeq(col("w")), g => struct(lit("b").as("k"), g.as("g")))))
+        transform(col("w"),
+          t => struct(lit("u").as("k"), t.as("g"), lit(1L).as("n"))),
+        array(struct(lit("bt").as("k"), lit("").as("g"),
+          greatest(size(col("w")) - 1, lit(0)).cast("long").as("n")))))
         .as("kg"))
       .groupBy(col("kg.k").as("k"), col("kg.g").as("g"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("kg.n")).as("c"))
+
+  /** The per-occurrence bigram stream — one corpus scan, never
+    * materialized. */
+  private def bigramStream(docs: DataFrame): DataFrame =
+    docs
+      .select(Dedup.tokens(col("text")).as("w"))
+      .select(explode(bigramSeq(col("w"))).as("g"))
+
+  /** The melted gram-count table `(k, g, c)` consumed by
+    * [[collocationsFrom]] and [[lm2Score]]: exact counts for ALL unigrams
+    * (zipf-tiny), one exact `(k="bt", g="", c)` bigram-slot-total row,
+    * plus exact counts for bigrams with exact count >= [[HapaxMin]] — the
+    * hapax tail (often 10-30% of token count on web text, the one piece
+    * of operator state that would otherwise grow corpus-sublinearly-but-
+    * unboundedly) never enters the persisted table.
+    *
+    * Build is the two-pass approximate-then-exact shape:
+    *   1. bucket pass — the bigram stream aggregates into a FIXED
+    *      2^[[PrefilterBits]] bucket-count table (map-side combined, the
+    *      only state is the bounded bucket array); buckets whose total is
+    *      below [[HapaxMin]] cannot contain a surviving gram (bucket
+    *      count >= gram count — no false negatives);
+    *   2. a Bloom filter over the surviving bucket ids (bounded by
+    *      2^[[PrefilterBits]] items) probes the re-streamed bigram stream
+    *      with the native codegen'd BloomFilterMightContain — same
+    *      build/probe pairing as [[Curation.decontamBloomGate]];
+    *   3. exact pass — only probe survivors reach the per-gram aggregate,
+    *      and the final exact `c >= HapaxMin` filter removes every
+    *      collision/Bloom false positive.
+    * Result: exactly "bigrams with exact count >= HapaxMin", independent
+    * of hash behavior. Cost: the corpus gram stream is scanned twice
+    * (bucket pass + exact pass) instead of once — the deliberate trade
+    * for a bounded exact-aggregate: its hash table holds only repeated
+    * grams (plus a fpp sliver), not the hapax tail.
+    *
+    * Callers on a hot path should persist/memoize the result (the entry
+    * layer memoizes per (session, dir)). NOTE: this builder runs the
+    * bucket pass eagerly (two small actions: survivor count + Bloom
+    * build) at call time. */
+  def gramCounts(docs: DataFrame): DataFrame = {
+    val uni = uniCounts(docs)
+    val bigOcc = bigramStream(docs)
+    val bkt = pmod(xxhash64(col("g")), lit(1L << PrefilterBits))
+    // persisted across its two actions (count + Bloom build) so the
+    // bucket-pass corpus scan runs once; the table is bounded by 2^bits
+    val okBuckets = bigOcc.select(bkt.as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("bc"))
+      .where(col("bc") >= HapaxMin)
+      .persist()
+    val nOk = math.max(okBuckets.count(), 1L)
+    val bf = okBuckets.stat.bloomFilter(col("bkt"), nOk, PrefilterFpp)
+    okBuckets.unpersist()
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain: Column =
+      org.apache.spark.sql.GraftColumn.of(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bfBytes,
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.GraftColumn.exprOf(bkt)))
+    val big = bigOcc.where(mightContain)
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .where(col("c") >= HapaxMin)
+      .select(lit("b").as("k"), col("g"), col("c"))
+    uni.unionByName(big)
+  }
 
   /** Convenience form for tests/small inputs; hot paths should build
     * [[gramCounts]] once, persist it, and call [[collocationsFrom]]. */
@@ -82,9 +160,11 @@ object Mining {
     * the 1-row totals broadcast; the corpus itself never joins, and the
     * top-k is a TakeOrderedAndProject. */
   def collocationsFrom(counts: DataFrame): DataFrame = {
+    // n_big from the dedicated slot-total row — the filtered "b" side no
+    // longer sums to the slot count (hapax occurrences are absent)
     val totals = counts
       .agg(sum(when(col("k") === "u", col("c")).otherwise(0)).as("n_tok"),
-        sum(when(col("k") === "b", col("c")).otherwise(0)).as("n_big"))
+        sum(when(col("k") === "bt", col("c")).otherwise(0)).as("n_big"))
     val ucnt = counts.where(col("k") === "u")
       .select(col("g").as("t"), col("c"))
     val bcnt = counts.where(col("k") === "b" && col("c") >= CollocMinCount)
@@ -149,18 +229,27 @@ object Mining {
     *   p(w2|w1) = (c12 + 1) / (c1 + V)      [add-one smoothing, V = vocab]
     *   nll_e6   = floor(ln((c1 + V)/(c12 + 1)) * 1e6)
     *
+    * with c12 the gram's count IN THE FILTERED TABLE: bigrams the hapax
+    * pre-filter dropped (exact count < [[HapaxMin]]) take the add-one
+    * FLOOR ln((c1 + V)/1) — i.e. c12 treated as 0, the same probability
+    * an unseen continuation of w1 gets. That is the bounded approximation
+    * the pre-filter buys: a hapax's true nll ln((c1+V)/2) differs from
+    * its floor by exactly ln 2, and only hapax slots are affected.
+    *
     * Add-one smoothing is what keeps the arithmetic sign-free for the
     * Log2Fix kernel: c1 + V >= c12 + 1 always (c12 <= c1, V >= 1), so the
     * ratio never drops below 1 and no signed-log branch is needed. The
     * per-doc score is the integer mean over the doc's bigram slots; docs
     * with fewer than two tokens have no slots and are excluded.
     *
-    * Plan shape: the nll table is computed per DISTINCT bigram on the
-    * vocab-bounded [[gramCounts]] side (c1 looked up by splitting the
-    * aggregated bigram string — never per occurrence) and broadcasts into
-    * the per-doc bigram stream, which then feeds ONE doc-keyed aggregate
-    * — the corpus streams once and shuffles only (doc_id, partial-sum)
-    * rows. Output: (doc_id, n_bigrams, mean_nll2_e6). */
+    * Plan shape: the nll table is computed per DISTINCT surviving bigram
+    * on the vocab-bounded [[gramCounts]] side (c1 looked up by splitting
+    * the aggregated bigram string — never per occurrence) and broadcasts
+    * into the per-doc bigram stream via a LEFT join; the per-word floor
+    * table (unigram-vocab-sized) broadcasts alongside to fill the dropped
+    * grams. The corpus streams once into ONE doc-keyed aggregate and
+    * shuffles only (doc_id, partial-sum) rows.
+    * Output: (doc_id, n_bigrams, mean_nll2_e6). */
   def lm2Score(docs: DataFrame, counts: DataFrame): DataFrame = {
     val ucnt = counts.where(col("k") === "u").select(col("g").as("t"), col("c"))
     val vsize = ucnt.agg(count(lit(1)).as("v"))
@@ -173,19 +262,33 @@ object Mining {
         VectorExpressions.log2_fix(col("c1") + col("v"), col("c12") + 1) *
           Log2Fix.Ln2E6, 20))
       .select(col("g"), col("nll_e6"))
+    // add-one floor per FIRST word: ln((c1 + V)/1), the nll of any bigram
+    // the pre-filter dropped; every first word is in the vocab, so the
+    // floor join is inner and total
+    val floorTbl = ucnt.crossJoin(broadcast(vsize))
+      .withColumn("floor_e6", shiftright(
+        VectorExpressions.log2_fix(col("c") + col("v"), lit(1L)) *
+          Log2Fix.Ln2E6, 20))
+      .select(col("t").as("x"), col("floor_e6"))
     docs
       .select(col("doc_id").cast("long").as("doc_id"),
         Dedup.tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(bigramSeq(col("w"))).as("g"))
-      .join(broadcast(nll), "g")
+      .withColumn("x", split(col("g"), " ").getItem(0))
+      .join(broadcast(nll), Seq("g"), "left")
+      .join(broadcast(floorTbl), "x")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum(nll_e6) div count(1)").as("mean_nll2_e6"))
+        expr("sum(coalesce(nll_e6, floor_e6)) div count(1)").as("mean_nll2_e6"))
   }
 
-  /** DuckDB twin of [[lm2Score]]. */
+  /** DuckDB twin of [[lm2Score]] — replays the hapax pre-filter as the
+    * plain exact-count predicate it is (`HAVING count(*) >= HapaxMin`;
+    * the bucket/Bloom pass is a pure implementation detail with no
+    * semantic footprint), plus the per-word add-one floor fallback. */
   val lm2ScoreOracle: String = {
     val lg = Log2Fix.duckdbCtes("src", "g", "lg")
+    val fl = Log2Fix.duckdbCtes("fsrc", "t", "fl")
     s"""WITH RECURSIVE tok AS (
        |  SELECT doc_id::BIGINT AS doc_id,
        |    list_filter(string_split_regex(lower(text), '\\W+'),
@@ -194,7 +297,8 @@ object Mining {
        |  SELECT doc_id, unnest(list_transform(
        |    range(1, greatest(len(w) - 1, 0) + 1),
        |    i -> w[i] || ' ' || w[i+1])) AS g FROM tok),
-       |bcnt AS (SELECT g, count(*)::BIGINT AS c12 FROM big GROUP BY 1),
+       |bcnt AS (SELECT g, count(*)::BIGINT AS c12 FROM big GROUP BY 1
+       |         HAVING count(*) >= $HapaxMin),
        |ucnt AS (
        |  SELECT t, count(*)::BIGINT AS c1
        |  FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
@@ -203,10 +307,16 @@ object Mining {
        |  SELECT g, c1 + v AS num, c12 + 1 AS den
        |  FROM bcnt JOIN ucnt ON t = string_split(g, ' ')[1], vs),
        |$lg,
-       |nll AS (SELECT g, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS nll_e6 FROM lg)
+       |nll AS (SELECT g, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS nll_e6 FROM lg),
+       |fsrc AS (SELECT t, c1 + v AS num, 1::BIGINT AS den FROM ucnt, vs),
+       |$fl,
+       |flr AS (SELECT t, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS floor_e6 FROM fl)
        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       |  (sum(nll_e6) // count(*))::BIGINT AS mean_nll2_e6
-       |FROM big JOIN nll USING (g) GROUP BY doc_id""".stripMargin
+       |  (sum(coalesce(nll_e6, floor_e6)) // count(*))::BIGINT AS mean_nll2_e6
+       |FROM big
+       |LEFT JOIN nll USING (g)
+       |JOIN flr ON flr.t = string_split(g, ' ')[1]
+       |GROUP BY doc_id""".stripMargin
   }
 
   /** The fixed keyword query for the BM25 entry: two common terms and one

@@ -71,9 +71,12 @@ class MiningFuzzSpec extends AnyFunSuite {
       val allBg = toks.values.flatMap(w => w.zip(w.drop(1)).map { case (x, y) => s"$x $y" })
       val bcnt = allBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
       val v = uni.size.toLong
+      // hapax pre-filter spec: grams below HapaxMin fall to the add-one
+      // floor den = 1 (c12 treated as 0)
       def nll(g: String): Long = {
         val c1 = uni(g.split(" ")(0))
-        (Log2Fix.eval(c1 + v, bcnt(g) + 1) * Log2Fix.Ln2E6) >> 20
+        val den = if (bcnt(g) >= Mining.HapaxMin) bcnt(g) + 1 else 1L
+        (Log2Fix.eval(c1 + v, den) * Log2Fix.Ln2E6) >> 20
       }
       val want = toks.toSeq.flatMap { case (id, w) =>
         val bg = w.zip(w.drop(1)).map { case (x, y) => s"$x $y" }

@@ -93,6 +93,45 @@ class MiningSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) >= 1L))
   }
 
+  // ------------------------------------------------- hapax pre-filter
+
+  test("gramCounts: hapax-heavy corpus — table holds exactly the bigrams with exact count >= HapaxMin") {
+    // 60 docs, each a UNIQUE 6-token sentence (every bigram a hapax),
+    // plus 3 docs repeating one sentence (its 5 bigrams count 4 >= 2).
+    val uniq = (0L until 60L).map(i =>
+      (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
+    val rep = (100L until 103L).map(i => (i, "r1 r2 r3 r4 r5 r6"))
+    val df = mkDocs(uniq ++ rep ++ Seq((0L + 200L, "r1 r2 r3 r4 r5 r6")))
+    val tbl = Mining.gramCounts(df).collect()
+    val big = tbl.filter(_.getString(0) == "b")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // the 300 hapax bigrams are gone; only the 5 repeated ones remain,
+    // with their EXACT counts (4 each)
+    assert(big.keySet == Set("r1 r2", "r2 r3", "r3 r4", "r4 r5", "r5 r6"),
+      s"only non-hapax bigrams may survive: ${big.keySet}")
+    assert(big.values.forall(_ == 4L), s"survivor counts must stay exact: $big")
+    assert(big.values.forall(_ >= Mining.HapaxMin))
+    // unigrams are NOT filtered: all 366 distinct words present, exact
+    val uniRows = tbl.filter(_.getString(0) == "u")
+    assert(uniRows.length == 60 * 6 + 6)
+    assert(uniRows.filter(r => r.getString(1).startsWith("r"))
+      .forall(_.getLong(2) == 4L))
+  }
+
+  test("bigram LM: hapax slots take the add-one floor ln((c1+V)/1)") {
+    // doc 1 repeated 3x (bigrams survive, c12=3); doc 9 all-hapax bigrams
+    // over words seen once each -> every slot floors at ln((1+V)/1)
+    val rows = (1L to 3L).map(i => (i, "p q r s")) :+ (9L, "h1 h2 h3 h4")
+    val df = mkDocs(rows)
+    val out = Mining.lm2Score(df, Mining.gramCounts(df)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val v = 8L // p q r s h1 h2 h3 h4
+    val floor = (Log2Fix.eval(1 + v, 1) * Log2Fix.Ln2E6) >> 20
+    assert(out(9L) == floor, s"hapax doc must score the exact floor: $out vs $floor")
+    val surviving = (Log2Fix.eval(3 + v, 3 + 1) * Log2Fix.Ln2E6) >> 20
+    assert(out(1L) == surviving, s"surviving slots keep exact add-one nll: $out")
+  }
+
   // ------------------------------------------------------------------ bm25
 
   test("bm25: a rare-term doc outranks common-term docs; score matches the integer formula") {

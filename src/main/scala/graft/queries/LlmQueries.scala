@@ -31,7 +31,13 @@ object LlmQueries {
   private def memo(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
       spark: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
     cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    cache.getOrElseUpdate((spark, key), mk.persist())
+    // synchronized so concurrent first calls can't both evaluate mk: the
+    // loser's persist() result would be discarded yet stay persisted,
+    // leaking executor storage until session stop (TrieMap's
+    // getOrElseUpdate alone doesn't guarantee once-only evaluation)
+    cache.synchronized {
+      cache.getOrElseUpdate((spark, key), mk.persist())
+    }
   }
 
   /** The ngram-Jaccard pairs feed TWO entries (the pair list itself and

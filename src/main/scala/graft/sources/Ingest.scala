@@ -313,8 +313,12 @@ object Collector {
             if (c0.endsWith("\r\n")) c0.dropRight(2)
             else if (c0.endsWith("\n") || c0.endsWith("\r")) c0.dropRight(1)
             else c0
-          c.split("\r\n|\r|\n", -1).iterator.map(l => (f, l))
-        }.toDF("file", "value")
+          // idx = line index within the tail: the source row id that keeps
+          // seq assignment in LINE order and retry-stable (parsers pass it
+          // through via their col("*") projections)
+          c.split("\r\n|\r|\n", -1).iterator.zipWithIndex
+            .map { case (l, i) => (f, i.toLong, l) }
+        }.toDF("file", "idx", "value")
         fmt match {
           case "k8json" => Ingest.k8json(lines)
           case "logfmt" => Ingest.logfmt(lines, schema.logfmtKeep)
@@ -359,7 +363,9 @@ object Collector {
       }
 
     try {
-      store.appendWithSeq(withFields)
+      // (file, idx) is the source row identity: seq follows line order
+      // within each file and is stable under stage retries
+      store.appendWithSeq(withFields, orderBy = Seq(col("file"), col("idx")))
       if (trackPositions) {
         // text: the new carry state is the ts of each file's LAST line (the
         // parser's carry-forward applied), found via max_by on the line index

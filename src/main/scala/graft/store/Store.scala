@@ -132,9 +132,8 @@ final class Store(val spark: SparkSession, val root: String) {
   }
 
   /** Stamp a fresh `seq` on rows that already carry `part`: a dense per-part
-    * row number (arrival order preserved via monotonically_increasing_id) in
-    * the low [[Store.SeqEpochShift]] bits under a per-batch epoch allocated
-    * atomically per store root. Two concurrent writers to the same partition
+    * row number in the low [[Store.SeqEpochShift]] bits under a per-batch
+    * epoch allocated atomically per store root. Two concurrent writers to the same partition
     * (a pipe's streaming append racing a foreground ingest) take distinct
     * epochs, so (part, seq) cannot collide — the read-high-water-then-append
     * race is structurally gone — while later epochs still sort after earlier
@@ -146,17 +145,32 @@ final class Store(val spark: SparkSession, val root: String) {
     * transaction log / metastore sequence instead. Bulk loads using
     * `append(saltBuckets > 1)` should supply their own seq (a source row id,
     * as EventStore does) — the dense row number here serializes each part
-    * into one window task. */
-  def assignSeq(rows: DataFrame): DataFrame =
-    assignSeqEpoch(epochCounter.incrementAndGet(), rows)
+    * into one window task.
+    *
+    * Intra-batch order is RETRY-STABLE: when the caller supplies source-row
+    * identity columns via `orderBy` (the collector's (file, line-index),
+    * a pipe's source (part, seq)), those define the order; otherwise rows
+    * order by CONTENT — (ts, msg, sorted field entries) — so a stage retry
+    * with nondeterministically-ordered upstream output assigns the same
+    * (row content → seq) mapping every time. The previous
+    * monotonically_increasing_id arrival stamp could permute ties on such
+    * a retry before first write (same hazard class TemporalJoins'
+    * interval identity fix removed). Full-content duplicate rows remain
+    * interchangeable — any tie order yields the same written multiset. */
+  def assignSeq(rows: DataFrame, orderBy: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    assignSeqEpoch(epochCounter.incrementAndGet(), rows, orderBy)
 
-  private def assignSeqEpoch(epoch: Long, rows: DataFrame): DataFrame = {
+  private def assignSeqEpoch(epoch: Long, rows: DataFrame,
+      orderBy: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val ord =
+      if (orderBy.nonEmpty) orderBy
+      else col("ts") +: col("msg") +:
+        (if (rows.columns.contains("fields"))
+          Seq(array_sort(map_entries(col("fields")))) else Nil)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("part").orderBy("__arrival")
-    rows.withColumn("__arrival", monotonically_increasing_id())
-      .withColumn("seq",
-        lit(epoch << Store.SeqEpochShift) + row_number().over(w).cast("long") - 1L)
-      .drop("__arrival")
+      .partitionBy("part").orderBy(ord: _*)
+    rows.withColumn("seq",
+      lit(epoch << Store.SeqEpochShift) + row_number().over(w).cast("long") - 1L)
   }
 
   /** [[assignSeq]] + [[append]] with registration-order tracking: the
@@ -172,10 +186,11 @@ final class Store(val spark: SparkSession, val root: String) {
     *        defer only on those; None (path-derived/bulk targets) defers
     *        every partition for the append's duration. */
   def appendWithSeq(rows: DataFrame, maxRecordsPerFile: Long = 0,
-      saltBuckets: Int = 1, partsHint: Option[Set[String]] = None): Unit = {
+      saltBuckets: Int = 1, partsHint: Option[Set[String]] = None,
+      orderBy: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
     val epoch = epochCounter.incrementAndGet()
     Store.inFlightFor(root).put(epoch, Store.InFlight(System.nanoTime(), partsHint))
-    try append(assignSeqEpoch(epoch, rows), maxRecordsPerFile, saltBuckets)
+    try append(assignSeqEpoch(epoch, rows, orderBy), maxRecordsPerFile, saltBuckets)
     finally Store.inFlightFor(root).remove(epoch)
   }
 

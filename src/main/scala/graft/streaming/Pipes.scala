@@ -362,9 +362,14 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
 
     // fresh (part, seq) for the destination partition — appendWithSeq's
     // atomic epochs make this safe even against a concurrent foreground
-    // ingest into the same partition
-    store.appendWithSeq(df.withColumn("part", lit(destLine)),
-      partsHint = Some(Set(destLine)))
+    // ingest into the same partition; the SOURCE (part, seq) is the row
+    // identity that keeps destination seq order retry-stable
+    store.appendWithSeq(
+      df.withColumn("__src_part", col("part"))
+        .withColumn("__src_seq", col("seq"))
+        .withColumn("part", lit(destLine)),
+      partsHint = Some(Set(destLine)),
+      orderBy = Seq(col("__src_part"), col("__src_seq")))
 
     // advance + persist cursors AFTER the append (at-least-once — the
     // reference's save-after-write discipline, pkg/pipe/worker.go:73-89)

@@ -178,6 +178,29 @@ class EngineSpec extends AnyFunSuite {
     assert(a.max < b.min, "later epoch must sort after the earlier one")
   }
 
+  test("assignSeq: (content -> seq) mapping is stable under permuted input order (simulated retry)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, rand}
+    val e = freshEngine()
+    // duplicate ts values force tie-breaks — exactly where the old
+    // monotonically_increasing_id arrival stamp permuted under a stage
+    // retry with nondeterministic upstream order
+    val rows = (0 until 40).map(i => (1000000000L + (i % 7), s"m$i",
+      Map("k" -> s"v${i % 3}"), "app=retry"))
+    val base = rows.toDF("ts", "msg", "fields", "part")
+    def mapping(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+      e.store.assignSeq(df).select("ts", "msg", "seq").collect()
+        // mask off the per-call epoch: compare the dense in-batch numbers
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2) & ((1L << graft.store.Store.SeqEpochShift) - 1)))
+        .toMap
+    // two different physical orders of the SAME logical batch — what an
+    // upstream stage retry can produce
+    val a = mapping(base.orderBy(rand(1)))
+    val b = mapping(base.orderBy(rand(99)).repartition(7))
+    assert(a == b, "seq assignment must depend on row content, not physical order")
+  }
+
   test("seq epochs restart above the persisted high-water mark") {
     val root = Files.createTempDirectory("graft-eng").toString
     val e = new Engine(new Store(spark, root))

@@ -346,9 +346,12 @@ object Similarity {
     * corpus-size times, and the reduced-space scan streams `dOut/dim` of
     * the bytes a full brute force would. Recall gated in llm_ann_recall
     * (reduced-space ordering only has to get the true neighbours into
-    * the pool, not rank them exactly). */
+    * the pool, not rank them exactly — which is why widening the pool is
+    * the cheap recall lever: poolFactor 40 measures 0.76/0.92 recall@5
+    * at sf0.001/sf0.01 vs 0.48/0.52 at 10, for 200 instead of 50 exact
+    * rerank pairs per query — still corpus-size-independent). */
   def rpTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
-      dOut: Int = 16, seed: Long = 7L, poolFactor: Int = 10): DataFrame = {
+      dOut: Int = 16, seed: Long = 7L, poolFactor: Int = 40): DataFrame = {
     val pool = bruteForceTopK(rpReduce(emb, dOut, seed), numQueries, k * poolFactor)
       .select("qid", "nid")
     exactRerank(emb, pool, numQueries, k)

@@ -175,7 +175,7 @@ object LlmQueries {
   /** Pinned recall@5 floors per ANN variant (e4 fixed point) — the same
     * floors LlmSpec asserts at sf0.001, so the gates hold on every
     * testdata scale the driver or the local loop runs. */
-  private val annFloorsE4 = Map("lsh" -> 5000L, "ivf" -> 4000L, "rp" -> 3000L)
+  private val annFloorsE4 = Map("lsh" -> 5000L, "ivf" -> 4000L, "rp" -> 6500L)
 
   /** recall@5 of an approximate top-k against the memoized brute-force
     * exact top-k. Driver-side sets are diagnostic-sized (numQueries × k =
@@ -562,7 +562,7 @@ object LlmQueries {
     "llm_ann_recall" ->
       """SELECT * FROM (VALUES
         |  ('lsh', 5000::BIGINT, true), ('ivf', 4000::BIGINT, true),
-        |  ('rp', 3000::BIGINT, true)
+        |  ('rp', 6500::BIGINT, true)
         |) t(variant, floor_e4, meets_floor)""".stripMargin,
 
     "llm_sim_topk_lsh" ->
@@ -570,6 +570,6 @@ object LlmQueries {
     "llm_sim_topk_ivf" ->
       "SELECT 'ivf' AS variant, 4000::BIGINT AS floor_e4, true AS meets_floor",
     "llm_sim_topk_rp" ->
-      "SELECT 'rp' AS variant, 3000::BIGINT AS floor_e4, true AS meets_floor"
+      "SELECT 'rp' AS variant, 6500::BIGINT AS floor_e4, true AS meets_floor"
   )
 }

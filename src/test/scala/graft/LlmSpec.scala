@@ -132,7 +132,8 @@ class LlmSpec extends AnyFunSuite {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"rp recall@5 = $recall")
-    assert(recall >= 0.3, s"recall@5 $recall too low for a 16-dim JL projection")
+    assert(recall >= 0.65,
+      s"recall@5 $recall below the llm_sim_topk_rp gate floor (16-dim JL, pool 40x)")
   }
 
   test("rpReduce: output dims and determinism across invocations") {

@@ -131,16 +131,29 @@ object Curation {
       .where(col("rank_in_group") <= DomainCapN)
   }
 
+  /** The capped ranking subquery — ONE definition shared by the
+    * standalone oracle and the pipeline keep-set CTE, so the cap
+    * semantics cannot diverge between them. */
+  private val domainCapRankedSql: String =
+    s"""SELECT doc_id, lang, source, row_number() OVER (
+       |    PARTITION BY source, lang
+       |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+       |  FROM documents""".stripMargin
+
   /** DuckDB twin of [[domainCap]]. */
   val domainCapOracle: String =
     s"""SELECT doc_id::BIGINT AS doc_id, lang, source,
        |  rn::BIGINT AS rank_in_group
-       |FROM (
-       |  SELECT doc_id, lang, source, row_number() OVER (
-       |    PARTITION BY source, lang
-       |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
-       |  FROM documents)
+       |FROM ($domainCapRankedSql)
        |WHERE rn <= $DomainCapN""".stripMargin
+
+  /** The domain-cap keep set as a named CTE — the stage form the
+    * composed-pipeline oracle embeds. */
+  def domainCapKeepCte(name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id::BIGINT AS doc_id
+       |  FROM ($domainCapRankedSql)
+       |  WHERE rn <= $DomainCapN)""".stripMargin
 
   // --------------------------------------------------------------- mixture
 
@@ -163,16 +176,7 @@ object Curation {
     * hash compare. Output: per-language (lang, n_docs, rate_e6, kept).
     */
   def mixture(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val w = MixtureWeightsE4.toDF("lang", "w_e4")
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      .join(broadcast(w), Seq("lang"))
-    val tMin = counts.agg(min(expr("n_docs * 10000 div w_e4")).as("t"))
-    val rates = counts.crossJoin(broadcast(tMin))
-      .withColumn("rate_e6",
-        expr("least(1000000, (w_e4 * t div 10000) * 1000000 div n_docs)"))
-      .select(col("lang"), col("n_docs"), col("rate_e6"))
+    val rates = mixtureRates(docs)
     val kept = docs.select(col("lang"), mixBucket.as("mb"))
       .join(broadcast(rates), "lang")
       .filter(col("mb") < col("rate_e6"))
@@ -182,25 +186,62 @@ object Curation {
         coalesce(col("kept"), lit(0L)).as("kept"))
   }
 
-  val mixtureOracle: String = {
+  /** The per-language acceptance rate table (lang, n_docs, rate_e6) —
+    * the shared core of [[mixture]] (which reports it) and
+    * [[mixtureKeep]] (which applies it). */
+  private def mixtureRates(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = MixtureWeightsE4.toDF("lang", "w_e4")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(w), Seq("lang"))
+    val tMin = counts.agg(min(expr("n_docs * 10000 div w_e4")).as("t"))
+    counts.crossJoin(broadcast(tMin))
+      .withColumn("rate_e6",
+        expr("least(1000000, (w_e4 * t div 10000) * 1000000 div n_docs)"))
+      .select(col("lang"), col("n_docs"), col("rate_e6"))
+  }
+
+  /** The mixture resampling applied as a pipeline STAGE: the accepted
+    * doc_ids under the same rates and acceptance hash [[mixture]]
+    * reports. Corpus never shuffles — rates broadcast in, acceptance is
+    * a per-row hash compare. */
+  def mixtureKeep(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        mixBucket.as("mb"))
+      .join(broadcast(mixtureRates(docs)), "lang")
+      .filter(col("mb") < col("rate_e6"))
+      .select("doc_id")
+
+  /** The mixture rate/keep CTE chain with a caller-chosen prefix, ending
+    * in `<p>keep(doc_id)` — ONE definition shared by [[mixtureOracle]]
+    * and the composed-pipeline oracle (same weights, same T fit, same
+    * acceptance hash). */
+  def mixtureKeepCtes(p: String): String = {
     val values = MixtureWeightsE4
       .map { case (l, v) => s"('$l', ${v}::BIGINT)" }.mkString(", ")
-    s"""WITH w(lang, w_e4) AS (VALUES $values),
-       |c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
-       |cw AS (SELECT c.lang, n_docs, w_e4 FROM c JOIN w USING (lang)),
-       |t AS (SELECT min(n_docs * 10000 // w_e4) AS t FROM cw),
-       |r AS (SELECT lang, n_docs,
+    s"""${p}w(lang, w_e4) AS (VALUES $values),
+       |${p}c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+       |${p}cw AS (SELECT ${p}c.lang, n_docs, w_e4 FROM ${p}c JOIN ${p}w USING (lang)),
+       |${p}t AS (SELECT min(n_docs * 10000 // w_e4) AS t FROM ${p}cw),
+       |${p}r AS (SELECT lang, n_docs,
        |        least(1000000,
-       |          (w_e4 * (SELECT t FROM t) // 10000) * 1000000 // n_docs)
+       |          (w_e4 * (SELECT t FROM ${p}t) // 10000) * 1000000 // n_docs)
        |          AS rate_e6
-       |      FROM cw),
+       |      FROM ${p}cw),
+       |${p}keep AS (
+       |  SELECT d.doc_id::BIGINT AS doc_id
+       |  FROM documents d JOIN ${p}r USING (lang)
+       |  WHERE $mixBucketSql < rate_e6)""".stripMargin
+  }
+
+  val mixtureOracle: String =
+    s"""WITH ${mixtureKeepCtes("")},
        |k AS (SELECT d.lang, count(*)::BIGINT AS kept
-       |      FROM documents d JOIN r USING (lang)
-       |      WHERE $mixBucketSql < rate_e6
+       |      FROM documents d JOIN keep ON keep.doc_id = d.doc_id
        |      GROUP BY 1)
        |SELECT r.lang, n_docs, rate_e6, coalesce(k.kept, 0)::BIGINT AS kept
        |FROM r LEFT JOIN k USING (lang)""".stripMargin
-  }
 
   // ------------------------------------------------------------------ pack
 

@@ -486,44 +486,60 @@ object Mining {
           .cast("long").as("dup_frac_e4"))
   }
 
-  /** DuckDB twin of [[dupSpans]]. */
-  val dupSpansOracle: String = {
+  /** Docs whose duplicated-span coverage reaches this fraction (e4) are
+    * dropped by the composed pipeline's span-cut stage (Lee et al. cut
+    * the spans in place; at the document-selection granularity this
+    * pipeline composes, a doc that is half duplicated text is removed). */
+  val DupSpanDropE4 = 5000L
+
+  /** The dup-span CTE chain with a caller-chosen prefix, ending in
+    * `<p>sp(doc_id, n_spans, dup_tok, n_tokens, dup_frac_e4)` — ONE
+    * definition shared by [[dupSpansOracle]] and the composed-pipeline
+    * oracle (prefixed so it can sit next to other stages' CTEs without
+    * name collisions). */
+  def dupSpansCtes(p: String): String = {
     val L = SpanGram
     val gramExpr = (1 to L).map(o => s"w[i+${o - 1}]").mkString(" || ' ' || ")
-    s"""WITH tok AS (
+    s"""${p}tok AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
        |                               t -> t != '') AS w FROM documents)
        |  WHERE len(w) >= $L),
-       |ge AS (
+       |${p}ge AS (
        |  SELECT doc_id, len(w)::BIGINT AS n_tokens, unnest(
        |    list_transform(range(1, len(w) - ${L - 1} + 1),
        |      i -> struct_pack(p := i::BIGINT, g := $gramExpr))) AS pg
-       |  FROM tok),
-       |gp AS (SELECT doc_id, n_tokens, pg.p AS p, pg.g AS g FROM ge),
-       |dup AS (SELECT g FROM gp GROUP BY g HAVING count(*) >= 2),
-       |ds AS (SELECT doc_id, n_tokens, p FROM gp JOIN dup USING (g)),
-       |m AS (
+       |  FROM ${p}tok),
+       |${p}gp AS (SELECT doc_id, n_tokens, pg.p AS p, pg.g AS g FROM ${p}ge),
+       |${p}dup AS (SELECT g FROM ${p}gp GROUP BY g HAVING count(*) >= 2),
+       |${p}ds AS (SELECT doc_id, n_tokens, p FROM ${p}gp JOIN ${p}dup USING (g)),
+       |${p}m AS (
        |  SELECT doc_id, n_tokens, p,
        |    CASE WHEN p > coalesce(max(p + ${L - 1}) OVER (
        |        PARTITION BY doc_id ORDER BY p
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
        |      THEN 1 ELSE 0 END AS isnew
-       |  FROM ds),
-       |gi AS (
+       |  FROM ${p}ds),
+       |${p}gi AS (
        |  SELECT doc_id, n_tokens, p, sum(isnew) OVER (
-       |    PARTITION BY doc_id ORDER BY p) AS gid FROM m),
-       |iv AS (
+       |    PARTITION BY doc_id ORDER BY p) AS gid FROM ${p}m),
+       |${p}iv AS (
        |  SELECT doc_id, gid, max(n_tokens) AS n_tokens, min(p) AS s,
        |    max(p) + ${L - 1} AS e
-       |  FROM gi GROUP BY 1, 2)
-       |SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_spans,
-       |  sum(e - s + 1)::BIGINT AS dup_tok,
-       |  max(n_tokens)::BIGINT AS n_tokens,
-       |  floor(sum(e - s + 1) * 1.0e4 / max(n_tokens) + 0.5)::BIGINT
-       |    AS dup_frac_e4
-       |FROM iv GROUP BY doc_id""".stripMargin
+       |  FROM ${p}gi GROUP BY 1, 2),
+       |${p}sp AS (
+       |  SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_spans,
+       |    sum(e - s + 1)::BIGINT AS dup_tok,
+       |    max(n_tokens)::BIGINT AS n_tokens,
+       |    floor(sum(e - s + 1) * 1.0e4 / max(n_tokens) + 0.5)::BIGINT
+       |      AS dup_frac_e4
+       |  FROM ${p}iv GROUP BY doc_id)""".stripMargin
   }
+
+  /** DuckDB twin of [[dupSpans]]. */
+  val dupSpansOracle: String =
+    s"""WITH ${dupSpansCtes("")}
+       |SELECT doc_id, n_spans, dup_tok, n_tokens, dup_frac_e4 FROM sp""".stripMargin
 
   val FuzzyGram = 4 // keep in lockstep with Curation.DecontamGram — the
                     // 13-gram analog for the tiny synthetic vocab; a

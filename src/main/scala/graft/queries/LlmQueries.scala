@@ -75,26 +75,36 @@ object LlmQueries {
 
   /** The COMPOSED curation pipeline — the DAG a user actually runs:
     * Gopher quality filter ∧ duplicate-cluster non-survivor removal ∧
-    * benchmark decontamination ∧ deterministic stratified sampling, then
-    * per-language survivor counts (+ a doc_id checksum so the oracle
-    * pins the exact surviving SET, not just its size). Every stage is
-    * the SAME operator its standalone entry gates — the cluster drop
-    * list even reuses the memoized pair computation — so this entry
-    * asserts the stages compose: one plan, semi/anti joins against the
-    * (tiny) stage verdict sets, corpus streamed once through the join
-    * chain. */
+    * duplicated-span cut (docs ≥[[graft.llm.Mining.DupSpanDropE4]]
+    * covered by cross-corpus duplicated spans) ∧ benchmark
+    * decontamination ∧ per-domain cap ∧ mixture resampling ∧
+    * deterministic stratified sampling, then per-language survivor
+    * counts (+ a doc_id checksum so the oracle pins the exact surviving
+    * SET, not just its size). Every stage is the SAME operator its
+    * standalone entry gates — the cluster drop list even reuses the
+    * memoized pair computation — so this entry asserts the stages
+    * compose: one plan, semi/anti joins against the (tiny) stage verdict
+    * sets, corpus streamed once through the join chain. */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, sum}
     val d = docs(spark, dir)
     val qualityKeep = gopherVerdicts(spark, dir)
       .where(col("keep")).select("doc_id")
     val dupDrop = dupClusters(spark, dir).filter(!col("keep")).select("doc_id")
+    val spanDrop = graft.llm.Mining.dupSpans(d)
+      .where(col("dup_frac_e4") >= graft.llm.Mining.DupSpanDropE4)
+      .select("doc_id")
     val contaminated = Curation.decontaminate(d).select("doc_id")
+    val capped = Curation.domainCap(d).select("doc_id")
+    val mixKeep = Curation.mixtureKeep(d)
     val sampled = Curation.stratifiedSample(d).select("doc_id")
     d.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
       .join(qualityKeep, "doc_id")
+      .join(capped, "doc_id")
+      .join(mixKeep, "doc_id")
       .join(sampled, "doc_id")
       .join(dupDrop, Seq("doc_id"), "left_anti")
+      .join(spanDrop, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
@@ -407,11 +417,20 @@ object LlmQueries {
          |contam AS (
          |  SELECT DISTINCT doc_id FROM csh JOIN cbench USING (g)
          |  WHERE doc_id % 17 != 0),
+         |${graft.llm.Mining.dupSpansCtes("ds_")},
+         |span_drop AS (
+         |  SELECT doc_id FROM ds_sp
+         |  WHERE dup_frac_e4 >= ${graft.llm.Mining.DupSpanDropE4}),
+         |${Curation.domainCapKeepCte("cap_keep")},
+         |${Curation.mixtureKeepCtes("mx_")},
          |keep AS (
          |  SELECT doc_id::BIGINT AS doc_id, lang FROM documents
          |  WHERE doc_id IN (SELECT doc_id FROM v WHERE reason = 'ok')
+         |    AND doc_id IN (SELECT doc_id FROM cap_keep)
+         |    AND doc_id IN (SELECT doc_id FROM mx_keep)
          |    AND ${Curation.sampleKeepSql}
          |    AND doc_id NOT IN (SELECT id FROM dropped)
+         |    AND doc_id NOT IN (SELECT doc_id FROM span_drop)
          |    AND doc_id NOT IN (SELECT doc_id FROM contam))
          |SELECT lang, count(*)::BIGINT AS n_docs,
          |  sum(doc_id)::BIGINT AS sum_doc_id

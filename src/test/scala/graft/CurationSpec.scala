@@ -239,11 +239,16 @@ class CurationSpec extends AnyFunSuite {
     val dropped = ids(graft.queries.LlmQueries.dupClusters(spark2, dir)
       .filter(!col("keep")))
     val contam = ids(Curation.decontaminate(docs))
+    val spanDrop = ids(graft.llm.Mining.dupSpans(docs)
+      .where(col("dup_frac_e4") >= graft.llm.Mining.DupSpanDropE4))
+    val capped = ids(Curation.domainCap(docs))
+    val mixed = ids(Curation.mixtureKeep(docs))
     val survivors = docs
       .select(col("doc_id").cast("long").as("doc_id"), col("lang")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
       .filter { case (id, _) =>
-        keepQ(id) && sampled(id) && !dropped(id) && !contam(id) }
+        keepQ(id) && sampled(id) && capped(id) && mixed(id) &&
+          !dropped(id) && !spanDrop(id) && !contam(id) }
     val want = survivors.groupBy(_._2)
       .map { case (l, xs) => (l, xs.size.toLong, xs.map(_._1).sum) }.toSet
     assert(got == want, s"pipeline != composed stages: got=$got want=$want")

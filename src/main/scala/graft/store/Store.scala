@@ -203,7 +203,7 @@ final class Store(val spark: SparkSession, val root: String) {
   /** Seq high-water mark of a partition (-1 when empty/unknown), from the
     * catalog's per-file footer stats. */
   def maxSeq(line: String): Long = {
-    val entries = catalog.load().filter(_.part == line)
+    val entries = catalog.entriesForPart(line)
     if (entries.isEmpty) -1L else entries.map(_.maxSeq).max
   }
 
@@ -311,7 +311,7 @@ final class Store(val spark: SparkSession, val root: String) {
     * (see [[graft.streaming.PipeWorker]]).
     */
   def compact(line: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val entries = catalog.load().filter(_.part == line)
+    val entries = catalog.entriesForPart(line)
     if (entries.size <= 1) return 0
     val files = entries.map(_.file)
     val totalBytes = entries.map(_.sizeBytes).sum
@@ -413,8 +413,10 @@ final class Store(val spark: SparkSession, val root: String) {
     * apply the range as a row filter — file pruning is a superset.
     * `basePath` keeps `part` as a column parsed from the paths. */
   def read(parts: Seq[String], tsRange: Option[(Long, Long)] = None): DataFrame = {
-    val partSet = parts.toSet
-    var entries = catalog.load().filter(e => partSet.contains(e.part))
+    // per-part sharded prune: cost tracks the selected parts' chunks plus
+    // un-compacted segments, never the total catalog size
+    val idx = catalog.entriesForParts(parts.distinct)
+    var entries = parts.distinct.sorted.flatMap(p => idx.getOrElse(p, Vector.empty)).toVector
     tsRange.foreach { case (lo, hi) =>
       entries = entries.filter(e => e.maxTs >= lo && e.minTs <= hi)
     }

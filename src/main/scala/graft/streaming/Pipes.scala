@@ -382,10 +382,10 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     fileCount += chosen.size
 
     // one appended file per micro-batch adds up — self-maintain the
-    // destination partition (the catalog load is memoized, so the check is
-    // a driver-side count)
+    // destination partition (the sharded per-part read is memoized, so the
+    // check is a driver-side count over one shard)
     if (compactThreshold > 0 &&
-        store.catalog.load().count(_.part == destLine) >= compactThreshold)
+        store.catalog.entriesForPart(destLine).size >= compactThreshold)
       store.compact(destLine)
     chosen.size
   }

@@ -3,29 +3,44 @@ package graft
 import graft.store.{CatEntry, Catalog}
 
 /** Scale probe for the driver-side catalog — the engine's acknowledged
-  * next 100 TB boundary (a million-chunk store must still load and prune
-  * within driver budget). Builds a synthetic catalog of N entries across P
-  * parts (99% compacted base + 100 append segments, the steady state a
-  * store reaches between compactions), then measures:
-  *   - cold load (parse + duplicate-collapse + sort + index build)
-  *   - warm load (fingerprint-memoized hit)
-  *   - per-part prune via [[Catalog.partIndex]] vs the full linear scan
+  * 100 TB boundary (a million-chunk store must still load and prune within
+  * driver budget; at reference chunk sizes 100 TB is 10^6–10^7 chunks).
+  * Builds a synthetic catalog of N entries across P parts (99% compacted
+  * sharded base + 100 append segments, the steady state a store reaches
+  * between compactions), then measures:
+  *   - cold PER-PART load ([[Catalog.entriesForPart]]: one hash shard +
+  *     segments — the query path; must be independent of total chunk count)
+  *   - warm per-part load (shard-memoized hit)
+  *   - cold FULL load (parse + duplicate-collapse + sort + index build —
+  *     the SHOW PARTITIONS/admin path; measured up to 2M entries, skipped
+  *     above unless `full` is forced, since the query path no longer pays it)
+  *   - per-part prune via the full index vs the full linear scan
   *   - resident heap cost of the parsed entries
   *
-  * `sbt "Test/runMain graft.CatalogScaleProbe [entries] [parts]"`
+  * `sbt "Test/runMain graft.CatalogScaleProbe [entries] [parts] [full]"`
   * (defaults 1,000,000 entries / 20,000 parts). Prints one JSON line and
-  * enforces the budget: cold load < 30 s, indexed prune < 50 ms.
+  * enforces the budgets AT ANY N: cold per-part load < 2 s first-ever
+  * (JIT-cold JVM), < 1 s steady-state (fresh Catalog instance, warm JIT —
+  * what a long-lived driver pays after any prior catalog read); cold full
+  * load < 30 s when the full path is measured.
+  *
+  * Measured on this host (PLANS.md round 10): 10^6 → per-part cold 185 ms;
+  * 10^7 → per-part cold 617 ms first-ever / 542 ms JIT-warm (a 1/256 base
+  * shard of ~39k lines + the 100k-line segment tail, vs the ~9–13 s full
+  * parse at 10^6 that the query path no longer pays; the segment tail is
+  * bounded by compaction cadence, not by N).
   */
 object CatalogScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 1000000
     val parts = if (args.length > 1) args(1).toInt else 20000
+    val forceFull = args.length > 2 && args(2) == "full"
     val dir = java.nio.file.Files.createTempDirectory("graft-catprobe").toFile
-    try run(n, parts, dir)
+    try run(n, parts, dir, measureFull = forceFull || n <= 2000000)
     finally rm(dir)
   }
 
-  private def run(n: Int, parts: Int, dir: java.io.File): Unit = {
+  private def run(n: Int, parts: Int, dir: java.io.File, measureFull: Boolean): Unit = {
     val cat = Catalog(new org.apache.hadoop.conf.Configuration(), dir.getAbsolutePath)
     val now = System.nanoTime()
     def entry(i: Int): CatEntry = CatEntry(
@@ -37,7 +52,9 @@ object CatalogScaleProbe {
 
     val baseN = n * 99 / 100
     val tb0 = System.nanoTime()
-    cat.save((0 until baseN).map(entry))
+    // iterator, not a materialized Seq: save() streams into the shard
+    // writers, so building a 10^7-entry base never holds 10^7 objects
+    cat.save((0 until baseN).iterator.map(entry))
     val segBatch = math.max(1, (n - baseN) / 100)
     var k = baseN
     while (k < n) {
@@ -52,25 +69,45 @@ object CatalogScaleProbe {
     val rt = Runtime.getRuntime
     def usedMb(): Long = { System.gc(); (rt.totalMemory - rt.freeMemory) >> 20 }
 
-    // a fresh Catalog instance: cold = parse everything from disk
-    val cold = Catalog(new org.apache.hadoop.conf.Configuration(), dir.getAbsolutePath)
-    val m0 = usedMb()
-    val (entries, coldMs) = time(cold.load())
-    val m1 = usedMb()
-    val (_, warmMs) = time(cold.load())
-    val idx = cold.partIndex() // memoized with load — no extra parse
-
     val target = s"app=svc${parts / 2},env=prod"
-    val (viaIdx, idxMs) = time(idx.getOrElse(target, Vector.empty))
-    val (viaScan, scanMs) = time(entries.filter(_.part == target))
-    require(viaIdx == viaScan, "index and full scan disagree")
-    require(entries.size == n, s"expected $n entries, loaded ${entries.size}")
 
-    println(f"""{"entries":${entries.size},"parts":$parts,"build_ms":$buildMs%.0f,"cold_load_ms":$coldMs%.0f,"warm_load_ms":$warmMs%.3f,"prune_index_ms":$idxMs%.3f,"prune_scan_ms":$scanMs%.1f,"chunks_for_part":${viaIdx.size},"heap_mb":${m1 - m0}}""")
+    // fresh Catalog instance: cold = parse from disk, nothing memoized.
+    // Per-part FIRST — this is the query path whose independence from N is
+    // the design claim; it must not ride on a warm full-load cache.
+    val cold = Catalog(new org.apache.hadoop.conf.Configuration(), dir.getAbsolutePath)
+    val (viaShard, partColdMs) = time(cold.entriesForPart(target))
+    val (_, partWarmMs) = time(cold.entriesForPart(target))
+    // second fresh instance, different part/shard: same disk-cold parse but
+    // JIT-warm — the steady-state cold cost a long-lived driver pays
+    val cold2 = Catalog(new org.apache.hadoop.conf.Configuration(), dir.getAbsolutePath)
+    val (_, partCold2Ms) = time(cold2.entriesForPart(s"app=svc${parts / 3},env=prod"))
 
-    // the documented driver budget for a million-chunk catalog
-    require(coldMs < 30000, f"cold load $coldMs%.0f ms blows the 30 s budget")
-    require(idxMs < 50, f"indexed prune $idxMs%.3f ms blows the 50 ms budget")
+    var coldMs, warmMs, idxMs, scanMs = -1.0
+    var heapMb = -1L
+    var loadedN = -1
+    if (measureFull) {
+      val m0 = usedMb()
+      val (entries, c) = time(cold.load()); coldMs = c
+      val m1 = usedMb(); heapMb = m1 - m0
+      val (_, w) = time(cold.load()); warmMs = w
+      val idx = cold.partIndex() // memoized with load — no extra parse
+      val (viaIdx, i) = time(idx.getOrElse(target, Vector.empty)); idxMs = i
+      val (viaScan, s) = time(entries.filter(_.part == target)); scanMs = s
+      require(viaIdx == viaScan, "index and full scan disagree")
+      require(viaShard == viaIdx, "sharded per-part read and full index disagree")
+      loadedN = entries.size
+      require(loadedN == n, s"expected $n entries, loaded $loadedN")
+    }
+
+    println(f"""{"entries":$n,"parts":$parts,"build_ms":$buildMs%.0f,"part_cold_ms":$partColdMs%.1f,"part_cold_jitwarm_ms":$partCold2Ms%.1f,"part_warm_ms":$partWarmMs%.3f,"chunks_for_part":${viaShard.size},"cold_load_ms":$coldMs%.0f,"warm_load_ms":$warmMs%.3f,"prune_index_ms":$idxMs%.3f,"prune_scan_ms":$scanMs%.1f,"heap_mb":$heapMb}""")
+
+    // the documented driver budgets
+    require(partColdMs < 2000, f"cold per-part load $partColdMs%.1f ms blows the 2 s budget")
+    require(partCold2Ms < 1000, f"JIT-warm cold per-part load $partCold2Ms%.1f ms blows the 1 s budget")
+    if (measureFull) {
+      require(coldMs < 30000, f"cold full load $coldMs%.0f ms blows the 30 s budget")
+      require(idxMs < 50, f"indexed prune $idxMs%.3f ms blows the 50 ms budget")
+    }
   }
 
   private def rm(f: java.io.File): Unit = {

@@ -38,26 +38,71 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.load().size == 5)
   }
 
-  test("save compacts segments into the base file") {
+  test("save compacts segments into the sharded base") {
     val (cat, dir) = freshCatalog()
     (1 to 3).foreach(i => cat.append(Seq(entry("a=1", s"/f$i"))))
     cat.save(cat.load())
     val segDir = new java.io.File(dir, "catalog.jsonl.d")
     assert(!segDir.exists() || segDir.listFiles().isEmpty)
-    assert(new java.io.File(dir, "catalog.jsonl").exists())
+    val shards = new java.io.File(dir, "catalog.jsonl.shards")
+    assert(shards.isDirectory && shards.listFiles().nonEmpty)
     assert(cat.load().size == 3)
   }
 
-  test("load falls back to .bak when the base file is missing (crash window)") {
+  test("load falls back to .shards.bak when the base dir is missing (crash window)") {
     val (cat, dir) = freshCatalog()
     cat.append(Seq(entry("a=1", "/f1")))
     cat.save(cat.load())
-    // simulate a crash between `rename(path, bak)` and `rename(tmp, path)`
-    val base = new java.io.File(dir, "catalog.jsonl")
-    val bak = new java.io.File(dir, "catalog.jsonl.bak")
+    // simulate a crash between `rename(shards, bak)` and `rename(tmp, shards)`
+    val base = new java.io.File(dir, "catalog.jsonl.shards")
+    val bak = new java.io.File(dir, "catalog.jsonl.shards.bak")
     assert(base.renameTo(bak))
     val cat2 = Catalog(new Configuration(), dir.getAbsolutePath)
     assert(cat2.load().map(_.file) == Vector("/f1"))
+    assert(cat2.entriesForPart("a=1").map(_.file) == Vector("/f1"))
+  }
+
+  test("legacy single-file base reads through load and entriesForPart; save migrates it") {
+    val (_, dir) = freshCatalog()
+    // hand-written legacy layout: base file + one segment
+    Files.writeString(new java.io.File(dir, "catalog.jsonl").toPath,
+      """{"part":"a=1","file":"/f1","records":1,"sizeBytes":1,"minTs":0,"maxTs":0,"writeTs":1,"maxSeq":3}""" + "\n")
+    val cat = Catalog(new Configuration(), dir.getAbsolutePath)
+    cat.append(Seq(entry("b=2", "/f2")))
+    assert(cat.load().map(_.file).toSet == Set("/f1", "/f2"))
+    assert(cat.entriesForPart("a=1").map(_.file) == Vector("/f1"))
+    cat.save(cat.load())
+    assert(!new java.io.File(dir, "catalog.jsonl").exists(),
+      "save must migrate the legacy base into the sharded layout")
+    assert(new java.io.File(dir, "catalog.jsonl.shards").isDirectory)
+    assert(cat.load().map(_.file).toSet == Set("/f1", "/f2"))
+  }
+
+  test("entriesForPart matches the full scan across base shards and segments") {
+    val (cat, _) = freshCatalog()
+    val parts = (0 until 40).map(i => s"app=svc$i,env=prod")
+    cat.save(parts.zipWithIndex.map { case (p, i) => entry(p, s"/base$i") })
+    cat.append(parts.take(7).zipWithIndex.map { case (p, i) => entry(p, s"/seg$i") })
+    // a duplicate for /base0 in a segment must collapse to the newest
+    cat.append(Seq(entry(parts.head, "/base0").copy(records = 99, writeTs = Long.MaxValue - 1)))
+    val full = cat.load()
+    parts.foreach { p =>
+      assert(cat.entriesForPart(p) == full.filter(_.part == p), s"mismatch for $p")
+    }
+    assert(cat.entriesForPart(parts.head).exists(e => e.file == "/base0" && e.records == 99))
+    assert(cat.entriesForPart("app=absent,env=prod").isEmpty)
+    val idx = cat.entriesForParts(parts.take(9))
+    assert(idx == parts.take(9).map(p => p -> full.filter(_.part == p)).toMap)
+  }
+
+  test("entriesForPart invalidates when another Catalog instance writes") {
+    val (cat, dir) = freshCatalog()
+    cat.append(Seq(entry("a=1", "/f1")))
+    assert(cat.entriesForPart("a=1").size == 1)
+    val cat2 = Catalog(new Configuration(), dir.getAbsolutePath)
+    cat2.append(Seq(entry("a=1", "/f2")))
+    assert(cat.entriesForPart("a=1").size == 2,
+      "shard fingerprint must detect cat2's segment")
   }
 
   test("duplicate entries for one data file collapse to the newest") {

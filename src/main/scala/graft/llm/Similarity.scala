@@ -455,10 +455,23 @@ object Similarity {
       col("label").cast("long").as("label"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1e5 + lit(0.5)).cast("long")).as("ve"))
-    val sums = ve
+    val stats = ve
       .select(posexplode(col("ve")).as(Seq("i", "x")))
-      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1) / r.getLong(2)))
+      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"),
+        max(abs(col("x"))).as("m"))
+      .collect()
+    // enforce the documented exactness envelope instead of silently
+    // crossing the 2^53 cliff: worst-case dist2 is dim · (2·max|coord|)^2
+    // in e5 units (centroid components are bounded by the same max)
+    val dim = stats.length
+    val m5 = if (stats.isEmpty) 0L else stats.map(_.getLong(3)).max
+    val worst = BigInt(dim) * (BigInt(2) * m5).pow(2)
+    require(worst < (BigInt(1) << 53),
+      f"embedOutliers e5 exactness envelope exceeded: max |coordinate| ${m5 / 1e5}%.2f " +
+        f"at dim $dim gives a worst-case squared distance of $worst >= 2^53, so the " +
+        "double arithmetic would no longer be exact/partition-order-independent; " +
+        "rescale the embeddings or integerize at a coarser scale")
+    val sums = stats.map(r => (r.getInt(0), r.getLong(1) / r.getLong(2)))
       .sortBy(_._1).map(_._2)
     val cArr = array(sums.map(c => lit(c.toDouble)): _*)
     ve

@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
-  /** Append `outCol` = sum of `valCol` over all rows STRICTLY preceding in
+  /** `outCol` = sum of `valCol` over all rows STRICTLY preceding in
     * `orderCol` order (0 for the first row). Both columns are read as
-    * longs; `orderCol` must be globally unique (it defines the order). */
+    * longs; `orderCol` must be globally unique (it defines the order).
+    * The output is EXACTLY the three columns (orderCol, valCol, outCol) —
+    * any other input column is dropped; join the result back on `orderCol`
+    * (unique by contract) to re-attach them. */
   def cumBefore(df: DataFrame, orderCol: String, valCol: String,
       outCol: String = "cum_before", partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

@@ -37,7 +37,8 @@ object TimeSeries {
     * and the plan stays fully lazy (no driver-side bounds agg).
     * [[FixedBounds]] pins an explicit [b0,b1] bucket range (ts div
     * bucketWidth units) — the query-a-time-window shape; events outside
-    * the range are ignored.
+    * the range are ignored entirely: they neither carry values in nor
+    * nominate their key, so a key with no in-window events emits no rows.
     */
   sealed trait GridBounds
   case object GlobalBounds extends GridBounds
@@ -68,7 +69,9 @@ object TimeSeries {
         // sequence() silently steps BACKWARD when start > stop, which
         // would turn an inverted window into the full reversed grid
         require(b0 <= b1, s"FixedBounds requires b0 <= b1, got [$b0, $b1]")
-        e.select(col(keyCol)).distinct()
+        // keys are nominated by IN-WINDOW events only — a key whose events
+        // all fall outside [b0,b1] must not emit a padded all-empty grid
+        e.filter(col("__b").between(b0, b1)).select(col(keyCol)).distinct()
           .select(col(keyCol), explode(sequence(lit(b0), lit(b1))).as("__b"))
       case GlobalBounds =>
         val gb = e.agg(min("__b"), max("__b")).head()

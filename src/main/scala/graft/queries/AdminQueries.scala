@@ -307,11 +307,16 @@ object AdminQueries {
     udpSock.setSoTimeout(15000)
     pump("syu", new Forwarder.SyslogUdpSink(
       "127.0.0.1", udpSock.getLocalPort, hostname = "h"))
-    val udpFrames = (0 until 3).map { _ =>
+    // a lost datagram (receive-buffer pressure) must surface as a MISSING
+    // frame in the oracle diff, not as a SocketTimeoutException that turns
+    // the whole gate run into an undiagnosable entry error
+    val udpFrames = scala.collection.mutable.ArrayBuffer.empty[String]
+    try (0 until 3).foreach { _ =>
       val p = new java.net.DatagramPacket(new Array[Byte](65536), 65536)
       udpSock.receive(p)
-      new String(p.getData, 0, p.getLength, java.nio.charset.StandardCharsets.UTF_8)
-    }
+      udpFrames += new String(p.getData, 0, p.getLength,
+        java.nio.charset.StandardCharsets.UTF_8)
+    } catch { case _: java.net.SocketTimeoutException => () }
     udpSock.close()
     e.pipes.stopAll()
 

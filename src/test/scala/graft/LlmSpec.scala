@@ -340,6 +340,18 @@ class LlmSpec extends AnyFunSuite {
       d1 > d2 || (d1 == d2 && v1 < v2) })
   }
 
+  test("embedding outliers: coordinates beyond the e5 exactness envelope fail loudly") {
+    import spark.implicits._
+    // |coord| 60 at dim 64 puts the worst-case squared distance past 2^53
+    // — the guard must raise a clear error instead of silently returning
+    // ranks computed with inexact (partition-order-dependent) doubles
+    val dim = 64
+    val emb = Seq((0L, Array.fill(dim)(60.0f), 0), (1L, Array.fill(dim)(-60.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val err = intercept[IllegalArgumentException](Similarity.embedOutliers(emb).collect())
+    assert(err.getMessage.contains("exactness envelope"))
+  }
+
   test("embedding outliers on the corpus: topK rows, deterministic across runs") {
     val out = Similarity.embedOutliers(emb).collect()
       .map(r => (r.getLong(0), r.getLong(2)))

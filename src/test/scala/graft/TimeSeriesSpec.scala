@@ -88,11 +88,12 @@ class TimeSeriesSpec extends AnyFunSuite {
         bounds = TimeSeries.FixedBounds(2L, 5L))
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
-    assert(out.size == 8, s"2 keys x 4 fixed buckets, got ${out.size}")
+    assert(out.size == 4, s"1 in-window key x 4 fixed buckets, got ${out.size}")
     assert(out((1L, 2L)) == ((0L, -1L)), "pre-window event does NOT carry in")
     assert(out((1L, 3L)) == ((1L, 30L)))
     assert(out((1L, 5L)) == ((0L, 30L)))
-    assert(out((2L, 5L)) == ((0L, -1L)), "post-window event never appears")
+    assert(!out.keySet.exists(_._1 == 2L),
+      "a key whose events all fall outside the window emits no rows")
   }
 
   test("gapFill fixed bounds: inverted window is rejected, not silently reversed") {

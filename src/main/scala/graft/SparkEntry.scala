@@ -51,7 +51,9 @@ object SparkEntry {
       "q14_gapfill" -> (Analytics.q14Gapfill _),
       "q14_gapfill_perkey" -> (Analytics.q14GapfillPerKey _),
       "q15_bucketed_join" -> (graft.operators.Bucketing.bucketedJoin _),
-      "q16_rolling" -> (Analytics.q16Rolling _)
+      "q16_rolling" -> (Analytics.q16Rolling _),
+      "q17_quantiles" -> (Analytics.q17Quantiles _),
+      "q18_grouped_median" -> (Analytics.q18GroupedMedian _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

@@ -155,6 +155,49 @@ object Curation {
        |  FROM ($domainCapRankedSql)
        |  WHERE rn <= $DomainCapN)""".stripMargin
 
+  // -------------------------------------------------------- length outliers
+
+  /** Percentile bounds for [[lengthOutliers]] (e4): flag docs strictly
+    * below the p1 or strictly above the p99 corpus length. */
+  val LengthLoE4 = 100L
+  val LengthHiE4 = 9900L
+
+  /** Percentile-based length-outlier filter — the curation stage that
+    * drops truncation stubs and concatenation monsters relative to the
+    * CORPUS's own distribution rather than fixed thresholds (the
+    * complement of Gopher's absolute length rules). Bounds come from the
+    * exact distributed order statistic ([[graft.operators.Quantiles]]):
+    * the corpus streams once into a distinct-value-sized histogram, the
+    * two resulting scalars (a bounded 2-row collect, the k-means-centroid
+    * precedent) re-enter the plan as literals, so the outlier filter
+    * itself is a plain pushdown-friendly range predicate. */
+  def lengthOutliers(docs: DataFrame): DataFrame = {
+    val st = graft.operators.Quantiles
+      .orderStats(docs.select(col("n_chars")), "n_chars", Seq(LengthLoE4, LengthHiE4))
+      .select(col("q_e4"), col("value")).collect()
+    def at(q: Long): Long = st.find(_.getLong(0) == q).map(_.getLong(1))
+      .getOrElse(0L) // empty corpus: no rows survive the filter below anyway
+    val (lo, hi) = (at(LengthLoE4), at(LengthHiE4))
+    docs
+      .filter(col("n_chars") < lo || col("n_chars") > hi)
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_chars"),
+        lit(lo).as("lo"), lit(hi).as("hi"))
+  }
+
+  /** DuckDB twin of [[lengthOutliers]] — the same explicit order-statistic
+    * contract (k = max(1, ceil(q·n)) over the ascending order). */
+  val lengthOutliersOracle: String =
+    s"""WITH hist AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM documents),
+       |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cle FROM hist),
+       |lo AS (SELECT min(v) AS lo FROM cum, tot
+       |       WHERE cle >= greatest(1, ($LengthLoE4*n + 9999) // 10000)),
+       |hi AS (SELECT min(v) AS hi FROM cum, tot
+       |       WHERE cle >= greatest(1, ($LengthHiE4*n + 9999) // 10000))
+       |SELECT doc_id::BIGINT AS doc_id, n_chars, lo, hi
+       |FROM documents, lo, hi
+       |WHERE n_chars < lo OR n_chars > hi""".stripMargin
+
   // --------------------------------------------------------------- mixture
 
   /** Target corpus mixture by language (e4 weights, sum 10000) — the "data

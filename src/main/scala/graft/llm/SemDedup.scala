@@ -21,15 +21,28 @@ import graft.functions.VectorExpressions
   */
 object SemDedup {
 
+  /** Target members per cluster when k is auto-derived ([[semDedup]]'s
+    * k=0): the paper's regime — k grows WITH the corpus so the per-cluster
+    * quadratic term stays a constant ~TargetClusterSize² per cluster
+    * instead of (n/k)² blowing up as n does. */
+  val TargetClusterSize = 1000L
+
   /** Per-vector verdict: (vec_id, cluster, group_id, keep) — `group_id`
     * is the duplicate-group label (its minimum member id; singletons label
-    * themselves), `keep` marks the group's surviving representative. */
-  def semDedup(emb: DataFrame, k: Int = 16, iters: Int = 3,
+    * themselves), `keep` marks the group's surviving representative.
+    * `k <= 0` auto-scales the cluster count to corpus size / [[TargetClusterSize]]
+    * (min 16, capped at n) — the Abbas et al. knob as code, not prose. */
+  def semDedup(emb: DataFrame, k: Int = 0, iters: Int = 3,
       thrE6: Long = 450000L): DataFrame =
     verdictsAndEdges(emb, k, iters, thrE6)._1
 
-  private[llm] def verdictsAndEdges(emb: DataFrame, k: Int, iters: Int,
+  private[llm] def verdictsAndEdges(emb: DataFrame, k0: Int, iters: Int,
       thrE6: Long): (DataFrame, DataFrame) = {
+    val k = if (k0 > 0) k0 else {
+      // one count over the (cached) vector view; the gate counts it anyway
+      val n = Clustering.vectors(emb).count()
+      math.max(1L, math.min(n, math.max(16L, n / TargetClusterSize))).toInt
+    }
     val (asg, _) = Clustering.kmeans(emb, k, iters)
     val withC = Clustering.vectors(emb).join(asg, "vec_id")
       .withColumn("nrm", sqrt(VectorExpressions.dot_product(col("v"), col("v"))))
@@ -73,7 +86,7 @@ object SemDedup {
     *    one over-threshold edge;
     *  - `survivors_separated`: no duplicate edge joins two survivors.
     */
-  def gate(emb: DataFrame, k: Int = 16, iters: Int = 3,
+  def gate(emb: DataFrame, k: Int = 0, iters: Int = 3,
       thrE6: Long = 450000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._

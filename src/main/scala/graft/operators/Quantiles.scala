@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics.
+  *
+  * Spark's exact `percentile` aggregate buffers every value of a group in
+  * one aggregation buffer, and a global `row_number() OVER (ORDER BY v)`
+  * collapses the corpus into a single task — both correct, both useless at
+  * 100 TB. This computes the k-th order statistic from the VALUE HISTOGRAM
+  * instead: group by the (integerized) value — a map-side-combined
+  * aggregate whose output is DISTINCT-VALUE-sized, not corpus-sized — then
+  * resolve rank k against the histogram's running count and pick the
+  * unique value v with cum_before < k <= cum_before + count(v). The
+  * corpus streams exactly once; everything downstream is bounded by the
+  * number of distinct values (for fixed-point metrics: the value domain,
+  * e.g. ~1e5 for an e2-scaled [0,1000) measure), never by row count.
+  * Global stats run the running count through the two-pass distributed
+  * prefix sum ([[PrefixSum.cumBefore]]) so not even the histogram needs a
+  * single-task window; grouped stats use a per-group window over
+  * histogram rows (distributed across groups, per-task work bounded by a
+  * group's distinct values).
+  *
+  * Quantile contract (engine-neutral, exact): rank k(q) = ceil(q·n)
+  * clamped to >= 1, computed in INTEGER arithmetic from q as an e4
+  * fixed-point weight — k = max(1, (q_e4·n + 9999) div 10000), 1-based
+  * over the ascending order; the result is the k-th smallest value. The
+  * DuckDB oracles state the same contract as window SQL, so both engines
+  * agree bit-for-bit with no floating-point rounding hazard at any n.
+  */
+object Quantiles {
+
+  /** Rank expression shared by the Spark and SQL sides:
+    * k = max(1, ceil(q·n)) in integer arithmetic, q in e4 fixed point. */
+  def kSql(qE4Expr: String, nExpr: String): String =
+    s"greatest(1, ($qE4Expr * $nExpr + 9999) // 10000)"
+
+  /** Global order statistics: one output row per requested quantile —
+    * (q_e4, n, k, value). Empty input yields no rows. */
+  def orderStats(df: DataFrame, valCol: String, qsE4: Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(valCol).cast("long").as("v"))
+    // n is a driver-side scalar so ranks enter the plan as literals; the
+    // count and the histogram are the operator's only corpus passes
+    val n = v.count()
+    val hist = v.groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = PrefixSum.cumBefore(hist, "v", "c") // (v, c, cum_before)
+    val qk = qsE4.map(q => (q, math.max(1L, (q * n + 9999L) / 10000L)))
+      .toDF("q_e4", "k")
+    cum.join(broadcast(qk),
+        col("cum_before") < col("k") && col("k") <= col("cum_before") + col("c"))
+      .select(col("q_e4"), lit(n).as("n"), col("k"), col("v").as("value"))
+  }
+
+  /** Per-group order statistic at one quantile: one row per group —
+    * (grpCol, n, k, value). The window runs over HISTOGRAM rows
+    * partitioned by group: fully parallel across groups, and a task's
+    * work is bounded by one group's distinct values, not its row count. */
+  def groupedOrderStat(df: DataFrame, grpCol: String, valCol: String,
+      qE4: Long): DataFrame = {
+    val hist = df.groupBy(col(grpCol), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy(grpCol)
+    val w = byG.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cle", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(byG))
+      .withColumn("k", greatest(lit(1L),
+        expr(s"($qE4 * n + 9999) div 10000")))
+      .filter(col("cle") - col("c") < col("k") && col("k") <= col("cle"))
+      .select(col(grpCol), col("n"), col("k"), col("v").as("value"))
+  }
+}

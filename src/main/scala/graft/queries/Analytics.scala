@@ -226,8 +226,52 @@ object Analytics {
         bounds = graft.operators.TimeSeries.PerKeyBounds)
       .select(col("user_id"), col("bucket").as("hour"), col("n"), col("v_ff"))
 
+  /** Exact global quantiles of the event value (e2 fixed point) at
+    * p25/p50/p90/p99 — the histogram + distributed-prefix-sum order
+    * statistic (operators.Quantiles): corpus streams once into a
+    * distinct-value-sized aggregate; no global sort, no single-task
+    * window, no value buffering. */
+  def q17Quantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.orderStats(
+        load(spark, dir, "events").select(fx(col("value"), 2).cast("long").as("v_e2")),
+        "v_e2", Seq(2500L, 5000L, 9000L, 9900L))
+      .withColumnRenamed("value", "value_e2")
+
+  /** Exact per-source median document length — the grouped order
+    * statistic: one histogram aggregate, a per-group window over
+    * histogram rows (parallel across groups, task work bounded by a
+    * group's distinct values, not its row count). */
+  def q18GroupedMedian(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.groupedOrderStat(
+        load(spark, dir, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars", 5000L)
+      .withColumnRenamed("value", "median_chars")
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q17_quantiles" ->
+      """WITH vals AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        |              FROM events),
+        |tot AS (SELECT count(*) AS n FROM vals),
+        |hist AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+        |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cle FROM hist),
+        |qs AS (SELECT unnest([2500, 5000, 9000, 9900]) AS q_e4)
+        |SELECT q_e4::BIGINT AS q_e4, n::BIGINT AS n,
+        |  greatest(1, (q_e4*n + 9999) // 10000)::BIGINT AS k, v AS value_e2
+        |FROM cum, qs, tot
+        |WHERE cle - c < greatest(1, (q_e4*n + 9999) // 10000)
+        |  AND greatest(1, (q_e4*n + 9999) // 10000) <= cle""".stripMargin,
+    "q18_grouped_median" ->
+      """WITH hist AS (SELECT source, n_chars AS v, count(*) AS c
+        |              FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, v, c,
+        |          sum(c) OVER (PARTITION BY source ORDER BY v) AS cle,
+        |          sum(c) OVER (PARTITION BY source) AS n FROM hist)
+        |SELECT source, n::BIGINT AS n,
+        |  greatest(1, (5000*n + 9999) // 10000)::BIGINT AS k, v AS median_chars
+        |FROM cum
+        |WHERE cle - c < greatest(1, (5000*n + 9999) // 10000)
+        |  AND greatest(1, (5000*n + 9999) // 10000) <= cle""".stripMargin,
     "q15_bucketed_join" -> graft.operators.Bucketing.oracle,
     "q14_gapfill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,

@@ -354,6 +354,8 @@ object LlmQueries {
       ((s: SparkSession, d: String) => graft.llm.Mining.dupSpans(docs(s, d))),
     "llm_domain_cap" ->
       ((s: SparkSession, d: String) => Curation.domainCap(docs(s, d))),
+    "llm_length_outliers" ->
+      ((s: SparkSession, d: String) => Curation.lengthOutliers(docs(s, d))),
     "llm_shuffle" ->
       ((s: SparkSession, d: String) => Curation.shuffleOrder(docs(s, d))),
     "llm_pipeline" -> (pipeline _),
@@ -404,6 +406,7 @@ object LlmQueries {
     "llm_decontam_fuzzy" -> graft.llm.Mining.fuzzyDecontamOracle,
     "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,
     "llm_domain_cap" -> Curation.domainCapOracle,
+    "llm_length_outliers" -> Curation.lengthOutliersOracle,
     "llm_shuffle" -> Curation.shuffleOrderOracle,
     // the composed pipeline's oracle is assembled from the SAME CTE
     // definitions the standalone stage oracles use (closure, gopher

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Quantiles
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact order-statistic contract: k = max(1, ceil(q·n)) in integer
+  * arithmetic, k-th smallest over the ascending order — verified against a
+  * naive sorted-array reference on random multisets (ties are the whole
+  * point of the histogram design), plus grouped and edge cases.
+  */
+class QuantilesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def naive(xs: Seq[Long], qE4: Long): (Long, Long) = {
+    val sorted = xs.sorted
+    val n = xs.size.toLong
+    val k = math.max(1L, (qE4 * n + 9999L) / 10000L)
+    (k, sorted((k - 1).toInt))
+  }
+
+  test("randomized differential: orderStats matches the sorted-array reference") {
+    val rnd = new scala.util.Random(17)
+    (0 until 5).foreach { round =>
+      // heavy ties: values drawn from a small domain
+      val xs = Seq.fill(200 + rnd.nextInt(300))(rnd.nextInt(40).toLong - 7L)
+      val qs = Seq(1L, 100L, 2500L, 5000L, 9900L, 10000L)
+      val got = Quantiles.orderStats(xs.toDF("v"), "v", qs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      qs.foreach { q =>
+        assert(got(q) == naive(xs, q), s"round $round q=$q n=${xs.size}")
+      }
+      assert(got.values.forall(_ != null) && got.size == qs.size)
+    }
+  }
+
+  test("orderStats edges: q=1e4 is the max, tiny q clamps to the min, empty input is empty") {
+    val xs = Seq(5L, 5L, 1L, 9L)
+    val got = Quantiles.orderStats(xs.toDF("v"), "v", Seq(1L, 10000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) == 1L && got(10000L) == 9L)
+    assert(Quantiles.orderStats(Seq.empty[Long].toDF("v"), "v", Seq(5000L)).count() == 0)
+  }
+
+  test("groupedOrderStat: per-group medians match the per-group reference") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 400).map { _ =>
+      val g = s"g${rnd.nextInt(7)}"
+      (g, rnd.nextInt(25).toLong)
+    }
+    val got = Quantiles.groupedOrderStat(rows.toDF("g", "v"), "g", "v", 5000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val xs = grp.map(_._2)
+      val (k, v) = naive(xs, 5000L)
+      assert(got(g) == ((xs.size.toLong, k, v)), s"group $g")
+    }
+    assert(got.size == rows.map(_._1).distinct.size, "exactly one row per group")
+  }
+
+  test("length outliers: bounds are the exact p1/p99 and the filter is strict") {
+    val docs = (1L to 1000L).map(i => (i, "t", "en", "src", i)) // n_chars = 1..1000
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.llm.Curation.lengthOutliers(docs).collect()
+    // k(p1) = ceil(0.01*1000) = 10 -> lo = 10; k(p99) = 990 -> hi = 990
+    assert(out.forall(r => r.getLong(2) == 10L && r.getLong(3) == 990L))
+    val flagged = out.map(_.getLong(0)).sorted
+    assert(flagged.toSeq == ((1L to 9L) ++ (991L to 1000L)), "strictly outside [lo, hi]")
+  }
+}

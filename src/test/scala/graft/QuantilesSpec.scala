@@ -60,6 +60,32 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.size == rows.map(_._1).distinct.size, "exactly one row per group")
   }
 
+  test("plan shape: orderStats has no window and no corpus-wide sort node") {
+    // the whole point vs `row_number() OVER (ORDER BY v)` / exact
+    // `percentile`: rank resolution must run on the histogram via the
+    // two-pass prefix sum, never as a single-task global window
+    val xs = (0 until 1000).map(i => (i % 37).toLong)
+    val plan = Quantiles.orderStats(xs.toDF("v"), "v", Seq(5000L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window node:\n$plan")
+    // rank resolution joins the tiny (q,k) table via broadcast against the
+    // prefix-summed histogram (which enters through PrefixSum's RDD
+    // lineage boundary — the Scan[obj] below the join); a plan that
+    // sorted/windowed the corpus here would put those nodes above it
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("Scan[obj"),
+      s"expected broadcast rank join over the prefix-sum lineage:\n$plan")
+  }
+
+  test("plan shape: groupedOrderStat's window runs over histogram rows, after the aggregate") {
+    val rows = (0 until 500).map(i => (s"g${i % 5}", (i % 11).toLong))
+    val qe = Quantiles.groupedOrderStat(rows.toDF("g", "v"), "g", "v", 5000L)
+      .queryExecution.executedPlan.toString
+    val aggAt = qe.indexOf("HashAggregate")
+    val winAt = qe.indexOf("Window")
+    assert(aggAt >= 0 && winAt >= 0 && winAt < aggAt,
+      s"Window must consume the aggregate's output (plan tree prints top-down):\n$qe")
+  }
+
   test("length outliers: bounds are the exact p1/p99 and the filter is strict") {
     val docs = (1L to 1000L).map(i => (i, "t", "en", "src", i)) // n_chars = 1..1000
       .toDF("doc_id", "text", "lang", "source", "n_chars")

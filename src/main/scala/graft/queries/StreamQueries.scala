@@ -102,8 +102,15 @@ object StreamQueries {
     StreamOps.windowTopKey(usAligned(storeDf(spark, dir)), "user", "1 hour",
       "5 seconds")
 
+  /** Per-hour exact p90 of the integer `k` field (windowed order
+    * statistic, chained aggregations over the value histogram). */
+  def windowQuantile(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.windowQuantile(usAligned(storeDf(spark, dir)), "k", "1 hour",
+      "5 seconds", qE4 = 9000L)
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_top" -> (windowTop _),
+    "stream_window_quantile" -> (windowQuantile _),
     "stream_window_counts" -> (windowCounts _),
     "stream_sliding" -> (slidingCounts _),
     "stream_sessions" -> (sessions _),
@@ -164,6 +171,19 @@ object StreamQueries {
          |    PARTITION BY window_start_us ORDER BY cnt DESC, key DESC) AS rn
          |  FROM cnt)
          |SELECT window_start_us, key, cnt FROM r WHERE rn = 1""".stripMargin,
+    "stream_window_quantile" ->
+      s"""${EventStore.oracleCte},
+         |vals AS (SELECT (epoch_us(ts_raw) // 3600000000) * 3600000000 AS ws,
+         |           CAST(k AS BIGINT) AS v FROM le),
+         |hist AS (SELECT ws, v, count(*) AS c FROM vals GROUP BY 1, 2),
+         |cum AS (SELECT ws, v, c,
+         |          sum(c) OVER (PARTITION BY ws ORDER BY v) AS cle,
+         |          sum(c) OVER (PARTITION BY ws) AS n FROM hist)
+         |SELECT ws AS window_start_us, n::BIGINT AS n,
+         |  greatest(1, (9000*n + 9999) // 10000)::BIGINT AS k, v AS value
+         |FROM cum
+         |WHERE cle - c < greatest(1, (9000*n + 9999) // 10000)
+         |  AND greatest(1, (9000*n + 9999) // 10000) <= cle""".stripMargin,
     "stream_incr_dedup" ->
       s"""${EventStore.oracleCte},
          |c AS (SELECT min(epoch_us(ts_raw)) +

@@ -84,6 +84,46 @@ object StreamOps {
         col("top.key").as("key"), col("top.cnt").as("cnt"))
   }
 
+  /** Per-window exact q-quantile of an integer field — the "windowed p99
+    * latency" dashboard query — under the SAME rank contract as
+    * [[graft.operators.Quantiles]]: k = max(1, ceil(q·n)) in integer
+    * arithmetic (q in e4 fixed point), value = the window's k-th smallest.
+    *
+    * Two chained stateful aggregations (the [[windowTopKey]] pattern):
+    * stage 1 builds the per-(window, value) HISTOGRAM — map-side-combined,
+    * so streaming state is windows × distinct values, never event rows;
+    * stage 2 re-windows on `window_time` and resolves the rank by folding
+    * the window's sorted histogram inside one aggregate. Per-window state
+    * and work are bounded by the value DOMAIN — this is the
+    * integer-metric shape (latencies, sizes, scores), not an
+    * unbounded-cardinality operator. Append mode emits each window's
+    * quantile exactly once, when the watermark closes it; events with a
+    * missing/non-numeric field group under null and are excluded. */
+  def windowQuantile(events: DataFrame, valField: String, windowDur: String,
+      watermarkDelay: String, qE4: Long): DataFrame = {
+    val base = events.withColumn("event_time", eventTime(col("ts")))
+    val wm = if (events.isStreaming)
+      base.withWatermark("event_time", watermarkDelay) else base
+    val hist = wm
+      .withColumn("v", keyOf(valField).cast("long"))
+      .filter(col("v").isNotNull)
+      .groupBy(window(col("event_time"), windowDur).as("w"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    hist
+      .groupBy(window(window_time(col("w")), windowDur).as("w2"))
+      .agg(sum(col("c")).as("n"),
+        sort_array(collect_list(struct(col("v"), col("c")))).as("h"))
+      .withColumn("k", greatest(lit(1L), expr(s"($qE4 * n + 9999) div 10000")))
+      .select(unix_micros(col("w2.start")).as("window_start_us"),
+        col("n"), col("k"),
+        expr("""aggregate(h,
+            named_struct('acc', cast(0 as bigint), 'res', cast(null as bigint)),
+            (s, x) -> named_struct(
+              'acc', s.acc + x.c,
+              'res', if(s.res is null and s.acc + x.c >= k, x.v, s.res)),
+            s -> s.res)""").as("value"))
+  }
+
   /** One closed session: a maximal run of events for (part, key) with no
     * gap larger than the configured idle timeout. */
   final case class Session(part: String, key: String, startTs: Long,

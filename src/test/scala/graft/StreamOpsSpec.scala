@@ -190,6 +190,38 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(p2 == Seq((3600000000L, "u2", 2L)), s"tie -> larger key, once: $p2")
   }
 
+  test("windowQuantile: chained histogram aggs emit each window's exact p90 once") {
+    val store = freshStore()
+    // window [0,1h): values 1..10 -> n=10, k=ceil(0.9*10)=9 -> p90 = 9
+    (1 to 10).foreach(v => ingest(store, Map("app" -> "q"), v.toString, Seq(100L + v)))
+    // window [1h,2h): values {5,5,7} -> n=3, k=ceil(2.7)=3 -> p90 = 7
+    ingest(store, Map("app" -> "q"), "5", Seq(3700, 3710))
+    ingest(store, Map("app" -> "q"), "7", Seq(3800))
+
+    val batch = StreamOps.windowQuantile(
+      spark.read.format("graft-store").option("root", store.root).load(),
+      "user", "1 hour", "5 seconds", qE4 = 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch == Set((0L, 10L, 9L, 9L), (3600000000L, 3L, 3L, 7L)),
+      s"batch: $batch")
+
+    val cp = Files.createTempDirectory("graft-sops-wq-cp").toString
+    def drain(): Seq[(Long, Long, Long, Long)] =
+      drainAll[(Long, Long, Long, Long)](
+        StreamOps.windowQuantile(stream(store), "user", "1 hour", "5 seconds",
+          qE4 = 9000L),
+        cp, df => df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+    // watermark 3800-5 s: closes [0,1h) only
+    val p1 = drain()
+    assert(p1 == Seq((0L, 10L, 9L, 9L)), s"only the closed window emits: $p1")
+    // advance the watermark past 2h: the second window emits exactly once
+    ingest(store, Map("app" -> "q"), "1", Seq(7300))
+    val p2 = drain()
+    assert(p2 == Seq((3600000000L, 3L, 3L, 7L)), s"second window once: $p2")
+  }
+
   test("incrementalDedup: history keys are suppressed, novel keys emit their earliest once") {
     val histStore = freshStore()
     ingest(histStore, Map("app" -> "i"), "u1", Seq(10, 20))

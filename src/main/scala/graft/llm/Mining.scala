@@ -627,4 +627,74 @@ object Mining {
        |JOIN sizes sb ON sb.doc_id = i.bench_id
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= $FuzzyThreshold""".stripMargin
   }
+
+  // ------------------------------------------------------- source overlap
+
+  /** Gram length for the cross-source overlap matrix (word 5-grams — the
+    * boilerplate/df phrase unit). */
+  val OverlapGram = 5
+
+  /** Cross-source n-gram overlap matrix — the corpus-leakage diagnostic a
+    * curation run consults before capping or dedup: which pairs of
+    * sources share suspiciously much text (mirrors, syndication, scraped
+    * re-hosts). One row per unordered source pair that shares at least
+    * one distinct word-[[OverlapGram]]-gram: the shared distinct-gram
+    * count, each side's distinct-gram total, and the overlap coefficient
+    * |A∩B| / min(|A|,|B|) in e4 (integer floor — engine-neutral).
+    *
+    * Plan shape: ONE corpus scan melts to the DISTINCT (source, gram)
+    * table (corpus-sublinear — the df table's shape), persisted and read
+    * three times (pair join both sides + per-source sizes). The pair
+    * count is a gram-keyed self-join whose per-gram output is bounded by
+    * sources² — the source domain is small (tens here, at most thousands
+    * at web scale), so a boilerplate gram present everywhere emits a
+    * bounded pair burst, never a corpus-scaled one. Per-source sizes are
+    * a broadcast; nothing all-pairs over documents anywhere. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val n = OverlapGram
+    val grams = docs
+      .select(col("source"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("source"), explode(Dedup.shinglesFromTokens(col("w"), n)).as("g"))
+      .distinct()
+      .persist()
+    OpCaches.track("mining.sourceOverlap", Seq(grams))
+    val shared = grams.select(col("source").as("src_a"), col("g"))
+      .join(grams.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("nb"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"), col("na"), col("nb"),
+        expr("(shared * 10000) div least(na, nb)").as("overlap_e4"))
+  }
+
+  /** DuckDB twin of [[sourceOverlap]]. */
+  val sourceOverlapOracle: String = {
+    val gramExpr = (0 until OverlapGram).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, unnest(list_transform(
+       |    range(1, greatest(len(w) - ${OverlapGram - 1}, 0) + 1),
+       |    i -> $gramExpr)) AS g
+       |  FROM (SELECT source, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                   t -> t != '') w FROM documents)
+       |  WHERE len(w) >= $OverlapGram),
+       |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+       |  FROM sh a JOIN sh b USING (g)
+       |  WHERE a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, shared::BIGINT AS shared,
+       |  sa.sz::BIGINT AS na, sb.sz::BIGINT AS nb,
+       |  ((shared * 10000) // least(sa.sz, sb.sz))::BIGINT AS overlap_e4
+       |FROM pairs
+       |JOIN sz sa ON sa.source = pairs.src_a
+       |JOIN sz sb ON sb.source = pairs.src_b""".stripMargin
+  }
 }

@@ -352,6 +352,9 @@ object LlmQueries {
         memo(miningCache, s, s"fuzzy|$d")(graft.llm.Mining.fuzzyDecontam(docs(s, d)))),
     "llm_dup_spans" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.dupSpans(docs(s, d))),
+    "llm_source_overlap" ->
+      ((s: SparkSession, d: String) =>
+        memo(miningCache, s, s"srcoverlap|$d")(graft.llm.Mining.sourceOverlap(docs(s, d)))),
     "llm_domain_cap" ->
       ((s: SparkSession, d: String) => Curation.domainCap(docs(s, d))),
     "llm_length_outliers" ->
@@ -407,6 +410,7 @@ object LlmQueries {
     "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,
     "llm_domain_cap" -> Curation.domainCapOracle,
     "llm_length_outliers" -> Curation.lengthOutliersOracle,
+    "llm_source_overlap" -> graft.llm.Mining.sourceOverlapOracle,
     "llm_shuffle" -> Curation.shuffleOrderOracle,
     // the composed pipeline's oracle is assembled from the SAME CTE
     // definitions the standalone stage oracles use (closure, gopher

@@ -258,4 +258,25 @@ class MiningSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "expected planted cross-boundary near-dups")
     assert(out == brute, s"missing=${brute -- out} extra=${out -- brute}")
   }
+
+  test("source overlap: exact shared counts, coefficient, and no rows for disjoint sources") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f", "s1"), // s1 grams: {a b c d e, b c d e f}
+      (2L, "a b c d e x", "s2"), // s2 gains {a b c d e, b c d e x}
+      (3L, "p q r s t u", "s3"), // disjoint from everything
+      (4L, "a b c d e f", "s2")  // s2 also gains {b c d e f}
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val out = Mining.sourceOverlap(d).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // s1={2 grams} fully inside s2={3 grams}: shared 2, coeff = 2/min(2,3) = 1e4
+    assert(out == Set(("s1", "s2", 2L, 2L, 3L, 10000L)), s"got $out")
+    // sanity on the real corpus: symmetric-free (a<b), coeff bounded
+    val corpus = Mining.sourceOverlap(docs).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(r => r.getString(0) < r.getString(1)))
+    assert(corpus.forall(r => r.getLong(5) >= 0L && r.getLong(5) <= 10000L))
+  }
 }

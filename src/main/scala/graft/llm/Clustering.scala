@@ -58,16 +58,23 @@ object Clustering {
     * combine caps the shuffle at k·dim rows per partition. Collected to
     * the driver (k×dim doubles: model parameters). */
   def updateCentroids(assigned: DataFrame, k: Int, dim: Int,
-      prev: Array[Array[Double]]): Array[Array[Double]] = {
+      prev: Array[Array[Double]]): (Array[Array[Double]], Double) = {
+    // the iteration's total inertia rides the SAME aggregate (each
+    // member's d2 is repeated once per dim row, so divide the grand sum
+    // by dim) — one Spark action per Lloyd iteration, not two
     val sums = assigned
-      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cluster", "dim").agg(avg("x").as("m"))
+      .select(col("cluster"), col("d2"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim").agg(avg("x").as("m"), sum("d2").as("sd2"))
       .collect()
     // a cluster that lost every member keeps its previous position (the
     // standard Lloyd's empty-cluster rule that preserves monotonicity)
     val cs = prev.map(_.clone())
-    sums.foreach(r => cs(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2))
-    cs
+    var d2Sum = 0.0
+    sums.foreach { r =>
+      cs(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2)
+      d2Sum += r.getDouble(3)
+    }
+    (cs, d2Sum / dim)
   }
 
   /** Full Lloyd's run: k smallest vec_ids seed, `iters` fixed passes.
@@ -82,9 +89,9 @@ object Clustering {
     var assigned: DataFrame = null
     (0 until iters).foreach { _ =>
       assigned = assign(vecs, centroids)
-      val it = assigned.agg(sum("d2")).head().getDouble(0)
-      inertias += it
-      centroids = updateCentroids(assigned, k, dim, centroids)
+      val (cs, inertia) = updateCentroids(assigned, k, dim, centroids)
+      inertias += inertia
+      centroids = cs
     }
     (assigned.select(col("vec_id"), col("cluster")), inertias.toSeq)
   }

@@ -93,26 +93,34 @@ object SemDedup {
     val (verdicts0, edges) = verdictsAndEdges(emb, k, iters, thrE6)
     val verdicts = verdicts0.persist()
     OpCaches.track("semdedup.verdicts", Seq(verdicts))
-    val total = emb.select(col("vec_id")).distinct().count()
+    // every check reduces to a 1-row aggregate over the persisted
+    // verdicts/edges; cross-joining them runs the whole gate as ONE job
+    // instead of five sub-second actions (per-action overhead dominated
+    // the entry's cost — the aggregates themselves are tiny at any scale)
     val vAgg = verdicts
-      .agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("d")).head()
-    val (nVerdicts, nDistinct) = (vAgg.getLong(0), vAgg.getLong(1))
+      .agg(count(lit(1)).as("n_verdicts"), countDistinct(col("vec_id")).as("n_distinct"))
+    val tot = emb.select(col("vec_id")).distinct().agg(count(lit(1)).as("total"))
     val badGroups = verdicts.groupBy(col("group_id"))
       .agg(sum(col("keep").cast("long")).as("nk"))
-      .filter(col("nk") =!= 1L).count()
+      .filter(col("nk") =!= 1L).agg(count(lit(1)).as("bad_groups"))
     val dropped = verdicts.filter(!col("keep")).select(col("vec_id"))
     val edgeEnds = edges.select(col("doc_a").as("vec_id"))
       .union(edges.select(col("doc_b").as("vec_id"))).distinct()
-    val strandedDrops = dropped.join(edgeEnds, Seq("vec_id"), "left_anti").count()
+    val stranded = dropped.join(edgeEnds, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("stranded"))
     val kept = verdicts.filter(col("keep")).select(col("vec_id"))
     val keptPairs = edges
       .join(kept.withColumnRenamed("vec_id", "doc_a"), Seq("doc_a"))
-      .join(kept.withColumnRenamed("vec_id", "doc_b"), Seq("doc_b")).count()
+      .join(kept.withColumnRenamed("vec_id", "doc_b"), Seq("doc_b"))
+      .agg(count(lit(1)).as("kept_pairs"))
+    val r = vAgg.crossJoin(tot).crossJoin(badGroups).crossJoin(stranded)
+      .crossJoin(keptPairs).head()
+    val (nVerdicts, nDistinct, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
     Seq(
       ("partition", nVerdicts == total && nDistinct == total),
-      ("one_survivor_per_group", badGroups == 0L),
-      ("dropped_are_duplicates", strandedDrops == 0L),
-      ("survivors_separated", keptPairs == 0L)
+      ("one_survivor_per_group", r.getLong(3) == 0L),
+      ("dropped_are_duplicates", r.getLong(4) == 0L),
+      ("survivors_separated", r.getLong(5) == 0L)
     ).toDF("check", "pass")
   }
 }

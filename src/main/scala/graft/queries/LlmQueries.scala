@@ -119,8 +119,12 @@ object LlmQueries {
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
     Curation.ccnetBuckets(docs(spark, dir))
 
+  /** Memoized like the ngram/gram families: the k-means + within-cluster
+    * pairwise + label-propagation chain runs once per (session, dir); a
+    * re-invocation reads the 4-row verdict table. */
   def semDedupGate(spark: SparkSession, dir: String): DataFrame =
-    graft.llm.SemDedup.gate(emb(spark, dir))
+    memo(miningCache, spark, s"semdedup|$dir")(
+      graft.llm.SemDedup.gate(emb(spark, dir)))
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.fingerprints(docs(spark, dir))

@@ -117,9 +117,28 @@ final class Catalog(fs: FileSystem, path: Path) {
     files.map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}").mkString(";")
 
   private def parseAll(files: Seq[FileStatus]): Seq[CatEntry] = {
-    val buf = Vector.newBuilder[CatEntry]
-    files.foreach(st => parseInto(st, buf))
-    buf.result()
+    // the sharded base makes the full (admin-path) parse embarrassingly
+    // parallel — one task per file, results concatenated in file order so
+    // the output is deterministic; single-file reads skip the pool
+    if (files.lengthCompare(1) <= 0) {
+      val buf = Vector.newBuilder[CatEntry]
+      files.foreach(st => parseInto(st, buf))
+      buf.result()
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(files.size, Catalog.ParseThreads))
+      try {
+        files.map { st =>
+          pool.submit(new java.util.concurrent.Callable[Vector[CatEntry]] {
+            def call(): Vector[CatEntry] = {
+              val buf = Vector.newBuilder[CatEntry]
+              parseInto(st, buf)
+              buf.result()
+            }
+          })
+        }.flatMap(_.get())
+      } finally pool.shutdown()
+    }
   }
 
   private def parseInto(st: FileStatus, buf: scala.collection.mutable.Growable[CatEntry]): Unit = {
@@ -375,6 +394,10 @@ object Catalog {
     * stable across JVMs/restarts). */
   val Shards = 256
   def shardOf(part: String): Int = (part.hashCode & 0x7fffffff) % Shards
+
+  /** Thread cap for the multi-file (full-load / segment) parse — driver
+    * CPU-bound work, kept well under the executor thread budget. */
+  val ParseThreads = 8
   private[store] def shardFileName(s: Int): String = f"shard-$s%03d.jsonl"
 
   /** Escape-decode of `line[from, to)` — the string escapes [[esc]] emits. */

@@ -191,9 +191,9 @@ object Curation {
        |tot AS (SELECT count(*) AS n FROM documents),
        |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cle FROM hist),
        |lo AS (SELECT min(v) AS lo FROM cum, tot
-       |       WHERE cle >= greatest(1, ($LengthLoE4*n + 9999) // 10000)),
+       |       WHERE cle >= ${graft.operators.Quantiles.kSql(LengthLoE4.toString, "n")}),
        |hi AS (SELECT min(v) AS hi FROM cum, tot
-       |       WHERE cle >= greatest(1, ($LengthHiE4*n + 9999) // 10000))
+       |       WHERE cle >= ${graft.operators.Quantiles.kSql(LengthHiE4.toString, "n")})
        |SELECT doc_id::BIGINT AS doc_id, n_chars, lo, hi
        |FROM documents, lo, hi
        |WHERE n_chars < lo OR n_chars > hi""".stripMargin

@@ -32,24 +32,37 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Rank expression shared by the Spark and SQL sides:
-    * k = max(1, ceil(q·n)) in integer arithmetic, q in e4 fixed point. */
+  /** THE rank contract — k = max(1, ceil(q·n)) in integer arithmetic, q
+    * in e4 fixed point — in its three forms. Every consumer (this file,
+    * the analytics/curation/stream oracles, StreamOps.windowQuantile)
+    * goes through one of these so the contract cannot silently fork. */
+  def kOf(qE4: Long, n: Long): Long = math.max(1L, (qE4 * n + 9999L) / 10000L)
+
+  /** DuckDB-SQL form (`//` floors like integer `div` on the positive
+    * domain both sides operate in). */
   def kSql(qE4Expr: String, nExpr: String): String =
     s"greatest(1, ($qE4Expr * $nExpr + 9999) // 10000)"
 
+  /** Spark Column form over a LongType count column (`div`, the integral
+    * division — `/` would be double division). */
+  def kCol(qE4: Long, nColName: String): org.apache.spark.sql.Column =
+    greatest(lit(1L), expr(s"($qE4 * `$nColName` + 9999) div 10000"))
+
   /** Global order statistics: one output row per requested quantile —
-    * (q_e4, n, k, value). Empty input yields no rows. */
+    * (q_e4, n, k, value). Empty input yields no rows; null values are
+    * excluded — they neither count toward n nor rank (a null histogram
+    * row would otherwise shift every rank and crash the prefix-sum
+    * decoder with an opaque NPE). */
   def orderStats(df: DataFrame, valCol: String, qsE4: Seq[Long]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.select(col(valCol).cast("long").as("v"))
+    val v = df.select(col(valCol).cast("long").as("v")).filter(col("v").isNotNull)
     // n is a driver-side scalar so ranks enter the plan as literals; the
     // count and the histogram are the operator's only corpus passes
     val n = v.count()
     val hist = v.groupBy("v").agg(count(lit(1)).as("c"))
     val cum = PrefixSum.cumBefore(hist, "v", "c") // (v, c, cum_before)
-    val qk = qsE4.map(q => (q, math.max(1L, (q * n + 9999L) / 10000L)))
-      .toDF("q_e4", "k")
+    val qk = qsE4.map(q => (q, kOf(q, n))).toDF("q_e4", "k")
     cum.join(broadcast(qk),
         col("cum_before") < col("k") && col("k") <= col("cum_before") + col("c"))
       .select(col("q_e4"), lit(n).as("n"), col("k"), col("v").as("value"))
@@ -61,15 +74,18 @@ object Quantiles {
     * work is bounded by one group's distinct values, not its row count. */
   def groupedOrderStat(df: DataFrame, grpCol: String, valCol: String,
       qE4: Long): DataFrame = {
-    val hist = df.groupBy(col(grpCol), col(valCol).cast("long").as("v"))
+    // null exclusion matches orderStats (post-cast, so an uncastable
+    // value is excluded rather than ranked as null)
+    val hist = df.select(col(grpCol), col(valCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col(grpCol), col("v"))
       .agg(count(lit(1)).as("c"))
     val byG = Window.partitionBy(grpCol)
     val w = byG.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
       .withColumn("cle", sum(col("c")).over(w))
       .withColumn("n", sum(col("c")).over(byG))
-      .withColumn("k", greatest(lit(1L),
-        expr(s"($qE4 * n + 9999) div 10000")))
+      .withColumn("k", kCol(qE4, "n"))
       .filter(col("cle") - col("c") < col("k") && col("k") <= col("cle"))
       .select(col(grpCol), col("n"), col("k"), col("v").as("value"))
   }

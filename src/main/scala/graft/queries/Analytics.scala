@@ -250,28 +250,28 @@ object Analytics {
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
     "q17_quantiles" ->
-      """WITH vals AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+      s"""WITH vals AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v
         |              FROM events),
         |tot AS (SELECT count(*) AS n FROM vals),
         |hist AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
         |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cle FROM hist),
         |qs AS (SELECT unnest([2500, 5000, 9000, 9900]) AS q_e4)
         |SELECT q_e4::BIGINT AS q_e4, n::BIGINT AS n,
-        |  greatest(1, (q_e4*n + 9999) // 10000)::BIGINT AS k, v AS value_e2
+        |  ${graft.operators.Quantiles.kSql("q_e4", "n")}::BIGINT AS k, v AS value_e2
         |FROM cum, qs, tot
-        |WHERE cle - c < greatest(1, (q_e4*n + 9999) // 10000)
-        |  AND greatest(1, (q_e4*n + 9999) // 10000) <= cle""".stripMargin,
+        |WHERE cle - c < ${graft.operators.Quantiles.kSql("q_e4", "n")}
+        |  AND ${graft.operators.Quantiles.kSql("q_e4", "n")} <= cle""".stripMargin,
     "q18_grouped_median" ->
-      """WITH hist AS (SELECT source, n_chars AS v, count(*) AS c
+      s"""WITH hist AS (SELECT source, n_chars AS v, count(*) AS c
         |              FROM documents GROUP BY 1, 2),
         |cum AS (SELECT source, v, c,
         |          sum(c) OVER (PARTITION BY source ORDER BY v) AS cle,
         |          sum(c) OVER (PARTITION BY source) AS n FROM hist)
         |SELECT source, n::BIGINT AS n,
-        |  greatest(1, (5000*n + 9999) // 10000)::BIGINT AS k, v AS median_chars
+        |  ${graft.operators.Quantiles.kSql("5000", "n")}::BIGINT AS k, v AS median_chars
         |FROM cum
-        |WHERE cle - c < greatest(1, (5000*n + 9999) // 10000)
-        |  AND greatest(1, (5000*n + 9999) // 10000) <= cle""".stripMargin,
+        |WHERE cle - c < ${graft.operators.Quantiles.kSql("5000", "n")}
+        |  AND ${graft.operators.Quantiles.kSql("5000", "n")} <= cle""".stripMargin,
     "q15_bucketed_join" -> graft.operators.Bucketing.oracle,
     "q14_gapfill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,

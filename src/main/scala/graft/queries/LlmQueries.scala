@@ -28,16 +28,19 @@ object LlmQueries {
     * whose session has stopped are dropped on access (their persisted
     * blocks died with the session; the stale plan would otherwise pin the
     * map for the process lifetime). */
-  private def memo(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+  private final class Memo(mk0: () => DataFrame) {
+    // persist() runs inside the lazy body: a getOrElseUpdate race may
+    // construct a losing Memo, but only the STORED holder is ever forced
+    // (lazy val is thread-safe), so nothing orphaned gets persisted and —
+    // unlike a cache-wide synchronized block — a slow first build of one
+    // key never serializes unrelated keys sharing the cache
+    lazy val df: DataFrame = mk0().persist()
+  }
+
+  private def memo(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), Memo],
       spark: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
     cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    // synchronized so concurrent first calls can't both evaluate mk: the
-    // loser's persist() result would be discarded yet stay persisted,
-    // leaking executor storage until session stop (TrieMap's
-    // getOrElseUpdate alone doesn't guarantee once-only evaluation)
-    cache.synchronized {
-      cache.getOrElseUpdate((spark, key), mk.persist())
-    }
+    cache.getOrElseUpdate((spark, key), new Memo(() => mk)).df
   }
 
   /** The ngram-Jaccard pairs feed TWO entries (the pair list itself and
@@ -46,7 +49,7 @@ object LlmQueries {
     * handful per JVM; the persisted pair lists are tiny (candidates, not
     * corpus). */
   private val ngramPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Memo]
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
     memo(ngramPairsCache, spark, dir)(Dedup.ngramJaccard(docs(spark, dir)))
 
@@ -57,7 +60,7 @@ object LlmQueries {
     * both the cluster view and the applied dedup (tiny result — one row
     * per clustered doc). */
   private val clustersCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Memo]
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     memo(clustersCache, spark, dir)(Dedup.dupClusters(ngramPairs(spark, dir)))
 
@@ -136,9 +139,9 @@ object LlmQueries {
     * — memoized per (session, variant, dir) like [[ngramPairs]] (outputs
     * are k rows per query, tiny at any corpus scale). */
   private val topkCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Memo]
   private val miningCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Memo]
 
   /** The melted unigram+bigram count table shared by llm_collocations and
     * llm_lm2_score — memoized/persisted like [[ngramPairs]] (vocab-

@@ -174,16 +174,17 @@ object StreamQueries {
     "stream_window_quantile" ->
       s"""${EventStore.oracleCte},
          |vals AS (SELECT (epoch_us(ts_raw) // 3600000000) * 3600000000 AS ws,
-         |           CAST(k AS BIGINT) AS v FROM le),
-         |hist AS (SELECT ws, v, count(*) AS c FROM vals GROUP BY 1, 2),
+         |           TRY_CAST(k AS BIGINT) AS v FROM le),
+         |hist AS (SELECT ws, v, count(*) AS c FROM vals
+         |         WHERE v IS NOT NULL GROUP BY 1, 2),
          |cum AS (SELECT ws, v, c,
          |          sum(c) OVER (PARTITION BY ws ORDER BY v) AS cle,
          |          sum(c) OVER (PARTITION BY ws) AS n FROM hist)
          |SELECT ws AS window_start_us, n::BIGINT AS n,
-         |  greatest(1, (9000*n + 9999) // 10000)::BIGINT AS k, v AS value
+         |  ${graft.operators.Quantiles.kSql("9000", "n")}::BIGINT AS k, v AS value
          |FROM cum
-         |WHERE cle - c < greatest(1, (9000*n + 9999) // 10000)
-         |  AND greatest(1, (9000*n + 9999) // 10000) <= cle""".stripMargin,
+         |WHERE cle - c < ${graft.operators.Quantiles.kSql("9000", "n")}
+         |  AND ${graft.operators.Quantiles.kSql("9000", "n")} <= cle""".stripMargin,
     "stream_incr_dedup" ->
       s"""${EventStore.oracleCte},
          |c AS (SELECT min(epoch_us(ts_raw)) +

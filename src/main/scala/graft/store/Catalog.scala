@@ -106,12 +106,30 @@ final class Catalog(fs: FileSystem, path: Path) {
     case None => baseFiles()
   }
 
-  private def segFiles(): Seq[FileStatus] =
-    if (fs.exists(segDir))
-      fs.listStatus(segDir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
-        .sortBy(_.getPath.getName)
-    else Nil
+  /** Segment names the live base already folded in ([[save]]'s
+    * consumed-list): entries in them are duplicates at best and
+    * caller-dropped (replace/TRUNCATE) at worst, so readers skip them —
+    * they only exist during the crash window before segment cleanup. */
+  private def consumedSegNames(): Set[String] = liveShardsDir() match {
+    case Some(dir) =>
+      val p = new Path(dir, Catalog.ConsumedName)
+      if (!fs.exists(p)) Set.empty
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        txt.linesIterator.filter(_.nonEmpty).toSet
+      }
+    case None => Set.empty
+  }
+
+  private def segFiles(): Seq[FileStatus] = {
+    if (!fs.exists(segDir)) return Nil
+    val consumed = consumedSegNames()
+    fs.listStatus(segDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl") &&
+        !consumed.contains(st.getPath.getName))
+      .sortBy(_.getPath.getName)
+  }
 
   private def fingerprint(files: Seq[FileStatus]): String =
     files.map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}").mkString(";")
@@ -258,6 +276,15 @@ final class Catalog(fs: FileSystem, path: Path) {
     * Crash-safe: at every instant either the new shards, the old shards
     * (as `.shards.bak`), or the legacy base is readable. */
   def save(entries: IterableOnce[CatEntry]): Unit = lock.synchronized {
+    // the segment files whose content this base subsumes — recorded INSIDE
+    // the new base as a consumed-list, so a crash before the segment
+    // cleanup below cannot resurrect entries the caller dropped
+    // (replace()/TRUNCATE/compact): readers skip consumed segments even
+    // while the files still exist. The previous consumed-list carries
+    // forward: crash-residue segments must stay dead across a SECOND save
+    // that happens before any successful cleanup.
+    val consumedSegs =
+      (consumedSegNames() ++ segFiles().map(_.getPath.getName)).toSeq.sorted
     val tmp = new Path(path.getParent, path.getName + ".shards.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     fs.mkdirs(tmp)
@@ -271,12 +298,22 @@ final class Catalog(fs: FileSystem, path: Path) {
         outs(s).write((encode(e) + "\n").getBytes(StandardCharsets.UTF_8))
       }
     } finally outs.foreach(o => if (o != null) o.close())
+    if (consumedSegs.nonEmpty) {
+      val out = fs.create(new Path(tmp, Catalog.ConsumedName), true)
+      try out.write(consumedSegs.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // recover a half-finished prior swap FIRST: if `.shards.bak` is the
+    // only live base, promote it — deleting it outright (the old order)
+    // opened a window with no readable base at all
+    if (!fs.exists(shardsDir) && fs.exists(shardsBak))
+      Store.renameOrThrow(fs, shardsBak, shardsDir)
     if (fs.exists(shardsBak)) fs.delete(shardsBak, true)
     if (fs.exists(shardsDir)) Store.renameOrThrow(fs, shardsDir, shardsBak)
     Store.renameOrThrow(fs, tmp, shardsDir)
-    // the sharded base now carries everything: legacy files and segments
-    // are stale residue (readers prefer `.shards`, so a crash anywhere in
-    // this cleanup at worst leaves collapsible duplicates)
+    // the sharded base now carries everything: legacy files and consumed
+    // segments are stale residue (readers prefer `.shards` and skip the
+    // consumed-list, so a crash anywhere in this cleanup is harmless)
     if (fs.exists(path)) fs.delete(path, false)
     if (fs.exists(bakPath)) fs.delete(bakPath, false)
     if (fs.exists(segDir)) fs.delete(segDir, true)
@@ -399,6 +436,9 @@ object Catalog {
     * CPU-bound work, kept well under the executor thread budget. */
   val ParseThreads = 8
   private[store] def shardFileName(s: Int): String = f"shard-$s%03d.jsonl"
+  /** Consumed-segment list inside the shards dir (not `.jsonl`, so the
+    * base-file listing never parses it as entries). */
+  private[store] val ConsumedName = "consumed.txt"
 
   /** Escape-decode of `line[from, to)` — the string escapes [[esc]] emits. */
   private def unescape(line: String, from: Int, to: Int): String = {

@@ -113,7 +113,7 @@ object StreamOps {
       .groupBy(window(window_time(col("w")), windowDur).as("w2"))
       .agg(sum(col("c")).as("n"),
         sort_array(collect_list(struct(col("v"), col("c")))).as("h"))
-      .withColumn("k", greatest(lit(1L), expr(s"($qE4 * n + 9999) div 10000")))
+      .withColumn("k", graft.operators.Quantiles.kCol(qE4, "n"))
       .select(unix_micros(col("w2.start")).as("window_start_us"),
         col("n"), col("k"),
         expr("""aggregate(h,

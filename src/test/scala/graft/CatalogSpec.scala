@@ -62,6 +62,51 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat2.entriesForPart("a=1").map(_.file) == Vector("/f1"))
   }
 
+  test("save while .shards.bak is the only base (prior-swap crash) never loses the catalog") {
+    val (cat, dir) = freshCatalog()
+    cat.append(Seq(entry("a=1", "/f1")))
+    cat.save(cat.load())
+    // simulate the prior save dying between its two renames
+    val base = new java.io.File(dir, "catalog.jsonl.shards")
+    val bak = new java.io.File(dir, "catalog.jsonl.shards.bak")
+    assert(base.renameTo(bak))
+    // a fresh instance compacts from this recovery state — the old code
+    // deleted .shards.bak (the only base) before installing the new one
+    val cat2 = Catalog(new Configuration(), dir.getAbsolutePath)
+    cat2.save(cat2.load() :+ entry("b=2", "/f2"))
+    assert(cat2.load().map(_.file).toSet == Set("/f1", "/f2"))
+    assert(!bak.exists())
+  }
+
+  test("a crash before segment cleanup cannot resurrect entries replace() dropped") {
+    val (cat, dir) = freshCatalog()
+    cat.append(Seq(entry("a=1", "/f1"), entry("a=1", "/f2")))
+    // TRUNCATE-shape: drop /f1, keep /f2 — then simulate the crash window
+    // by recreating the consumed segment files after replace() cleaned them
+    val segDir = new java.io.File(dir, "catalog.jsonl.d")
+    val segs = segDir.listFiles().filter(_.getName.endsWith(".jsonl"))
+      .map(f => f.getName -> Files.readString(f.toPath)).toMap
+    cat.replace(Set("/f1"), Nil)
+    segDir.mkdirs()
+    segs.foreach { case (name, txt) =>
+      Files.writeString(new java.io.File(segDir, name).toPath, txt)
+    }
+    // both a fresh full load and the sharded per-part read must keep /f1
+    // dead: its newest entry lives only in a CONSUMED segment
+    val cat2 = Catalog(new Configuration(), dir.getAbsolutePath)
+    assert(cat2.load().map(_.file) == Vector("/f2"))
+    assert(cat2.entriesForPart("a=1").map(_.file) == Vector("/f2"))
+    // and the next save must keep them dead too (consumed list carries
+    // forward even though the residue segments still exist)
+    cat2.save(cat2.load())
+    segDir.mkdirs()
+    segs.foreach { case (name, txt) =>
+      Files.writeString(new java.io.File(segDir, name).toPath, txt)
+    }
+    val cat3 = Catalog(new Configuration(), dir.getAbsolutePath)
+    assert(cat3.load().map(_.file) == Vector("/f2"))
+  }
+
   test("legacy single-file base reads through load and entriesForPart; save migrates it") {
     val (_, dir) = freshCatalog()
     // hand-written legacy layout: base file + one segment

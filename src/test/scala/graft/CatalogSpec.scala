@@ -187,6 +187,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(loaded.head.file == "/weird \"file\"\npath")
   }
 
+  test("fuzz: random adversarial entries round-trip the sequential fast decoder") {
+    val (cat, _) = freshCatalog()
+    val rnd = new scala.util.Random(31)
+    def nastyString(): String = {
+      val pool = "ab=,\"\\\né中 "
+      (0 until 1 + rnd.nextInt(20)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }
+    val entries = (0 until 200).map { i =>
+      CatEntry(nastyString(), s"/f$i-${nastyString()}", rnd.nextLong(),
+        rnd.nextLong(), rnd.nextLong(), rnd.nextLong(),
+        writeTs = i.toLong, maxSeq = rnd.nextLong())
+    }
+    cat.save(entries)
+    val loaded = cat.load()
+    // files are unique by construction, so nothing collapses
+    assert(loaded.toSet == entries.toSet,
+      s"missing=${entries.toSet -- loaded.toSet}")
+  }
+
   test("maxSeq survives the round trip; missing maxSeq defaults to -1") {
     val (cat, dir) = freshCatalog()
     cat.append(Seq(entry("a=1", "/f1", seq = 42)))

@@ -178,6 +178,12 @@ class CatalogSpec extends AnyFunSuite {
       "index must rebuild when the on-disk catalog changes")
   }
 
+  test("scale probe smoke: builds, prunes, and holds budgets at 20k entries") {
+    // guards the probe itself (and the sharded read path it measures)
+    // from bitrot — the full 10^6/10^7 runs stay manual
+    CatalogScaleProbe.main(Array("20000", "500"))
+  }
+
   test("codec round-trips adversarial part/file strings") {
     val (cat, _) = freshCatalog()
     val nasty = "a=\"x,y\",b=back\\slash,c=\"quo\\\"te\",d=new\nline"

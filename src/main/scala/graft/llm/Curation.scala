@@ -198,6 +198,33 @@ object Curation {
        |FROM documents, lo, hi
        |WHERE n_chars < lo OR n_chars > hi""".stripMargin
 
+  /** Quantiles for [[lengthProfile]] (e4): the quartile + tail report. */
+  val ProfileQsE4: Seq[Long] = Seq(2500L, 5000L, 7500L, 9500L)
+
+  /** Per-language corpus length profile — exact p25/p50/p75/p95 of
+    * document length, the distribution report a curation run consults
+    * before setting filter thresholds. One histogram pass; all four
+    * quantiles resolve against the same windowed histogram
+    * ([[graft.operators.Quantiles.groupedOrderStats]]). */
+  def lengthProfile(docs: DataFrame): DataFrame =
+    graft.operators.Quantiles.groupedOrderStats(
+        docs.select(col("lang"), col("n_chars")), "lang", "n_chars", ProfileQsE4)
+      .withColumnRenamed("value", "chars")
+
+  /** DuckDB twin of [[lengthProfile]]. */
+  val lengthProfileOracle: String =
+    s"""WITH hist AS (SELECT lang, n_chars AS v, count(*) AS c
+       |              FROM documents GROUP BY 1, 2),
+       |cum AS (SELECT lang, v, c,
+       |          sum(c) OVER (PARTITION BY lang ORDER BY v) AS cle,
+       |          sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+       |qs AS (SELECT unnest([${ProfileQsE4.mkString(", ")}]) AS q_e4)
+       |SELECT lang, q_e4::BIGINT AS q_e4, n::BIGINT AS n,
+       |  ${graft.operators.Quantiles.kSql("q_e4", "n")}::BIGINT AS k, v AS chars
+       |FROM cum, qs
+       |WHERE cle - c < ${graft.operators.Quantiles.kSql("q_e4", "n")}
+       |  AND ${graft.operators.Quantiles.kSql("q_e4", "n")} <= cle""".stripMargin
+
   // --------------------------------------------------------------- mixture
 
   /** Target corpus mixture by language (e4 weights, sum 10000) — the "data

@@ -43,10 +43,14 @@ object Quantiles {
   def kSql(qE4Expr: String, nExpr: String): String =
     s"greatest(1, ($qE4Expr * $nExpr + 9999) // 10000)"
 
-  /** Spark Column form over a LongType count column (`div`, the integral
+  /** Spark Column form over SQL sub-expressions (`div`, the integral
     * division — `/` would be double division). */
+  def kColExpr(qExpr: String, nExpr: String): org.apache.spark.sql.Column =
+    greatest(lit(1L), expr(s"($qExpr * $nExpr + 9999) div 10000"))
+
+  /** [[kColExpr]] with a literal quantile over a LongType count column. */
   def kCol(qE4: Long, nColName: String): org.apache.spark.sql.Column =
-    greatest(lit(1L), expr(s"($qE4 * `$nColName` + 9999) div 10000"))
+    kColExpr(qE4.toString, s"`$nColName`")
 
   /** Global order statistics: one output row per requested quantile —
     * (q_e4, n, k, value). Empty input yields no rows; null values are
@@ -69,11 +73,23 @@ object Quantiles {
   }
 
   /** Per-group order statistic at one quantile: one row per group —
-    * (grpCol, n, k, value). The window runs over HISTOGRAM rows
-    * partitioned by group: fully parallel across groups, and a task's
-    * work is bounded by one group's distinct values, not its row count. */
+    * (grpCol, n, k, value). */
   def groupedOrderStat(df: DataFrame, grpCol: String, valCol: String,
-      qE4: Long): DataFrame = {
+      qE4: Long): DataFrame =
+    groupedOrderStats(df, grpCol, valCol, Seq(qE4))
+      .select(col(grpCol), col("n"), col("k"), col("value"))
+
+  /** Per-group order statistics at several quantiles: one row per
+    * (group, quantile) — (grpCol, q_e4, n, k, value). The window runs
+    * over HISTOGRAM rows partitioned by group: fully parallel across
+    * groups, a task's work bounded by one group's distinct values, not
+    * its row count; the quantile list rides in as a broadcast literal
+    * against the same windowed histogram, so asking for four quantiles
+    * costs the same corpus work as one. */
+  def groupedOrderStats(df: DataFrame, grpCol: String, valCol: String,
+      qsE4: Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     // null exclusion matches orderStats (post-cast, so an uncastable
     // value is excluded rather than ranked as null)
     val hist = df.select(col(grpCol), col(valCol).cast("long").as("v"))
@@ -82,11 +98,13 @@ object Quantiles {
       .agg(count(lit(1)).as("c"))
     val byG = Window.partitionBy(grpCol)
     val w = byG.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qdf = qsE4.map(Tuple1(_)).toDF("q_e4")
     hist
       .withColumn("cle", sum(col("c")).over(w))
       .withColumn("n", sum(col("c")).over(byG))
-      .withColumn("k", kCol(qE4, "n"))
+      .join(broadcast(qdf))
+      .withColumn("k", kColExpr("q_e4", "n"))
       .filter(col("cle") - col("c") < col("k") && col("k") <= col("cle"))
-      .select(col(grpCol), col("n"), col("k"), col("v").as("value"))
+      .select(col(grpCol), col("q_e4"), col("n"), col("k"), col("v").as("value"))
   }
 }

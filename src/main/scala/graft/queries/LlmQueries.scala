@@ -366,6 +366,8 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Curation.domainCap(docs(s, d))),
     "llm_length_outliers" ->
       ((s: SparkSession, d: String) => Curation.lengthOutliers(docs(s, d))),
+    "llm_length_profile" ->
+      ((s: SparkSession, d: String) => Curation.lengthProfile(docs(s, d))),
     "llm_shuffle" ->
       ((s: SparkSession, d: String) => Curation.shuffleOrder(docs(s, d))),
     "llm_pipeline" -> (pipeline _),
@@ -418,6 +420,7 @@ object LlmQueries {
     "llm_domain_cap" -> Curation.domainCapOracle,
     "llm_length_outliers" -> Curation.lengthOutliersOracle,
     "llm_source_overlap" -> graft.llm.Mining.sourceOverlapOracle,
+    "llm_length_profile" -> Curation.lengthProfileOracle,
     "llm_shuffle" -> Curation.shuffleOrderOracle,
     // the composed pipeline's oracle is assembled from the SAME CTE
     // definitions the standalone stage oracles use (closure, gopher

@@ -43,6 +43,22 @@ class QuantilesSpec extends AnyFunSuite {
     assert(Quantiles.orderStats(Seq.empty[Long].toDF("v"), "v", Seq(5000L)).count() == 0)
   }
 
+  test("groupedOrderStats: multi-quantile rows match the reference at every (group, q)") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 300).map(_ => (s"g${rnd.nextInt(4)}", rnd.nextInt(15).toLong))
+    val qs = Seq(2500L, 5000L, 7500L, 9500L)
+    val got = Quantiles.groupedOrderStats(rows.toDF("g", "v"), "g", "v", qs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val grps = rows.groupBy(_._1)
+    assert(got.size == grps.size * qs.size, "one row per (group, quantile)")
+    for ((g, grp) <- grps; q <- qs) {
+      val xs = grp.map(_._2)
+      val (k, v) = naive(xs, q)
+      assert(got((g, q)) == ((xs.size.toLong, k, v)), s"group $g q $q")
+    }
+  }
+
   test("groupedOrderStat: per-group medians match the per-group reference") {
     val rnd = new scala.util.Random(23)
     val rows = (0 until 400).map { _ =>

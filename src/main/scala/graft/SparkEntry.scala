@@ -53,7 +53,9 @@ object SparkEntry {
       "q15_bucketed_join" -> (graft.operators.Bucketing.bucketedJoin _),
       "q16_rolling" -> (Analytics.q16Rolling _),
       "q17_quantiles" -> (Analytics.q17Quantiles _),
-      "q18_grouped_median" -> (Analytics.q18GroupedMedian _)
+      "q18_grouped_median" -> (Analytics.q18GroupedMedian _),
+      "q19_funnel" -> (Analytics.q19Funnel _),
+      "q20_retention" -> (Analytics.q20Retention _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

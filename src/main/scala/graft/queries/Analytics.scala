@@ -247,8 +247,81 @@ object Analytics {
         "source", "n_chars", 5000L)
       .withColumnRenamed("value", "median_chars")
 
+  /** Greedy-earliest funnel over the event stream: how many users reach
+    * each stage of click → view → purchase, where stage i+1 must occur
+    * STRICTLY after the user's earliest completion of stage i (the
+    * standard deterministic funnel definition — earliest-path, so the
+    * result is unique and oracle-checkable).
+    *
+    * Scale shape: one min-aggregate per stage, each keyed by user_id —
+    * the stage tables are user-sized, not event-sized, and every join is
+    * user-keyed on already-aggregated sides; the event scan streams once
+    * per stage through a pushed event_type filter. No windows, no
+    * per-user buffering. */
+  def q19Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    def stage(tpe: String, prev: Option[DataFrame]): DataFrame = {
+      val base = ev.filter(col("event_type") === tpe)
+      val gated = prev match {
+        case Some(p) => base.join(p, Seq("user_id"))
+          .filter(col("tus") > col("t")).drop("t")
+        case None => base
+      }
+      gated.groupBy(col("user_id")).agg(min(col("tus")).as("t"))
+    }
+    val s1 = stage("click", None)
+    val s2 = stage("view", Some(s1))
+    val s3 = stage("purchase", Some(s2))
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(("1_click", s1), ("2_view", s2), ("3_purchase", s3))
+      .map { case (name, df) => df.agg(count(lit(1)).as("n"))
+        .select(lit(name).as("stage"), col("n").as("n_users")) }
+      .reduce(_ unionAll _)
+  }
+
+  /** Hourly cohort retention: users grouped by their FIRST-ever active
+    * hour (the cohort), counted at each later hour they return —
+    * (cohort_hour, offset_hours, n_users). Two aggregates and one
+    * user-keyed join of user-sized tables; the distinct-(user, hour)
+    * activity set is the only corpus-scale aggregate and it map-side
+    * combines. */
+  def q20Retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = load(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 3600000000000").as("h"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("h")).as("h0"))
+    act.join(cohort, Seq("user_id"))
+      .groupBy(col("h0").as("cohort_hour"), (col("h") - col("h0")).as("offset_hours"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q19_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t FROM e
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.tus) AS t FROM e
+        |       JOIN s1 ON s1.user_id = e.user_id AND e.tus > s1.t
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.tus) AS t FROM e
+        |       JOIN s2 ON s2.user_id = e.user_id AND e.tus > s2.t
+        |       WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_click' AS stage, count(*)::BIGINT AS n_users FROM s1
+        |UNION ALL
+        |SELECT '2_view', count(*)::BIGINT FROM s2
+        |UNION ALL
+        |SELECT '3_purchase', count(*)::BIGINT FROM s3""".stripMargin,
+    "q20_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               epoch_ns(ts) // 3600000000000 AS h FROM events),
+        |cohort AS (SELECT user_id, min(h) AS h0 FROM act GROUP BY 1)
+        |SELECT h0 AS cohort_hour, (h - h0)::BIGINT AS offset_hours,
+        |  count(DISTINCT act.user_id)::BIGINT AS n_users
+        |FROM act JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q17_quantiles" ->
       s"""WITH vals AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v
         |              FROM events),

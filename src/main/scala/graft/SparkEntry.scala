@@ -55,7 +55,8 @@ object SparkEntry {
       "q17_quantiles" -> (Analytics.q17Quantiles _),
       "q18_grouped_median" -> (Analytics.q18GroupedMedian _),
       "q19_funnel" -> (Analytics.q19Funnel _),
-      "q20_retention" -> (Analytics.q20Retention _)
+      "q20_retention" -> (Analytics.q20Retention _),
+      "q21_spikes" -> (Analytics.q21Spikes _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

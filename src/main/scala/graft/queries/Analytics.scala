@@ -297,8 +297,55 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Trailing-window spike detection over the hourly event-type series:
+    * an hour is a spike when its count exceeds the trailing-6-bucket mean
+    * by more than 3 standard deviations — evaluated in EXACT integer
+    * arithmetic by multiplying the test through: with s1 = Σnᵢ,
+    * s2 = Σnᵢ², W = trailing-bucket count, flag iff
+    * W·n > s1  AND  (W·n − s1)² > 9·(W·s2 − s1²)·W. No division, no
+    * doubles, no engine-dependent rounding — the oracle states the same
+    * inequality. Requires a full trailing window (W = 6) so early hours
+    * never flag off tiny samples.
+    *
+    * Scale: the only corpus pass is the hourly aggregate; the window runs
+    * over the (buckets × types) series — corpus-size-independent, the
+    * q16_rolling argument. */
+  def q21Spikes(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = load(spark, dir, "events")
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_bucket"))
+      .rowsBetween(-6, -1)
+    hourly
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("cnt", count(col("n")).over(w))
+      .filter(col("cnt") === 6)
+      .withColumn("dev", col("cnt") * col("n") - col("s1"))
+      .filter(col("dev") > 0 &&
+        col("dev") * col("dev") >
+          lit(9L) * (col("cnt") * col("s2") - col("s1") * col("s1")) * col("cnt"))
+      .select(col("event_type"), col("hour_bucket"), col("n"), col("s1"), col("s2"))
+  }
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q21_spikes" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, hour_bucket, n,
+        |    sum(n) OVER w AS s1, sum(n*n) OVER w AS s2, count(n) OVER w AS cnt
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+        |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_bucket, n, s1::BIGINT AS s1, s2::BIGINT AS s2
+        |FROM t
+        |WHERE cnt = 6 AND cnt*n - s1 > 0
+        |  AND (cnt*n - s1)*(cnt*n - s1) > 9*(cnt*s2 - s1*s1)*cnt""".stripMargin,
     "q19_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
         |s1 AS (SELECT user_id, min(tus) AS t FROM e

@@ -187,8 +187,9 @@ object Curation {
   /** DuckDB twin of [[lengthOutliers]] — the same explicit order-statistic
     * contract (k = max(1, ceil(q·n)) over the ascending order). */
   val lengthOutliersOracle: String =
-    s"""WITH hist AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
-       |tot AS (SELECT count(*) AS n FROM documents),
+    s"""WITH hist AS (SELECT n_chars AS v, count(*) AS c FROM documents
+       |              WHERE n_chars IS NOT NULL GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM documents WHERE n_chars IS NOT NULL),
        |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cle FROM hist),
        |lo AS (SELECT min(v) AS lo FROM cum, tot
        |       WHERE cle >= ${graft.operators.Quantiles.kSql(LengthLoE4.toString, "n")}),
@@ -214,7 +215,7 @@ object Curation {
   /** DuckDB twin of [[lengthProfile]]. */
   val lengthProfileOracle: String =
     s"""WITH hist AS (SELECT lang, n_chars AS v, count(*) AS c
-       |              FROM documents GROUP BY 1, 2),
+       |              FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
        |cum AS (SELECT lang, v, c,
        |          sum(c) OVER (PARTITION BY lang ORDER BY v) AS cle,
        |          sum(c) OVER (PARTITION BY lang) AS n FROM hist),

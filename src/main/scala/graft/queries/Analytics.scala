@@ -273,8 +273,6 @@ object Analytics {
     val s1 = stage("click", None)
     val s2 = stage("view", Some(s1))
     val s3 = stage("purchase", Some(s2))
-    val spark2 = spark
-    import spark2.implicits._
     Seq(("1_click", s1), ("2_view", s2), ("3_purchase", s3))
       .map { case (name, df) => df.agg(count(lit(1)).as("n"))
         .select(lit(name).as("stage"), col("n").as("n_users")) }
@@ -292,9 +290,12 @@ object Analytics {
       .select(col("user_id"), expr("ts div 3600000000000").as("h"))
       .distinct()
     val cohort = act.groupBy(col("user_id")).agg(min(col("h")).as("h0"))
+    // act is distinct on (user, h) and h ≡ cohort + offset within a group,
+    // so each user contributes at most one row per group: a plain count
+    // equals countDistinct(user_id) without the two-phase distinct expand
     act.join(cohort, Seq("user_id"))
       .groupBy(col("h0").as("cohort_hour"), (col("h") - col("h0")).as("offset_hours"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Trailing-window spike detection over the hourly event-type series:
@@ -302,22 +303,36 @@ object Analytics {
     * by more than 3 standard deviations — evaluated in EXACT integer
     * arithmetic by multiplying the test through: with s1 = Σnᵢ,
     * s2 = Σnᵢ², W = trailing-bucket count, flag iff
-    * W·n > s1  AND  (W·n − s1)² > 9·(W·s2 − s1²)·W. No division, no
-    * doubles, no engine-dependent rounding — the oracle states the same
-    * inequality. Requires a full trailing window (W = 6) so early hours
-    * never flag off tiny samples.
+    * W·n > s1  AND  (W·n − s1)² > 9·(W·s2 − s1²)  (see [[spikesFrom]] for
+    * the derivation and int64 envelope). No division, no doubles, no
+    * engine-dependent rounding — the oracle states the same inequality.
+    * Requires a full trailing window (W = 6) so early hours never flag
+    * off tiny samples.
     *
     * Scale: the only corpus pass is the hourly aggregate; the window runs
     * over the (buckets × types) series — corpus-size-independent, the
     * q16_rolling argument. */
-  def q21Spikes(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = load(spark, dir, "events")
+  def q21Spikes(spark: SparkSession, dir: String): DataFrame =
+    spikesFrom(load(spark, dir, "events")
       .withColumn("hour_bucket", expr("ts div 3600000000000"))
       .groupBy(col("hour_bucket"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[q21Spikes]]' core over an (event_type, hour_bucket, n) series —
+    * factored so the sigma algebra is unit-testable. Derivation: with
+    * population variance σ² = (W·s2 − s1²)/W², the test n > s1/W + 3σ
+    * multiplied through by W is (W·n − s1) > 3·√(W·s2 − s1²), squared:
+    * (W·n − s1)² > 9·(W·s2 − s1²). Int64-exact for per-bucket counts up
+    * to ~1.6e8 (324·M² ≤ 2^63); the assert_true guard fails loudly past
+    * that envelope (DuckDB errors on BIGINT overflow natively) — beyond
+    * it, bucket finer or rescale. */
+  private[graft] def spikesFrom(hourly: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_bucket"))
       .rowsBetween(-6, -1)
     hourly
+      .withColumn("_g", assert_true(col("n") < lit(160000000L),
+        lit("q21_spikes int64 envelope exceeded: per-bucket count >= 1.6e8")))
+      .filter(col("_g").isNull)
       .withColumn("s1", sum(col("n")).over(w))
       .withColumn("s2", sum(col("n") * col("n")).over(w))
       .withColumn("cnt", count(col("n")).over(w))
@@ -325,7 +340,7 @@ object Analytics {
       .withColumn("dev", col("cnt") * col("n") - col("s1"))
       .filter(col("dev") > 0 &&
         col("dev") * col("dev") >
-          lit(9L) * (col("cnt") * col("s2") - col("s1") * col("s1")) * col("cnt"))
+          lit(9L) * (col("cnt") * col("s2") - col("s1") * col("s1")))
       .select(col("event_type"), col("hour_bucket"), col("n"), col("s1"), col("s2"))
   }
 
@@ -345,7 +360,7 @@ object Analytics {
         |SELECT event_type, hour_bucket, n, s1::BIGINT AS s1, s2::BIGINT AS s2
         |FROM t
         |WHERE cnt = 6 AND cnt*n - s1 > 0
-        |  AND (cnt*n - s1)*(cnt*n - s1) > 9*(cnt*s2 - s1*s1)*cnt""".stripMargin,
+        |  AND (cnt*n - s1)*(cnt*n - s1) > 9*(cnt*s2 - s1*s1)""".stripMargin,
     "q19_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
         |s1 AS (SELECT user_id, min(tus) AS t FROM e
@@ -366,12 +381,12 @@ object Analytics {
         |               epoch_ns(ts) // 3600000000000 AS h FROM events),
         |cohort AS (SELECT user_id, min(h) AS h0 FROM act GROUP BY 1)
         |SELECT h0 AS cohort_hour, (h - h0)::BIGINT AS offset_hours,
-        |  count(DISTINCT act.user_id)::BIGINT AS n_users
+        |  count(*)::BIGINT AS n_users
         |FROM act JOIN cohort USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
     "q17_quantiles" ->
       s"""WITH vals AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v
-        |              FROM events),
+        |              FROM events WHERE value IS NOT NULL),
         |tot AS (SELECT count(*) AS n FROM vals),
         |hist AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
         |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cle FROM hist),
@@ -383,7 +398,7 @@ object Analytics {
         |  AND ${graft.operators.Quantiles.kSql("q_e4", "n")} <= cle""".stripMargin,
     "q18_grouped_median" ->
       s"""WITH hist AS (SELECT source, n_chars AS v, count(*) AS c
-        |              FROM documents GROUP BY 1, 2),
+        |              FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
         |cum AS (SELECT source, v, c,
         |          sum(c) OVER (PARTITION BY source ORDER BY v) AS cle,
         |          sum(c) OVER (PARTITION BY source) AS n FROM hist)

@@ -106,6 +106,11 @@ final class Catalog(fs: FileSystem, path: Path) {
     case None => baseFiles()
   }
 
+  // (fingerprint of consumed.txt, parsed name set) — the hot query path
+  // re-checks this file on every segment listing, so cache the parse
+  // against the same (path,len,mtime) scheme as everything else here
+  @volatile private var consumedCache: (String, Set[String]) = ("", Set.empty)
+
   /** Segment names the live base already folded in ([[save]]'s
     * consumed-list): entries in them are duplicates at best and
     * caller-dropped (replace/TRUNCATE) at worst, so readers skip them —
@@ -115,9 +120,14 @@ final class Catalog(fs: FileSystem, path: Path) {
       val p = new Path(dir, Catalog.ConsumedName)
       if (!fs.exists(p)) Set.empty
       else {
+        val fp = fingerprint(Seq(fs.getFileStatus(p)))
+        val c = consumedCache
+        if (c._1 == fp) return c._2
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        txt.linesIterator.filter(_.nonEmpty).toSet
+        val names = txt.linesIterator.filter(_.nonEmpty).toSet
+        consumedCache = (fp, names)
+        names
       }
     case None => Set.empty
   }
@@ -280,11 +290,16 @@ final class Catalog(fs: FileSystem, path: Path) {
     // the new base as a consumed-list, so a crash before the segment
     // cleanup below cannot resurrect entries the caller dropped
     // (replace()/TRUNCATE/compact): readers skip consumed segments even
-    // while the files still exist. The previous consumed-list carries
-    // forward: crash-residue segments must stay dead across a SECOND save
-    // that happens before any successful cleanup.
+    // while the files still exist. EVERY name currently on disk qualifies:
+    // live segments fold in now, crash-residue ones were folded by the
+    // prior save whose base load() just read — and names whose files are
+    // gone can never resurrect, so the list stays bounded by the segment
+    // dir, not by the catalog's lifetime.
     val consumedSegs =
-      (consumedSegNames() ++ segFiles().map(_.getPath.getName)).toSeq.sorted
+      if (!fs.exists(segDir)) Nil
+      else fs.listStatus(segDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+        .map(_.getPath.getName).sorted
     val tmp = new Path(path.getParent, path.getName + ".shards.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     fs.mkdirs(tmp)

@@ -136,4 +136,27 @@ class TimeSeriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("spike detection: the integer test is a true 3-sigma bound (not 3·sqrt(W)·sigma)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def spikesAt(series: Seq[Long]): Set[Long] =
+      graft.queries.Analytics.spikesFrom(
+          series.zipWithIndex.map { case (n, h) => (h.toLong, "t", n) }
+            .toDF("hour_bucket", "event_type", "n"))
+        .collect().map(_.getLong(1)).toSet
+    // trailing {10,10,10,10,10,16}: mean 11, population sigma ~2.24.
+    // n=21 is ~4.5 sigma above — a 3-sigma test MUST flag it (the buggy
+    // extra factor of W demanded ~7.35 sigma and silently missed it)
+    assert(spikesAt(Seq(10, 10, 10, 10, 10, 16, 21)) == Set(6L))
+    // n=17 is ~2.7 sigma — must NOT flag
+    assert(spikesAt(Seq(10, 10, 10, 10, 10, 16, 17)) == Set.empty)
+    // constant history: sigma 0, any strictly-greater value flags
+    assert(spikesAt(Seq(10, 10, 10, 10, 10, 10, 11)) == Set(6L))
+    // fewer than 6 trailing buckets: never flags
+    assert(spikesAt(Seq(1, 1, 1, 100)) == Set.empty)
+    // envelope guard: counts at/over 1.6e8 fail loudly, not wrap silently
+    val err = intercept[Exception](spikesAt(Seq.fill(7)(200000000L)))
+    assert(err.getMessage != null)
+  }
 }

@@ -99,7 +99,14 @@ object CatalogScaleProbe {
       require(loadedN == n, s"expected $n entries, loaded $loadedN")
     }
 
-    println(f"""{"entries":$n,"parts":$parts,"build_ms":$buildMs%.0f,"part_cold_ms":$partColdMs%.1f,"part_cold_jitwarm_ms":$partCold2Ms%.1f,"part_warm_ms":$partWarmMs%.3f,"chunks_for_part":${viaShard.size},"cold_load_ms":$coldMs%.0f,"warm_load_ms":$warmMs%.3f,"prune_index_ms":$idxMs%.3f,"prune_scan_ms":$scanMs%.1f,"heap_mb":$heapMb}""")
+    // one appended batch after a full load: the per-file parse memo must
+    // make the reload O(batch)+collapse, not a full O(N) re-parse — the
+    // pipe-discovery hot path (runs LAST so the entry count above stays n)
+    val (_, preMs) = time(cold2.load())
+    cold2.append(Seq(entry(n + 1)))
+    val (_, incrMs) = time(cold2.load())
+
+    println(f"""{"entries":$n,"parts":$parts,"build_ms":$buildMs%.0f,"part_cold_ms":$partColdMs%.1f,"part_cold_jitwarm_ms":$partCold2Ms%.1f,"part_warm_ms":$partWarmMs%.3f,"chunks_for_part":${viaShard.size},"full_load_ms":$preMs%.0f,"incr_load_ms":$incrMs%.0f,"cold_load_ms":$coldMs%.0f,"warm_load_ms":$warmMs%.3f,"prune_index_ms":$idxMs%.3f,"prune_scan_ms":$scanMs%.1f,"heap_mb":$heapMb}""")
 
     // the documented driver budgets; the full-load budget applies at the
     // supported admin scale (<= 2M chunks) — a FORCED full run above that

@@ -346,12 +346,18 @@ object Similarity {
     * corpus-size times, and the reduced-space scan streams `dOut/dim` of
     * the bytes a full brute force would. Recall gated in llm_ann_recall
     * (reduced-space ordering only has to get the true neighbours into
-    * the pool, not rank them exactly — which is why widening the pool is
-    * the cheap recall lever: poolFactor 40 measures 0.76/0.92 recall@5
-    * at sf0.001/sf0.01 vs 0.48/0.52 at 10, for 200 instead of 50 exact
-    * rerank pairs per query — still corpus-size-independent). */
+    * the pool, not rank them exactly — which is why the pool width and
+    * the reduced dimension are the two recall levers). Defaults chosen
+    * SCALE-ROBUSTLY: recall at fixed (dOut, pool) decays as the corpus
+    * grows (dOut=16/pool=40x measured 0.76/0.92/0.54 recall@5 at
+    * sf0.001/0.01/0.1 — fine at the tuning scale, under water one decade
+    * up); dOut=32/pool=80x measures 1.00/1.00/0.88 across the same three
+    * decades with both costs still corpus-size-independent (400 rerank
+    * pairs per query; the reduced scan reads dOut/dim = half-width). Per
+    * Johnson-Lindenstrauss, dOut should grow ~log n — bump it again
+    * before the next corpus decade rather than widening the pool. */
   def rpTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
-      dOut: Int = 16, seed: Long = 7L, poolFactor: Int = 40): DataFrame = {
+      dOut: Int = 32, seed: Long = 7L, poolFactor: Int = 80): DataFrame = {
     val pool = bruteForceTopK(rpReduce(emb, dOut, seed), numQueries, k * poolFactor)
       .select("qid", "nid")
     exactRerank(emb, pool, numQueries, k)

@@ -190,9 +190,13 @@ object LlmQueries {
     Fingerprint.winnow(docs(spark, dir))
 
   /** Pinned recall@5 floors per ANN variant (e4 fixed point) — the same
-    * floors LlmSpec asserts at sf0.001, so the gates hold on every
-    * testdata scale the driver or the local loop runs. */
-  private val annFloorsE4 = Map("lsh" -> 5000L, "ivf" -> 4000L, "rp" -> 6500L)
+    * floors LlmSpec asserts at sf0.001, and VERIFIED AT sf0.1 TOO (an
+    * sf0.1 gate run caught the rp floor breaking there when its params
+    * were tuned only at smaller scales — recall decays with corpus size
+    * at fixed reduction/pool, so a floor is only as good as the largest
+    * scale it was checked at). rp: 1.00/1.00/0.88 measured across the
+    * three sf decades at dOut=32/pool=80x. */
+  private val annFloorsE4 = Map("lsh" -> 5000L, "ivf" -> 4000L, "rp" -> 7500L)
 
   /** recall@5 of an approximate top-k against the memoized brute-force
     * exact top-k. Driver-side sets are diagnostic-sized (numQueries × k =
@@ -598,7 +602,7 @@ object LlmQueries {
     "llm_ann_recall" ->
       """SELECT * FROM (VALUES
         |  ('lsh', 5000::BIGINT, true), ('ivf', 4000::BIGINT, true),
-        |  ('rp', 6500::BIGINT, true)
+        |  ('rp', 7500::BIGINT, true)
         |) t(variant, floor_e4, meets_floor)""".stripMargin,
 
     "llm_sim_topk_lsh" ->
@@ -606,6 +610,6 @@ object LlmQueries {
     "llm_sim_topk_ivf" ->
       "SELECT 'ivf' AS variant, 4000::BIGINT AS floor_e4, true AS meets_floor",
     "llm_sim_topk_rp" ->
-      "SELECT 'rp' AS variant, 6500::BIGINT AS floor_e4, true AS meets_floor"
+      "SELECT 'rp' AS variant, 7500::BIGINT AS floor_e4, true AS meets_floor"
   )
 }

@@ -1,0 +1,241 @@
+package graft
+
+import graft.llm.{Curation, Mining, Repetition}
+import graft.queries.LlmQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized differential tests for the curation family (the
+  * MiningFuzzSpec pattern): each stage operator vs a naive driver-side
+  * Scala reference, plus composition-vs-stages equivalence for the
+  * composed pipeline. The corpora are adversarial by construction —
+  * exact duplicates, repeated-bigram loops, digit/punct noise, empty and
+  * near-empty docs, and languages outside the mixture/sample weight
+  * tables — so every rule branch and every empty-stage edge gets hit
+  * across seeds. The references restate the SPEC (same md5 buckets, same
+  * integer arithmetic, same tie-breaks) with none of the distributed
+  * machinery, so a divergence is a plan bug, not a formula choice.
+  */
+class CurationFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tok(text: String): Vector[String] =
+    text.toLowerCase.split("\\W+").filterNot(_.isEmpty).toVector
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The shared doc→bucket hash: first 15 md5 hex digits as int64, mod m. */
+  private def hash15(s: String, mod: Long): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16) % mod
+
+  // (doc_id, lang, source, text, n_chars)
+  private type Doc = (Long, String, String, String, Long)
+
+  private def mkDocs(rows: Seq[Doc]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+  }
+
+  /** Random corpus mixing the failure modes the rule chains exist for:
+    * verbatim copies (dup clusters / span coverage), single-bigram loops
+    * (repetitive), digit runs (low_alpha), empty/short docs (too_short),
+    * and languages with no mixture/sample weight (the join-miss edge). */
+  private def corpus(seed: Int): Seq[Doc] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val langs = Vector("en", "de", "fr", "es", "zh", "xx")
+    val sources = Vector("web", "wiki", "books")
+    val n = 20 + rnd.nextInt(40)
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until n).foreach { i =>
+      texts += (rnd.nextInt(8) match {
+        case 0 if i > 0 => texts(rnd.nextInt(i))
+        case 1 =>
+          val a = vocab(rnd.nextInt(vocab.length))
+          val b = vocab(rnd.nextInt(vocab.length))
+          Seq.fill(4 + rnd.nextInt(8))(s"$a $b").mkString(" ")
+        case 2 =>
+          (0 until 6 + rnd.nextInt(8)).map(_ => rnd.nextInt(1000)).mkString("; ")
+        case 3 =>
+          (0 until rnd.nextInt(4)).map(_ => vocab(rnd.nextInt(vocab.length)))
+            .mkString(" ")
+        case _ =>
+          (0 until 5 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length)))
+            .mkString(" ")
+      })
+    }
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, langs(rnd.nextInt(langs.length)),
+        sources(rnd.nextInt(sources.length)), t, t.length.toLong)
+    }.toSeq
+  }
+
+  test("gopherFilter matches the naive rule chain on random corpora") {
+    for (seed <- 1 to 6) {
+      val rows = corpus(seed)
+      val want = rows.map { case (id, _, _, text, _) =>
+        val w = tok(text)
+        val n = w.size.toLong
+        val quality =
+          if (text.isEmpty) 0L
+          else math.floor(100.0 * text.count(c =>
+            (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || c == ' ')
+            / text.length + 0.5).toLong
+        val bg = w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+        val maxBg =
+          if (bg.isEmpty) 0L
+          else bg.groupBy(identity).values.map(_.size).max.toLong
+        val dfrac =
+          if (n > 0) math.floor(w.distinct.size * 1.0e4 / n + 0.5).toLong else 0L
+        val tbf =
+          if (bg.nonEmpty) math.floor(maxBg * 1.0e4 / bg.size + 0.5).toLong else 0L
+        val reason =
+          if (n < Repetition.MinTokens) "too_short"
+          else if (n > Repetition.MaxTokens) "too_long"
+          else if (quality < Repetition.MinQuality) "low_alpha"
+          else if (dfrac < Repetition.MinDistinctFracE4) "low_diversity"
+          else if (tbf > Repetition.MaxTopBigramFracE4) "repetitive"
+          else "ok"
+        (id, n, quality, reason == "ok", reason)
+      }.sortBy(_._1)
+      val got = Repetition.gopherFilter(mkDocs(rows)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+          r.getString(4))).sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed")
+      // every corpus shape must exercise both verdicts
+      assert(want.exists(_._4) && want.exists(!_._4), s"seed=$seed one-sided")
+    }
+  }
+
+  test("mixture matches the naive T-fit and acceptance hash on random corpora") {
+    for (seed <- 11 to 16) {
+      val rows = corpus(seed)
+      val weights = Curation.MixtureWeightsE4.toMap
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        .filter { case (l, _) => weights.contains(l) }
+      val want =
+        if (counts.isEmpty) Seq.empty
+        else {
+          val t = counts.map { case (l, c) => c * 10000L / weights(l) }.min
+          counts.toSeq.map { case (l, c) =>
+            val rate = math.min(1000000L, (weights(l) * t / 10000L) * 1000000L / c)
+            val kept = rows.count { case (id, lang, _, _, _) =>
+              lang == l && hash15(id.toString, 1000000L) < rate
+            }.toLong
+            (l, c, rate, kept)
+          }.sortBy(_._1)
+        }
+      val got = Curation.mixture(mkDocs(rows)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("pack matches the naive sequential prefix sum on random corpora") {
+    for (seed <- 21 to 26) {
+      val rows = corpus(seed)
+      var run = 0L
+      val want = rows.sortBy(_._1).map { case (id, _, _, text, _) =>
+        val nTok = tok(text).size.toLong
+        val before = run
+        run += nTok
+        (id, nTok, before, before / Curation.PackBudget)
+      }
+      val got = Curation.pack(mkDocs(rows)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("stratifiedSample matches the naive bucket predicate on random corpora") {
+    val rates = Curation.SampleRates.toMap
+    for (seed <- 31 to 36) {
+      val rows = corpus(seed)
+      val want = rows.flatMap { case (id, lang, _, _, _) =>
+        val b = hash15(id.toString, 100L)
+        if (b < rates.getOrElse(lang, 0)) Some((id, lang, b)) else None
+      }.sortBy(_._1)
+      val got = Curation.stratifiedSample(mkDocs(rows)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("domainCap matches the naive hash-ordered rank on random corpora") {
+    for (seed <- 41 to 46) {
+      val rows = corpus(seed)
+      val want = rows.groupBy { case (_, lang, src, _, _) => (src, lang) }
+        .toSeq.flatMap { case ((src, lang), group) =>
+          group.map(_._1).sortBy(id => (md5hex(id.toString), id))
+            .zipWithIndex
+            .filter { case (_, i) => i < Curation.DomainCapN }
+            .map { case (id, i) => (id, lang, src, i + 1L) }
+        }.sortBy(_._1)
+      val got = Curation.domainCap(mkDocs(rows)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  /** The pipeline conjoins seven keep-gates (gopher ∧ ¬dup ∧ ¬span ∧
+    * ¬contam ∧ cap ∧ mixture ∧ sample) — on the small adversarial corpus
+    * alone the survivor set is often empty, which would make the
+    * composition check vacuous. Append a keep-biased block: long unique
+    * texts over a wide vocab (passes gopher), weighted languages only
+    * (passes mixture), so enough docs reach the hash-rate sampling stages
+    * that some always survive. The naive reference recomputes every stage
+    * from the same rows, so the bias costs no generality. */
+  private def pipelineCorpus(seed: Int): Seq[Doc] = {
+    val base = corpus(seed)
+    val rnd = new scala.util.Random(seed * 7919)
+    val wide = (0 until 40).map(i => s"word$i")
+    val langs = Vector("en", "zh", "de", "fr", "es")
+    val sources = Vector("web", "wiki", "books")
+    val extra = (0 until 80).map { j =>
+      val t = (0 until 12 + rnd.nextInt(12))
+        .map(_ => wide(rnd.nextInt(wide.length))).mkString(" ")
+      (base.size.toLong + j, langs(j % langs.length),
+        sources(rnd.nextInt(sources.length)), t, t.length.toLong)
+    }
+    base ++ extra
+  }
+
+  test("composed pipeline equals the conjunction of its standalone stages") {
+    for (seed <- 51 to 52) {
+      val rows = pipelineCorpus(seed)
+      val dir = java.nio.file.Files.createTempDirectory(s"curfuzz$seed").toString
+      mkDocs(rows).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = LlmQueries.pipeline(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      def ids(df: DataFrame): Set[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val keepQ = ids(Repetition.gopherFilter(d).filter(col("keep")))
+      val dropDup = ids(LlmQueries.dupClusters(spark, dir).filter(!col("keep")))
+      val dropSpan = ids(Mining.dupSpans(d)
+        .filter(col("dup_frac_e4") >= Mining.DupSpanDropE4))
+      val contam = ids(Curation.decontaminate(d))
+      val cap = ids(Curation.domainCap(d))
+      val mix = ids(Curation.mixtureKeep(d))
+      val samp = ids(Curation.stratifiedSample(d))
+      val kept = rows.filter { case (id, _, _, _, _) =>
+        keepQ(id) && cap(id) && mix(id) && samp(id) &&
+          !dropDup(id) && !dropSpan(id) && !contam(id)
+      }
+      val want = kept.groupBy(_._2)
+        .map { case (l, rs) => (l, rs.size.toLong, rs.map(_._1).sum) }
+        .toSeq.sortBy(_._1)
+      assert(got == want, s"seed=$seed")
+      assert(kept.nonEmpty, s"seed=$seed degenerate: pipeline kept nothing")
+    }
+  }
+}

@@ -28,7 +28,13 @@ object EventStore {
 
   def storeRoot(sfDir: String): String = {
     val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"/tmp/graft/store-$Version-$name"
+    // fold the input file's (size, mtime) into the cache key: the driver
+    // regenerates testdata between rounds, and a store built from the old
+    // file must not be served for the new one (the marker-file reuse is
+    // cross-JVM, so a version string alone cannot see the swap)
+    val f = new java.io.File(s"$sfDir/events.parquet")
+    val fp = java.lang.Long.toHexString(f.length * 31 + f.lastModified)
+    s"/tmp/graft/store-$Version-$fp-$name"
   }
 
   /** Get (building if needed) the engine over the LogEvent store for a
@@ -58,11 +64,10 @@ object EventStore {
   /** The canonical events→LogEvent mapping (ts, msg, fields, seq, part),
     * shared with [[PipeStore]]. */
   def mappedRows(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.Tables.load(spark, sfDir, "events")
     val k = regexp_extract(col("props"), "[0-9]+", 0)
     ev.select(
-      col("ts"), // LongType ns via nanosAsLong
+      col("ts"), // LongType ns — normalized by Tables.load
       concat(lit("user "), col("user_id"), lit(" "), col("event_type"), lit(" k="), k).as("msg"),
       map(lit("user"), col("user_id").cast("string"), lit("k"), k).as("fields"),
       col("event_id").as("seq"),

@@ -29,7 +29,10 @@ object PipeStore {
   def engine(spark: SparkSession, sfDir: String): Engine =
     cache.getOrElseUpdate(sfDir, {
       val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val root = s"/tmp/graft/pipestore-$Version-$name"
+      // same regeneration-proof cache key as EventStore.storeRoot
+      val f = new java.io.File(s"$sfDir/events.parquet")
+      val fp = java.lang.Long.toHexString(f.length * 31 + f.lastModified)
+      val root = s"/tmp/graft/pipestore-$Version-$fp-$name"
       val store = new Store(spark, root)
       val eng = new Engine(store)
       val marker = new java.io.File(s"$root/_BUILT")

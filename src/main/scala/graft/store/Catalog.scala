@@ -200,10 +200,52 @@ final class Catalog(fs: FileSystem, path: Path) {
     } finally rd.close()
   }
 
-  /** newest entry per data file wins (crash-residue duplicates collapse) */
-  private def collapse(raw: Seq[CatEntry]): Vector[CatEntry] =
-    raw.groupBy(_.file).valuesIterator.map(_.maxBy(_.writeTs)).toVector
-      .sortBy(e => (e.part, e.writeTs, e.file))
+  /** newest entry per data file wins (crash-residue duplicates collapse).
+    *
+    * Implemented as two stable parallel merge sorts + linear run-scans
+    * instead of `groupBy(_.file).maxBy(_.writeTs)` + `sortBy`: the
+    * semantics are identical (stable sort by file preserves parse order
+    * within a file's duplicates, and the strict `>` keeps the FIRST
+    * max-writeTs entry exactly as `maxBy` does; the final key
+    * (part, writeTs, file) is unique post-collapse so stability there is
+    * moot), but at the 10^7-entry probe scale this path is the admin-load
+    * bottleneck and the hash-free form parallelizes across cores. */
+  private def collapse(raw: Seq[CatEntry]): Vector[CatEntry] = {
+    val arr = raw.toArray
+    if (arr.length > 1) java.util.Arrays.parallelSort(arr, Catalog.FileOrd)
+    val out = new scala.collection.mutable.ArrayBuffer[CatEntry](math.min(arr.length, 1 << 16))
+    var i = 0
+    while (i < arr.length) {
+      var best = arr(i)
+      var k = i + 1
+      while (k < arr.length && arr(k).file == arr(i).file) {
+        if (arr(k).writeTs > best.writeTs) best = arr(k)
+        k += 1
+      }
+      out += best
+      i = k
+    }
+    val res = out.toArray
+    if (res.length > 1) java.util.Arrays.parallelSort(res, Catalog.EntryOrd)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(res).toVector
+  }
+
+  /** Per-part index of a [[collapse]]d vector. Entries arrive sorted by
+    * (part, writeTs, file), so each part is one contiguous run — a single
+    * linear slice pass builds the same map `groupBy(_.part)` would
+    * (sharing the entry objects), without re-hashing every entry. */
+  private def indexByPart(entries: Vector[CatEntry]): Map[String, Vector[CatEntry]] = {
+    val b = Map.newBuilder[String, Vector[CatEntry]]
+    var i = 0
+    while (i < entries.length) {
+      val p = entries(i).part
+      var k = i + 1
+      while (k < entries.length && entries(k).part == p) k += 1
+      b += p -> entries.slice(i, k)
+      i = k
+    }
+    b.result()
+  }
 
   def load(): Vector[CatEntry] = loadWithIndex()._1
 
@@ -222,9 +264,8 @@ final class Catalog(fs: FileSystem, path: Path) {
     // the full view sees every live file — the one safe place to evict
     // parses of compacted-away files (subset callers must not prune)
     pruneFileCache(files)
-    // groupBy preserves the sorted per-part order; index shares the entry
-    // objects with the vector (one parse, two views)
-    val idx = entries.groupBy(_.part)
+    // index shares the entry objects with the vector (one parse, two views)
+    val idx = indexByPart(entries)
     cache = (fp, entries, idx)
     (entries, idx)
   }
@@ -271,7 +312,7 @@ final class Catalog(fs: FileSystem, path: Path) {
     // the legacy single-file base holds every part; a v2 shard file holds
     // only this shard's, making the filter a no-op there
     val raw = parseAll(baseF).filter(e => Catalog.shardOf(e.part) == s) ++ segBuckets(s)
-    val idx = collapse(raw).groupBy(_.part)
+    val idx = indexByPart(collapse(raw))
     shardCache.put(s, (fp, idx))
     idx
   }
@@ -497,6 +538,22 @@ object Catalog {
 
   /** Control-flow signal for [[fastDecode]]'s bail-to-slow-path. */
   private object FastFail extends RuntimeException with scala.util.control.NoStackTrace
+
+  /** Allocation-free comparators for [[Catalog#collapse]] — explicit so the
+    * 10^7-entry parallel sorts don't box a tuple per comparison. */
+  private[store] val FileOrd: java.util.Comparator[CatEntry] =
+    new java.util.Comparator[CatEntry] {
+      def compare(a: CatEntry, b: CatEntry): Int = a.file.compareTo(b.file)
+    }
+  private[store] val EntryOrd: java.util.Comparator[CatEntry] =
+    new java.util.Comparator[CatEntry] {
+      def compare(a: CatEntry, b: CatEntry): Int = {
+        val c = a.part.compareTo(b.part)
+        if (c != 0) return c
+        val d = java.lang.Long.compare(a.writeTs, b.writeTs)
+        if (d != 0) d else a.file.compareTo(b.file)
+      }
+    }
 
   // one lock per catalog path, shared across Catalog instances in the JVM
   private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]

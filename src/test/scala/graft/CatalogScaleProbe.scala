@@ -12,8 +12,8 @@ import graft.store.{CatEntry, Catalog}
   *     segments — the query path; must be independent of total chunk count)
   *   - warm per-part load (shard-memoized hit)
   *   - cold FULL load (parse + duplicate-collapse + sort + index build —
-  *     the SHOW PARTITIONS/admin path; measured up to 2M entries, skipped
-  *     above unless `full` is forced, since the query path no longer pays it)
+  *     the SHOW PARTITIONS/admin path; budget-enforced up to 10M entries
+  *     now that both the parse and the collapse/index parallelize)
   *   - per-part prune via the full index vs the full linear scan
   *   - resident heap cost of the parsed entries
   *
@@ -24,11 +24,14 @@ import graft.store.{CatEntry, Catalog}
   * what a long-lived driver pays after any prior catalog read); cold full
   * load < 30 s when the full path is measured.
   *
-  * Measured on this host (PLANS.md round 10): 10^6 → per-part cold 185 ms;
-  * 10^7 → per-part cold 617 ms first-ever / 542 ms JIT-warm (a 1/256 base
-  * shard of ~39k lines + the 100k-line segment tail, vs the ~9–13 s full
-  * parse at 10^6 that the query path no longer pays; the segment tail is
-  * bounded by compaction cadence, not by N).
+  * Measured on this host (PLANS.md round 10, after the parallel
+  * collapse/index): 10^6 → per-part cold 151 ms, full load 0.56 s;
+  * 10^7 → per-part cold 409 ms first-ever / 153 ms JIT-warm, full load
+  * 9.4 s / 2.5 GB heap (was 117 s when the collapse and index were
+  * single-threaded — the admin path now holds its 30 s budget a decade
+  * above the old 2M boundary; the remaining O(N) terms all parallelize,
+  * so past ~10^7 the binding constraint is driver HEAP, which is where
+  * the documented Delta/metastore migration takes over).
   */
 object CatalogScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -36,7 +39,7 @@ object CatalogScaleProbe {
     val parts = if (args.length > 1) args(1).toInt else 20000
     val forceFull = args.length > 2 && args(2) == "full"
     val dir = java.nio.file.Files.createTempDirectory("graft-catprobe").toFile
-    try run(n, parts, dir, measureFull = forceFull || n <= 2000000)
+    try run(n, parts, dir, measureFull = forceFull || n <= 10000000)
     finally rm(dir)
   }
 
@@ -115,7 +118,7 @@ object CatalogScaleProbe {
     // collapse/sort/index is not), so it reports without failing
     require(partColdMs < 2000, f"cold per-part load $partColdMs%.1f ms blows the 2 s budget")
     require(partCold2Ms < 1000, f"JIT-warm cold per-part load $partCold2Ms%.1f ms blows the 1 s budget")
-    if (measureFull && n <= 2000000) {
+    if (measureFull && n <= 10000000) {
       require(coldMs < 30000, f"cold full load $coldMs%.0f ms blows the 30 s budget")
       require(idxMs < 50, f"indexed prune $idxMs%.3f ms blows the 50 ms budget")
     }

@@ -797,6 +797,55 @@ object Curation {
        |SELECT doc_id::BIGINT AS doc_id, term, score_r, rank::BIGINT AS rank
        |FROM r WHERE rank <= $TfIdfTopK""".stripMargin
 
+  /** Modulus of the hashed-feature weight table: weights land in
+    * [-(QualityMod-1)/2, (QualityMod-1)/2] = [-1000, 1000]. */
+  val QualityMod = 2001L
+
+  /** Model-based quality scoring, the hashed-linear-classifier shape
+    * (fastText / CCNet's quality filters reduce to exactly this at
+    * inference: score = Σ weight[hash(token)] over token OCCURRENCES,
+    * keep if the score clears a threshold). The weight table here is the
+    * deterministic hash itself — w(t) = hash15(t) mod [[QualityMod]]
+    * shifted to signed — standing in for trained weights so both engines
+    * can replay it exactly; swapping in a real model is a broadcast
+    * lookup in the same plan position.
+    *
+    * Scale shape: a pure zero-shuffle projection — the per-doc sum runs
+    * as a codegen'd `aggregate` over the token array, so quality
+    * filtering at 100 TB is embarrassingly parallel (the classic reason
+    * model-based filters are the CHEAP stage of a curation pipeline).
+    * Pure integer arithmetic: |w| <= 1000, so a doc needs 2^53/1000
+    * tokens before the sum could even approach the int64 envelope. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        aggregate(col("w"), lit(0L), (acc, t) =>
+          acc + conv(substring(md5(t), 1, 15), 16, 10).cast("long") % QualityMod
+            - lit((QualityMod - 1) / 2)).as("score"))
+      .withColumn("score_per_tok_e4",
+        when(col("n_tokens") > 0, expr("score * 10000 div n_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("keep", col("score") >= 0)
+
+  /** DuckDB twin of [[qualityScore]]. */
+  val qualityScoreOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                             x -> x != '') AS w
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+       |    coalesce(list_sum(list_transform(w,
+       |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $QualityMod
+       |           - ${(QualityMod - 1) / 2})), 0)::BIGINT AS score
+       |  FROM t)
+       |SELECT doc_id, n_tokens, score,
+       |  CASE WHEN n_tokens > 0 THEN (score * 10000 // n_tokens)::BIGINT
+       |       ELSE 0 END AS score_per_tok_e4,
+       |  score >= 0 AS keep
+       |FROM s""".stripMargin
+
   val redactOracle: String =
     s"""WITH t AS (
        |  SELECT doc_id::BIGINT AS doc_id,

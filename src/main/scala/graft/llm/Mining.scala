@@ -697,4 +697,56 @@ object Mining {
        |JOIN sz sa ON sa.source = pairs.src_a
        |JOIN sz sb ON sb.source = pairs.src_b""".stripMargin
   }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * [[OverlapGram]]-gram shingles whose corpus-wide FIRST occurrence
+    * (min doc_id) is this doc — the "how much does this doc add that
+    * earlier data didn't already have" curation diagnostic (the doc-id
+    * order stands in for crawl/arrival order, the same convention the
+    * incremental-dedup operator uses).
+    *
+    * Scale shape: the corpus-sized (doc_id, gram) stream is aggregated
+    * per gram (map-side-combined min) and the novel count per doc falls
+    * straight out of a SECOND doc-keyed aggregate over that result — the
+    * gram stream is never joined back to itself, so the only corpus-sized
+    * shuffle is the gram-keyed min (the per-doc size aggregate combines
+    * to doc-count cardinality map-side). The stream is re-generated for
+    * each consumer rather than persisted — the [[dupSpans]] discipline:
+    * two cheap corpus scans beat materializing a corpus-sized gram table.
+    * The final join is doc-count-sized on both sides. Pure integer e4
+    * arithmetic. */
+  def novelty(docs: DataFrame): DataFrame = {
+    val n = OverlapGram
+    val grams = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(Dedup.shinglesFromTokens(col("w"), n)).as("g"))
+    val owners = grams.groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
+    val novel = owners.groupBy(col("doc_id")).agg(count(lit(1)).as("novel_grams"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    sizes
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      .withColumn("novelty_e4", expr("novel_grams * 10000 div n_grams"))
+  }
+
+  /** DuckDB twin of [[novelty]]. */
+  val noveltyOracle: String = {
+    val gramExpr = (0 until OverlapGram).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(w) - ${OverlapGram - 1}, 0) + 1),
+       |    i -> $gramExpr)) AS g
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                   t -> t != '') w FROM documents)
+       |  WHERE len(w) >= $OverlapGram),
+       |own AS (SELECT g, min(doc_id) AS doc_id FROM sh GROUP BY 1),
+       |nov AS (SELECT doc_id, count(*) AS novel_grams FROM own GROUP BY 1),
+       |sz AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1)
+       |SELECT sz.doc_id, sz.n_grams::BIGINT AS n_grams,
+       |  coalesce(nov.novel_grams, 0)::BIGINT AS novel_grams,
+       |  (coalesce(nov.novel_grams, 0) * 10000 // sz.n_grams)::BIGINT AS novelty_e4
+       |FROM sz LEFT JOIN nov USING (doc_id)""".stripMargin
+  }
 }

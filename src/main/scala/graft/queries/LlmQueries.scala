@@ -366,6 +366,10 @@ object LlmQueries {
     "llm_source_overlap" ->
       ((s: SparkSession, d: String) =>
         memo(miningCache, s, s"srcoverlap|$d")(graft.llm.Mining.sourceOverlap(docs(s, d)))),
+    "llm_novelty" ->
+      ((s: SparkSession, d: String) => graft.llm.Mining.novelty(docs(s, d))),
+    "llm_quality_score" ->
+      ((s: SparkSession, d: String) => Curation.qualityScore(docs(s, d))),
     "llm_domain_cap" ->
       ((s: SparkSession, d: String) => Curation.domainCap(docs(s, d))),
     "llm_length_outliers" ->
@@ -424,6 +428,8 @@ object LlmQueries {
     "llm_domain_cap" -> Curation.domainCapOracle,
     "llm_length_outliers" -> Curation.lengthOutliersOracle,
     "llm_source_overlap" -> graft.llm.Mining.sourceOverlapOracle,
+    "llm_novelty" -> graft.llm.Mining.noveltyOracle,
+    "llm_quality_score" -> Curation.qualityScoreOracle,
     "llm_length_profile" -> Curation.lengthProfileOracle,
     "llm_shuffle" -> Curation.shuffleOrderOracle,
     // the composed pipeline's oracle is assembled from the SAME CTE

@@ -209,6 +209,23 @@ class CurationFuzzSpec extends AnyFunSuite {
     base ++ extra
   }
 
+  test("qualityScore matches the naive hashed-linear sum on random corpora") {
+    for (seed <- 61 to 66) {
+      val rows = corpus(seed)
+      val half = (Curation.QualityMod - 1) / 2
+      val want = rows.map { case (id, _, _, text, _) =>
+        val w = tok(text)
+        val s = w.map(t => hash15(t, Curation.QualityMod) - half).sum
+        val n = w.size.toLong
+        (id, n, s, if (n > 0) s * 10000 / n else 0L, s >= 0)
+      }.sortBy(_._1)
+      val got = Curation.qualityScore(mkDocs(rows)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("composed pipeline equals the conjunction of its standalone stages") {
     for (seed <- 51 to 52) {
       val rows = pipelineCorpus(seed)

@@ -297,4 +297,39 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(again.toSet == out.toSet)
   }
+
+  test("qualityScore: matches the naive hashed-linear sum and never shuffles") {
+    import spark.implicits._
+    def hash15(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def naive(text: String): (Long, Long) = {
+      val w = text.toLowerCase.split("\\W+").filterNot(_.isEmpty)
+      (w.length.toLong,
+        w.map(t => hash15(t) % Curation.QualityMod - (Curation.QualityMod - 1) / 2).sum)
+    }
+    val texts = Seq(1L -> "the quick brown fox", 2L -> "", 3L -> "a a a b",
+      4L -> "Spark spark SPARK") // case folding: all three hash identically
+    val d = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val out = Curation.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    texts.foreach { case (id, t) =>
+      val (n, s) = naive(t)
+      val perTok = if (n > 0) s * 10000 / n else 0L
+      assert(out(id) == ((n, s, perTok, s >= 0L)), s"doc $id")
+    }
+    // the empty doc scores 0 and keeps (the filter's job is scoring, not
+    // emptiness — too_short is the gopher chain's rule)
+    assert(out(2L) == ((0L, 0L, 0L, true)))
+    // model-based scoring must stay embarrassingly parallel: a pure
+    // projection with no exchange, no join, no aggregate of any kind
+    val plan = Curation.qualityScore(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"qualityScore must be a zero-shuffle projection:\n$plan")
+  }
 }

@@ -174,4 +174,25 @@ class MiningFuzzSpec extends AnyFunSuite {
       assert(j == math.floor(c.toDouble * 1e4 / u.toDouble + 0.5).toLong)
     }
   }
+
+  test("novelty matches the naive first-occurrence reference on random corpora") {
+    val n = Mining.OverlapGram
+    for (seed <- 61 to 66) {
+      val rows = corpus(seed)
+      val docGrams = rows.map { case (id, t) =>
+        val w = tok(t)
+        id -> w.indices.dropRight(n - 1).map(i => w.slice(i, i + n).mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      val owner = docGrams.flatMap { case (id, gs) => gs.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val want = docGrams.map { case (id, gs) =>
+        val novel = gs.count(owner(_) == id).toLong
+        (id, gs.size.toLong, novel, novel * 10000 / gs.size)
+      }.sortBy(_._1)
+      val got = Mining.novelty(mkDocs(rows)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }

@@ -279,4 +279,30 @@ class MiningSpec extends AnyFunSuite {
     assert(corpus.forall(r => r.getString(0) < r.getString(1)))
     assert(corpus.forall(r => r.getLong(5) >= 0L && r.getLong(5) <= 10000L))
   }
+
+  // ---------------------------------------------------------------- novelty
+
+  test("novelty: min-doc_id ownership, short docs absent, e4 fraction exact") {
+    val d = mkDocs(Seq(
+      1L -> "a b c d e f", // grams {a b c d e, b c d e f}: both first seen here
+      2L -> "a b c d e f", // same grams, owned by doc 1 → fully stale
+      3L -> "x y z w v",   // 1 gram, disjoint → fully novel
+      4L -> "a b"          // < 5 tokens → no grams, absent from output
+    ))
+    val out = Mining.novelty(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 2L, 10000L), (2L, 2L, 0L, 0L), (3L, 1L, 1L, 10000L)))
+    // real corpus: doc 0 (no earlier docs) is fully novel if it has grams;
+    // every fraction is a valid e4
+    val corpus = Mining.novelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(corpus.nonEmpty)
+    assert(corpus.values.forall(v => v >= 0L && v <= 10000L))
+    corpus.get(0L).foreach(v => assert(v == 10000L, "doc 0 must be fully novel"))
+    // the corpus-sized gram stream must never join back to itself: the
+    // only joins in the plan are the doc-count-sized size×novel merge
+    val plan = Mining.novelty(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window:\n$plan")
+  }
 }

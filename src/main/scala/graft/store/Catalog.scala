@@ -227,7 +227,7 @@ final class Catalog(fs: FileSystem, path: Path) {
     }
     val res = out.toArray
     if (res.length > 1) java.util.Arrays.parallelSort(res, Catalog.EntryOrd)
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(res).toVector
+    res.toVector
   }
 
   /** Per-part index of a [[collapse]]d vector. Entries arrive sorted by

@@ -26,23 +26,49 @@ object EventStore {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Engine]
 
+  /** (size, mtime) fingerprint of a testdata dir's events table — the ONE
+    * key scheme for every derived on-disk store cache ([[storeRoot]],
+    * [[PipeStore]]): the driver regenerates testdata between rounds, and a
+    * store built from the old file must not be served for the new one
+    * (the marker-file reuse is cross-JVM, so a version string alone
+    * cannot see the swap). */
+  private[store] def dataFingerprint(sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/events.parquet")
+    java.lang.Long.toHexString(f.length * 31 + f.lastModified)
+  }
+
+  /** Delete superseded fingerprint-keyed cache dirs (`prefix-*-name`
+    * siblings of `keep`) — without this every regeneration would abandon
+    * a full store on /tmp forever. */
+  private[store] def dropStaleSiblings(keep: String, prefix: String, name: String): Unit = {
+    val dir = new java.io.File(keep).getParentFile
+    val stale = Option(dir.listFiles()).getOrElse(Array.empty).filter { f =>
+      f.getName.startsWith(prefix) && f.getName.endsWith(s"-$name") &&
+        f.getAbsolutePath != keep
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    stale.foreach(rm)
+  }
+
   def storeRoot(sfDir: String): String = {
     val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    // fold the input file's (size, mtime) into the cache key: the driver
-    // regenerates testdata between rounds, and a store built from the old
-    // file must not be served for the new one (the marker-file reuse is
-    // cross-JVM, so a version string alone cannot see the swap)
-    val f = new java.io.File(s"$sfDir/events.parquet")
-    val fp = java.lang.Long.toHexString(f.length * 31 + f.lastModified)
-    s"/tmp/graft/store-$Version-$fp-$name"
+    s"/tmp/graft/store-$Version-${dataFingerprint(sfDir)}-$name"
   }
 
   /** Get (building if needed) the engine over the LogEvent store for a
     * testdata dir. Thread-safe within the JVM; the on-disk store is reused
-    * across JVMs via a marker file. */
-  def engine(spark: SparkSession, sfDir: String): Engine =
-    cache.getOrElseUpdate(sfDir, {
-      val root = storeRoot(sfDir)
+    * across JVMs via a marker file. Keyed by the RESOLVED root (not the
+    * sfDir), so a mid-JVM testdata regeneration can't split-brain the
+    * in-memory engine against the root that [[storeRoot]] callers
+    * (Bench, the DSv2 entries) recompute. */
+  def engine(spark: SparkSession, sfDir: String): Engine = {
+    val root = storeRoot(sfDir)
+    cache.getOrElseUpdate(root, {
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      dropStaleSiblings(root, s"store-$Version-", name)
       val store = new Store(spark, root)
       val marker = new java.io.File(s"$root/_BUILT")
       if (!marker.exists()) {
@@ -60,6 +86,7 @@ object EventStore {
       }
       new Engine(store)
     })
+  }
 
   /** The canonical events→LogEvent mapping (ts, msg, fields, seq, part),
     * shared with [[PipeStore]]. */

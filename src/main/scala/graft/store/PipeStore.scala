@@ -26,13 +26,13 @@ object PipeStore {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Engine]
 
-  def engine(spark: SparkSession, sfDir: String): Engine =
-    cache.getOrElseUpdate(sfDir, {
-      val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      // same regeneration-proof cache key as EventStore.storeRoot
-      val f = new java.io.File(s"$sfDir/events.parquet")
-      val fp = java.lang.Long.toHexString(f.length * 31 + f.lastModified)
-      val root = s"/tmp/graft/pipestore-$Version-$fp-$name"
+  def engine(spark: SparkSession, sfDir: String): Engine = {
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    // same regeneration-proof cache key (and root-keyed in-JVM memo) as
+    // EventStore — see EventStore.dataFingerprint
+    val root = s"/tmp/graft/pipestore-$Version-${EventStore.dataFingerprint(sfDir)}-$name"
+    cache.getOrElseUpdate(root, {
+      EventStore.dropStaleSiblings(root, s"pipestore-$Version-", name)
       val store = new Store(spark, root)
       val eng = new Engine(store)
       val marker = new java.io.File(s"$root/_BUILT")
@@ -51,9 +51,9 @@ object PipeStore {
       }
       eng
     })
+  }
 
   private def build(spark: SparkSession, sfDir: String, eng: Engine): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rows = EventStore.mappedRows(spark, sfDir)
       .where(col("part").endsWith("name=error"))
       .cache()

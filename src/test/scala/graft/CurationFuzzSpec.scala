@@ -230,6 +230,7 @@ class CurationFuzzSpec extends AnyFunSuite {
     for (seed <- 51 to 52) {
       val rows = pipelineCorpus(seed)
       val dir = java.nio.file.Files.createTempDirectory(s"curfuzz$seed").toString
+      try {
       mkDocs(rows).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val got = LlmQueries.pipeline(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
@@ -253,6 +254,13 @@ class CurationFuzzSpec extends AnyFunSuite {
         .toSeq.sortBy(_._1)
       assert(got == want, s"seed=$seed")
       assert(kept.nonEmpty, s"seed=$seed degenerate: pipeline kept nothing")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(dir))
+      }
     }
   }
 }

@@ -828,23 +828,34 @@ object Curation {
           .otherwise(lit(0L)))
       .withColumn("keep", col("score") >= 0)
 
-  /** DuckDB twin of [[qualityScore]]. */
-  val qualityScoreOracle: String =
-    s"""WITH t AS (
+  /** The (tokens, score) CTE pair shared by [[qualityScoreOracle]] and
+    * [[qualityKeepCte]] — ONE SQL definition of the hashed-linear score. */
+  private def qualityCtes(tName: String, sName: String): String =
+    s"""$tName AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
        |                             x -> x != '') AS w
        |  FROM documents),
-       |s AS (
+       |$sName AS (
        |  SELECT doc_id, len(w)::BIGINT AS n_tokens,
        |    coalesce(list_sum(list_transform(w,
        |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $QualityMod
        |           - ${(QualityMod - 1) / 2})), 0)::BIGINT AS score
-       |  FROM t)
+       |  FROM $tName)""".stripMargin
+
+  /** DuckDB twin of [[qualityScore]]. */
+  val qualityScoreOracle: String =
+    s"""WITH ${qualityCtes("t", "s")}
        |SELECT doc_id, n_tokens, score,
        |  CASE WHEN n_tokens > 0 THEN (score * 10000 // n_tokens)::BIGINT
        |       ELSE 0 END AS score_per_tok_e4,
        |  score >= 0 AS keep
        |FROM s""".stripMargin
+
+  /** CTE chain ending in `<name>` = the [[qualityScore]] keep set, for
+    * oracle composition (the pipeline entry conjoins it). */
+  def qualityKeepCte(name: String): String =
+    s"""${qualityCtes(s"${name}_t", s"${name}_s")},
+       |$name AS (SELECT doc_id FROM ${name}_s WHERE score >= 0)""".stripMargin
 
   val redactOracle: String =
     s"""WITH t AS (

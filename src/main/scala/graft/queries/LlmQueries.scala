@@ -77,7 +77,8 @@ object LlmQueries {
   }
 
   /** The COMPOSED curation pipeline — the DAG a user actually runs:
-    * Gopher quality filter ∧ duplicate-cluster non-survivor removal ∧
+    * Gopher quality filter ∧ model-based quality score (the zero-shuffle
+    * hashed-linear stage) ∧ duplicate-cluster non-survivor removal ∧
     * duplicated-span cut (docs ≥[[graft.llm.Mining.DupSpanDropE4]]
     * covered by cross-corpus duplicated spans) ∧ benchmark
     * decontamination ∧ per-domain cap ∧ mixture resampling ∧
@@ -101,8 +102,10 @@ object LlmQueries {
     val capped = Curation.domainCap(d).select("doc_id")
     val mixKeep = Curation.mixtureKeep(d)
     val sampled = Curation.stratifiedSample(d).select("doc_id")
+    val modelKeep = Curation.qualityScore(d).where(col("keep")).select("doc_id")
     d.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
       .join(qualityKeep, "doc_id")
+      .join(modelKeep, "doc_id")
       .join(capped, "doc_id")
       .join(mixKeep, "doc_id")
       .join(sampled, "doc_id")
@@ -450,9 +453,11 @@ object LlmQueries {
          |  WHERE dup_frac_e4 >= ${graft.llm.Mining.DupSpanDropE4}),
          |${Curation.domainCapKeepCte("cap_keep")},
          |${Curation.mixtureKeepCtes("mx_")},
+         |${Curation.qualityKeepCte("mdl_keep")},
          |keep AS (
          |  SELECT doc_id::BIGINT AS doc_id, lang FROM documents
          |  WHERE doc_id IN (SELECT doc_id FROM v WHERE reason = 'ok')
+         |    AND doc_id IN (SELECT doc_id FROM mdl_keep)
          |    AND doc_id IN (SELECT doc_id FROM cap_keep)
          |    AND doc_id IN (SELECT doc_id FROM mx_keep)
          |    AND ${Curation.sampleKeepSql}

@@ -238,6 +238,7 @@ class CurationFuzzSpec extends AnyFunSuite {
       def ids(df: DataFrame): Set[Long] =
         df.select("doc_id").collect().map(_.getLong(0)).toSet
       val keepQ = ids(Repetition.gopherFilter(d).filter(col("keep")))
+      val keepM = ids(Curation.qualityScore(d).filter(col("keep")))
       val dropDup = ids(LlmQueries.dupClusters(spark, dir).filter(!col("keep")))
       val dropSpan = ids(Mining.dupSpans(d)
         .filter(col("dup_frac_e4") >= Mining.DupSpanDropE4))
@@ -246,7 +247,7 @@ class CurationFuzzSpec extends AnyFunSuite {
       val mix = ids(Curation.mixtureKeep(d))
       val samp = ids(Curation.stratifiedSample(d))
       val kept = rows.filter { case (id, _, _, _, _) =>
-        keepQ(id) && cap(id) && mix(id) && samp(id) &&
+        keepQ(id) && keepM(id) && cap(id) && mix(id) && samp(id) &&
           !dropDup(id) && !dropSpan(id) && !contam(id)
       }
       val want = kept.groupBy(_._2)

@@ -857,6 +857,74 @@ object Curation {
     s"""${qualityCtes(s"${name}_t", s"${name}_s")},
        |$name AS (SELECT doc_id FROM ${name}_s WHERE score >= 0)""".stripMargin
 
+  // ------------------------------------------------------- curriculum order
+
+  /** Difficulty cuts on the per-token quality score: docs at
+    * `score_per_tok_e4 >= high` are "easy" (bucket 0), `>= low` "mid"
+    * (1), below "hard" (2). Fixed thresholds (near the test corpora's
+    * score terciles) keep the bucketing a zero-shuffle projection; a
+    * loss-quantile curriculum would derive the cuts once from the
+    * quantile sketch and use them the same way. */
+  val CurriculumHighE4 = 800000L
+  val CurriculumLowE4 = 100000L
+  val CurriculumBuckets = 3
+
+  /** Curriculum data ordering (Bengio et al. 2009 shape): emit a total
+    * training order that (a) starts easy, by difficulty-bucketing each doc
+    * on the model-based quality score, and (b) round-robins the buckets so
+    * every training window still mixes difficulties — `pos = brank *
+    * [[CurriculumBuckets]] + bucket` with `brank` the doc's rank inside
+    * its bucket under a deterministic md5 shuffle. Positions of unequal
+    * buckets leave gaps once a bucket exhausts; the loader sorts by `pos`,
+    * so only the ORDER is contractual.
+    *
+    * Scale shape: bucket assignment is the zero-shuffle [[qualityScore]]
+    * projection; the within-bucket rank deliberately does NOT use a
+    * `PARTITION BY bucket` window (3 partitions = the whole corpus in 3
+    * tasks) but [[graft.operators.PrefixSum.groupedRank]] — a range
+    * exchange on the shuffle key (balanced regardless of bucket sizes)
+    * plus per-bucket running counters, full parallelism at any corpus
+    * size. Output: (doc_id, bucket, brank, pos). */
+  def curriculum(docs: DataFrame): DataFrame = {
+    val scored = qualityScore(docs)
+      .select(col("doc_id"),
+        when(col("score_per_tok_e4") >= CurriculumHighE4, 0L)
+          .when(col("score_per_tok_e4") >= CurriculumLowE4, 1L)
+          .otherwise(2L).as("bucket"))
+      .withColumn("shuffle_key",
+        conv(substring(md5(concat(lit("curr:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+    graft.operators.PrefixSum
+      .groupedRank(scored, "shuffle_key", "doc_id", "bucket", "brank")
+      .select(col("doc_id"), col("bucket"), col("brank"),
+        (col("brank") * CurriculumBuckets + col("bucket")).as("pos"))
+  }
+
+  /** DuckDB twin of [[curriculum]] — the grouped rank replays as the
+    * plain per-bucket window it is semantically. */
+  val curriculumOracle: String =
+    s"""WITH ${qualityCtes("cu_t", "cu_s")},
+       |cu_b AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |    CASE WHEN n_tokens > 0 THEN score * 10000 // n_tokens
+       |         ELSE 0 END AS spt
+       |  FROM cu_s),
+       |cu_k AS (
+       |  SELECT doc_id,
+       |    CASE WHEN spt >= $CurriculumHighE4 THEN 0
+       |         WHEN spt >= $CurriculumLowE4 THEN 1 ELSE 2 END AS bucket,
+       |    ('0x' || substr(md5('curr:' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |      AS shuffle_key
+       |  FROM cu_b),
+       |cu_r AS (
+       |  SELECT doc_id, bucket,
+       |    row_number() OVER (PARTITION BY bucket
+       |                       ORDER BY shuffle_key, doc_id) - 1 AS brank
+       |  FROM cu_k)
+       |SELECT doc_id, bucket::BIGINT AS bucket, brank::BIGINT AS brank,
+       |  (brank * $CurriculumBuckets + bucket)::BIGINT AS pos
+       |FROM cu_r""".stripMargin
+
   val redactOracle: String =
     s"""WITH t AS (
        |  SELECT doc_id::BIGINT AS doc_id,

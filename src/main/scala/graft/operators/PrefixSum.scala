@@ -58,4 +58,58 @@ object PrefixSum {
       }
       .toDF(orderCol, valCol, outCol)
   }
+
+  /** `outCol` = 0-based rank WITHIN the row's `groupCol` value, in global
+    * (`ord1`, `ord2`) order — i.e.
+    * `row_number() OVER (PARTITION BY g ORDER BY ord1, ord2) - 1`, but
+    * WITHOUT partitioning by group: a G-ary window puts each group's whole
+    * membership in one task (for a 3-bucket curriculum that is the entire
+    * corpus in 3 tasks). Here the data range-partitions on the ORDER key
+    * instead — balanced regardless of group sizes — and the per-group
+    * running counters generalize [[cumBefore]]'s scalar: pass 1 reduces
+    * each partition to its per-group counts (P×G longs to the driver —
+    * `groupCol` must be LOW-CARDINALITY by design: difficulty buckets,
+    * split names, shard ids), the exclusive scan yields per-(partition,
+    * group) offsets, pass 2 streams with a per-group counter map.
+    * (`ord1`, `ord2`) must be unique per row (ord2 the tie-breaker);
+    * all three columns are read as longs; output is exactly
+    * (ord1, ord2, groupCol, outCol). */
+  def groupedRank(df: DataFrame, ord1: String, ord2: String,
+      groupCol: String, outCol: String = "grp_rank",
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val base = df
+      .select(col(ord1).cast("long").as("k1"), col(ord2).cast("long").as("k2"),
+        col(groupCol).cast("long").as("g"))
+      .repartitionByRange(p, col("k1"), col("k2"))
+      .sortWithinPartitions("k1", "k2")
+      .as[(Long, Long, Long)]
+      .persist()
+    graft.llm.OpCaches.track(s"prefixsum.rank.$ord1.$groupCol", Seq(base.toDF()))
+    val counts = base.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach { case (_, _, g) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+        Iterator((i, m.toMap))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // exclusive scan per group across partitions
+    val offsets = counts.scanLeft(Map.empty[Long, Long]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (g, c)) => a.updated(g, a.getOrElse(g, 0L) + c) }
+    }.init
+    val bc = spark.sparkContext.broadcast(offsets)
+    base.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        val run = scala.collection.mutable.HashMap(bc.value(i).toSeq: _*)
+        it.map { case (k1, k2, g) =>
+          val r = run.getOrElse(g, 0L)
+          run.update(g, r + 1L)
+          (k1, k2, g, r)
+        }
+      }
+      .toDF(ord1, ord2, groupCol, outCol)
+  }
 }

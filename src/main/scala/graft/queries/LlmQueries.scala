@@ -312,6 +312,10 @@ object LlmQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans" -> (kmeansGate _),
+    "llm_dsir" ->
+      ((s: SparkSession, d: String) => graft.llm.Dsir.select(docs(s, d))),
+    "llm_curriculum" ->
+      ((s: SparkSession, d: String) => Curation.curriculum(docs(s, d))),
     "llm_sample" -> (sample _),
     "llm_mixture" -> (mixture _),
     "llm_pack" -> (pack _),
@@ -423,6 +427,8 @@ object LlmQueries {
         |  ('clusters', 16::BIGINT, true)
         |) t(variant, floor_e4, meets_floor)""".stripMargin,
     "llm_sample" -> Curation.sampleOracle,
+    "llm_dsir" -> graft.llm.Dsir.selectOracle,
+    "llm_curriculum" -> Curation.curriculumOracle,
     "llm_collocations" -> graft.llm.Mining.collocationsOracle,
     "llm_bm25" -> graft.llm.Mining.bm25Oracle,
     "llm_lm2_score" -> graft.llm.Mining.lm2ScoreOracle,

@@ -235,6 +235,7 @@ class CurationSpec extends AnyFunSuite {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val keepQ = ids(graft.llm.Repetition.gopherFilter(docs).where(col("keep")))
+    val keepM = ids(Curation.qualityScore(docs).where(col("keep")))
     val sampled = ids(Curation.stratifiedSample(docs))
     val dropped = ids(graft.queries.LlmQueries.dupClusters(spark2, dir)
       .filter(!col("keep")))
@@ -247,7 +248,7 @@ class CurationSpec extends AnyFunSuite {
       .select(col("doc_id").cast("long").as("doc_id"), col("lang")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
       .filter { case (id, _) =>
-        keepQ(id) && sampled(id) && capped(id) && mixed(id) &&
+        keepQ(id) && keepM(id) && sampled(id) && capped(id) && mixed(id) &&
           !dropped(id) && !spanDrop(id) && !contam(id) }
     val want = survivors.groupBy(_._2)
       .map { case (l, xs) => (l, xs.size.toLong, xs.map(_._1).sum) }.toSet

@@ -43,6 +43,36 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(r.length == 1 && r.head.getLong(2) == 0L)
   }
 
+  test("groupedRank matches the per-group window on random data") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 400).map(i =>
+      (rnd.nextLong() >>> 1, i.toLong, rnd.nextInt(4).toLong))
+    val df = rows.toDF("k1", "k2", "g")
+    val got = PrefixSum.groupedRank(df, "k1", "k2", "g", "r")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    val want = df.withColumn("r", row_number().over(
+        Window.partitionBy("g").orderBy("k1", "k2")).cast("long") - 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    assert(got == want)
+  }
+
+  test("groupedRank is invariant to the partition count") {
+    val rows = (0 until 300).map(i => ((i * 37 % 300).toLong, i.toLong, (i % 3).toLong))
+    val df = rows.toDF("k1", "k2", "g")
+    def run(p: Int) = PrefixSum.groupedRank(df, "k1", "k2", "g", "r", partitions = p)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
+    assert(run(1) == run(5) && run(5) == run(32))
+  }
+
+  test("groupedRank: empty input and single-group input") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("k1", "k2", "g")
+    assert(PrefixSum.groupedRank(empty, "k1", "k2", "g").count() == 0)
+    val one = (0 until 10).map(i => (i.toLong, i.toLong, 7L)).toDF("k1", "k2", "g")
+    val r = PrefixSum.groupedRank(one, "k1", "k2", "g")
+      .collect().map(x => (x.getLong(0), x.getLong(3))).sortBy(_._1)
+    assert(r.map(_._2).toSeq == (0L until 10L))
+  }
+
   test("pack: shards respect the running-budget boundary") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.llm.Curation.pack(docs)

@@ -108,8 +108,35 @@ object StreamQueries {
     StreamOps.windowQuantile(usAligned(storeDf(spark, dir)), "k", "1 hour",
       "5 seconds", qE4 = 9000L)
 
+  /** Per-hour distinct users: the HLL windowed aggregate gated against
+    * the exact per-window count — (window_start_us, n_distinct,
+    * meets_bound), with meets_bound pinning the sketch inside a 10%
+    * envelope (absolute floor 1). The approx leg is the SAME
+    * [[StreamOps.windowDistinct]] call a readStream pipeline runs; the
+    * exact leg exists only to gate it (windows-count-sized join). */
+  def windowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val df = usAligned(storeDf(spark, dir))
+    val approx = StreamOps.windowDistinct(df, "user", "1 hour", "5 seconds")
+    val exact = df
+      .withColumn("event_time", StreamOps.eventTime(col("ts")))
+      .withColumn("k", coalesce(element_at(col("fields"), "user"), lit("")))
+      .groupBy(window(col("event_time"), "1 hour").as("w"))
+      .agg(countDistinct(col("k")).as("exact"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("exact"))
+    exact.join(approx, "window_start_us")
+      .select(col("window_start_us"),
+        col("exact").cast("long").as("n_distinct"),
+        // absolute floor 2: sub-hundred windows sit where the sketch's
+        // relative guarantee is weakest (rsd 0.02 keeps them in the
+        // near-exact sparse regime, but the floor is what makes the gate
+        // decade-robust rather than tuned to one corpus)
+        (abs(col("approx") - col("exact")) <=
+          greatest(lit(2L), expr("exact div 10"))).as("meets_bound"))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_top" -> (windowTop _),
+    "stream_window_distinct" -> (windowDistinct _),
     "stream_window_quantile" -> (windowQuantile _),
     "stream_window_counts" -> (windowCounts _),
     "stream_sliding" -> (slidingCounts _),
@@ -120,6 +147,16 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the sketch value itself is engine-internal; the oracle pins the
+    // exact count and asserts the envelope held (same pattern as
+    // q12_sketch: an HLL regression flips meets_bound -> hash mismatch)
+    "stream_window_distinct" ->
+      s"""${EventStore.oracleCte}
+         |SELECT (epoch_us(ts_raw) // 3600000000) * 3600000000
+         |    AS window_start_us,
+         |  count(DISTINCT user_id)::BIGINT AS n_distinct,
+         |  true AS meets_bound
+         |FROM le GROUP BY 1""".stripMargin,
     "stream_window_counts" ->
       s"""${EventStore.oracleCte}
          |SELECT (epoch_us(ts_raw) // 3600000000) * 3600000000 AS window_start_us,

@@ -55,6 +55,28 @@ object StreamOps {
       .agg(count(lit(1)).as("records"))
       .select(col("w.start").as("window_start"), col("part"), col("records"))
 
+  /** Per-window approximate distinct count of `fields[keyField]` —
+    * "how many distinct users per hour" as a STREAMING aggregate. Exact
+    * streaming distinct would hold every key seen per open window in
+    * state (corpus-keyed state, the thing watermarks exist to avoid);
+    * HLL++ keeps per-window state at a fixed few KB regardless of key
+    * cardinality and merges map-side like any partial aggregate, so the
+    * stream never ships raw keys. In batch mode the same call computes
+    * the same sketch over the same windows (unified semantics; the
+    * `stream_window_distinct` entry gates the sketch against the exact
+    * count per window, the streaming twin of the q12 sketch gate). */
+  def windowDistinct(events: DataFrame, keyField: String, windowDur: String,
+      watermarkDelay: String, rsd: Double = 0.02): DataFrame = {
+    val base = events.withColumn("event_time", eventTime(col("ts")))
+    val wm = if (events.isStreaming)
+      base.withWatermark("event_time", watermarkDelay) else base
+    wm
+      .withColumn("k", keyOf(keyField))
+      .groupBy(window(col("event_time"), windowDur).as("w"))
+      .agg(approx_count_distinct(col("k"), rsd).as("approx"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("approx"))
+  }
+
   /** Per-window top key: which `fields[keyField]` value dominated each
     * event-time window — the windowed heavy-hitter shape — computed as
     * TWO CHAINED AGGREGATIONS: windowed (window, key) counts feeding a

@@ -84,6 +84,34 @@ class StreamOpsSpec extends AnyFunSuite {
       s"exactly the closed [0,1h) windows, each once: $p2")
   }
 
+  test("windowDistinct: streaming sketch equals the batch sketch per closed window") {
+    val store = freshStore()
+    // [0,1h): users u0..u4 (5 distinct); [1h,2h): u0 only
+    (0 until 5).foreach(i =>
+      ingest(store, Map("app" -> "wd"), s"u$i", Seq(100L + i, 200L + i)))
+    ingest(store, Map("app" -> "wd"), "u0", Seq(3700))
+
+    val batchDf = spark.read.format("graft-store").option("root", store.root).load()
+    val batch = StreamOps.windowDistinct(batchDf, "user", "1 hour", "5 seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // rsd 0.05 is exact at these cardinalities
+    assert(batch(0L) == 5L && batch(3600000000L) == 1L)
+
+    // streaming: [0,1h) closes once the 1h+ event's watermark lands
+    val cp = Files.createTempDirectory("graft-sops-wd").toString
+    def q(): DataFrame =
+      StreamOps.windowDistinct(stream(store), "user", "1 hour", "5 seconds")
+    val p1 = drainAll[(Long, Long)](q(), cp,
+      df => df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(p1.toSet == Set((0L, 5L)),
+      s"exactly the closed [0,1h) window, sketch == batch sketch: $p1")
+
+    ingest(store, Map("app" -> "wd"), "u1", Seq(7300)) // closes [1h,2h)
+    val p2 = drainAll[(Long, Long)](q(), cp,
+      df => df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(p2.toSet == Set((3600000000L, 1L)), s"second window once: $p2")
+  }
+
   test("sessionize: batch path gives the same sessions the stream closes") {
     val store = freshStore()
     // u1: two sessions (gap 10s exceeded between 102 and 200); u2: one

@@ -1,0 +1,62 @@
+package graft
+
+import graft.llm.Bpe
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bpe: the classic corpus merges in the textbook order") {
+    // Sennrich et al.'s running example; first merges hand-computed:
+    // (e,s)=9 wins the 9-way tie lexicographically, then (es,t),
+    // (est,</w>), then (l,o)=7 beats (o,w) on the left symbol
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "cnt")
+    val m = Bpe.learn(words, numMerges = 4)
+    assert(m == Seq(
+      Bpe.Merge(1, "e", "s", 9), Bpe.Merge(2, "es", "t", 9),
+      Bpe.Merge(3, "est", Bpe.EndMark, 9), Bpe.Merge(4, "l", "o", 7)))
+  }
+
+  test("bpe: merges apply left-to-right non-overlapping") {
+    // "aaa" -> [a a a </w>]; (a,a) counts 2 but merges ONCE into [aa a </w>]
+    val words = Seq(("aaa", 1L)).toDF("word", "cnt")
+    val m = Bpe.learn(words, numMerges = 3)
+    assert(m == Seq(
+      Bpe.Merge(1, "a", "a", 2),
+      Bpe.Merge(2, "a", Bpe.EndMark, 1), // count-1 tie: "a" < "aa"
+      Bpe.Merge(3, "aa", "a" + Bpe.EndMark, 1)))
+  }
+
+  test("bpe: learner stops when the pair space exhausts") {
+    val words = Seq(("ab", 3L)).toDF("word", "cnt")
+    val m = Bpe.learn(words, numMerges = 10)
+    // [a b </w>] -> ab -> ab</w> -> single symbol, nothing left to merge
+    assert(m.length == 2 && m.map(x => (x.left, x.right)) ==
+      Seq(("a", "b"), ("ab", Bpe.EndMark)))
+  }
+
+  test("bpe: distributed learner equals the naive reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val alphabet = "abcd"
+      val vocab = (0 until 30).map { _ =>
+        val n = 1 + rnd.nextInt(6)
+        (Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+          (1 + rnd.nextInt(9)).toLong)
+      }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      val dist = Bpe.learn(vocab.toDF("word", "cnt"), numMerges = 8)
+      val naive = Bpe.naiveLearn(vocab.toMap, numMerges = 8)
+      assert(dist == naive, s"trial $trial: $dist != $naive")
+    }
+  }
+
+  test("bpe gate: every row true on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Bpe.gate(docs).collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    assert(rows.length == Bpe.NumMerges + 1)
+    assert(rows.forall(_._2), s"gate rows must all match: ${rows.toSeq}")
+  }
+}

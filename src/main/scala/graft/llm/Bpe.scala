@@ -159,6 +159,75 @@ object Bpe {
     out.toSeq
   }
 
+  /** Segment the corpus with an ORDERED merge-rule list — the inference
+    * half of the tokenizer (real subword token counts, where
+    * [[TextStats]] counts whitespace words). Rules apply per DISTINCT
+    * word — vocabulary-sized work, never per occurrence — and the tiny
+    * (word, n_sub) table broadcasts back into the token stream for one
+    * map-combined doc-keyed aggregate; the corpus itself never
+    * shuffles. Output: (doc_id, n_words, n_subwords). */
+  def segment(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = merges.sortBy(_.step).map(m => (m.left, m.right)).toArray
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("word"))
+    val segLens = toks.select("word").distinct().as[String].rdd
+      .map { w =>
+        var syms = w.map(_.toString).toArray :+ EndMark
+        rules.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        (w, syms.length.toLong)
+      }
+      .toDF("word", "n_sub")
+    toks
+      .join(broadcast(segLens), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+  }
+
+  /** The `llm_bpe_tokens` gate: learns rules, segments the corpus, and
+    * differentially checks the per-doc subword counts against a fully
+    * in-driver tokenizer (independent rule learning AND application),
+    * plus the structural bounds every BPE segmentation satisfies
+    * (1 <= subwords(word) <= chars(word) + 1). Driver-side collection
+    * is gate-only, like the ANN recall harness — production callers use
+    * [[segment]] directly. */
+  def segmentGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wt = wordTable(docs).persist()
+    val got = segment(docs, learn(wt))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val naiveRules = naiveLearn(
+      wt.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .map(m => (m.left, m.right))
+    wt.unpersist()
+    val want = docs.select(col("doc_id").cast("long"), col("text")).collect()
+      .map { r =>
+        val words = r.getString(1).toLowerCase.split("\\W+").filterNot(_.isEmpty)
+        val subs = words.map { w =>
+          var syms = w.map(_.toString).toArray :+ EndMark
+          naiveRules.foreach { case (l, r2) => syms = applyMerge(syms, l, r2) }
+          syms.length.toLong
+        }.sum
+        r.getLong(0) -> ((words.length.toLong, subs))
+      }
+      .filter(_._2._1 > 0) // no tokens -> no joined rows, by construction
+      .toMap
+    val bounds = got.forall { case (id, (nw, ns)) =>
+      ns >= nw && want.get(id).exists { case (wnw, _) => nw == wnw }
+    }
+    Seq(("matches_naive", got == want), ("bounds", bounds))
+      .toDF("check", "pass")
+  }
+
+  /** DuckDB twin of [[segmentGate]] — constants, same rationale as
+    * [[gateOracle]]. */
+  val segmentGateOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('matches_naive', true), ('bounds', true)
+      |) t("check", pass)""".stripMargin
+
   /** The `llm_bpe` gate: runs the distributed learner and the naive
     * in-driver reference on the same corpus and emits one row per step —
     * (step, matches_naive) — plus an `n_merges` summary row. A divergence

@@ -318,6 +318,8 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Curation.curriculum(docs(s, d))),
     "llm_bpe" ->
       ((s: SparkSession, d: String) => graft.llm.Bpe.gate(docs(s, d))),
+    "llm_bpe_tokens" ->
+      ((s: SparkSession, d: String) => graft.llm.Bpe.segmentGate(docs(s, d))),
     "llm_sample" -> (sample _),
     "llm_mixture" -> (mixture _),
     "llm_pack" -> (pack _),
@@ -432,6 +434,7 @@ object LlmQueries {
     "llm_dsir" -> graft.llm.Dsir.selectOracle,
     "llm_curriculum" -> Curation.curriculumOracle,
     "llm_bpe" -> graft.llm.Bpe.gateOracle,
+    "llm_bpe_tokens" -> graft.llm.Bpe.segmentGateOracle,
     "llm_collocations" -> graft.llm.Mining.collocationsOracle,
     "llm_bm25" -> graft.llm.Mining.bm25Oracle,
     "llm_lm2_score" -> graft.llm.Mining.lm2ScoreOracle,

@@ -53,6 +53,24 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe segment: applies the rule list per word, counts subwords per doc") {
+    val docs = Seq((1L, "aaa aaa"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val rules = Seq(Bpe.Merge(1, "a", "a", 0L))
+    val out = Bpe.segment(docs, rules).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "aaa" -> [aa, a, </w>] = 3 subwords; "ab" untouched -> [a, b, </w>]
+    assert(out == Map(1L -> ((2L, 6L)), 2L -> ((1L, 3L))))
+    // token-less docs produce no row (no tokens to segment)
+    assert(!out.contains(3L))
+  }
+
+  test("bpe segment gate: every check true on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Bpe.segmentGate(docs).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(rows == Map("matches_naive" -> true, "bounds" -> true))
+  }
+
   test("bpe gate: every row true on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = Bpe.gate(docs).collect().map(r => r.getLong(0) -> r.getBoolean(1))

@@ -192,16 +192,18 @@ object Bpe {
     * (1 <= subwords(word) <= chars(word) + 1). Driver-side collection
     * is gate-only, like the ANN recall harness — production callers use
     * [[segment]] directly. */
-  def segmentGate(docs: DataFrame): DataFrame = {
+  def segmentGate(docs: DataFrame): DataFrame =
+    segmentGate(docs, learnFromDocs(docs))
+
+  /** [[segmentGate]] with the distributed rules precomputed. */
+  def segmentGate(docs: DataFrame, dist: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wt = wordTable(docs).persist()
-    val got = segment(docs, learn(wt))
+    val got = segment(docs, dist)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val naiveRules = naiveLearn(
-      wt.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      wordTable(docs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
       .map(m => (m.left, m.right))
-    wt.unpersist()
     val want = docs.select(col("doc_id").cast("long"), col("text")).collect()
       .map { r =>
         val words = r.getString(1).toLowerCase.split("\\W+").filterNot(_.isEmpty)
@@ -233,14 +235,21 @@ object Bpe {
     * (step, matches_naive) — plus an `n_merges` summary row. A divergence
     * in counting, tie-break, or application order flips a row and fails
     * the driver's hash gate. */
-  def gate(docs: DataFrame): DataFrame = {
+  def gate(docs: DataFrame): DataFrame = gate(docs, learnFromDocs(docs))
+
+  /** [[learn]] over [[wordTable]] — the form entries memoize so the
+    * `llm_bpe` and `llm_bpe_tokens` gates share ONE rule learning. */
+  def learnFromDocs(docs: DataFrame): Seq[Merge] = {
+    val wt = wordTable(docs).persist()
+    try learn(wt) finally wt.unpersist()
+  }
+
+  /** [[gate]] with the distributed side precomputed. */
+  def gate(docs: DataFrame, dist: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wt = wordTable(docs).persist()
-    val dist = learn(wt)
     val naive = naiveLearn(
-      wt.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-    wt.unpersist()
+      wordTable(docs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     val rows = (1 to NumMerges).map { i =>
       (i.toLong, dist.lift(i - 1).isDefined &&
         dist.lift(i - 1) == naive.lift(i - 1))

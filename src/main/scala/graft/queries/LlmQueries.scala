@@ -310,16 +310,30 @@ object LlmQueries {
     ).toDF("variant", "floor_e4", "meets_floor")
   }
 
+  /** Learned BPE rules memoized per (session, dir) — a plain value (no
+    * persisted state to leak, unlike the [[Memo]] DataFrames), so a
+    * getOrElseUpdate race at worst recomputes once. */
+  private val bpeRulesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[graft.llm.Bpe.Merge]]
+  private def bpeRules(spark: SparkSession, dir: String): Seq[graft.llm.Bpe.Merge] = {
+    bpeRulesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    bpeRulesCache.getOrElseUpdate((spark, dir),
+      graft.llm.Bpe.learnFromDocs(docs(spark, dir)))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_kmeans" -> (kmeansGate _),
     "llm_dsir" ->
       ((s: SparkSession, d: String) => graft.llm.Dsir.select(docs(s, d))),
     "llm_curriculum" ->
       ((s: SparkSession, d: String) => Curation.curriculum(docs(s, d))),
+    // ONE rule learning (memoized per session+dir) feeds both BPE gates
     "llm_bpe" ->
-      ((s: SparkSession, d: String) => graft.llm.Bpe.gate(docs(s, d))),
+      ((s: SparkSession, d: String) =>
+        graft.llm.Bpe.gate(docs(s, d), bpeRules(s, d))),
     "llm_bpe_tokens" ->
-      ((s: SparkSession, d: String) => graft.llm.Bpe.segmentGate(docs(s, d))),
+      ((s: SparkSession, d: String) =>
+        graft.llm.Bpe.segmentGate(docs(s, d), bpeRules(s, d))),
     "llm_sample" -> (sample _),
     "llm_mixture" -> (mixture _),
     "llm_pack" -> (pack _),

@@ -612,6 +612,15 @@ object VectorExpressions {
   def log2_fix(num: Column, den: Column): Column =
     GraftColumn.of(Log2Fix(GraftColumn.exprOf(num), GraftColumn.exprOf(den)))
 
+  /** Column API: SIGNED fixed-point log2 ratio for num, den >= 1 in
+    * EITHER order ([[Log2Fix]] itself requires num >= den; the
+    * reflection gives the negative branch — exact, since
+    * log2(a/b) = -log2(b/a)). The ONE definition of the sign convention
+    * every signed-log score (PMI, DSIR) and its oracle replays. */
+  def slog2_fix(num: Column, den: Column): Column =
+    org.apache.spark.sql.functions.when(num >= den, log2_fix(num, den))
+      .otherwise(-log2_fix(den, num))
+
   /** Column API: intersection count of two sorted string arrays. */
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftColumn.of(SortedIntersectCount(GraftColumn.exprOf(a), GraftColumn.exprOf(b)))

@@ -187,23 +187,26 @@ object Bpe {
 
   /** The `llm_bpe_tokens` gate: learns rules, segments the corpus, and
     * differentially checks the per-doc subword counts against a fully
-    * in-driver tokenizer (independent rule learning AND application),
+    * in-driver tokenizer (the independently-learned naive rules applied
+    * by an independent driver-side segmenter),
     * plus the structural bounds every BPE segmentation satisfies
     * (1 <= subwords(word) <= chars(word) + 1). Driver-side collection
     * is gate-only, like the ANN recall harness — production callers use
     * [[segment]] directly. */
-  def segmentGate(docs: DataFrame): DataFrame =
-    segmentGate(docs, learnFromDocs(docs))
+  def segmentGate(docs: DataFrame): DataFrame = {
+    val l = learnBoth(docs); segmentGate(docs, l.dist, l.naive)
+  }
 
-  /** [[segmentGate]] with the distributed rules precomputed. */
-  def segmentGate(docs: DataFrame, dist: Seq[Merge]): DataFrame = {
+  /** [[segmentGate]] with both learners precomputed. */
+  def segmentGate(docs: DataFrame, dist: Seq[Merge],
+      naive: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val got = segment(docs, dist)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val naiveRules = naiveLearn(
-      wordTable(docs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-      .map(m => (m.left, m.right))
+    val naiveRules = naive.map(m => (m.left, m.right))
+    // per doc: (n_words, naive n_subwords, structural max = Σ chars(w)+1
+    // — the zero-merge segmentation, which merging can only shrink)
     val want = docs.select(col("doc_id").cast("long"), col("text")).collect()
       .map { r =>
         val words = r.getString(1).toLowerCase.split("\\W+").filterNot(_.isEmpty)
@@ -212,14 +215,19 @@ object Bpe {
           naiveRules.foreach { case (l, r2) => syms = applyMerge(syms, l, r2) }
           syms.length.toLong
         }.sum
-        r.getLong(0) -> ((words.length.toLong, subs))
+        val maxSubs = words.map(_.length.toLong + 1L).sum
+        r.getLong(0) -> ((words.length.toLong, subs, maxSubs))
       }
       .filter(_._2._1 > 0) // no tokens -> no joined rows, by construction
       .toMap
     val bounds = got.forall { case (id, (nw, ns)) =>
-      ns >= nw && want.get(id).exists { case (wnw, _) => nw == wnw }
+      ns >= nw && want.get(id).exists { case (wnw, _, wmax) =>
+        nw == wnw && ns <= wmax }
     }
-    Seq(("matches_naive", got == want), ("bounds", bounds))
+    Seq(
+      ("matches_naive",
+        got == want.view.mapValues { case (nw, ns, _) => (nw, ns) }.toMap),
+      ("bounds", bounds))
       .toDF("check", "pass")
   }
 
@@ -235,21 +243,26 @@ object Bpe {
     * (step, matches_naive) — plus an `n_merges` summary row. A divergence
     * in counting, tie-break, or application order flips a row and fails
     * the driver's hash gate. */
-  def gate(docs: DataFrame): DataFrame = gate(docs, learnFromDocs(docs))
-
-  /** [[learn]] over [[wordTable]] — the form entries memoize so the
-    * `llm_bpe` and `llm_bpe_tokens` gates share ONE rule learning. */
-  def learnFromDocs(docs: DataFrame): Seq[Merge] = {
-    val wt = wordTable(docs).persist()
-    try learn(wt) finally wt.unpersist()
+  def gate(docs: DataFrame): DataFrame = {
+    val l = learnBoth(docs); gate(docs, l.dist, l.naive)
   }
 
-  /** [[gate]] with the distributed side precomputed. */
-  def gate(docs: DataFrame, dist: Seq[Merge]): DataFrame = {
+  /** Both learners' results over ONE persisted word table — the unit the
+    * entries memoize so the `llm_bpe` and `llm_bpe_tokens` gates share
+    * one distributed learning, one naive learning, and one word-table
+    * build. */
+  final case class Learned(dist: Seq[Merge], naive: Seq[Merge])
+  def learnBoth(docs: DataFrame): Learned = {
+    val wt = wordTable(docs).persist()
+    try Learned(learn(wt),
+      naiveLearn(wt.collect().map(r => r.getString(0) -> r.getLong(1)).toMap))
+    finally wt.unpersist()
+  }
+
+  /** [[gate]] with both learners precomputed. */
+  def gate(docs: DataFrame, dist: Seq[Merge], naive: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val naive = naiveLearn(
-      wordTable(docs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     val rows = (1 to NumMerges).map { i =>
       (i.toLong, dist.lift(i - 1).isDefined &&
         dist.lift(i - 1) == naive.lift(i - 1))

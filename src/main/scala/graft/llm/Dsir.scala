@@ -70,9 +70,10 @@ object Dsir {
   private def hash15(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Signed fixed-point log2 ratio — the shared
+    * [[VectorExpressions.slog2_fix]] kernel. */
   private def slog2(num: Column, den: Column): Column =
-    when(num >= den, VectorExpressions.log2_fix(num, den))
-      .otherwise(-VectorExpressions.log2_fix(den, num))
+    VectorExpressions.slog2_fix(num, den)
 
   /** The per-occurrence hashed feature stream `(doc_id, tgt, b)` — one
     * corpus scan, never materialized (re-streamed by each pass, the

@@ -19,13 +19,10 @@ object Mining {
     * at n = 2, because collocation counts are occurrence counts. */
   def bigramSeq(w: Column): Column = Dedup.gramSeq(w, 2)
 
-  /** Signed fixed-point log2 ratio: `floor(log2(num/den) * 2^20)` for
-    * num,den >= 1 in either order (Log2Fix itself requires num >= den;
-    * the reflection gives the negative branch — exact, since
-    * log2(a/b) = -log2(b/a)). */
+  /** Signed fixed-point log2 ratio — the shared
+    * [[VectorExpressions.slog2_fix]] kernel. */
   private def slog2(num: Column, den: Column): Column =
-    when(num >= den, VectorExpressions.log2_fix(num, den))
-      .otherwise(-VectorExpressions.log2_fix(den, num))
+    VectorExpressions.slog2_fix(num, den)
 
   val CollocMinCount = 5
   val CollocTopK = 50

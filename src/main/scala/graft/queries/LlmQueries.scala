@@ -310,15 +310,17 @@ object LlmQueries {
     ).toDF("variant", "floor_e4", "meets_floor")
   }
 
-  /** Learned BPE rules memoized per (session, dir) — a plain value (no
-    * persisted state to leak, unlike the [[Memo]] DataFrames), so a
-    * getOrElseUpdate race at worst recomputes once. */
+  /** Both BPE learners' rules memoized per (session, dir) — one word
+    * table, one distributed learning, one naive learning, shared by the
+    * two tokenizer gates. A plain value (no persisted state to leak,
+    * unlike the [[Memo]] DataFrames), so a getOrElseUpdate race at worst
+    * recomputes once. */
   private val bpeRulesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[graft.llm.Bpe.Merge]]
-  private def bpeRules(spark: SparkSession, dir: String): Seq[graft.llm.Bpe.Merge] = {
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.llm.Bpe.Learned]
+  private def bpeRules(spark: SparkSession, dir: String): graft.llm.Bpe.Learned = {
     bpeRulesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     bpeRulesCache.getOrElseUpdate((spark, dir),
-      graft.llm.Bpe.learnFromDocs(docs(spark, dir)))
+      graft.llm.Bpe.learnBoth(docs(spark, dir)))
   }
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -329,11 +331,15 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Curation.curriculum(docs(s, d))),
     // ONE rule learning (memoized per session+dir) feeds both BPE gates
     "llm_bpe" ->
-      ((s: SparkSession, d: String) =>
-        graft.llm.Bpe.gate(docs(s, d), bpeRules(s, d))),
+      ((s: SparkSession, d: String) => {
+        val l = bpeRules(s, d)
+        graft.llm.Bpe.gate(docs(s, d), l.dist, l.naive)
+      }),
     "llm_bpe_tokens" ->
-      ((s: SparkSession, d: String) =>
-        graft.llm.Bpe.segmentGate(docs(s, d), bpeRules(s, d))),
+      ((s: SparkSession, d: String) => {
+        val l = bpeRules(s, d)
+        graft.llm.Bpe.segmentGate(docs(s, d), l.dist, l.naive)
+      }),
     "llm_sample" -> (sample _),
     "llm_mixture" -> (mixture _),
     "llm_pack" -> (pack _),

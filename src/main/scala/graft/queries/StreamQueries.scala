@@ -111,7 +111,7 @@ object StreamQueries {
   /** Per-hour distinct users: the HLL windowed aggregate gated against
     * the exact per-window count — (window_start_us, n_distinct,
     * meets_bound), with meets_bound pinning the sketch inside a 10%
-    * envelope (absolute floor 1). The approx leg is the SAME
+    * envelope (absolute floor 2). The approx leg is the SAME
     * [[StreamOps.windowDistinct]] call a readStream pipeline runs; the
     * exact leg exists only to gate it (windows-count-sized join). */
   def windowDistinct(spark: SparkSession, dir: String): DataFrame = {

@@ -94,7 +94,7 @@ class StreamOpsSpec extends AnyFunSuite {
     val batchDf = spark.read.format("graft-store").option("root", store.root).load()
     val batch = StreamOps.windowDistinct(batchDf, "user", "1 hour", "5 seconds")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // rsd 0.05 is exact at these cardinalities
+    // the default rsd (0.02) is exact at these cardinalities
     assert(batch(0L) == 5L && batch(3600000000L) == 1L)
 
     // streaming: [0,1h) closes once the 1h+ event's watermark lands

@@ -56,7 +56,8 @@ object SparkEntry {
       "q18_grouped_median" -> (Analytics.q18GroupedMedian _),
       "q19_funnel" -> (Analytics.q19Funnel _),
       "q20_retention" -> (Analytics.q20Retention _),
-      "q21_spikes" -> (Analytics.q21Spikes _)
+      "q21_spikes" -> (Analytics.q21Spikes _),
+      "q22_ewma" -> (Analytics.q22Ewma _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

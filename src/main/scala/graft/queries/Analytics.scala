@@ -318,6 +318,41 @@ object Analytics {
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n")))
 
+  /** Exponentially-weighted moving average of the hourly event rate per
+    * type, in EXACT integer arithmetic: with α = 1/8 and the rate scaled
+    * e6, `s_1 = n_1·10^6` and `s_t = s_{t-1} + (n_t·10^6 − s_{t-1}) div 8`
+    * — a pinned rational recurrence both engines replay bit-identically
+    * (a float EWMA would accumulate engine-dependent rounding).
+    *
+    * An EWMA is a genuine RECURRENCE, not a frame aggregate — no
+    * `rowsBetween` window computes it. Scale shape: the only corpus
+    * pass is the hourly count; the recurrence then runs INSIDE one
+    * higher-order fold over each type's sorted series (buckets × types
+    * rows — aggregate-sized, corpus-size-independent), one exchange
+    * total. The DuckDB twin replays the same recurrence as a recursive
+    * CTE stepping rn → rn + 1. Output: (event_type, hour_bucket, n,
+    * ewma_e6). */
+  def q22Ewma(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .groupBy(col("event_type"), col("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hour_bucket"), col("n"))))
+        .as("h"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(h,
+             cast(array() as array<struct<hour_bucket: bigint, n: bigint,
+                                          ewma_e6: bigint>>),
+             (acc, x) -> array_append(acc, named_struct(
+               'hour_bucket', x.hour_bucket, 'n', x.n,
+               'ewma_e6', if(size(acc) = 0, x.n * 1000000,
+                 element_at(acc, -1).ewma_e6 +
+                   (x.n * 1000000 - element_at(acc, -1).ewma_e6) div 8))))"""))
+        .as("x"))
+      .select(col("event_type"), col("x.hour_bucket").as("hour_bucket"),
+        col("x.n").as("n"), col("x.ewma_e6").as("ewma_e6"))
+
   /** [[q21Spikes]]' core over an (event_type, hour_bucket, n) series —
     * factored so the sigma algebra is unit-testable. Derivation: with
     * population variance σ² = (W·s2 − s1²)/W², the test n > s1/W + 3σ
@@ -527,6 +562,27 @@ object Analytics {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_ewma" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+        |    COUNT(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |hr AS (
+        |  SELECT event_type, hour_bucket, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY hour_bucket) AS rn
+        |  FROM hourly),
+        |e AS (
+        |  SELECT event_type, hour_bucket, n, rn, n * 1000000 AS s
+        |  FROM hr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.hour_bucket, h.n, h.rn,
+        |    e.s + (h.n * 1000000 - e.s) // 8
+        |  FROM e JOIN hr h ON h.event_type = e.event_type
+        |                  AND h.rn = e.rn + 1)
+        |SELECT event_type, hour_bucket::BIGINT AS hour_bucket, n,
+        |  s::BIGINT AS ewma_e6
+        |FROM e""".stripMargin,
     "q16_rolling" ->
       """WITH hourly AS (
         |  SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,

@@ -137,6 +137,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q22 ewma: matches the scalar recurrence, per type, on sf0.001") {
+    val rows = graft.queries.Analytics.q22Ewma(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, series) =>
+      val s = series.sortBy(_._2)
+      var ew = s.head._3 * 1000000L
+      assert(s.head._4 == ew, s"$t: seed must be n_1 * 1e6")
+      s.tail.foreach { case (_, b, n, got) =>
+        ew = ew + (n * 1000000L - ew) / 8L
+        assert(got == ew, s"$t/$b: ewma recurrence mismatch")
+      }
+    }
+    // smoothing actually smooths: the ewma series' range is within the
+    // raw series' range for every type
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val n6 = series.map(_._3 * 1000000L)
+      assert(series.map(_._4).forall(v => v >= n6.min - 8 && v <= n6.max + 8))
+    }
+  }
+
   test("spike detection: the integer test is a true 3-sigma bound (not 3·sqrt(W)·sigma)") {
     val spark = TestSpark.spark
     import spark.implicits._

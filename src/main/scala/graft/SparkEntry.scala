@@ -57,7 +57,8 @@ object SparkEntry {
       "q19_funnel" -> (Analytics.q19Funnel _),
       "q20_retention" -> (Analytics.q20Retention _),
       "q21_spikes" -> (Analytics.q21Spikes _),
-      "q22_ewma" -> (Analytics.q22Ewma _)
+      "q22_ewma" -> (Analytics.q22Ewma _),
+      "q23_transitions" -> (Analytics.q23Transitions _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

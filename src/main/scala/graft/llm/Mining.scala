@@ -746,4 +746,78 @@ object Mining {
        |  (coalesce(nov.novel_grams, 0) * 10000 // sz.n_grams)::BIGINT AS novelty_e4
        |FROM sz LEFT JOIN nov USING (doc_id)""".stripMargin
   }
+
+  // ------------------------------------------------- source KL divergence
+
+  /** Per-source unigram-distribution divergence from the whole corpus:
+    *
+    *   KL(P_s ‖ P) = Σ_w p_s(w) · log2(p_s(w) / p(w))   [bits]
+    *
+    * with p_s(w) = c_sw / n_s and p(w) = c_w / N — the data-mixture
+    * diagnostic the [[Curation.mixtureKeep]] / [[Curation.domainCap]]
+    * knobs consult: a source far from the corpus distribution is either
+    * a distinct register worth reweighting or template spam worth
+    * capping, and a near-zero KL on a supposedly-independent source is a
+    * mirror. Computed in the split signed-Log2Fix form
+    * `slog2(c_sw, c_w) + log2fix(N, n_s)` (the DSIR trick) so every
+    * kernel argument is a plain count — int64-safe at any corpus size
+    * where the single-ratio product `c_sw·N` overflows past ~3e9 tokens.
+    * Reported integers: `kl20_sum` = Σ_w c_sw·slog2(c_sw,c_w) +
+    * n_s·log2fix(N,n_s) = floor-exact n_s·KL·2^20 under the kernel's
+    * pinned approximation, and `kl20_avg` = kl20_sum div n_tok (per-token
+    * KL in 2^-20 bits; `div` ≡ DuckDB BIGINT `//`, both truncate toward
+    * zero). |kl20_sum| ≤ n_s·63·2^20 keeps int64 safe for sources to
+    * ~1.4e11 tokens; past that, drop fraction bits.
+    *
+    * Plan shape: ONE corpus scan melts to the map-side-combined
+    * (source, word) count table (vocab×sources-sized — corpus-sublinear),
+    * persisted because all four downstream consumers (c_w re-aggregate,
+    * n_s re-aggregate, the term join, the grand total) read it; the term
+    * join is the agg-then-join df shape (skew-safe, AQE-splittable), the
+    * per-source totals broadcast. The corpus itself never shuffles. */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val sw = docs
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c_sw"))
+      .persist()
+    OpCaches.track("mining.sourceKl", Seq(sw))
+    val cw = sw.groupBy("t").agg(sum(col("c_sw")).as("c_w"))
+    val ns = sw.groupBy("source").agg(sum(col("c_sw")).as("n_tok"))
+    val nn = ns.agg(sum(col("n_tok")).as("nn"))
+    val s1 = sw.join(cw, "t")
+      .withColumn("lr", slog2(col("c_sw"), col("c_w")))
+      .groupBy("source").agg(sum(col("c_sw") * col("lr")).as("s1"))
+    s1.join(ns, "source").crossJoin(broadcast(nn))
+      .select(col("source"), col("n_tok"),
+        (col("s1") + col("n_tok") *
+          VectorExpressions.log2_fix(col("nn"), col("n_tok"))).as("kl20_sum"))
+      .withColumn("kl20_avg", expr("kl20_sum div n_tok"))
+  }
+
+  /** DuckDB twin of [[sourceKl]] — replays both Log2Fix chains. */
+  val sourceKlOracle: String = {
+    val lg1 = Log2Fix.duckdbCtes("r1", "source, t, c_sw, sgn", "lg1")
+    val lg2 = Log2Fix.duckdbCtes("r2", "source, n_tok", "lg2")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT source, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                             t -> t != '') AS w FROM documents),
+       |uni AS (SELECT source, unnest(w) AS t FROM tok),
+       |swc AS (SELECT source, t, count(*)::BIGINT AS c_sw FROM uni GROUP BY 1, 2),
+       |cwc AS (SELECT t, sum(c_sw)::BIGINT AS c_w FROM swc GROUP BY 1),
+       |ns AS (SELECT source, sum(c_sw)::BIGINT AS n_tok FROM swc GROUP BY 1),
+       |nt AS (SELECT sum(c_w)::BIGINT AS nn FROM cwc),
+       |r1 AS (
+       |  SELECT source, t, c_sw, CASE WHEN c_sw >= c_w THEN 1 ELSE -1 END AS sgn,
+       |    greatest(c_sw, c_w) AS num, least(c_sw, c_w) AS den
+       |  FROM swc JOIN cwc USING (t)),
+       |$lg1,
+       |s1 AS (SELECT source, sum(c_sw * sgn * l20)::BIGINT AS s1
+       |       FROM lg1 GROUP BY 1),
+       |r2 AS (SELECT source, n_tok, nn AS num, n_tok AS den FROM ns, nt),
+       |$lg2
+       |SELECT s1.source, ns.n_tok,
+       |  (s1.s1 + ns.n_tok * lg2.l20)::BIGINT AS kl20_sum,
+       |  ((s1.s1 + ns.n_tok * lg2.l20) // ns.n_tok)::BIGINT AS kl20_avg
+       |FROM s1 JOIN ns USING (source) JOIN lg2 USING (source)""".stripMargin
+  }
 }

@@ -489,6 +489,73 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("dist2"))
   }
 
+  /** Int8 scalar-quantization gate — the storage/ANN compression step a
+    * 100 TB embedding store actually ships (SQ8: 4x smaller than f32,
+    * distance error bounded by half a grid step per dim). Each dim gets
+    * an affine [mn, mx] grid over the e5-integerized coordinates; levels
+    * assign round-half-up, dequantization reconstructs grid midpoints:
+    *
+    *   q    = round((v - mn)·255 / r)        = ((v-mn)·510 + r) div (2r)
+    *   vhat = mn + round(q·r / 255)          = mn + (q·r·2 + 255) div 510
+    *
+    * (r = mx − mn; both divisions all-nonnegative, so Spark `div` and
+    * DuckDB `//` agree exactly.) Output per vector: the max and summed
+    * absolute reconstruction error in e5 units plus `within` — whether
+    * every dim's error sits inside the theoretical bound r div 255 + 2
+    * (a full grid step + both roundings) — so a quantizer regression
+    * breaks the hash gate, not just a downstream recall number.
+    *
+    * Plan shape: two corpus streams, zero corpus shuffle — pass 1 is the
+    * map-side-combined per-dim (mn, mx) aggregate (dim-sized), which
+    * re-enters pass 2 as a broadcast join; the per-vector error
+    * aggregate partial-combines to vector-count rows (each vector's dims
+    * are adjacent post-posexplode), so the only exchange carries
+    * n_vectors rows. Int64: |coords| e5 ≤ ~9e18/510 trivially. */
+  def embedQuantize(emb: DataFrame): DataFrame = {
+    def dims(e: DataFrame): DataFrame = e
+      .select(col("vec_id").cast("long").as("vec_id"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1e5 + lit(0.5)).cast("long")))
+          .as(Seq("i", "x")))
+    val stats = dims(emb).groupBy("i")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    dims(emb).join(broadcast(stats), "i")
+      .withColumn("r", col("mx") - col("mn"))
+      .withColumn("q", when(col("r") === 0, lit(0L))
+        .otherwise(expr("((x - mn) * 510 + r) div (2 * r)")))
+      .withColumn("vhat", when(col("r") === 0, col("mn"))
+        .otherwise(col("mn") + expr("(q * r * 2 + 255) div 510")))
+      .withColumn("err", abs(col("x") - col("vhat")))
+      .groupBy("vec_id")
+      .agg(max(col("err")).as("max_err"), sum(col("err")).as("sum_err"),
+        min(when(col("err") <= expr("r div 255 + 2"), lit(1L))
+          .otherwise(lit(0L))).as("within"))
+  }
+
+  /** DuckDB twin of [[embedQuantize]]. */
+  val embedQuantizeOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id::BIGINT AS vec_id,
+      |    list_transform(embedding,
+      |      x -> floor(x::DOUBLE * 100000 + 0.5)::BIGINT) AS ve
+      |  FROM embeddings),
+      |de AS (SELECT vec_id, generate_subscripts(ve, 1) AS i, unnest(ve) AS x
+      |       FROM v),
+      |dims AS (SELECT i, min(x) AS mn, max(x) AS mx FROM de GROUP BY 1),
+      |qd AS (
+      |  SELECT vec_id, x, mn, mx, mx - mn AS r,
+      |    CASE WHEN mx - mn = 0 THEN 0
+      |         ELSE ((x - mn) * 510 + (mx - mn)) // (2 * (mx - mn)) END AS q
+      |  FROM de JOIN dims USING (i)),
+      |e AS (
+      |  SELECT vec_id, r,
+      |    abs(x - (CASE WHEN r = 0 THEN mn
+      |                  ELSE mn + (q * r * 2 + 255) // 510 END)) AS err
+      |  FROM qd)
+      |SELECT vec_id, max(err)::BIGINT AS max_err, sum(err)::BIGINT AS sum_err,
+      |  min(CASE WHEN err <= r // 255 + 2 THEN 1 ELSE 0 END)::BIGINT AS within
+      |FROM e GROUP BY 1""".stripMargin
+
   /** DuckDB twin of [[embedOutliers]]. */
   val embedOutliersOracle: String =
     s"""WITH v AS (

@@ -353,6 +353,37 @@ object Analytics {
       .select(col("event_type"), col("x.hour_bucket").as("hour_bucket"),
         col("x.n").as("n"), col("x.ewma_e6").as("ewma_e6"))
 
+  /** First-order user-journey transition matrix (Markov chain estimate):
+    * each user's event stream, ordered by (ts, event_id) — event_id
+    * breaks timestamp ties deterministically — yields adjacent
+    * `from_type → to_type` steps; the output is the global transition
+    * count matrix with row-normalized probabilities in e4 (truncating
+    * integer div, engine-neutral). The funnel/retention entries measure
+    * WHERE users end up; this measures HOW they move — the standard
+    * next-event model behind journey analysis and anomaly baselines.
+    *
+    * Plan shape: ONE shuffle on user_id for the lead() window (the same
+    * exchange sessionization pays — at 100 TB both would share a
+    * user-bucketed layout); the per-(from,to) aggregate partial-combines
+    * map-side to ≤ types² rows per partition, and the row-total window
+    * runs over the aggregated types²-sized matrix — corpus-size-
+    * independent. Skew: one hyperactive user serializes only its own
+    * partition's window walk, never the aggregate. */
+  def q23Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    steps
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("p_e4", expr("n * 10000 div n_from"))
+      .select("from_type", "to_type", "n", "n_from", "p_e4")
+  }
+
   /** [[q21Spikes]]' core over an (event_type, hour_bucket, n) series —
     * factored so the sigma algebra is unit-testable. Derivation: with
     * population variance σ² = (W·s2 − s1²)/W², the test n > s1/W + 3σ
@@ -381,6 +412,18 @@ object Analytics {
 
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q23_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  (sum(n) OVER (PARTITION BY from_type))::BIGINT AS n_from,
+        |  (n * 10000 // sum(n) OVER (PARTITION BY from_type))::BIGINT AS p_e4
+        |FROM m""".stripMargin,
     "q21_spikes" ->
       """WITH hourly AS (
         |  SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,

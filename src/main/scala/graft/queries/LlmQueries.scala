@@ -411,7 +411,12 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Curation.shuffleOrder(docs(s, d))),
     "llm_pipeline" -> (pipeline _),
     "llm_embed_outliers" ->
-      ((s: SparkSession, d: String) => Similarity.embedOutliers(emb(s, d)))
+      ((s: SparkSession, d: String) => Similarity.embedOutliers(emb(s, d))),
+    "llm_embed_quantize" ->
+      ((s: SparkSession, d: String) => Similarity.embedQuantize(emb(s, d))),
+    "llm_source_kl" ->
+      ((s: SparkSession, d: String) =>
+        memo(miningCache, s, s"srckl|$d")(graft.llm.Mining.sourceKl(docs(s, d))))
   )
 
   /** The duplicate-cluster reachability closure (word-2-gram Jaccard at
@@ -500,6 +505,8 @@ object LlmQueries {
          |  sum(doc_id)::BIGINT AS sum_doc_id
          |FROM keep GROUP BY lang""".stripMargin,
     "llm_embed_outliers" -> Similarity.embedOutliersOracle,
+    "llm_embed_quantize" -> Similarity.embedQuantizeOracle,
+    "llm_source_kl" -> graft.llm.Mining.sourceKlOracle,
     "llm_mixture" -> Curation.mixtureOracle,
     "llm_pack" -> Curation.packOracle,
     "llm_chunk" -> Curation.chunkOracle,

@@ -361,4 +361,50 @@ class LlmSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("embedQuantize: matches an independent scalar quantizer, every dim inside the grid bound") {
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 1e5 + 0.5).toLong)))
+    val dim = vecs.head._2.length
+    val mn = Array.tabulate(dim)(j => vecs.map(_._2(j)).min)
+    val mx = Array.tabulate(dim)(j => vecs.map(_._2(j)).max)
+    val want = vecs.map { case (id, a) =>
+      val errs = Array.tabulate(dim) { j =>
+        val r = mx(j) - mn(j)
+        val vhat =
+          if (r == 0L) mn(j)
+          else {
+            val q = ((a(j) - mn(j)) * 510L + r) / (2L * r)
+            mn(j) + (q * r * 2L + 255L) / 510L
+          }
+        math.abs(a(j) - vhat)
+      }
+      val inBound = errs.indices.forall(j =>
+        errs(j) <= (mx(j) - mn(j)) / 255L + 2L)
+      id -> ((errs.max, errs.sum, if (inBound) 1L else 0L))
+    }.toMap
+    val got = Similarity.embedQuantize(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want, "distributed quantizer must equal the scalar reference")
+    assert(got.values.forall(_._3 == 1L),
+      "every vector must sit inside the r div 255 + 2 reconstruction bound")
+    // quantization is lossy but bounded: at least one vector actually
+    // incurs error (a zero-error corpus means the gate tests nothing)
+    assert(got.values.exists(_._1 > 0L))
+  }
+
+  test("embedQuantize: a constant dim reconstructs exactly (r = 0 branch)") {
+    import spark.implicits._
+    val e = Seq((0L, Array(1.5f, -2.0f), 0), (1L, Array(1.5f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedQuantize(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // dim 0 is constant -> zero error; dim 1 has only the two grid
+    // endpoints, which SQ reconstructs exactly -> both vectors exact
+    assert(out(0L) == ((0L, 1L)))
+    assert(out(1L) == ((0L, 1L)))
+  }
 }

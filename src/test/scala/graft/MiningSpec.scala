@@ -305,4 +305,52 @@ class MiningSpec extends AnyFunSuite {
     val plan = Mining.novelty(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected Window:\n$plan")
   }
+
+  // ------------------------------------------------- source KL divergence
+
+  private def mkDocsSrc(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+  }
+
+  test("sourceKl: identical sources diverge by exactly zero (power-of-two exact path)") {
+    // two sources with the SAME distribution: every per-word ratio is
+    // exactly N/n_s = 2, a power of two the Log2Fix kernel computes
+    // exactly, so the floor arithmetic cancels to literal 0
+    val out = Mining.sourceKl(mkDocsSrc(Seq(
+        (1L, "a a b", "s1"), (2L, "a a b", "s2"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set("s1", "s2"))
+    assert(out.values.forall { case (n, k) => n == 3L && k == 0L })
+  }
+
+  test("sourceKl: bit-locked to the Log2Fix kernel, skewed source larger") {
+    // corpus: a×4, b×2, c×3 (N=9); s1/s2 share {a,a,b}; s3 is all-c
+    val out = Mining.sourceKl(mkDocsSrc(Seq(
+        (1L, "a a b", "s1"), (2L, "a a b", "s2"), (3L, "c c c", "s3"))))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val l93 = Log2Fix.eval(9, 3)
+    // s1: 2·slog2(2,4) + 1·slog2(1,2) + 3·log2fix(9,3) = 3·(l93 − 2^20)
+    val s1 = 3L * (l93 - (1L << 20))
+    // s3: 3·slog2(3,3) + 3·log2fix(9,3) = 3·l93
+    val s3 = 3L * l93
+    assert(out("s1") == ((3L, s1, s1 / 3L)))
+    assert(out("s2") == ((3L, s1, s1 / 3L)))
+    assert(out("s3") == ((3L, s3, s3 / 3L)))
+    assert(s3 > s1, "the fully-skewed source must diverge more")
+    assert(s1 > 0L)
+  }
+
+  test("sourceKl: corpus run is finite and the avg is the truncating div") {
+    val out = Mining.sourceKl(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getLong(3) == r.getLong(2) / r.getLong(1),
+        "kl20_avg must be kl20_sum div n_tok (toward zero)")
+    }
+  }
 }

@@ -159,6 +159,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q23 transitions: matches a naive per-user walk on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val naive = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+        case Array(a, b) => (a._4, b._4)
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fromTotals = naive.groupBy(_._1._1)
+      .map { case (f, m) => f -> m.values.sum }
+    val got = graft.queries.Analytics.q23Transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == naive.keySet)
+    naive.foreach { case (k, n) =>
+      val (gn, gf, gp) = got(k)
+      assert(gn == n, s"count mismatch at $k")
+      assert(gf == fromTotals(k._1), s"row total mismatch at $k")
+      assert(gp == n * 10000L / fromTotals(k._1), s"p_e4 mismatch at $k")
+    }
+    // probabilities are a valid distribution per from_type (sum within
+    // the truncation slack of 1e4)
+    got.toSeq.groupBy(_._1._1).foreach { case (f, rows) =>
+      val s = rows.map(_._2._3).sum
+      assert(s <= 10000L && s > 10000L - rows.length,
+        s"$f: p_e4 must sum to 1e4 within truncation slack, got $s")
+    }
+  }
+
   test("spike detection: the integer test is a true 3-sigma bound (not 3·sqrt(W)·sigma)") {
     val spark = TestSpark.spark
     import spark.implicits._

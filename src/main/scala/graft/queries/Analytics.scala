@@ -369,10 +369,16 @@ object Analytics {
     * runs over the aggregated types²-sized matrix — corpus-size-
     * independent. Skew: one hyperactive user serializes only its own
     * partition's window walk, never the aggregate. */
-  def q23Transitions(spark: SparkSession, dir: String): DataFrame = {
+  def q23Transitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsFrom(load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** [[q23Transitions]]' core over a (user_id, ts, event_id, event_type)
+    * frame — factored so the tie-break contract (event_id orders equal
+    * timestamps) is unit-testable on adversarial inputs. */
+  private[graft] def transitionsFrom(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val steps = load(spark, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val steps = events
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .where(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))

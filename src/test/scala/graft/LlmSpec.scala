@@ -396,6 +396,45 @@ class LlmSpec extends AnyFunSuite {
     assert(got.values.exists(_._1 > 0L))
   }
 
+  test("embedQuantize: randomized differential (negative coords, constant dims, single vector)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 1 + rnd.nextInt(6)
+      val nVec = 1 + rnd.nextInt(8)
+      val constDim = rnd.nextInt(dim) // one dim forced constant
+      val vecs = (0L until nVec.toLong).map { id =>
+        (id, Array.tabulate(dim)(j =>
+          if (j == constDim) 2.5f else (rnd.nextFloat() - 0.5f) * 40f), 0)
+      }
+      val ints = vecs.map { case (id, a, _) =>
+        id -> a.map(x => math.floor(x.toDouble * 1e5 + 0.5).toLong)
+      }
+      val mn = Array.tabulate(dim)(j => ints.map(_._2(j)).min)
+      val mx = Array.tabulate(dim)(j => ints.map(_._2(j)).max)
+      val want = ints.map { case (id, a) =>
+        val errs = Array.tabulate(dim) { j =>
+          val r = mx(j) - mn(j)
+          val vhat =
+            if (r == 0L) mn(j)
+            else {
+              val q = ((a(j) - mn(j)) * 510L + r) / (2L * r)
+              mn(j) + (q * r * 2L + 255L) / 510L
+            }
+          math.abs(a(j) - vhat)
+        }
+        val ok = errs.indices.forall(j => errs(j) <= (mx(j) - mn(j)) / 255L + 2L)
+        id -> ((errs.max, errs.sum, if (ok) 1L else 0L))
+      }.toMap
+      val got = Similarity.embedQuantize(
+          vecs.toDF("vec_id", "embedding", "label")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == want, s"seed=$seed dim=$dim n=$nVec")
+      assert(got.values.forall(_._3 == 1L), s"seed=$seed: bound must hold")
+    }
+  }
+
   test("embedQuantize: a constant dim reconstructs exactly (r = 0 branch)") {
     import spark.implicits._
     val e = Seq((0L, Array(1.5f, -2.0f), 0), (1L, Array(1.5f, 3.0f), 0))

@@ -195,4 +195,35 @@ class MiningFuzzSpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("sourceKl matches the naive reference on random multi-source corpora") {
+    import spark.implicits._
+    def slog(num: Long, den: Long): Long =
+      if (num >= den) Log2Fix.eval(num, den) else -Log2Fix.eval(den, num)
+    for (seed <- 61 to 66) {
+      val rnd = new scala.util.Random(seed)
+      val rows = corpus(seed).map { case (id, t) =>
+        (id, t, s"s${rnd.nextInt(3)}")
+      }
+      val byWord = rows.flatMap { case (_, t, s) => tok(t).map(s -> _) }
+      if (byWord.nonEmpty) {
+        val cSw = byWord.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val cW = byWord.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val nS = byWord.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val nn = byWord.size.toLong
+        val want = nS.map { case (s, n) =>
+          val s1 = cSw.collect { case ((`s`, w), c) => c * slog(c, cW(w)) }.sum
+          val sum = s1 + n * Log2Fix.eval(nn, n)
+          (s, (n, sum, sum / n))
+        }
+        val got = Mining.sourceKl(
+            rows.toDF("doc_id", "text", "source")
+              .withColumn("lang", org.apache.spark.sql.functions.lit("en")))
+          .collect()
+          .map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        assert(got == want, s"seed=$seed")
+      }
+    }
+  }
 }

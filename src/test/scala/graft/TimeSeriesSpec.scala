@@ -190,6 +190,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("transitions: randomized differential with forced timestamp ties") {
+    // heavy ts collisions: event_id is the only deterministic order —
+    // a plan that orders by ts alone diverges from the reference here
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val types = Vector("a", "b", "c")
+      val rows = (0 until 60).map { i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(5).toLong * 100L, i.toLong,
+          types(rnd.nextInt(types.length)))
+      }
+      val naive = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+          case Seq(a, b) => (a._4, b._4)
+        }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val fromTot = naive.groupBy(_._1._1).view
+        .mapValues(_.values.sum).toMap
+      val got = graft.queries.Analytics.transitionsFrom(
+          rows.toDF("user_id", "ts", "event_id", "event_type"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got.keySet == naive.keySet, s"seed=$seed")
+      naive.foreach { case (k, n) =>
+        assert(got(k) == ((n, fromTot(k._1), n * 10000L / fromTot(k._1))),
+          s"seed=$seed at $k")
+      }
+    }
+  }
+
   test("spike detection: the integer test is a true 3-sigma bound (not 3·sqrt(W)·sigma)") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -363,6 +363,54 @@ object Similarity {
     exactRerank(emb, pool, numQueries, k)
   }
 
+  /** The dequantized SQ8 view of the embedding table — EXACTLY the
+    * vectors a store serving int8-quantized embeddings would hand a
+    * scanner (same per-dim affine grid, round-half-up level, midpoint
+    * dequant, and integer arithmetic as [[embedQuantize]], whose gate
+    * pins the reconstruction error this view inherits). Per-dim (mn, r)
+    * come from one dim-sized aggregate (bounded driver collect — the
+    * k-means-centroid precedent) and re-enter as literal arrays, so the
+    * view itself is a ZERO-SHUFFLE projection the scan streams through.
+    */
+  def sq8Dequant(emb: DataFrame): DataFrame = {
+    val ve = emb.select(col("vec_id").cast("long").as("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1e5 + lit(0.5)).cast("long")).as("ve"))
+    val stats = ve.select(posexplode(col("ve")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (stats.isEmpty)
+      return emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val mnA = array(stats.map(s => lit(s._2)).toIndexedSeq: _*)
+    val rA = array(stats.map(s => lit(s._3 - s._2)).toIndexedSeq: _*)
+    ve.select(col("vec_id"),
+      transform(col("ve"), (x, i) => {
+        val mn = element_at(mnA, i + 1)
+        val r = element_at(rA, i + 1)
+        val q = call_function("div", (x - mn) * lit(510L) + r, r * 2)
+        val vhat = when(r === lit(0L), mn)
+          .otherwise(mn + call_function("div", q * r * 2 + lit(255L), lit(510L)))
+        (vhat.cast("double") / lit(1e5)).cast("float")
+      }).as("embedding"))
+  }
+
+  /** Approximate top-k over SQ8-quantized vectors with exact rerank —
+    * the storage-compressed ANN shape a 100 TB embedding store actually
+    * runs: the first-stage scan streams int8-derived vectors (4x fewer
+    * bytes than f32 — at scale the store holds codes + the dim-sized
+    * grid table, not floats), the full-width vectors are touched only
+    * `k·poolFactor` times per query in the rerank. Quantization error is
+    * bounded (the [[embedQuantize]] gate), so a modest pool recovers
+    * near-exact recall — the floor is pinned accordingly HIGH in the
+    * entry gate; a grid/rounding regression shows up as a recall drop. */
+  def sq8TopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
+      poolFactor: Int = 4): DataFrame = {
+    val pool = bruteForceTopK(sq8Dequant(emb), numQueries, k * poolFactor)
+      .select("qid", "nid")
+    exactRerank(emb, pool, numQueries, k)
+  }
+
   /** Deterministic random hyperplanes (seeded JVM LCG — stable across
     * runs/platforms). */
   def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

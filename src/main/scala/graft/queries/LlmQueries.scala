@@ -180,6 +180,9 @@ object LlmQueries {
   def simTopKRp(spark: SparkSession, dir: String): DataFrame =
     topk(spark, "rp", dir)(Similarity.rpTopK(emb(spark, dir)))
 
+  def simTopKSq8(spark: SparkSession, dir: String): DataFrame =
+    topk(spark, "sq8", dir)(Similarity.sq8TopK(emb(spark, dir)))
+
   def multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAll(docs(spark, dir))
 
@@ -199,7 +202,8 @@ object LlmQueries {
     * at fixed reduction/pool, so a floor is only as good as the largest
     * scale it was checked at). rp: 1.00/1.00/0.88 measured across the
     * three sf decades at dOut=32/pool=80x. */
-  private val annFloorsE4 = Map("lsh" -> 5000L, "ivf" -> 4000L, "rp" -> 7500L)
+  private val annFloorsE4 =
+    Map("lsh" -> 5000L, "ivf" -> 4000L, "rp" -> 7500L, "sq8" -> 9000L)
 
   /** recall@5 of an approximate top-k against the memoized brute-force
     * exact top-k. Driver-side sets are diagnostic-sized (numQueries × k =
@@ -236,6 +240,9 @@ object LlmQueries {
   def simTopKRpGate(spark: SparkSession, dir: String): DataFrame =
     annVariantGate(spark, dir, "rp", simTopKRp(spark, dir))
 
+  def simTopKSq8Gate(spark: SparkSession, dir: String): DataFrame =
+    annVariantGate(spark, dir, "sq8", simTopKSq8(spark, dir))
+
   /** ANN recall as DATA: measure recall@5 of each approximate variant
     * against the exact brute-force top-k (50 rows collected — a
     * diagnostic-sized driver set) and report whether it clears its pinned
@@ -246,10 +253,11 @@ object LlmQueries {
     * (intersects the SAME memoized top-k results the entries serve). */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = Seq("lsh", "ivf", "rp").map { v =>
+    val rows = Seq("lsh", "ivf", "rp", "sq8").map { v =>
       val df = v match {
         case "lsh" => simTopKLsh(spark, dir)
         case "ivf" => simTopKIvf(spark, dir)
+        case "sq8" => simTopKSq8(spark, dir)
         case _     => simTopKRp(spark, dir)
       }
       val floor = annFloorsE4(v)
@@ -371,6 +379,7 @@ object LlmQueries {
     "llm_sim_topk_lsh" -> (simTopKLshGate _),
     "llm_sim_topk_ivf" -> (simTopKIvfGate _),
     "llm_sim_topk_rp" -> (simTopKRpGate _),
+    "llm_sim_topk_sq8" -> (simTopKSq8Gate _),
     "llm_multimodal" -> (multimodal _),
     "llm_pcm_frames" -> (pcmFrames _),
     "llm_dedup_embed" -> (embedNearDup _),
@@ -652,7 +661,7 @@ object LlmQueries {
     "llm_ann_recall" ->
       """SELECT * FROM (VALUES
         |  ('lsh', 5000::BIGINT, true), ('ivf', 4000::BIGINT, true),
-        |  ('rp', 7500::BIGINT, true)
+        |  ('rp', 7500::BIGINT, true), ('sq8', 9000::BIGINT, true)
         |) t(variant, floor_e4, meets_floor)""".stripMargin,
 
     "llm_sim_topk_lsh" ->
@@ -660,6 +669,8 @@ object LlmQueries {
     "llm_sim_topk_ivf" ->
       "SELECT 'ivf' AS variant, 4000::BIGINT AS floor_e4, true AS meets_floor",
     "llm_sim_topk_rp" ->
-      "SELECT 'rp' AS variant, 7500::BIGINT AS floor_e4, true AS meets_floor"
+      "SELECT 'rp' AS variant, 7500::BIGINT AS floor_e4, true AS meets_floor",
+    "llm_sim_topk_sq8" ->
+      "SELECT 'sq8' AS variant, 9000::BIGINT AS floor_e4, true AS meets_floor"
   )
 }

@@ -137,6 +137,46 @@ class LlmSpec extends AnyFunSuite {
       s"recall@5 $recall below the llm_sim_topk_rp gate floor (32-dim JL, pool 80x)")
   }
 
+  test("SQ8 top-k recall vs brute force clears the pinned floor at every SF") {
+    // the three-decade discipline: a floor is only as good as the
+    // largest scale it was checked at (the rp lesson)
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val e = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+      val exact = Similarity.bruteForceTopK(e, numQueries = 10, k = 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Similarity.sq8TopK(e, numQueries = 10, k = 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      info(s"sf$sf sq8 recall@5 = $recall")
+      assert(recall >= 0.9,
+        s"sf$sf: recall@5 $recall below the llm_sim_topk_sq8 gate floor")
+    }
+  }
+
+  test("sq8Dequant: reconstruction stays inside the embedQuantize error bound") {
+    val orig = emb.select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val deq = Similarity.sq8Dequant(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(deq.keySet == orig.keySet)
+    // per-dim grid step over the e5-integerized corpus, from the same stats
+    val ints = orig.values.map(_.map(x => math.floor(x.toDouble * 1e5 + 0.5).toLong))
+    val dim = ints.head.length
+    val step = Array.tabulate(dim) { j =>
+      val vs = ints.map(_(j))
+      (vs.max - vs.min) / 255L + 2L
+    }
+    orig.foreach { case (id, a) =>
+      val d = deq(id)
+      a.indices.foreach { j =>
+        val errE5 = math.abs(math.floor(a(j).toDouble * 1e5 + 0.5) -
+          math.floor(d(j).toDouble * 1e5 + 0.5))
+        assert(errE5 <= step(j) + 1,
+          s"vec $id dim $j: dequant error $errE5 exceeds grid step ${step(j)}")
+      }
+    }
+  }
+
   test("rpReduce: output dims and determinism across invocations") {
     val red = Similarity.rpReduce(emb, dOut = 16)
     val a = red.orderBy("vec_id").collect().map(_.getSeq[Float](1).toVector)

@@ -97,6 +97,21 @@ object StreamQueries {
         expr("r_ts div 1000").as("r_us"), col("r_seq"))
   }
 
+  /** Per-user journey steps (adjacent-event transitions across parts),
+    * aggregated to the (from_part, to_part) matrix — every step feeds the
+    * counts, so the gate exercises the full extraction; the streaming leg
+    * (watermark-final pair emission) is pinned by StreamOpsSpec. */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.transitions(usAligned(storeDf(spark, dir)), "user", "1 hour")
+      .toDF()
+      .select(col("fromPart"), col("toPart"),
+        expr("fromTs div 1000").as("from_us"),
+        expr("toTs div 1000").as("to_us"))
+      .groupBy(col("fromPart").as("from_part"), col("toPart").as("to_part"))
+      .agg(count(lit(1)).as("n"),
+        min(col("from_us")).as("first_from_us"),
+        max(col("to_us")).as("last_to_us"))
+
   /** Per-hour top user (windowed heavy hitter, chained aggregations). */
   def windowTop(spark: SparkSession, dir: String): DataFrame =
     StreamOps.windowTopKey(usAligned(storeDf(spark, dir)), "user", "1 hour",
@@ -143,7 +158,8 @@ object StreamQueries {
     "stream_sessions" -> (sessions _),
     "stream_dedup" -> (dedup _),
     "stream_incr_dedup" -> (incrDedup _),
-    "stream_join" -> (join _)
+    "stream_join" -> (join _),
+    "stream_transitions" -> (transitions _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,6 +259,17 @@ object StreamQueries {
          |                       ORDER BY ts_raw, seq) AS rn
          |  FROM novel)
          |SELECT part, key, first_us, seq AS first_seq FROM r WHERE rn = 1""".stripMargin,
+    "stream_transitions" ->
+      s"""${EventStore.oracleCte},
+         |s AS (
+         |  SELECT tags AS part, epoch_us(ts_raw) AS tus,
+         |    lead(tags) OVER w AS to_part,
+         |    lead(epoch_us(ts_raw)) OVER w AS to_us
+         |  FROM le
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_raw, seq))
+         |SELECT part AS from_part, to_part, count(*)::BIGINT AS n,
+         |  min(tus)::BIGINT AS first_from_us, max(to_us)::BIGINT AS last_to_us
+         |FROM s WHERE to_part IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "stream_join" ->
       s"""${EventStore.oracleCte},
          |c AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts_raw) AS l_us,

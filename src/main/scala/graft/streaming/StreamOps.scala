@@ -362,6 +362,98 @@ object StreamOps {
         GroupStateTimeout.EventTimeTimeout)(onGroup _)
   }
 
+  /** One finalized user-journey step: the key moved from `fromPart` (its
+    * event at `fromTs`) to `toPart` (`toTs`, `toSeq`) with NO event in
+    * between — the streaming twin of the q23 transition extraction,
+    * per-key across partitions (a journey crosses event types, which the
+    * store keeps in different parts). */
+  final case class Step(key: String, fromPart: String, fromTs: Long,
+      toPart: String, toTs: Long, toSeq: Long)
+
+  /** Keyed transition state: the key's events not yet safe to pair away,
+    * as (ts, seq, part) sorted by (ts, seq) — every event above the
+    * watermark PLUS one bridge (the newest finalized event, which still
+    * pairs with the next arrival). */
+  private[streaming] final case class TransState(events: List[(Long, Long, String)])
+
+  /** Adjacent-event transition extraction keyed by `fields[keyField]`,
+    * ordered by (ts, seq) — UNIFIED batch/stream. A step (a → b) is
+    * emitted exactly once, and only when the WATERMARK strictly passes
+    * b's millisecond: from then on every admissible future event has
+    * event-time above the watermark ≥ b, so nothing can ever sort
+    * between a and b — the pair is final. An out-of-order event arriving
+    * above the watermark lands mid-chain and splits the would-be pair
+    * BEFORE it finalizes (spec-pinned); an event at/below the watermark
+    * is dropped by the watermark machinery before reaching the operator.
+    *
+    * Scale notes: batch mode is the one-exchange lead() window per key
+    * (the q23 shape). Streaming state per key is the events inside the
+    * watermark horizon plus ONE bridge row — bounded by the horizon, not
+    * the stream; the bridge (newest finalized event) persists like
+    * [[dedupFirst]]'s tombstone so far-apart consecutive events still
+    * pair, making steady-state state one row per quiet key. */
+  def transitions(events: DataFrame, keyField: String,
+      watermarkDelay: String): Dataset[Step] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    if (!events.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))
+      return events
+        .select(keyOf(keyField).as("key"), col("part"), col("ts"), col("seq"))
+        .withColumn("toPart", lead(col("part"), 1).over(w))
+        .withColumn("toTs", lead(col("ts"), 1).over(w))
+        .withColumn("toSeq", lead(col("seq"), 1).over(w))
+        .where(col("toPart").isNotNull)
+        .select(col("key"), col("part").as("fromPart"), col("ts").as("fromTs"),
+          col("toPart"), col("toTs"), col("toSeq"))
+        .as[Step]
+    }
+
+    def onGroup(key: String,
+        rows: Iterator[(String, String, Long, Long, java.sql.Timestamp)],
+        state: GroupState[TransState]): Iterator[Step] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      def msOf(tsNs: Long): Long = tsNs / 1000000L
+      val prior = state.getOption.map(_.events).getOrElse(Nil)
+      val merged =
+        (prior ++ rows.map(r => (r._3, r._4, r._2))).sortBy(e => (e._1, e._2))
+      // newest event the watermark has STRICTLY passed: pairs whose
+      // successor is at or before it can never be split again
+      val lastFinal = merged.lastIndexWhere(e => msOf(e._1) < wmMs)
+      val emitted = if (lastFinal >= 1)
+        merged.sliding(2).take(lastFinal).collect {
+          case List((fTs, _, fPart), (tTs, tSeq, tPart)) =>
+            Step(key, fPart, fTs, tPart, tTs, tSeq)
+        }.toList
+      else Nil
+      // retain the bridge (index lastFinal) + everything pending
+      val keep = merged.drop(math.max(lastFinal, 0))
+      if (keep.isEmpty) state.remove()
+      else {
+        state.update(TransState(keep))
+        // pending successors finalize on watermark advance even if the
+        // key never receives another event
+        val pending = keep.filter(e => msOf(e._1) >= wmMs)
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(
+            math.max(msOf(pending.head._1) + 1L, wmMs + 1L))
+      }
+      emitted.iterator
+    }
+
+    events
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .select(keyOf(keyField).as("key"), col("part"), col("ts"), col("seq"),
+        col("event_time"))
+      .as[(String, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(onGroup _)
+  }
+
   /** Event-time interval join of two event sets: every pair with equal
     * `fields[keyField]` where the right event lands in
     * `[l.ts, l.ts + within)` — "views within a day of each click",

@@ -316,6 +316,62 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transitions: pairs finalize only past the watermark; out-of-order events split chains") {
+    val store = freshStore()
+    val cp = Files.createTempDirectory("graft-sops-cp").toString
+    def drainSteps(): Seq[(Long, Long)] =
+      drainAll[(Long, Long)](
+        StreamOps.transitions(stream(store), "user", "2 minutes").toDF(), cp,
+        df => df.collect().map(r =>
+          (r.getLong(2) / 1000000000L, r.getLong(4) / 1000000000L)).toSeq)
+
+    // phase 1: events at 100 and 200 (different parts). Watermark after
+    // the drain is 200-120=80 — nothing final, nothing emits.
+    ingest(store, Map("app" -> "t1"), "u1", Seq(100))
+    ingest(store, Map("app" -> "t2"), "u1", Seq(200))
+    assert(drainSteps().isEmpty, "no successor is past the watermark yet")
+
+    // phase 2: 150 arrives OUT OF ORDER but above the watermark (80) —
+    // it must land mid-chain and split the would-be (100 -> 200) pair.
+    ingest(store, Map("app" -> "t3"), "u1", Seq(150))
+    assert(drainSteps().isEmpty, "watermark has not advanced")
+
+    // phase 3: 400 pushes the watermark to 280 — 100/150/200 all final:
+    // exactly the split pairs emit, (200 -> 400) stays pending.
+    ingest(store, Map("app" -> "t1"), "u1", Seq(400))
+    assert(drainSteps().toSet == Set((100L, 150L), (150L, 200L)),
+      "the out-of-order event must have split the chain before finalization")
+
+    // phase 4: 600 pushes the watermark to 480 — the bridged (200 -> 400)
+    // pair emits exactly once (bridge retention across batches).
+    ingest(store, Map("app" -> "t2"), "u1", Seq(600))
+    assert(drainSteps().toSet == Set((200L, 400L)))
+
+    // batch mode over the same store agrees on every emitted pair, and
+    // the only missing one is the final pair whose successor the
+    // watermark never passed
+    val batch = StreamOps.transitions(
+        spark.read.format("graft-store").option("root", store.root).load(),
+        "user", "2 minutes")
+      .collect().map(s => (s.fromTs / 1000000000L, s.toTs / 1000000000L)).toSet
+    assert(batch == Set((100L, 150L), (150L, 200L), (200L, 400L), (400L, 600L)))
+  }
+
+  test("transitions: parts ride along and keys never cross") {
+    val store = freshStore()
+    ingest(store, Map("app" -> "a"), "u1", Seq(100, 300))
+    ingest(store, Map("app" -> "b"), "u2", Seq(200))
+    val batch = StreamOps.transitions(
+        spark.read.format("graft-store").option("root", store.root).load(),
+        "user", "1 minute")
+      .collect().map(s => (s.key, s.fromPart, s.fromTs / 1000000000L,
+        s.toPart, s.toTs / 1000000000L))
+    // u2's lone event yields no step; u1's two events pair within app=a
+    assert(batch.length == 1)
+    assert(batch.head._1 == "u1" && batch.head._3 == 100L && batch.head._5 == 300L)
+    assert(batch.head._2 == batch.head._4, "both u1 events are in app=a")
+  }
+
   test("intervalJoin: stream-stream pairs match the batch result exactly") {
     val store = freshStore()
     // clicks at 100, 500; views at 102, 150, 400 (for u1) — within 60s of

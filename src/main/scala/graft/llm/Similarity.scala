@@ -385,15 +385,26 @@ object Similarity {
     val mnA = array(stats.map(s => lit(s._2)).toIndexedSeq: _*)
     val rA = array(stats.map(s => lit(s._3 - s._2)).toIndexedSeq: _*)
     ve.select(col("vec_id"),
-      transform(col("ve"), (x, i) => {
-        val mn = element_at(mnA, i + 1)
-        val r = element_at(rA, i + 1)
-        val q = call_function("div", (x - mn) * lit(510L) + r, r * 2)
-        val vhat = when(r === lit(0L), mn)
-          .otherwise(mn + call_function("div", q * r * 2 + lit(255L), lit(510L)))
-        (vhat.cast("double") / lit(1e5)).cast("float")
-      }).as("embedding"))
+      transform(col("ve"), (x, i) =>
+        (sq8Vhat(x, element_at(mnA, i + 1), element_at(rA, i + 1))
+          .cast("double") / lit(1e5)).cast("float")).as("embedding"))
   }
+
+  /** Round-half-up SQ8 level (0..255) of e5 coordinate `x` on the dim's
+    * affine grid [mn, mn+r]; [[sq8Vhat]] guards the r = 0 grid. */
+  private def sq8Level(x: Column, mn: Column, r: Column): Column =
+    call_function("div", (x - mn) * lit(510L) + r, r * lit(2L))
+
+  /** Midpoint dequantization of the SQ8 level — the ONE definition of the
+    * quantize→reconstruct arithmetic, shared by the [[embedQuantize]]
+    * gate and the [[sq8Dequant]] ANN view, so the gate's pinned
+    * reconstruction error is exactly the error the view inherits (a grid
+    * or rounding change cannot drift between them). r = 0 (constant dim)
+    * collapses to mn. */
+  private[llm] def sq8Vhat(x: Column, mn: Column, r: Column): Column =
+    when(r === lit(0L), mn)
+      .otherwise(mn + call_function("div",
+        sq8Level(x, mn, r) * r * lit(2L) + lit(255L), lit(510L)))
 
   /** Approximate top-k over SQ8-quantized vectors with exact rerank —
     * the storage-compressed ANN shape a 100 TB embedding store actually
@@ -569,11 +580,8 @@ object Similarity {
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     dims(emb).join(broadcast(stats), "i")
       .withColumn("r", col("mx") - col("mn"))
-      .withColumn("q", when(col("r") === 0, lit(0L))
-        .otherwise(expr("((x - mn) * 510 + r) div (2 * r)")))
-      .withColumn("vhat", when(col("r") === 0, col("mn"))
-        .otherwise(col("mn") + expr("(q * r * 2 + 255) div 510")))
-      .withColumn("err", abs(col("x") - col("vhat")))
+      .withColumn("err",
+        abs(col("x") - sq8Vhat(col("x"), col("mn"), col("r"))))
       .groupBy("vec_id")
       .agg(max(col("err")).as("max_err"), sum(col("err")).as("sum_err"),
         min(when(col("err") <= expr("r div 255 + 2"), lit(1L))

@@ -422,7 +422,7 @@ object Analytics {
       """WITH s AS (
         |  SELECT event_type AS from_type,
         |    lead(event_type) OVER (PARTITION BY user_id
-        |                           ORDER BY epoch_us(ts), event_id) AS to_type
+        |                           ORDER BY epoch_ns(ts), event_id) AS to_type
         |  FROM events),
         |m AS (SELECT from_type, to_type, count(*)::BIGINT AS n
         |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)

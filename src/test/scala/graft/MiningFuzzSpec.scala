@@ -23,6 +23,11 @@ class MiningFuzzSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  /** The signed-log2 reference — mirrors VectorExpressions.slog2_fix's
+    * sign convention (the ONE definition both engines replay). */
+  private def slog(num: Long, den: Long): Long =
+    if (num >= den) Log2Fix.eval(num, den) else -Log2Fix.eval(den, num)
+
   /** Random docs with planted copies (some docs repeat an earlier doc's
     * text verbatim, the substrate for dup spans / collocation mass). */
   private def corpus(seed: Int): Seq[(Long, String)] = {
@@ -47,8 +52,6 @@ class MiningFuzzSpec extends AnyFunSuite {
       val bcnt = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
       val nTok = toks.map(_.size.toLong).sum
       val nBig = toks.map(w => math.max(w.size - 1, 0).toLong).sum
-      def slog(num: Long, den: Long): Long =
-        if (num >= den) Log2Fix.eval(num, den) else -Log2Fix.eval(den, num)
       val want = bcnt.toSeq
         .filter(_._2 >= Mining.CollocMinCount)
         .map { case (g, cxy) =>
@@ -198,8 +201,6 @@ class MiningFuzzSpec extends AnyFunSuite {
 
   test("sourceKl matches the naive reference on random multi-source corpora") {
     import spark.implicits._
-    def slog(num: Long, den: Long): Long =
-      if (num >= den) Log2Fix.eval(num, den) else -Log2Fix.eval(den, num)
     for (seed <- 61 to 66) {
       val rnd = new scala.util.Random(seed)
       val rows = corpus(seed).map { case (id, t) =>

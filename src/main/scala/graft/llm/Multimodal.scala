@@ -298,6 +298,107 @@ object Multimodal {
       }.toDF("doc_id", "frame_idx", "n_samples", "abs_sum", "peak")
   }
 
+  /** Thumbnail grid width/height (T×T RGB samples per image). */
+  val ThumbSize = 4
+
+  /** [[ThumbSize]]²·3 — samples per thumbnail. */
+  private val ThumbSamples = ThumbSize * ThumbSize * 3
+
+  /** T×T nearest-neighbour RGB thumbnail over the REAL BMP pixel
+    * geometry — the image-resize step of a multimodal pipeline, run
+    * against the opaque binary column. The sample grid is
+    * sx = tx·w div T, sy = ty·h div T, and the source byte offset
+    * honours the actual container format: 24 bpp, rows stored
+    * BOTTOM-UP, 4-byte-aligned row stride — o = (h−1−sy)·stride +
+    * 3·sx + c, relative to the header's pixel-data offset. A byte past
+    * the blob's payload reads as 0 (the fixture payloads are
+    * text-length, not stride·h; the zero-fill rule makes short payloads
+    * deterministic and oracle-replayable). Output per image: the parsed
+    * dims plus two integer reductions over the T²·3 sampled bytes — a
+    * position-weighted checksum (order-sensitive, so a transposed,
+    * stride-broken, or top-down sampler cannot match it) and the plain
+    * sample sum.
+    *
+    * Scale shape: same as [[decodeAll]] — a pure mapPartitions
+    * projection, no shuffle; the NN sampler touches T²·3 bytes per
+    * image REGARDLESS of image size, which is the point of
+    * thumbnailing at 100 TB (a full-decode resize reads w·h·3). */
+  def thumbnails(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = ThumbSize
+    withMediaColumn(docs).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (id % 4 != 1) Iterator.empty
+          else {
+            val w = le32(bytes, 18)
+            val h = le32(bytes, 22)
+            val off = le32(bytes, 10).toInt
+            val stride = ((w * 3 + 3) / 4) * 4
+            val plen = (bytes.length - off).toLong
+            var checksum = 0L
+            var sampleSum = 0L
+            var idx = 0
+            var ty = 0
+            while (ty < t) {
+              val sy = ty * h / t
+              var tx = 0
+              while (tx < t) {
+                val sx = tx * w / t
+                val o = (h - 1 - sy) * stride + 3 * sx
+                var c = 0
+                while (c < 3) {
+                  val p = o + c
+                  val v = if (p < plen) bytes(off + p.toInt) & 0xff else 0
+                  checksum += (idx + 1).toLong * v
+                  sampleSum += v
+                  idx += 1
+                  c += 1
+                }
+                tx += 1
+              }
+              ty += 1
+            }
+            Iterator.single((id, w, h, checksum, sampleSum))
+          }
+        }
+      }.toDF("doc_id", "width", "height", "thumb_checksum", "sample_sum")
+  }
+
+  /** DuckDB twin of [[thumbnails]]: the same NN grid, bottom-up row
+    * order, stride alignment, and zero-fill rule, re-reading payload
+    * bytes from hex pairs of the text's UTF-8 octets; flat sample index
+    * k = ty·3T + tx·3 + c decodes as ty = k div 3T, tx = (k div 3)
+    * mod T, c = k mod 3. */
+  val thumbnailsOracle: String = {
+    val t = ThumbSize
+    val n = ThumbSamples
+    // the (h-1-sy)*stride + 3*sx + c byte offset for flat index k
+    val o = s"((h - 1 - ((k // ${3 * t}) * h // $t)) * stride" +
+      s" + 3 * (((k // 3) % $t) * w // $t) + (k % 3))"
+    s"""WITH b AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |         octet_length(encode(text))::BIGINT AS plen,
+       |         hex(encode(text)) AS hx,
+       |         doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |g AS (SELECT *, ((w * 3 + 3) // 4) * 4 AS stride FROM b),
+       |s AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(0, $n), k ->
+       |      CASE WHEN $o < plen
+       |           THEN ('0x' || substr(hx, $o * 2 + 1, 2))::BIGINT
+       |           ELSE 0 END) AS v
+       |  FROM g)
+       |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+       |  list_sum(list_transform(range(0, $n),
+       |    k -> (k + 1) * v[k + 1]))::BIGINT AS thumb_checksum,
+       |  list_sum(v)::BIGINT AS sample_sum
+       |FROM s""".stripMargin
+  }
+
   /** DuckDB twin of [[pcmFrames]]: signed LE16 samples re-read from hex
     * byte pairs of the payload, same windows, same integer reductions. */
   val pcmOracleSql: String =

@@ -382,6 +382,8 @@ object LlmQueries {
     "llm_sim_topk_sq8" -> (simTopKSq8Gate _),
     "llm_multimodal" -> (multimodal _),
     "llm_pcm_frames" -> (pcmFrames _),
+    "llm_thumbnail" ->
+      ((s: SparkSession, d: String) => Multimodal.thumbnails(docs(s, d))),
     "llm_dedup_embed" -> (embedNearDup _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_ann_recall" -> (annRecall _),
@@ -643,6 +645,7 @@ object LlmQueries {
 
     "llm_multimodal" -> Multimodal.oracleSql,
     "llm_pcm_frames" -> Multimodal.pcmOracleSql,
+    "llm_thumbnail" -> Multimodal.thumbnailsOracle,
 
     "llm_dedup_embed" ->
       """WITH e AS (

@@ -361,6 +361,69 @@ class LlmSpec extends AnyFunSuite {
       "every fixture header must parse — the stub is only for foreign blobs")
   }
 
+  test("thumbnails: NN sampler matches an independent pixel-indexing reference") {
+    val t = Multimodal.ThumbSize
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+      .filter(_._1 % 4 == 1)
+      .map { case (id, payload) =>
+        val w = id % 640 + 1
+        val h = id % 480 + 1
+        val stride = ((w * 3 + 3) / 4) * 4
+        var checksum = 0L
+        var sampleSum = 0L
+        var idx = 0
+        for (ty <- 0 until t; tx <- 0 until t; c <- 0 until 3) {
+          val o = (h - 1 - ty * h / t) * stride + 3 * (tx * w / t) + c
+          val v = if (o < payload.length) payload(o.toInt) & 0xff else 0
+          checksum += (idx + 1).toLong * v
+          sampleSum += v
+          idx += 1
+        }
+        id -> ((w, h, checksum, sampleSum))
+      }.toMap
+    val got = Multimodal.thumbnails(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want)
+    assert(got.nonEmpty && got.values.exists(_._4 > 0L),
+      "some sampled bytes must land inside the payload or the gate tests nothing")
+  }
+
+  test("thumbnails: a full-coverage synthetic BMP samples the exact expected pixels") {
+    import spark.implicits._
+    // doc_id 1281 -> bmp (1281 % 4 == 1), w = 1281 % 640 + 1 = 2,
+    // h = 1281 % 480 + 1 = 322 -> stride 8; craft a payload long enough
+    // that EVERY sample hits real data, with byte value = offset % 251
+    val id = 1281L
+    val w = 2L
+    val h = 322L
+    val stride = 8L
+    // ASCII text (UTF-8 bytes == chars) long enough that every sample
+    // offset lands inside the payload, with position-varying values
+    val text = Array.tabulate((stride * h).toInt)(i => ('a' + i % 26).toChar)
+      .mkString
+    val payload = text.getBytes("UTF-8")
+    val got = Multimodal.thumbnails(
+        Seq((id, text)).toDF("doc_id", "text")
+          .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+          .withColumn("n_chars", length(col("text"))))
+      .collect()
+    assert(got.length == 1)
+    var checksum = 0L
+    var idx = 0
+    for (ty <- 0 until 4; tx <- 0 until 4; c <- 0 until 3) {
+      val o = (h - 1 - ty * h / 4) * stride + 3 * (tx * w / 4) + c
+      assert(o < payload.length, "crafted image must be fully covered")
+      checksum += (idx + 1).toLong * (payload(o.toInt) & 0xff)
+      idx += 1
+    }
+    assert(got.head.getLong(1) == w && got.head.getLong(2) == h)
+    assert(got.head.getLong(3) == checksum,
+      "full-coverage image: every sample must read its exact bottom-up/stride offset")
+  }
+
   test("embedding outliers: a planted far vector ranks first with the exact integer distance") {
     import spark.implicits._
     // 9 near-zero vectors + one far vector; centroid ~ the far vector / 10

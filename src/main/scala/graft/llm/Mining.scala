@@ -794,6 +794,110 @@ object Mining {
       .withColumn("kl20_avg", expr("kl20_sum div n_tok"))
   }
 
+  /** Per-language temporal DRIFT between the corpus's two doc_id halves
+    * (doc-id order stands in for crawl/arrival order, the [[novelty]] /
+    * incremental-dedup convention): the Population Stability Index
+    *
+    *   PSI = Σ_w (p_a(w) − p_b(w)) · log2(p_a(w) / p_b(w))
+    *
+    * over add-one-smoothed unigram distributions p(w) = (c+1)/(n+V) —
+    * the smoothing keeps every word defined on both sides, the standard
+    * PSI zero-bin guard. The snapshot-shift monitor a recurring curation
+    * run consults per language: PSI ≈ 0 means today's crawl looks like
+    * yesterday's; a spike means the source mix or register moved (or a
+    * pipeline stage upstream broke).
+    *
+    * Integer discipline: probabilities integerize at e6 by truncating
+    * div (identical in both engines; e6 keeps (c+1)·1e6 inside int64 for
+    * single-word counts to ~9.2e12 — past that, pre-scale counts), the
+    * log ratio is the split signed-Log2Fix form slog2(ca+1, cb+1) +
+    * slog2(nb+V, na+V) — every kernel argument a plain count. `psi_sum`
+    * = Σ (pa_e6 − pb_e6)·lr20 in e6·2^-20-bit units; since Σ|pa−pb| ≤ 2
+    * over a distribution pair, |psi_sum| ≤ 2e6·63·2^20 ≈ 1.3e14 —
+    * int64-safe regardless of vocabulary size. `psi_ub20` = psi_sum div
+    * 1e6 is the PSI in 2^-20-bit units.
+    *
+    * Plan shape: ONE corpus scan → map-side-combined (lang, word,
+    * half-conditional counts) — vocab-sized; per-lang totals re-aggregate
+    * it and broadcast back; the cutoff is a bounded 1-row min/max
+    * aggregate (the incremental-dedup precedent), mirrored exactly by
+    * the oracle. The corpus never shuffles. */
+  def drift(docs: DataFrame): DataFrame = {
+    val ids = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .head()
+    val cut = (ids.getLong(0) + ids.getLong(1)) / 2
+    val counts = docs
+      .select(col("lang"), (col("doc_id") <= cut).as("a"),
+        explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy("lang", "t")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
+      .persist()
+    OpCaches.track("mining.drift", Seq(counts))
+    val totals = counts.groupBy("lang")
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("v"))
+    val terms = counts.join(broadcast(totals), "lang")
+      .withColumn("pa_e6", expr("(ca + 1) * 1000000 div (na + v)"))
+      .withColumn("pb_e6", expr("(cb + 1) * 1000000 div (nb + v)"))
+      .withColumn("lr20",
+        slog2(col("ca") + 1, col("cb") + 1) +
+          slog2(col("nb") + col("v"), col("na") + col("v")))
+      .groupBy("lang")
+      .agg(sum((col("pa_e6") - col("pb_e6")) * col("lr20")).as("psi_sum"))
+    terms.join(broadcast(totals), "lang")
+      .select(col("lang"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("v").as("vocab"), col("psi_sum"),
+        expr("psi_sum div 1000000").as("psi_ub20"))
+  }
+
+  /** DuckDB twin of [[drift]] — two Log2Fix chains per (lang, word) /
+    * per lang. */
+  val driftOracle: String = {
+    val lg1 = Log2Fix.duckdbCtes("r1", "lang, t, pa_e6, pb_e6, sgn", "lg1")
+    val lg2 = Log2Fix.duckdbCtes("r2", "lang, sgn2", "lg2")
+    s"""WITH RECURSIVE ids AS (
+       |  SELECT (min(doc_id) + max(doc_id)) // 2 AS cut FROM documents),
+       |tok AS (
+       |  SELECT lang, doc_id <= cut AS a,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                       x -> x != '')) AS t
+       |  FROM documents, ids),
+       |cnt AS (
+       |  SELECT lang, t,
+       |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS cb
+       |  FROM tok GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT lang, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+       |    count(*)::BIGINT AS v
+       |  FROM cnt GROUP BY 1),
+       |j AS (
+       |  SELECT c.lang, c.t, ca, cb, na, nb, v,
+       |    ((ca + 1) * 1000000 // (na + v)) AS pa_e6,
+       |    ((cb + 1) * 1000000 // (nb + v)) AS pb_e6
+       |  FROM cnt c JOIN tot USING (lang)),
+       |r1 AS (
+       |  SELECT lang, t, pa_e6, pb_e6,
+       |    CASE WHEN ca >= cb THEN 1 ELSE -1 END AS sgn,
+       |    greatest(ca + 1, cb + 1) AS num, least(ca + 1, cb + 1) AS den
+       |  FROM j),
+       |$lg1,
+       |r2 AS (
+       |  SELECT lang, CASE WHEN nb >= na THEN 1 ELSE -1 END AS sgn2,
+       |    greatest(nb + v, na + v) AS num, least(nb + v, na + v) AS den
+       |  FROM tot),
+       |$lg2,
+       |s1 AS (
+       |  SELECT lg1.lang,
+       |    sum((pa_e6 - pb_e6) * (sgn * lg1.l20 + sgn2 * lg2.l20))::BIGINT
+       |      AS psi_sum
+       |  FROM lg1 JOIN lg2 USING (lang) GROUP BY 1)
+       |SELECT tot.lang, na AS n_a, nb AS n_b, v AS vocab, psi_sum,
+       |  (psi_sum // 1000000)::BIGINT AS psi_ub20
+       |FROM s1 JOIN tot USING (lang)""".stripMargin
+  }
+
   /** DuckDB twin of [[sourceKl]] — replays both Log2Fix chains. */
   val sourceKlOracle: String = {
     val lg1 = Log2Fix.duckdbCtes("r1", "source, t, c_sw, sgn", "lg1")

@@ -427,7 +427,10 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Similarity.embedQuantize(emb(s, d))),
     "llm_source_kl" ->
       ((s: SparkSession, d: String) =>
-        memo(miningCache, s, s"srckl|$d")(graft.llm.Mining.sourceKl(docs(s, d))))
+        memo(miningCache, s, s"srckl|$d")(graft.llm.Mining.sourceKl(docs(s, d)))),
+    "llm_drift" ->
+      ((s: SparkSession, d: String) =>
+        memo(miningCache, s, s"drift|$d")(graft.llm.Mining.drift(docs(s, d))))
   )
 
   /** The duplicate-cluster reachability closure (word-2-gram Jaccard at
@@ -518,6 +521,7 @@ object LlmQueries {
     "llm_embed_outliers" -> Similarity.embedOutliersOracle,
     "llm_embed_quantize" -> Similarity.embedQuantizeOracle,
     "llm_source_kl" -> graft.llm.Mining.sourceKlOracle,
+    "llm_drift" -> graft.llm.Mining.driftOracle,
     "llm_mixture" -> Curation.mixtureOracle,
     "llm_pack" -> Curation.packOracle,
     "llm_chunk" -> Curation.chunkOracle,

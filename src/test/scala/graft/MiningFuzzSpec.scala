@@ -199,6 +199,48 @@ class MiningFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("drift matches the naive PSI reference on random corpora") {
+    import spark.implicits._
+    for (seed <- 71 to 76) {
+      val rnd = new scala.util.Random(seed)
+      val rows = corpus(seed).map { case (id, t) =>
+        (id, t, Vector("en", "de", "fr")(rnd.nextInt(3)))
+      }
+      val toks = rows.map { case (id, t, l) => (id, l, tok(t)) }
+      if (toks.exists(_._3.nonEmpty)) {
+        val cut = (rows.map(_._1).min + rows.map(_._1).max) / 2
+        val want = toks.groupBy(_._2).flatMap { case (lang, ds) =>
+          val byWord = ds.flatMap { case (id, _, w) => w.map((id <= cut, _)) }
+          if (byWord.isEmpty) None
+          else {
+            val words = byWord.map(_._2).distinct
+            val ca = byWord.filter(_._1).groupBy(_._2).view.mapValues(_.size.toLong)
+            val cb = byWord.filterNot(_._1).groupBy(_._2).view.mapValues(_.size.toLong)
+            val na = byWord.count(_._1).toLong
+            val nb = byWord.size - na
+            val v = words.size.toLong
+            val psi = words.map { w =>
+              val a = ca.getOrElse(w, 0L)
+              val b = cb.getOrElse(w, 0L)
+              val pa = (a + 1) * 1000000L / (na + v)
+              val pb = (b + 1) * 1000000L / (nb + v)
+              (pa - pb) * (slog(a + 1, b + 1) + slog(nb + v, na + v))
+            }.sum
+            Some(lang -> ((na, nb, v, psi, psi / 1000000L)))
+          }
+        }
+        val got = Mining.drift(
+            rows.map { case (id, t, l) => (id, t, l) }
+              .toDF("doc_id", "text", "lang")
+              .withColumn("source", org.apache.spark.sql.functions.lit("t")))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))).toMap
+        assert(got == want, s"seed=$seed")
+      }
+    }
+  }
+
   test("sourceKl matches the naive reference on random multi-source corpora") {
     import spark.implicits._
     for (seed <- 61 to 66) {

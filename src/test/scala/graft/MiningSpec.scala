@@ -344,6 +344,27 @@ class MiningSpec extends AnyFunSuite {
     assert(s1 > 0L)
   }
 
+  test("drift: identical halves diverge by exactly zero; a hand case is bit-locked") {
+    // doc_ids 0..3, cut = 1: halves {a a, a b} vs {a a, a b} — identical
+    // distributions, so every pa_e6 == pb_e6 and the PSI sum is literal 0
+    val same = Mining.drift(mkDocsSrc(Seq(
+        (0L, "a a", "s"), (1L, "a b", "s"), (2L, "a a", "s"), (3L, "a b", "s"))))
+      .collect()
+    assert(same.length == 1 && same.head.getLong(4) == 0L)
+
+    // cut = (0+1)/2 = 0: half A {a:2}, half B {a:1, b:1}; v=2, na=nb=2.
+    // a: pa=3e6/4=750000, pb=2e6/4=500000, lr=slog2(3,2); term=250000*L32
+    // b: pa=1e6/4=250000, pb=2e6/4=500000, lr=-slog2(2,1); term=250000*2^20
+    val out = Mining.drift(mkDocsSrc(Seq((0L, "a a", "s"), (1L, "a b", "s"))))
+      .collect()
+    assert(out.length == 1)
+    val want = 250000L * Log2Fix.eval(3, 2) + 250000L * (1L << 20)
+    assert(out.head.getLong(4) == want,
+      s"psi_sum must equal the Log2Fix hand computation: ${out.head.getLong(4)} vs $want")
+    assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 2L &&
+      out.head.getLong(3) == 2L)
+  }
+
   test("sourceKl: corpus run is finite and the avg is the truncating div") {
     val out = Mining.sourceKl(docs).collect()
     assert(out.nonEmpty)

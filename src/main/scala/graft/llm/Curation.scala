@@ -105,6 +105,58 @@ object Curation {
        |FROM documents
        |ORDER BY shuffle_key, doc_id LIMIT $ShuffleTopK""".stripMargin
 
+  /** Sample size of [[weightedSample]]. */
+  val WeightedSampleK = 100
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each doc ranks by ln(u)/w with u a deterministic
+    * md5-derived uniform and w = n_chars (size-weighted selection; any
+    * positive integer weight — a quality score, a DSIR weight — slots
+    * into the same plan). The top-[[WeightedSampleK]] keys are the
+    * sample; A-ES makes inclusion probabilities follow the weights at
+    * any corpus size, and the seeded hash makes the draw reproducible
+    * and auditable (re-runs yield the same sample — the [[shuffleOrder]]
+    * / [[stratifiedSample]] discipline; rand() gives neither).
+    *
+    * Integer form: u = h/2^32 with h = 1 + md5₃₂(doc_id) ∈ [1, 2^32],
+    * so ln u ∝ −log2(2^32/h) = −Log2Fix(2^32, h), and the rank key is
+    * key20 = −(l20·2^20) div w — the b20 log pre-scaled by 2^20 before
+    * the truncating weight division (both engines truncate toward zero;
+    * |l20·2^20| ≤ 32·2^40 ≈ 3.5e13, int64-safe). Ties break by doc_id.
+    *
+    * Plan shape: a zero-shuffle projection (md5 + the codegen'd Log2Fix
+    * expression) into TakeOrderedAndProject — per-partition top-k heaps
+    * then one k-row merge, corpus-size-independent; no Window, no
+    * exchange. */
+  def weightedSample(docs: DataFrame, k: Int = WeightedSampleK): DataFrame =
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("w"))
+      .where(col("w") > 0)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("wsamp:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") + 1)
+      .withColumn("l20",
+        VectorExpressions.log2_fix(lit(1L << 32), col("h")))
+      .withColumn("key20", expr("-(l20 * 1048576) div w"))
+      .orderBy(col("key20").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("w"), col("key20"))
+
+  /** DuckDB twin of [[weightedSample]]. */
+  val weightedSampleOracle: String = {
+    val lg = Log2Fix.duckdbCtes("r1", "doc_id, w", "lg")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS w,
+       |    ('0x' || substr(md5('wsamp:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       |      + 1 AS h
+       |  FROM documents WHERE n_chars > 0),
+       |r1 AS (SELECT doc_id, w, 4294967296 AS num, h AS den FROM base),
+       |$lg
+       |SELECT doc_id, w, (-(l20 * 1048576) // w)::BIGINT AS key20
+       |FROM lg ORDER BY key20 DESC, doc_id LIMIT $WeightedSampleK""".stripMargin
+  }
+
   // ------------------------------------------------------------ domain cap
 
   val DomainCapN = 8

@@ -420,6 +420,8 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Curation.lengthProfile(docs(s, d))),
     "llm_shuffle" ->
       ((s: SparkSession, d: String) => Curation.shuffleOrder(docs(s, d))),
+    "llm_weighted_sample" ->
+      ((s: SparkSession, d: String) => Curation.weightedSample(docs(s, d))),
     "llm_pipeline" -> (pipeline _),
     "llm_embed_outliers" ->
       ((s: SparkSession, d: String) => Similarity.embedOutliers(emb(s, d))),
@@ -486,6 +488,7 @@ object LlmQueries {
     "llm_quality_score" -> Curation.qualityScoreOracle,
     "llm_length_profile" -> Curation.lengthProfileOracle,
     "llm_shuffle" -> Curation.shuffleOrderOracle,
+    "llm_weighted_sample" -> Curation.weightedSampleOracle,
     // the composed pipeline's oracle is assembled from the SAME CTE
     // definitions the standalone stage oracles use (closure, gopher
     // rules, decontam shingles, sample predicate) — the stage semantics

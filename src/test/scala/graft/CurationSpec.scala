@@ -333,4 +333,37 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"qualityScore must be a zero-shuffle projection:\n$plan")
   }
+
+  test("weightedSample: matches the scalar A-ES reference and stays shuffle-free") {
+    def md532(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val want = docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val h = md532(s"wsamp:$id") + 1
+        val key = -(graft.functions.Log2Fix.eval(1L << 32, h) * 1048576L) / w
+        (id, w, key)
+      }
+      .sortBy { case (id, _, key) => (-key, id) }
+      .take(Curation.WeightedSampleK).toSeq
+    val got = Curation.weightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "distributed sampler must equal the scalar E-S reference")
+    // re-run stability (the auditability property rand() lacks)
+    assert(Curation.weightedSample(docs).collect()
+      .map(_.getLong(0)).toSeq == got.map(_._1))
+    // weight bias: the sampled docs skew longer than the corpus median
+    val med = docs.stat.approxQuantile("n_chars", Array(0.5), 0.0).head
+    val longer = got.count(_._2 > med)
+    assert(longer > got.length / 2,
+      s"length-weighted sample must over-represent long docs ($longer/${got.length} above median $med)")
+    // plan: TakeOrderedAndProject, no Window, no aggregate exchange
+    val plan = Curation.weightedSample(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must be a TOP:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
 }

@@ -813,9 +813,10 @@ object Mining {
     * log ratio is the split signed-Log2Fix form slog2(ca+1, cb+1) +
     * slog2(nb+V, na+V) — every kernel argument a plain count. `psi_sum`
     * = Σ (pa_e6 − pb_e6)·lr20 in e6·2^-20-bit units; since Σ|pa−pb| ≤ 2
-    * over a distribution pair, |psi_sum| ≤ 2e6·63·2^20 ≈ 1.3e14 —
-    * int64-safe regardless of vocabulary size. `psi_ub20` = psi_sum div
-    * 1e6 is the PSI in 2^-20-bit units.
+    * over a distribution pair and |lr20| ≤ 2·63·2^20 (it is the SUM of
+    * two slog2 terms), |psi_sum| ≤ 2e6·126·2^20 ≈ 2.6e14 — int64-safe
+    * regardless of vocabulary size. `psi_ub20` = psi_sum div 1e6 is the
+    * PSI in 2^-20-bit units.
     *
     * Plan shape: ONE corpus scan → map-side-combined (lang, word,
     * half-conditional counts) — vocab-sized; per-lang totals re-aggregate
@@ -825,6 +826,12 @@ object Mining {
   def drift(docs: DataFrame): DataFrame = {
     val ids = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .head()
+    if (ids.isNullAt(0))
+      return docs.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "lang STRING, n_a BIGINT, n_b BIGINT, vocab BIGINT, " +
+            "psi_sum BIGINT, psi_ub20 BIGINT"))
     val cut = (ids.getLong(0) + ids.getLong(1)) / 2
     val counts = docs
       .select(col("lang"), (col("doc_id") <= cut).as("a"),

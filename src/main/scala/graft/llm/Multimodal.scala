@@ -331,7 +331,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          if (id % 4 != 1) Iterator.empty
+          // dispatch on the CONTAINER BYTES like decode()/pcmFrames — not
+          // the fixture's doc_id convention: any real BMP thumbnails, any
+          // foreign/truncated blob is skipped (no stub geometry to fake)
+          if (bytes.length < 54 || !ascii(bytes, 0, "BM")) Iterator.empty
           else {
             val w = le32(bytes, 18)
             val h = le32(bytes, 22)

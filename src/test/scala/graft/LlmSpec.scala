@@ -424,6 +424,21 @@ class LlmSpec extends AnyFunSuite {
       "full-coverage image: every sample must read its exact bottom-up/stride offset")
   }
 
+  test("thumbnails: dispatches on the BMP magic, not the fixture doc_id convention") {
+    // a foreign 4-byte blob cannot be fed through the documents->fixture
+    // path, so exercise the byte dispatch by checking the fixture corpus:
+    // exactly the docs whose BLOBS carry the BM magic produce rows, and
+    // those are the %4==1 docs only because fixtureBlob makes them BMPs
+    val got = Multimodal.thumbnails(docs).collect().map(_.getLong(0)).toSet
+    val bmpIds = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => Multimodal.fixtureBlob(id, "x".getBytes).take(2)
+        .sameElements("BM".getBytes)).toSet
+    assert(got == bmpIds)
+    // truncated/foreign bytes must be skipped, not crash: a doc whose
+    // blob is NOT a BMP (png at %4==0) yields no row even at short text
+    assert(!got.exists(_ % 4 != 1))
+  }
+
   test("embedding outliers: a planted far vector ranks first with the exact integer distance") {
     import spark.implicits._
     // 9 near-zero vectors + one far vector; centroid ~ the far vector / 10

@@ -365,6 +365,13 @@ class MiningSpec extends AnyFunSuite {
       out.head.getLong(3) == 2L)
   }
 
+  test("drift: empty input yields an empty frame with the pinned schema, not an NPE") {
+    val out = Mining.drift(mkDocsSrc(Nil))
+    assert(out.columns.toSeq ==
+      Seq("lang", "n_a", "n_b", "vocab", "psi_sum", "psi_ub20"))
+    assert(out.count() == 0L)
+  }
+
   test("sourceKl: corpus run is finite and the avg is the truncating div") {
     val out = Mining.sourceKl(docs).collect()
     assert(out.nonEmpty)

@@ -372,6 +372,67 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.head._2 == batch.head._4, "both u1 events are in app=a")
   }
 
+  test("transitions: randomized bounded-disorder soak — streamed pairs are exactly the finalized batch prefix") {
+    // event times arrive in chunks with intra-chunk shuffling bounded
+    // WELL below the watermark delay, so no event is ever late-dropped:
+    // every streamed pair must then appear in batch, and the streamed
+    // set must be exactly the batch pairs whose successor the final
+    // watermark strictly passed (nothing early, nothing lost)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val store = freshStore()
+      val cp = Files.createTempDirectory("graft-sops-cp").toString
+      val users = Seq("u1", "u2")
+      val delaySec = 60L
+      var t = 1000L
+      val src = StreamOps.transitions(stream(store), "user", s"$delaySec seconds")
+      // toSeq (the successor's unique store seq) discriminates pairs that
+      // share (key, from-sec, to-sec) under timestamp ties
+      def drain(): Seq[(String, Long, Long, Long)] =
+        drainAll[(String, Long, Long, Long)](src.toDF(), cp,
+          df => df.collect().map(r => (r.getString(0),
+            r.getLong(2) / 1000000000L, r.getLong(4) / 1000000000L,
+            r.getLong(5))).toSeq)
+      val streamed =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      val allTs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (_ <- 0 until 4) {
+        // chunk: 3-6 events, times increasing with jitter << delay
+        val times = (0 until 3 + rnd.nextInt(4)).map { _ =>
+          t += 5 + rnd.nextInt(10); t + rnd.nextInt(15) // ±15 s disorder
+        }
+        allTs ++= times
+        times.foreach { ts =>
+          ingest(store, Map("app" -> s"p${rnd.nextInt(3)}"),
+            users(rnd.nextInt(users.length)), Seq(ts))
+        }
+        streamed ++= drain()
+      }
+      streamed ++= drain()
+      val batchRows = StreamOps.transitions(
+          spark.read.format("graft-store").option("root", store.root).load(),
+          "user", s"$delaySec seconds")
+        .collect()
+      val batch = batchRows.map(s =>
+        (s.key, s.fromTs / 1000000000L, s.toTs / 1000000000L, s.toSeq)).toSet
+      // final watermark: the global max INGESTED event time (chain-tail
+      // events advance it too, even though no pair carries them as `to`)
+      // minus the delay, ms grain, strict pass
+      val wmMs = allTs.max * 1000L - delaySec * 1000L
+      val expected = batchRows
+        .filter(_.toTs / 1000000L < wmMs)
+        .map(s => (s.key, s.fromTs / 1000000000L, s.toTs / 1000000000L, s.toSeq))
+        .toSet
+      assert(streamed.size == streamed.toSet.size,
+        s"seed=$seed: a pair emitted twice: $streamed")
+      assert(streamed.toSet.subsetOf(batch),
+        s"seed=$seed: streamed pair absent from batch")
+      assert(streamed.toSet == expected,
+        s"seed=$seed: streamed must be exactly the finalized prefix " +
+          s"(missing=${expected -- streamed.toSet} extra=${streamed.toSet -- expected})")
+    }
+  }
+
   test("intervalJoin: stream-stream pairs match the batch result exactly") {
     val store = freshStore()
     // clicks at 100, 500; views at 102, 150, 400 (for u1) — within 60s of

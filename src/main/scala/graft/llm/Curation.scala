@@ -366,6 +366,87 @@ object Curation {
        |SELECT r.lang, n_docs, rate_e6, coalesce(k.kept, 0)::BIGINT AS kept
        |FROM r LEFT JOIN k USING (lang)""".stripMargin
 
+  // ---------------------------------------------------------- token budget
+
+  /** Training-token budget as a multiple of the corpus's total token
+    * count (the "how many epochs of what" planning input). */
+  val BudgetMultiple = 3L
+
+  /** Per-source epoch cap, e4 fixed point (4.0 epochs — past which
+    * repetition hurts more than the tokens help, the Muennighoff et al.
+    * 2023 data-constrained heuristic). */
+  val BudgetEpochsCapE4 = 40000L
+
+  /** The data-recipe calculator: allocate a training-token budget of
+    * [[BudgetMultiple]]× the corpus across sources with temperature-
+    * sampled weights (share ∝ √tokens, the τ=2 smoothing of Arivazhagan
+    * et al. 2019 — big sources damped, small sources boosted), then
+    * report per source what the allocation implies: `(source,
+    * tokens_avail, share_e6, tokens_want, epochs_e4, tokens_got,
+    * shortfall)` with `tokens_got` capped at [[BudgetEpochsCapE4]]
+    * epochs of the available data. A planning/report operator — its
+    * output is the table a run config is written from.
+    *
+    * Determinism: `floor(sqrt(tokens))` is exact cross-engine (int64 →
+    * double is the same round-to-nearest on both sides and IEEE sqrt is
+    * correctly rounded — unlike log, sqrt carries no libm hazard); all
+    * further arithmetic is int64 with truncating division. `tokens_want`
+    * = B·share_e6 div 1e6 computed in the SPLIT form
+    * (B div 1e6)·share + (B mod 1e6)·share div 1e6 — algebraically equal
+    * (the first term's dividend is 1e6-divisible) and in-int64 for EVERY
+    * int64 budget, where the direct product overflows past B ≈ 9.2e12;
+    * `epochs_e4 = want·1e4 div avail` bounds want < 9.2e14 — orders of
+    * magnitude past a 100 TB corpus (~2.5e13 tokens, want ≤ 3T).
+    *
+    * Scale shape: one corpus scan map-side-combines into a sources-sized
+    * aggregate; the budget/weight totals ride back as a broadcast 1-row
+    * cross; the corpus itself never shuffles. */
+  def tokenBudget(docs: DataFrame): DataFrame = {
+    val avail = docs
+      .select(col("source"), size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens_avail"))
+      .withColumn("s", floor(sqrt(col("tokens_avail").cast("double"))).cast("long"))
+    val tot = avail.agg(sum(col("s")).as("sw"), sum(col("tokens_avail")).as("t"))
+    avail.crossJoin(broadcast(tot))
+      .withColumn("share_e6", expr("s * 1000000 div sw"))
+      .withColumn("tokens_want",
+        expr(s"(t * $BudgetMultiple div 1000000) * share_e6 + " +
+          s"(t * $BudgetMultiple % 1000000) * share_e6 div 1000000"))
+      .withColumn("epochs_e4", expr("tokens_want * 10000 div tokens_avail"))
+      .withColumn("tokens_got",
+        expr(s"least(tokens_want, tokens_avail * $BudgetEpochsCapE4 div 10000)"))
+      .withColumn("shortfall", expr("tokens_want - tokens_got"))
+      .select("source", "tokens_avail", "share_e6", "tokens_want",
+        "epochs_e4", "tokens_got", "shortfall")
+  }
+
+  /** DuckDB twin of [[tokenBudget]] — identical √-weight, quantized-want
+    * and cap arithmetic (`//` ≡ `div` on the nonnegative operands). */
+  val tokenBudgetOracle: String =
+    s"""WITH a AS (
+       |  SELECT source,
+       |    sum(len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                        t -> t != '')))::BIGINT AS tokens_avail
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT source, tokens_avail,
+       |        floor(sqrt(tokens_avail))::BIGINT AS s FROM a),
+       |t AS (SELECT sum(s)::BIGINT AS sw, sum(tokens_avail)::BIGINT AS t
+       |      FROM w),
+       |sh AS (SELECT source, tokens_avail,
+       |         (s * 1000000 // sw)::BIGINT AS share_e6, t FROM w, t),
+       |wt AS (SELECT source, tokens_avail, share_e6,
+       |         ((t * $BudgetMultiple // 1000000) * share_e6 +
+       |          (t * $BudgetMultiple % 1000000) * share_e6 // 1000000)::BIGINT
+       |           AS tokens_want
+       |       FROM sh)
+       |SELECT source, tokens_avail, share_e6, tokens_want,
+       |  (tokens_want * 10000 // tokens_avail)::BIGINT AS epochs_e4,
+       |  least(tokens_want,
+       |        tokens_avail * $BudgetEpochsCapE4 // 10000)::BIGINT AS tokens_got,
+       |  (tokens_want - least(tokens_want,
+       |     tokens_avail * $BudgetEpochsCapE4 // 10000))::BIGINT AS shortfall
+       |FROM wt""".stripMargin
+
   // ------------------------------------------------------------------ pack
 
   val PackBudget = 512L // tokens per shard

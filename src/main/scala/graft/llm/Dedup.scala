@@ -251,6 +251,80 @@ object Dedup {
           .as("jaccard_r"))
   }
 
+  /** Cross-snapshot near-dedup: for each INCOMING document, its best
+    * near-duplicate in a HISTORY corpus (word-3-shingle Jaccard ≥
+    * `threshold`), found via the same MinHash/LSH banding as
+    * [[nearDuplicates]] and verified exactly — the incremental-ingest
+    * shape (today's crawl snapshot deduplicated against the accumulated
+    * corpus without recomputing history-vs-history pairs).
+    *
+    * Output: one row per DUPLICATE incoming doc — `(doc_id, dup_of,
+    * jaccard_r)` with `dup_of` the best history match (max `jaccard_r`,
+    * ties toward the smallest history id — pinned so the oracle can
+    * mirror it). Incoming docs with no match ≥ threshold are absent; the
+    * caller's anti-join against this verdict table IS the applied dedup.
+    *
+    * Scale shape: the candidate join is history-bands ⋈ incoming-bands on
+    * (band, bandKey) — O(|incoming|·bands) probe rows, never
+    * |history|×|incoming| pairs. In production the history side's band
+    * table is PRECOMPUTED state (appended as snapshots are accepted), so
+    * a daily increment pays only the incoming side's signatures plus the
+    * probe — this function recomputes it from `history` because the gate
+    * corpus is rebuilt per run. Verification joins ids back to the two
+    * shingle tables and runs the exact merge-walk intersect, so false
+    * positives never escape; false negatives are the banding bound
+    * (≈1e-10 at J=0.8 with b=32, r=3 — same envelope as
+    * [[nearDuplicates]], gate-checked at three data decades). */
+  def nearDuplicatesAgainst(history: DataFrame, incoming: DataFrame,
+      bands: Int = 32, rowsPerBand: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val par = history.sparkSession.sparkContext.defaultParallelism
+    // same materialization discipline as nearDuplicates: exchange between
+    // tokenization and the hash lambdas (CollapseProject would otherwise
+    // re-tokenize per hash), sorted shingles for the merge-walk verify,
+    // cached because each side feeds its banding AND the verification
+    def shingleSide(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 3)
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), sort_array(shinglesFromTokens(col("w"))).as("sh"))
+      .cache()
+    def banded(sh: DataFrame): DataFrame = sh
+      .select(col("doc_id"), posexplode(
+        graft.functions.VectorExpressions.minhash_band_keys(col("sh"), bands, rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+
+    val shH = shingleSide(history)
+    val shI = shingleSide(incoming)
+    OpCaches.track("dedup.incrNear", Seq(shH, shI))
+
+    val cand = banded(shH).alias("h")
+      .join(banded(shI).alias("i"),
+        col("h.band") === col("i.band") && col("h.bkey") === col("i.bkey"))
+      .select(col("h.doc_id").as("dup_of"), col("i.doc_id").as("doc_id"))
+      .distinct()
+      // candidates are tiny in bytes, heavy in verify CPU — pin the width
+      // so AQE's byte-based sizing can't fold the verify into one task
+      .repartition(par, col("doc_id"), col("dup_of"))
+
+    val withSh = cand
+      .join(shH.select(col("doc_id").as("dup_of"), col("sh").as("sha")), "dup_of")
+      .join(shI.select(col("doc_id"), col("sh").as("shb")), "doc_id")
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_count(col("sha"), col("shb"))
+    val union = size(col("sha")) + size(col("shb")) - inter
+    val jac = inter.cast("double") / union.cast("double")
+    withSh.where(jac >= threshold)
+      .select(col("doc_id"), col("dup_of"), jaccardE4(inter, union).as("jaccard_r"))
+      // best match per incoming doc: max rounded Jaccard, ties toward the
+      // SMALLEST history id (negate inside the struct max — ids are
+      // nonnegative, so max(-id) recovers min(id))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("jaccard_r"), (-col("dup_of")).as("nh"))).as("b"))
+      .select(col("doc_id"), (-col("b.nh")).as("dup_of"),
+        col("b.jaccard_r").as("jaccard_r"))
+  }
+
   /** Duplicate CLUSTERS from a near-duplicate pair table (doc_a, doc_b):
     * connected components by distributed min-label propagation, plus the
     * survivor decision a dedup pipeline acts on — one row per document

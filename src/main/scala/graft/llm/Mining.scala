@@ -931,4 +931,95 @@ object Mining {
        |  ((s1.s1 + ns.n_tok * lg2.l20) // ns.n_tok)::BIGINT AS kl20_avg
        |FROM s1 JOIN ns USING (source) JOIN lg2 USING (source)""".stripMargin
   }
+
+  // --------------------------------------------------------- vocab growth
+
+  /** Corpus prefix buckets for [[vocabGrowth]] (deciles of the doc-id
+    * range). */
+  val VocabGrowthBuckets = 10
+
+  /** Heaps-law vocabulary-growth profile: split the corpus into
+    * [[VocabGrowthBuckets]] doc-id deciles and report, per decile, the
+    * document/token mass and the number of words whose FIRST occurrence
+    * falls there, plus running totals — `(decile, n_docs, n_tokens,
+    * tokens_cum, new_words, vocab_cum)`. The `vocab_cum` vs `tokens_cum`
+    * curve is the Heaps/Herdan diagnostic a corpus card reports (is the
+    * crawl still discovering vocabulary, or re-crawling the same text?),
+    * and a flattening `new_words` tail is the cheap staleness signal.
+    *
+    * Scale shape: two corpus scans, zero corpus shuffles of full rows —
+    * scan 1 aggregates per-doc (decile, token count) into a
+    * BUCKETS-sized table; scan 2 melts words and min-aggregates
+    * first-occurrence doc per word (vocab-sized, map-side-combined — the
+    * classic word-count shuffle). Everything downstream (decile spine,
+    * cumulative window) runs on ≤ BUCKETS rows, so the unpartitioned
+    * window is a constant-size frame, not a corpus funnel. The doc-id
+    * count rides in as a broadcast 1-row aggregate; `doc_id · buckets`
+    * stays in int64 for any doc_id < 9.2e17. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = VocabGrowthBuckets
+    val spark = docs.sparkSession
+    val d = docs.select(col("doc_id").cast("long").as("doc_id"),
+      Dedup.tokens(col("text")).as("w"))
+    val nd = d.agg((max(col("doc_id")) + 1).as("nd"))
+    val decile = expr(s"least(doc_id * $b div nd, ${b - 1})")
+
+    val perDecile = d.select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(nd))
+      .groupBy(decile.as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+    val firstDoc = d.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+    val newWords = firstDoc.crossJoin(broadcast(nd))
+      .groupBy(decile.as("decile"))
+      .agg(count(lit(1)).as("new_words"))
+
+    val spine = spark.range(b).select(col("id").as("decile"))
+    // BUCKETS rows post-aggregate: the unpartitioned running-sum window
+    // is a constant-size frame (the q16 aggregated-series shape)
+    val cum = Window.orderBy(col("decile"))
+    spine.join(perDecile, Seq("decile"), "left_outer")
+      .join(newWords, Seq("decile"), "left_outer")
+      .select(col("decile"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(cum))
+      .withColumn("vocab_cum", sum(col("new_words")).over(cum))
+      .select("decile", "n_docs", "n_tokens", "tokens_cum", "new_words",
+        "vocab_cum")
+  }
+
+  /** DuckDB twin of [[vocabGrowth]] — same decile arithmetic (`//` is
+    * trunc on BIGINT, matching Spark's `div` on nonnegative ids), same
+    * default RANGE window frame for the running sums (decile is unique,
+    * so RANGE ≡ ROWS). */
+  val vocabGrowthOracle: String = {
+    val b = VocabGrowthBuckets
+    s"""WITH nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+       |d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                 t -> t != '') AS w FROM documents),
+       |tok AS (
+       |  SELECT least(doc_id * $b // (SELECT nd FROM nd), ${b - 1}) AS decile,
+       |    count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS n_tokens
+       |  FROM d GROUP BY 1),
+       |fw AS (SELECT t, min(doc_id) AS fd
+       |       FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1),
+       |nw AS (
+       |  SELECT least(fd * $b // (SELECT nd FROM nd), ${b - 1}) AS decile,
+       |    count(*)::BIGINT AS new_words
+       |  FROM fw GROUP BY 1),
+       |sp AS (SELECT unnest(range(0, $b)) AS decile)
+       |SELECT sp.decile::BIGINT AS decile,
+       |  coalesce(n_docs, 0)::BIGINT AS n_docs,
+       |  coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       |  sum(coalesce(n_tokens, 0)) OVER (ORDER BY sp.decile)::BIGINT
+       |    AS tokens_cum,
+       |  coalesce(new_words, 0)::BIGINT AS new_words,
+       |  sum(coalesce(new_words, 0)) OVER (ORDER BY sp.decile)::BIGINT
+       |    AS vocab_cum
+       |FROM sp LEFT JOIN tok USING (decile) LEFT JOIN nw USING (decile)""".stripMargin
+  }
 }

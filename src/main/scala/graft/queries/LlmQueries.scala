@@ -432,8 +432,26 @@ object LlmQueries {
         memo(miningCache, s, s"srckl|$d")(graft.llm.Mining.sourceKl(docs(s, d)))),
     "llm_drift" ->
       ((s: SparkSession, d: String) =>
-        memo(miningCache, s, s"drift|$d")(graft.llm.Mining.drift(docs(s, d))))
+        memo(miningCache, s, s"drift|$d")(graft.llm.Mining.drift(docs(s, d)))),
+    "llm_vocab_growth" ->
+      ((s: SparkSession, d: String) => graft.llm.Mining.vocabGrowth(docs(s, d))),
+    "llm_token_budget" ->
+      ((s: SparkSession, d: String) => Curation.tokenBudget(docs(s, d))),
+    "llm_dedup_incr_near" -> (dedupIncrNear _)
   )
+
+  /** Cross-snapshot near-dedup: the doc-id upper half (the "incoming
+    * snapshot") deduplicated against the lower half (the "history"),
+    * via [[Dedup.nearDuplicatesAgainst]]. The midpoint is a bounded
+    * 1-row aggregate collect (the stream_incr_dedup cutoff pattern),
+    * pure integer arithmetic mirrored by the oracle. */
+  def dedupIncrNear(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val cut = d.agg(org.apache.spark.sql.functions.expr("(max(doc_id) + 1) div 2"))
+      .head().getLong(0)
+    Dedup.nearDuplicatesAgainst(
+      d.filter(col("doc_id") < cut), d.filter(col("doc_id") >= cut))
+  }
 
   /** The duplicate-cluster reachability closure (word-2-gram Jaccard at
     * 0.5 → undirected edges → recursive closure), shared verbatim by the
@@ -681,6 +699,41 @@ object LlmQueries {
     "llm_sim_topk_rp" ->
       "SELECT 'rp' AS variant, 7500::BIGINT AS floor_e4, true AS meets_floor",
     "llm_sim_topk_sq8" ->
-      "SELECT 'sq8' AS variant, 9000::BIGINT AS floor_e4, true AS meets_floor"
+      "SELECT 'sq8' AS variant, 9000::BIGINT AS floor_e4, true AS meets_floor",
+
+    "llm_vocab_growth" -> graft.llm.Mining.vocabGrowthOracle,
+    "llm_token_budget" -> Curation.tokenBudgetOracle,
+
+    // exact cross-half all-pairs word-3-shingle Jaccard with per-incoming
+    // argmax (ties toward the smallest history id) — feasible at oracle
+    // scale; the Spark side reaches the same verdicts via LSH banding +
+    // exact verification (the llm_dedup_near machinery, cross-corpus)
+    "llm_dedup_incr_near" ->
+      """WITH cu AS (SELECT (max(doc_id) + 1) // 2 AS cut FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 2, 0) + 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+        |                                   t -> t != '') w
+        |        FROM documents)),
+        |inter AS (
+        |  SELECT a.doc_id AS h, b.doc_id AS i, count(*) AS c
+        |  FROM sh a JOIN sh b USING (g), cu
+        |  WHERE a.doc_id < cut AND b.doc_id >= cut
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT i, h,
+        |    floor(c * 1.0e4 / (sa.n + sb.n - c) + 0.5)::BIGINT AS jaccard_r
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.h
+        |  JOIN sizes sb ON sb.doc_id = inter.i
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        |r AS (SELECT i, h, jaccard_r, row_number() OVER (
+        |        PARTITION BY i ORDER BY jaccard_r DESC, h) AS rn
+        |      FROM p)
+        |SELECT i::BIGINT AS doc_id, h::BIGINT AS dup_of, jaccard_r
+        |FROM r WHERE rn = 1""".stripMargin
   )
 }

@@ -97,6 +97,26 @@ object StreamQueries {
         expr("r_ts div 1000").as("r_us"), col("r_seq"))
   }
 
+  /** The LEFT OUTER form of [[join]]: every click emits — matched clicks
+    * with each in-window view, unmatched clicks once with null r_us/r_seq
+    * (the "clicks that never converted" query). In streaming mode the
+    * null row is emitted only once the watermark proves no matching view
+    * can still arrive (the outer stream-stream join's state discipline —
+    * pinned by StreamOpsSpec); this entry pins the RESULT set, where
+    * ~60% of clicks are unmatched at the 24 h bound on this corpus, so
+    * the gate exercises both row shapes. */
+  def leftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val df = usAligned(storeDf(spark, dir))
+    StreamOps.intervalJoin(
+        df.filter(col("part").contains("name=click")),
+        df.filter(col("part").contains("name=view")),
+        "user", withinSeconds = 86400, watermarkDelay = "1 hour",
+        joinType = "left_outer")
+      .select(col("key"),
+        expr("l_ts div 1000").as("l_us"), col("l_seq"),
+        expr("r_ts div 1000").as("r_us"), col("r_seq"))
+  }
+
   /** Per-user journey steps (adjacent-event transitions across parts),
     * aggregated to the (from_part, to_part) matrix — every step feeds the
     * counts, so the gate exercises the full extraction; the streaming leg
@@ -159,6 +179,7 @@ object StreamQueries {
     "stream_dedup" -> (dedup _),
     "stream_incr_dedup" -> (incrDedup _),
     "stream_join" -> (join _),
+    "stream_left_join" -> (leftJoin _),
     "stream_transitions" -> (transitions _)
   )
 
@@ -278,6 +299,15 @@ object StreamQueries {
          |        seq AS r_seq FROM le WHERE event_type = 'view')
          |SELECT c.key, c.l_us, c.l_seq, v.r_us, v.r_seq
          |FROM c JOIN v ON c.key = v.key
+         |  AND v.r_us >= c.l_us AND v.r_us < c.l_us + 86400000000""".stripMargin,
+    "stream_left_join" ->
+      s"""${EventStore.oracleCte},
+         |c AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts_raw) AS l_us,
+         |        seq AS l_seq FROM le WHERE event_type = 'click'),
+         |v AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts_raw) AS r_us,
+         |        seq AS r_seq FROM le WHERE event_type = 'view')
+         |SELECT c.key, c.l_us, c.l_seq, v.r_us, v.r_seq
+         |FROM c LEFT JOIN v ON c.key = v.key
          |  AND v.r_us >= c.l_us AND v.r_us < c.l_us + 86400000000""".stripMargin
   )
 }

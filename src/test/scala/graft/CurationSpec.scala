@@ -366,4 +366,48 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must be a TOP:\n$plan")
     assert(!plan.contains("Window"), s"no window expected:\n$plan")
   }
+
+  test("tokenBudget: hand-computed skewed recipe, cap branch exercised") {
+    import spark.implicits._
+    // "big" holds 1600 tokens, "small" 100: s = 40/10, S = 50, T = 1700,
+    // budget = 3T = 5100; share = 800000/200000 e6; want = 4080/1020;
+    // epochs = 25500/102000 e4 -> small exceeds the 4-epoch cap and gets
+    // exactly 400 tokens with a 620 shortfall
+    val d = Seq(
+        (1L, ("a " * 800).trim, "big"), (2L, ("b " * 800).trim, "big"),
+        (3L, ("c " * 100).trim, "small"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val out = Curation.tokenBudget(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out("big") == ((1600L, 800000L, 4080L, 25500L, 4080L, 0L)))
+    assert(out("small") == ((100L, 200000L, 1020L, 102000L, 400L, 620L)))
+  }
+
+  test("tokenBudget: corpus invariants — budget respected, √-damping holds") {
+    val out = Curation.tokenBudget(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    val total = out.map(_._2).sum
+    val budget = total * Curation.BudgetMultiple
+    assert(out.map(_._3).sum <= 1000000L, "shares must floor-sum under 1e6")
+    assert(out.map(_._4).sum <= budget, "allocations cannot exceed the budget")
+    out.foreach { case (src, avail, _, want, epochs, got, short) =>
+      assert(epochs == want * 10000 / avail, s"$src epochs definition")
+      assert(got == math.min(want,
+        avail * Curation.BudgetEpochsCapE4 / 10000), s"$src cap definition")
+      assert(short == want - got, s"$src shortfall definition")
+    }
+    // want is monotone in availability (share is a floor of a monotone
+    // map of avail, and want a floor of a monotone map of share); the
+    // antitone-epochs damping itself is pinned EXACTLY by the hand test
+    // above — on this near-uniform corpus the e4 floors can wiggle
+    // adjacent epochs by more than their true gap, so asserting it here
+    // would be asserting floor noise
+    val byAvail = out.sortBy(_._2).toSeq
+    for (Seq(sm, bg) <- byAvail.sliding(2); if bg._2 > sm._2)
+      assert(bg._4 >= sm._4, "want must be monotone in availability")
+  }
 }

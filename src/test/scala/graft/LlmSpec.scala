@@ -51,6 +51,49 @@ class LlmSpec extends AnyFunSuite {
       s"prefix-filtered result must be exact: missing=${brute -- out} extra=${out -- brute}")
   }
 
+  test("incremental near-dedup: LSH cross-corpus verdicts are EXACT vs brute-force") {
+    // history = lower doc-id half, incoming = upper half (the entry's cut)
+    val cut = docs.agg(expr("(max(doc_id) + 1) div 2")).head.getLong(0)
+    val hist = docs.filter(col("doc_id") < cut)
+    val inc = docs.filter(col("doc_id") >= cut)
+    val out = Dedup.nearDuplicatesAgainst(hist, inc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: all cross-pairs exact 3-shingle Jaccard >= 0.8, then
+    // per-incoming argmax (max jaccard_r, ties toward smallest history id)
+    def sh(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id").cast("long").as("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("w"), 3).as("sh"))
+    val a = sh(hist).select(col("doc_id").as("h"), col("sh").as("sha"))
+    val b = sh(inc).select(col("doc_id").as("i"), col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val union = size(col("sha")) + size(col("shb")) - inter
+    val jac = inter.cast("double") / union.cast("double")
+    val brute = a.crossJoin(b).where(jac >= 0.8)
+      .select(col("i"), col("h"), Dedup.jaccardE4(inter, union).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (_, g) => g.minBy(x => (-x._3, x._2)) }.toSet
+    assert(brute.nonEmpty, "expected planted cross-half near-dups at J >= 0.8")
+    assert(out == brute,
+      s"cross-corpus verdicts must be exact: missing=${brute -- out} extra=${out -- brute}")
+  }
+
+  test("incremental near-dedup: best-match tie-break picks the smallest history id") {
+    import spark.implicits._
+    val t = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def mk(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    // two IDENTICAL history docs (3 and 7), one incoming copy (100), plus
+    // an unrelated incoming doc that must not appear in the verdicts
+    val hist = mk(Seq((7L, t), (3L, t)))
+    val inc = mk(Seq((100L, t), (101L, (1 to 40).map(i => s"other$i").mkString(" "))))
+    val out = Dedup.nearDuplicatesAgainst(hist, inc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((100L, 3L, 10000L)),
+      s"equal-score ties must resolve to min history id: ${out.toSeq}")
+  }
+
   test("dup clusters: min-label propagation finds components + survivors") {
     import spark.implicits._
     // chain 1-2-3 (tests transitivity, not just direct pairs), pair 5-6,

@@ -381,4 +381,50 @@ class MiningSpec extends AnyFunSuite {
         "kl20_avg must be kl20_sum div n_tok (toward zero)")
     }
   }
+
+  // ---------------------------------------------------------- vocab growth
+
+  test("vocabGrowth: matches an independent scalar reference on the corpus") {
+    val out = Mining.vocabGrowth(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // scalar reference: walk docs in doc_id order, tracking seen words
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val b = Mining.VocabGrowthBuckets
+    val nd = rows.map(_._1).max + 1
+    val seen = scala.collection.mutable.Set.empty[String]
+    val nDocs = Array.fill(b)(0L); val nTok = Array.fill(b)(0L)
+    val newW = Array.fill(b)(0L)
+    for ((id, text) <- rows) {
+      val dec = math.min(id * b / nd, b - 1).toInt
+      val w = text.toLowerCase.split("\\W+").filterNot(_.isEmpty)
+      nDocs(dec) += 1; nTok(dec) += w.length
+      for (t <- w; if seen.add(t)) newW(dec) += 1
+    }
+    val want = (0 until b).map { d =>
+      (d.toLong, nDocs(d), nTok(d), nTok.take(d + 1).sum, newW(d),
+        newW.take(d + 1).sum)
+    }
+    assert(out.sortBy(_._1).toSeq == want,
+      s"growth profile must match the scalar walk")
+    assert(out.map(_._5).sum == out.sortBy(_._1).last._6,
+      "vocab_cum must end at the total distinct-word count")
+  }
+
+  test("vocabGrowth: empty deciles densify to zero rows, totals still close") {
+    // all docs land in decile 0 and 9 (ids 0 and nd-1): the spine must
+    // still emit all 10 deciles with zeroed middles and flat cum curves
+    val out = Mining.vocabGrowth(mkDocs(Seq(
+        (0L, "a b c"), (99L, "a b d e")))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.length == 10)
+    assert(out.head == (0L, 1L, 3L, 3L, 3L, 3L))
+    assert(out.last == (9L, 1L, 4L, 7L, 2L, 5L))
+    assert(out.slice(1, 9).forall(r => r._2 == 0L && r._5 == 0L),
+      "middle deciles must be zero-filled")
+    assert(out.slice(1, 9).forall(r => r._4 == 3L && r._6 == 3L),
+      "cumulative curves must stay flat across empty deciles")
+  }
 }

@@ -992,6 +992,111 @@ object Mining {
         "vocab_cum")
   }
 
+  // ------------------------------------------------------------------ zipf
+
+  /** Rank window for the [[zipf]] slope fit and the deepest head-mass
+    * coefficient. */
+  val ZipfTopN = 1000
+
+  /** Zipf rank-frequency diagnostic, one row per corpus: `(vocab,
+    * total_tokens, top10_e4, top100_e4, top1000_e4, slope_e4)` — the
+    * token-mass share of the 10/100/[[ZipfTopN]] most frequent words and
+    * the least-squares slope of log2(count) against log2(rank) over the
+    * top [[ZipfTopN]] (Zipf's law predicts ≈ −1; a much flatter slope on
+    * a web snapshot usually means boilerplate/template mass, much
+    * steeper means a degenerate vocabulary). Pure integer end-to-end:
+    * both logs are the [[graft.functions.Log2Fix]] kernel (den = 1),
+    * right-shifted 11 bits so every regression sum stays far inside
+    * int64 at any corpus size, and the final e4 slope uses the split
+    * quantized division (q·1e4 + r·1e4 div den — exact under truncating
+    * division of either sign).
+    *
+    * Scale shape: one corpus scan into the map-combined word-count
+    * aggregate (vocab-sized); the top-N is TakeOrderedAndProject (no
+    * global sort), the regression runs over ≤ N rows, and the corpus
+    * totals ride in as a broadcast 1-row aggregate. The head-mass
+    * numerators bound `total_tokens < 9.2e14` (×1e4 in int64) — two
+    * orders past a 100 TB corpus. */
+  def zipf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs.select(explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = wc.agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"))
+    // ties at the cut break toward the lexicographically smaller word —
+    // pinned so the oracle selects the identical row set
+    val top = wc.orderBy(col("c").desc, col("t")).limit(ZipfTopN)
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("t"))).cast("long"))
+    val x = shiftright(VectorExpressions.log2_fix(col("r"), lit(1L)), 11)
+    val y = shiftright(VectorExpressions.log2_fix(col("c"), lit(1L)), 11)
+    val reg = top.select(col("c"), col("r"), x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(when(col("r") <= 10, col("c")).otherwise(lit(0L))).as("m10"),
+        sum(when(col("r") <= 100, col("c")).otherwise(lit(0L))).as("m100"),
+        sum(col("c")).as("mtop"))
+    reg.crossJoin(broadcast(tot))
+      .withColumn("num", expr("k * sxy - sx * sy"))
+      .withColumn("den", expr("nullif(k * sxx - sx * sx, 0)"))
+      .select(col("vocab"), col("n").as("total_tokens"),
+        expr("m10 * 10000 div n").as("top10_e4"),
+        expr("m100 * 10000 div n").as("top100_e4"),
+        expr("mtop * 10000 div n").as("top1000_e4"),
+        expr("(num div den) * 10000 + (num % den) * 10000 div den")
+          .as("slope_e4"))
+  }
+
+  /** DuckDB twin of [[zipf]] — the Log2Fix kernel replayed on the melted
+    * (rank ∪ count) log arguments, identical shifts, sums and split
+    * division (`//`/`%` are trunc on BIGINT, matching Spark `div`/`%`
+    * for either sign of the slope numerator). */
+  val zipfOracle: String = {
+    val lg = Log2Fix.duckdbCtes("melt", "r, kind", "lg")
+    s"""WITH RECURSIVE wc AS (
+       |  SELECT t, count(*)::BIGINT AS c
+       |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                                  x -> x != '')) AS t
+       |        FROM documents)
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS vocab FROM wc),
+       |top AS (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+       |  FROM wc ORDER BY c DESC, t LIMIT $ZipfTopN),
+       |melt AS (
+       |  SELECT r, 'x' AS kind, r::BIGINT AS num, 1::BIGINT AS den FROM top
+       |  UNION ALL
+       |  SELECT r, 'y' AS kind, c::BIGINT AS num, 1::BIGINT AS den FROM top),
+       |$lg,
+       |xy AS (
+       |  SELECT t.r, t.c,
+       |    (lx.l20 >> 11)::BIGINT AS x, (ly.l20 >> 11)::BIGINT AS y
+       |  FROM top t
+       |  JOIN lg lx ON lx.r = t.r AND lx.kind = 'x'
+       |  JOIN lg ly ON ly.r = t.r AND ly.kind = 'y'),
+       |reg AS (
+       |  SELECT count(*)::BIGINT AS k,
+       |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+       |    sum(CASE WHEN r <= 10 THEN c ELSE 0 END)::BIGINT AS m10,
+       |    sum(CASE WHEN r <= 100 THEN c ELSE 0 END)::BIGINT AS m100,
+       |    sum(c)::BIGINT AS mtop
+       |  FROM xy),
+       |sl AS (
+       |  SELECT k, sx, sy, sxy, sxx, m10, m100, mtop,
+       |    (k * sxy - sx * sy)::BIGINT AS num,
+       |    nullif(k * sxx - sx * sx, 0)::BIGINT AS den
+       |  FROM reg)
+       |SELECT vocab, n AS total_tokens,
+       |  (m10 * 10000 // n)::BIGINT AS top10_e4,
+       |  (m100 * 10000 // n)::BIGINT AS top100_e4,
+       |  (mtop * 10000 // n)::BIGINT AS top1000_e4,
+       |  ((num // den) * 10000 + (num % den) * 10000 // den)::BIGINT
+       |    AS slope_e4
+       |FROM sl, tot""".stripMargin
+  }
+
   /** DuckDB twin of [[vocabGrowth]] — same decile arithmetic (`//` is
     * trunc on BIGINT, matching Spark's `div` on nonnegative ids), same
     * default RANGE window frame for the running sums (decile is unique,

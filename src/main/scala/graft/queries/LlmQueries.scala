@@ -435,6 +435,8 @@ object LlmQueries {
         memo(miningCache, s, s"drift|$d")(graft.llm.Mining.drift(docs(s, d)))),
     "llm_vocab_growth" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.vocabGrowth(docs(s, d))),
+    "llm_zipf" ->
+      ((s: SparkSession, d: String) => graft.llm.Mining.zipf(docs(s, d))),
     "llm_token_budget" ->
       ((s: SparkSession, d: String) => Curation.tokenBudget(docs(s, d))),
     "llm_dedup_incr_near" -> (dedupIncrNear _)
@@ -702,6 +704,7 @@ object LlmQueries {
       "SELECT 'sq8' AS variant, 9000::BIGINT AS floor_e4, true AS meets_floor",
 
     "llm_vocab_growth" -> graft.llm.Mining.vocabGrowthOracle,
+    "llm_zipf" -> graft.llm.Mining.zipfOracle,
     "llm_token_budget" -> Curation.tokenBudgetOracle,
 
     // exact cross-half all-pairs word-3-shingle Jaccard with per-incoming

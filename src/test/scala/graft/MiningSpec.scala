@@ -412,6 +412,37 @@ class MiningSpec extends AnyFunSuite {
       "vocab_cum must end at the total distinct-word count")
   }
 
+  test("zipf: matches the scalar integer regression and a planted power law slopes ≈ -1e4") {
+    // corpus reference: recompute the whole statistic from collected
+    // word counts with the same Log2Fix kernel and integer algebra
+    val out = Mining.zipf(docs).collect()
+    assert(out.length == 1)
+    val row = out.head
+    val counts = docs.select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\W+").filterNot(_.isEmpty))
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }.toSeq
+    val n = counts.map(_._2).sum
+    val top = counts.sortBy { case (w, c) => (-c, w) }.take(Mining.ZipfTopN)
+    val xy = top.zipWithIndex.map { case ((_, c), i) =>
+      (i + 1L, c, Log2Fix.eval(i + 1L, 1L) >> 11, Log2Fix.eval(c, 1L) >> 11)
+    }
+    val k = xy.length.toLong
+    val (sx, sy) = (xy.map(_._3).sum, xy.map(_._4).sum)
+    val (sxy, sxx) = (xy.map(t => t._3 * t._4).sum, xy.map(t => t._3 * t._3).sum)
+    val (num, den) = (k * sxy - sx * sy, k * sxx - sx * sx)
+    val slope = (num / den) * 10000 + (num % den) * 10000 / den
+    assert(row.getLong(0) == counts.length.toLong && row.getLong(1) == n)
+    assert(row.getLong(2) == xy.filter(_._1 <= 10).map(_._2).sum * 10000 / n)
+    assert(row.getLong(4) == top.map(_._2).sum * 10000 / n)
+    assert(row.getLong(5) == slope, s"slope_e4 must match the scalar kernel")
+
+    // a planted exact power law c(r) = floor(C / r) must fit near -1
+    val words = (1 to 200).flatMap(r => Seq.fill(2000 / r)(s"w$r"))
+    val planted = mkDocs(Seq((0L, words.mkString(" "))))
+    val s = Mining.zipf(planted).head().getLong(5)
+    assert(s < -8500 && s > -11500, s"planted 1/r law must slope near -1e4, got $s")
+  }
+
   test("vocabGrowth: empty deciles densify to zero rows, totals still close") {
     // all docs land in decile 0 and 9 (ids 0 and nd-1): the spine must
     // still emit all 10 deciles with zeroed middles and flat cum curves

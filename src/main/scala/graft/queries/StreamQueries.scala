@@ -132,6 +132,16 @@ object StreamQueries {
         min(col("from_us")).as("first_from_us"),
         max(col("to_us")).as("last_to_us"))
 
+  /** Per-hour traffic-mix PSI drift against the store's own global
+    * per-part profile (in production the baseline is a saved reference
+    * table; here the same store supplies it, so every window's mix is
+    * scored against the long-run mix). */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val df = usAligned(storeDf(spark, dir))
+    StreamOps.windowDrift(df, StreamOps.driftBaseline(df), "1 hour",
+      "5 seconds")
+  }
+
   /** Per-hour top user (windowed heavy hitter, chained aggregations). */
   def windowTop(spark: SparkSession, dir: String): DataFrame =
     StreamOps.windowTopKey(usAligned(storeDf(spark, dir)), "user", "1 hour",
@@ -180,7 +190,8 @@ object StreamQueries {
     "stream_incr_dedup" -> (incrDedup _),
     "stream_join" -> (join _),
     "stream_left_join" -> (leftJoin _),
-    "stream_transitions" -> (transitions _)
+    "stream_transitions" -> (transitions _),
+    "stream_drift" -> (drift _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -308,6 +319,50 @@ object StreamQueries {
          |        seq AS r_seq FROM le WHERE event_type = 'view')
          |SELECT c.key, c.l_us, c.l_seq, v.r_us, v.r_seq
          |FROM c LEFT JOIN v ON c.key = v.key
-         |  AND v.r_us >= c.l_us AND v.r_us < c.l_us + 86400000000""".stripMargin
+         |  AND v.r_us >= c.l_us AND v.r_us < c.l_us + 86400000000""".stripMargin,
+    // the windowed PSI replayed with the shared Log2Fix kernel: one chain
+    // per (window, part) smoothed ratio, one per window total ratio —
+    // identical split-signed-log algebra to the Spark fold
+    "stream_drift" -> {
+      val lg1 = graft.functions.Log2Fix.duckdbCtes(
+        "r1", "ws, part, pw, pb, sgn", "lg1")
+      val lg2 = graft.functions.Log2Fix.duckdbCtes("r2", "ws, n, v, sgn2", "lg2")
+      // the Log2Fix chains are recursive CTEs — lift the store CTE's
+      // WITH to WITH RECURSIVE (legal for the non-recursive members too)
+      val storeCte = EventStore.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$storeCte,
+         |base AS (SELECT tags AS part, count(*)::BIGINT AS cb FROM le GROUP BY 1),
+         |bt AS (SELECT sum(cb)::BIGINT AS nb, count(*)::BIGINT AS vb FROM base),
+         |cnt AS (
+         |  SELECT (epoch_us(ts_raw) // 3600000000) * 3600000000 AS ws,
+         |    tags AS part, count(*)::BIGINT AS c
+         |  FROM le GROUP BY 1, 2),
+         |wt AS (SELECT ws, sum(c)::BIGINT AS n, count(*)::BIGINT AS v
+         |       FROM cnt GROUP BY 1),
+         |j AS (
+         |  SELECT cnt.ws, cnt.part, c, coalesce(cb, 0) AS cb, n, v, nb, vb,
+         |    ((c + 1) * 1000000 // (n + v)) AS pw,
+         |    ((coalesce(cb, 0) + 1) * 1000000 // (nb + vb)) AS pb
+         |  FROM cnt JOIN wt USING (ws) LEFT JOIN base USING (part), bt),
+         |r1 AS (
+         |  SELECT ws, part, pw, pb,
+         |    CASE WHEN c >= cb THEN 1 ELSE -1 END AS sgn,
+         |    greatest(c + 1, cb + 1) AS num, least(c + 1, cb + 1) AS den
+         |  FROM j),
+         |$lg1,
+         |s1 AS (
+         |  SELECT ws, sum((pw - pb) * sgn * l20)::BIGINT AS t1,
+         |    sum(pw - pb)::BIGINT AS dp
+         |  FROM lg1 GROUP BY 1),
+         |r2 AS (
+         |  SELECT ws, n, v, CASE WHEN nb + vb >= n + v THEN 1 ELSE -1 END AS sgn2,
+         |    greatest(nb + vb, n + v) AS num, least(nb + vb, n + v) AS den
+         |  FROM wt, bt),
+         |$lg2
+         |SELECT lg2.ws AS window_start_us, n, v,
+         |  (t1 + sgn2 * l20 * dp)::BIGINT AS psi_sum,
+         |  ((t1 + sgn2 * l20 * dp) // 1000000)::BIGINT AS psi_ub20
+         |FROM s1 JOIN lg2 USING (ws)""".stripMargin
+    }
   )
 }

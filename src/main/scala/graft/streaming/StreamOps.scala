@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -75,6 +75,77 @@ object StreamOps {
       .groupBy(window(col("event_time"), windowDur).as("w"))
       .agg(approx_count_distinct(col("k"), rsd).as("approx"))
       .select(unix_micros(col("w.start")).as("window_start_us"), col("approx"))
+  }
+
+  /** Per-part baseline traffic profile for [[windowDrift]]: `(part, cb)`
+    * counts over a reference corpus (the static profile a monitor is
+    * configured with — in production a saved table, recomputed on a slow
+    * cadence). Parts-domain-sized. */
+  def driftBaseline(events: DataFrame): DataFrame =
+    events.groupBy(col("part")).agg(count(lit(1)).as("cb"))
+
+  /** Per-window traffic-mix drift: the PSI of each event-time window's
+    * per-part event distribution against a STATIC baseline profile —
+    * "did this hour's click/view/purchase mix drift from normal", the
+    * streaming data-quality monitor an ingestion pipeline runs. Output
+    * `(window_start_us, n, v, psi_sum, psi_ub20)` with n = window
+    * events, v = parts observed in the window, and the PSI in the same
+    * pure-integer form as [[graft.llm.Mining.drift]]: add-one-smoothed
+    * e6 probabilities, signed Log2Fix log ratios in the SPLIT form
+    * (every kernel argument a plain count — int64-safe at any scale),
+    * psi_ub20 = psi_sum div 1e6 (micro-prob × log2-e20 scale).
+    *
+    * UNIFIED batch/stream. Streaming is the chained-stateful-agg shape
+    * ([[windowTopKey]]/[[windowQuantile]]): stage 1 keeps watermarked
+    * (window, part) counts — state is windows × parts, never events;
+    * the static baseline broadcast-joins between the stages (parts
+    * absent from the profile smooth as cb = 0, so NOVEL traffic kinds
+    * raise the score rather than vanish); stage 2 re-windows on
+    * `window_time` and folds the window's parts histogram (≤ |parts|
+    * entries) inside one aggregate — each window's score emits exactly
+    * once, when the watermark closes it. The fold is integer addition,
+    * so collect order cannot matter. */
+  def windowDrift(events: DataFrame, baseline: DataFrame, windowDur: String,
+      watermarkDelay: String): DataFrame = {
+    import graft.functions.VectorExpressions.slog2_fix
+    val base = broadcast(
+      baseline.select(col("part"), col("cb").cast("long").as("cb")))
+    val btot = broadcast(
+      base.agg(sum(col("cb")).as("nb"), count(lit(1)).as("vb")))
+    val bse = events.withColumn("event_time", eventTime(col("ts")))
+    val wm = if (events.isStreaming)
+      bse.withWatermark("event_time", watermarkDelay) else bse
+    val counts = wm
+      .groupBy(window(col("event_time"), windowDur).as("w"), col("part"))
+      .agg(count(lit(1)).as("c"))
+    val joined = counts
+      .join(base, Seq("part"), "left_outer")
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+      .crossJoin(btot)
+    val agg2 = joined
+      .groupBy(window(window_time(col("w")), windowDur).as("w2"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+        first(col("nb")).as("nb"), first(col("vb")).as("vb"),
+        collect_list(struct(col("c"), col("cb"))).as("h"))
+    // per-part term: (pw - pb) · slog2(c+1, cb+1); the window-level
+    // ratio slog2(nb+vb, n+v) multiplies the SUM of (pw - pb) — exact
+    // distribution of the shared factor (integer ·/+ are exact), same
+    // algebra the oracle replays
+    def pOf(c: Column, tot: Column): Column =
+      call_function("div", (c + lit(1L)) * lit(1000000L), tot)
+    val dp: (Column, Column) => Column = (acc, x) =>
+      acc + (pOf(x.getField("c"), col("n") + col("v")) -
+        pOf(x.getField("cb"), col("nb") + col("vb")))
+    val term1: (Column, Column) => Column = (acc, x) =>
+      acc + (pOf(x.getField("c"), col("n") + col("v")) -
+        pOf(x.getField("cb"), col("nb") + col("vb"))) *
+        slog2_fix(x.getField("c") + lit(1L), x.getField("cb") + lit(1L))
+    val psi = aggregate(col("h"), lit(0L), term1) +
+      slog2_fix(col("nb") + col("vb"), col("n") + col("v")) *
+        aggregate(col("h"), lit(0L), dp)
+    agg2.select(unix_micros(col("w2.start")).as("window_start_us"),
+      col("n"), col("v"), psi.as("psi_sum"),
+      call_function("div", psi, lit(1000000L)).as("psi_ub20"))
   }
 
   /** Per-window top key: which `fields[keyField]` value dominated each

@@ -112,6 +112,65 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(p2.toSet == Set((3600000000L, 1L)), s"second window once: $p2")
   }
 
+  test("windowDrift: streaming PSI equals batch per closed window, zero for the baseline mix") {
+    val store = freshStore()
+    // [0,1h): 3 click + 1 view; [1h,2h): 1 click + 3 view (inverted mix)
+    ingest(store, Map("name" -> "click"), "u", Seq(100, 200, 300))
+    ingest(store, Map("name" -> "view"), "u", Seq(400))
+    ingest(store, Map("name" -> "click"), "u", Seq(3700))
+    ingest(store, Map("name" -> "view"), "u", Seq(3800, 3900, 4000))
+
+    val batchDf = spark.read.format("graft-store").option("root", store.root).load()
+    // the profile is STATIC by contract — pin it to a literal table so
+    // the late closing ingest below cannot drift the baseline itself
+    // (a lazy plan over the store would re-read it per micro-batch)
+    val baseline = {
+      import spark.implicits._
+      StreamOps.driftBaseline(batchDf).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("part", "cb")
+    }
+    val batch = StreamOps.windowDrift(batchDf, baseline, "1 hour", "5 seconds")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(batch.keySet == Set(0L, 3600000000L))
+    // the two windows mirror each other against the 50/50 baseline:
+    // identical (n, v) and identical positive drift either way
+    assert(batch(0L) == batch(3600000000L))
+    assert(batch(0L)._3 > 0L, s"skewed mix must score positive PSI: $batch")
+
+    // a window whose mix EQUALS the baseline scores exactly zero: the
+    // smoothed probabilities and both log ratios all cancel only when
+    // the proportions match (power-of-two ratios keep Log2Fix exact)
+    val even = freshStore()
+    ingest(even, Map("name" -> "click"), "u", Seq(100, 200))
+    ingest(even, Map("name" -> "view"), "u", Seq(300, 400))
+    val evenDf = spark.read.format("graft-store").option("root", even.root).load()
+    val ePsi = StreamOps.windowDrift(evenDf, StreamOps.driftBaseline(evenDf),
+      "1 hour", "5 seconds").collect()
+    assert(ePsi.length == 1 && ePsi.head.getLong(3) == 0L,
+      s"baseline-identical window must score 0: ${ePsi.toSeq}")
+
+    // streaming: append emits each closed window's score exactly once,
+    // equal to the batch computation over the same baseline
+    val cp = Files.createTempDirectory("graft-sops-drift").toString
+    def q(): DataFrame =
+      StreamOps.windowDrift(stream(store), baseline, "1 hour", "5 seconds")
+    val p1 = drainAll[(Long, Long, Long, Long, Long)](q(), cp,
+      df => df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq)
+    assert(p1.toSet ==
+      Set((0L, batch(0L)._1, batch(0L)._2, batch(0L)._3, batch(0L)._4)),
+      s"exactly the closed [0,1h) score, equal to batch: $p1")
+    ingest(store, Map("name" -> "click"), "u", Seq(7300)) // closes [1h,2h)
+    val p2 = drainAll[(Long, Long, Long, Long, Long)](q(), cp,
+      df => df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq)
+    assert(p2.map(_._1).toSet == Set(3600000000L) &&
+      p2.head == ((3600000000L, batch(3600000000L)._1, batch(3600000000L)._2,
+        batch(3600000000L)._3, batch(3600000000L)._4)),
+      s"second window once, equal to batch: $p2")
+  }
+
   test("sessionize: batch path gives the same sessions the stream closes") {
     val store = freshStore()
     // u1: two sessions (gap 10s exceeded between 102 and 200); u2: one

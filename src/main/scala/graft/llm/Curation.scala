@@ -405,6 +405,10 @@ object Curation {
     val avail = docs
       .select(col("source"), size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens_avail"))
+      // a zero-token source cannot absorb budget and would divide the
+      // epochs by zero (null in Spark, a hard error in the oracle) —
+      // omitted from the report by contract
+      .where(col("tokens_avail") > 0)
       .withColumn("s", floor(sqrt(col("tokens_avail").cast("double"))).cast("long"))
     val tot = avail.agg(sum(col("s")).as("sw"), sum(col("tokens_avail")).as("t"))
     avail.crossJoin(broadcast(tot))
@@ -427,7 +431,8 @@ object Curation {
        |  SELECT source,
        |    sum(len(list_filter(string_split_regex(lower(text), '\\W+'),
        |                        t -> t != '')))::BIGINT AS tokens_avail
-       |  FROM documents GROUP BY 1),
+       |  FROM documents GROUP BY 1
+       |  HAVING tokens_avail > 0),
        |w AS (SELECT source, tokens_avail,
        |        floor(sqrt(tokens_avail))::BIGINT AS s FROM a),
        |t AS (SELECT sum(s)::BIGINT AS sw, sum(tokens_avail)::BIGINT AS t

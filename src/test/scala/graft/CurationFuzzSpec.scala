@@ -264,4 +264,26 @@ class CurationFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tokenBudget matches the naive sqrt-temperature allocator on random corpora") {
+    for (seed <- 1 to 6) {
+      val rows = corpus(seed)
+      val avail = rows.groupBy(_._3).view
+        .mapValues(_.map(d => tok(d._4).size.toLong).sum)
+        .filter(_._2 > 0L).toMap
+      val s = avail.view.mapValues(a => math.floor(math.sqrt(a.toDouble)).toLong).toMap
+      val sw = s.values.sum
+      val b = avail.values.sum * Curation.BudgetMultiple
+      val want = avail.map { case (src, a) =>
+        val share = s(src) * 1000000L / sw
+        val w = (b / 1000000L) * share + (b % 1000000L) * share / 1000000L
+        val got = math.min(w, a * Curation.BudgetEpochsCapE4 / 10000L)
+        src -> ((a, share, w, w * 10000L / a, got, w - got))
+      }
+      val got = Curation.tokenBudget(mkDocs(rows)).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }

@@ -269,4 +269,94 @@ class MiningFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("vocabGrowth matches the scalar walk on random corpora with sparse ids") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(500 + seed)
+      val stride = 1L + rnd.nextInt(7)
+      val rows = corpus(seed).map { case (i, t) => (i * stride, t) }
+      val b = Mining.VocabGrowthBuckets
+      val nd = rows.map(_._1).max + 1
+      val seen = scala.collection.mutable.Set.empty[String]
+      val nDocs = Array.fill(b)(0L); val nTok = Array.fill(b)(0L)
+      val newW = Array.fill(b)(0L)
+      for ((id, text) <- rows.sortBy(_._1)) {
+        val dec = math.min(id * b / nd, b - 1L).toInt
+        val w = tok(text)
+        nDocs(dec) += 1; nTok(dec) += w.length
+        for (t <- w; if seen.add(t)) newW(dec) += 1
+      }
+      val want = (0 until b).map { d =>
+        (d.toLong, nDocs(d), nTok(d), nTok.take(d + 1).sum, newW(d),
+          newW.take(d + 1).sum)
+      }
+      val got = Mining.vocabGrowth(mkDocs(rows)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed stride=$stride")
+    }
+  }
+
+  test("zipf matches the scalar regression on random corpora (tiny-vocab edges)") {
+    for (seed <- 1 to 6) {
+      val rows = corpus(seed)
+      val counts = rows.flatMap { case (_, t) => tok(t) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val row = Mining.zipf(mkDocs(rows)).collect() match {
+        case Array(r) => r
+        case other => fail(s"expected one row, got ${other.length}")
+      }
+      if (counts.isEmpty) {
+        assert(row.getLong(0) == 0L && row.isNullAt(1) && row.isNullAt(5),
+          s"empty corpus must yield a null-stat row: $row")
+      } else {
+        val n = counts.map(_._2).sum
+        val top = counts.sortBy { case (w, c) => (-c, w) }.take(Mining.ZipfTopN)
+        val xy = top.zipWithIndex.map { case ((_, c), i) =>
+          (i + 1L, c, Log2Fix.eval(i + 1L, 1L) >> 11, Log2Fix.eval(c, 1L) >> 11)
+        }
+        val k = xy.length.toLong
+        val (sx, sy) = (xy.map(_._3).sum, xy.map(_._4).sum)
+        val (sxy, sxx) = (xy.map(t => t._3 * t._4).sum, xy.map(t => t._3 * t._3).sum)
+        val (num, den) = (k * sxy - sx * sy, k * sxx - sx * sx)
+        assert(row.getLong(0) == counts.length.toLong && row.getLong(1) == n)
+        assert(row.getLong(2) == xy.filter(_._1 <= 10L).map(_._2).sum * 10000 / n)
+        assert(row.getLong(3) == xy.filter(_._1 <= 100L).map(_._2).sum * 10000 / n)
+        assert(row.getLong(4) == top.map(_._2).sum * 10000 / n)
+        if (den == 0L) assert(row.isNullAt(5), s"degenerate fit must be null: $row")
+        else assert(row.getLong(5) ==
+          (num / den) * 10000 + (num % den) * 10000 / den, s"seed=$seed")
+      }
+    }
+  }
+
+  test("nearDuplicatesAgainst matches the brute cross-half reference on random corpora") {
+    var totalPairs = 0
+    for (seed <- 1 to 5) {
+      val rows = corpus(seed)
+      val cut = (rows.map(_._1).max + 1) / 2
+      val hist = rows.filter(_._1 < cut)
+      val inc = rows.filter(_._1 >= cut)
+      def sh3(t: String): Set[String] = {
+        val w = tok(t)
+        if (w.size < 3) Set.empty
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val hSh = hist.map { case (id, t) => id -> sh3(t) }.filter(_._2.nonEmpty)
+      val iSh = inc.map { case (id, t) => id -> sh3(t) }.filter(_._2.nonEmpty)
+      val want = (for {
+        (i, sb) <- iSh; (h, sa) <- hSh
+        inter = (sa & sb).size.toLong
+        union = (sa.size + sb.size).toLong - inter
+        if inter.toDouble / union >= 0.8
+      } yield (i, h, math.floor(inter * 1.0e4 / union + 0.5).toLong))
+        .groupBy(_._1).map { case (_, g) => g.minBy(x => (-x._3, x._2)) }.toSet
+      val got = Dedup.nearDuplicatesAgainst(mkDocs(hist), mkDocs(inc))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"seed=$seed missing=${want -- got} extra=${got -- want}")
+      totalPairs += want.size
+    }
+    assert(totalPairs > 0, "the planted-copy corpora must produce cross-half dups")
+  }
 }

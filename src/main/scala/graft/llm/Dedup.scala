@@ -60,6 +60,62 @@ object Dedup {
   def jaccardE4(inter: Column, union: Column): Column =
     floor(inter.cast("double") * 1e4 / union.cast("double") + 0.5).cast("long")
 
+  /** The ONE shingle-side builder every set-similarity path uses:
+    * `(doc_id, sh)` with `sh` the doc's SORTED distinct word n-gram
+    * shingles. Plan shape is load-bearing (all measured):
+    *  - the short-doc filter tests token COUNT (`size(w) >= n`) — a
+    *    predicate on the shingle array would be pushed into the scan
+    *    with the whole tokenize+shingle chain inlined (5 re-splits/row);
+    *  - an explicit-count exchange separates tokenization from the
+    *    shingle/minhash lambdas (CollapseProject would otherwise merge
+    *    the projections and re-tokenize per array element — a measured
+    *    1000× blowup) and spreads single-file sources;
+    *  - sorted arrays make verification a codegen'd merge walk;
+    *  - CACHED (MEMORY_AND_DISK): every caller feeds it to at least two
+    *    consumers (banding/prefix join + verification), and uncached the
+    *    optimizer plans full recomputations of the pipeline per use.
+    * Callers own unpersist via [[OpCaches.track]]. */
+  private def shingleTable(docs: DataFrame, n: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), sort_array(shinglesFromTokens(col("w"), n)).as("sh"))
+      .cache()
+  }
+
+  /** LSH band rows from a shingle table: one `(doc_id, band, bkey)` row
+    * per band, the band key a hash of the band's r minhash slots — ONE
+    * native-expression call per doc
+    * ([[graft.functions.MinhashBandKeys]], bit-identical to the
+    * nested-HOF form but with primitive loops instead of
+    * bands·r·|sh| lambda invocations). */
+  private def bandTable(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sh.select(col("doc_id"), posexplode(
+        graft.functions.VectorExpressions.minhash_band_keys(col("sh"), bands, rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+
+  /** The ONE exact-verification tail: join a candidate-pair table
+    * `(aName, bName)` back to the two shingle tables and keep pairs with
+    * exact Jaccard ≥ `threshold`, emitting `(aName, bName, jaccard_r)`.
+    * The intersection is a codegen'd merge walk over the sorted arrays
+    * (no per-row hash set); the threshold compares the raw double ratio
+    * and `jaccard_r` is the [[jaccardE4]] rounding — both pinned so the
+    * oracles replay them. */
+  private def verifyExact(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+      aName: String, bName: String, threshold: Double): DataFrame = {
+    val withSh = cand
+      .join(shA.select(col("doc_id").as(aName), col("sh").as("sha")), aName)
+      .join(shB.select(col("doc_id").as(bName), col("sh").as("shb")), bName)
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_count(col("sha"), col("shb"))
+    val union = size(col("sha")) + size(col("shb")) - inter
+    val jac = inter.cast("double") / union.cast("double")
+    withSh.where(jac >= threshold)
+      .select(col(aName), col(bName), jaccardE4(inter, union).as("jaccard_r"))
+  }
+
   /** Exact dedup: group by full-content hash, keep the smallest doc_id as
     * the survivor. */
   def exact(docs: DataFrame): DataFrame =
@@ -87,41 +143,10 @@ object Dedup {
     */
   def nearDuplicates(docs: DataFrame, bands: Int = 32, rowsPerBand: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    // Plan shape matters more than the expressions here (all measured):
-    //  - the short-doc filter tests token COUNT, not the shingle array — a
-    //    `size(shingles) > 0` predicate gets pushed into the scan with the
-    //    whole tokenize+shingle expression inlined (5 re-splits per row);
-    //    `size(tokens) >= n` is equivalent and inlines one extra split;
-    //  - an exchange (explicit count, so AQE can't coalesce to one task)
-    //    separates tokenization from the shingle/minhash lambdas, which
-    //    would otherwise re-tokenize per array element (CollapseProject
-    //    merges adjacent projections — a 1000x blowup);
-    //  - `sh` is cached: it feeds the banding self-join AND both sides of
-    //    the verification join — uncached, the optimizer plans four full
-    //    recomputations of the pipeline. MEMORY_AND_DISK, so at scale it
-    //    spills rather than OOMs (same role as a checkpoint in a
-    //    production LSH pipeline).
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // sorted shingle sets: band keys are min-reductions (order-blind) and
-    // verification becomes a codegen'd merge walk instead of a per-row
-    // hash set
-    val sh = docs
-      .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
-      .where(size(col("w")) >= 3)
-      .repartition(par, col("doc_id"))
-      .select(col("doc_id"), sort_array(shinglesFromTokens(col("w"))).as("sh"))
-      .cache()
-
-    // band key = hash of the band's r minhash slots — ONE native-expression
-    // call per doc (graft.functions.MinhashBandKeys, bit-identical to the
-    // nested-HOF form but with primitive loops instead of bands*r*|sh|
-    // lambda invocations); cached — it is both sides of the candidate
-    // self-join
-    val banded = sh
-      .select(col("doc_id"), posexplode(
-        graft.functions.VectorExpressions.minhash_band_keys(col("sh"), bands, rowsPerBand)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-      .cache()
+    val sh = shingleTable(docs, 3)
+    // banded cached: it is both sides of the candidate self-join
+    val banded = bandTable(sh, bands, rowsPerBand).cache()
     OpCaches.track("dedup.near", Seq(sh, banded))
 
     val l = banded.alias("l")
@@ -136,17 +161,7 @@ object Dedup {
       // tasks, so pin the exchange to full width
       .repartition(par, col("doc_a"), col("doc_b"))
 
-    val withSh = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-    val inter = graft.functions.VectorExpressions
-      .sorted_intersect_count(col("sha"), col("shb"))
-    val jac = inter.cast("double") /
-      (size(col("sha")) + size(col("shb")) - inter).cast("double")
-    withSh.where(jac >= threshold)
-      .select(col("doc_a"), col("doc_b"),
-        jaccardE4(inter, size(col("sha")) + size(col("shb")) - inter)
-          .as("jaccard_r"))
+    verifyExact(cand, sh, sh, "doc_a", "doc_b", threshold)
   }
 
   /** EXACT n-gram Jaccard duplicate pairs (doc_a < doc_b, J >= `threshold`)
@@ -174,14 +189,9 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // shingle sets kept SORTED so verification is a codegen'd merge walk
-    val sh = docs
-      .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
-      .where(size(col("w")) >= n)
-      .repartition(par, col("doc_id"))
-      .select(col("doc_id"), sort_array(shinglesFromTokens(col("w"), n)).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .cache()
+    val shBase = shingleTable(docs, n)
+    // sz rides as a cheap projection over the cached base
+    val sh = shBase.withColumn("sz", size(col("sh")))
 
     val exploded = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
@@ -199,7 +209,7 @@ object Dedup {
           (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("pref"))
       .withColumn("plen", size(col("pref")))
       .cache()
-    OpCaches.track("dedup.ngram", Seq(sh, prefAgg))
+    OpCaches.track("dedup.ngram", Seq(shBase, prefAgg))
     val prefix = prefAgg.select(col("doc_id"), col("sz"), col("plen"),
       explode(col("pref")).as("g"))
 
@@ -236,19 +246,7 @@ object Dedup {
       // verify stage into one task; pinning the exchange keeps it wide
       .repartition(par, col("doc_a"), col("doc_b"))
 
-    // exact verification of the survivors: one merge walk per pair over
-    // the sorted shingle arrays (no per-row hash set, stays in codegen)
-    val withSh = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-    val inter = graft.functions.VectorExpressions
-      .sorted_intersect_count(col("sha"), col("shb"))
-    val jac = inter.cast("double") /
-      (size(col("sha")) + size(col("shb")) - inter).cast("double")
-    withSh.where(jac >= threshold)
-      .select(col("doc_a"), col("doc_b"),
-        jaccardE4(inter, size(col("sha")) + size(col("shb")) - inter)
-          .as("jaccard_r"))
+    verifyExact(cand, shBase, shBase, "doc_a", "doc_b", threshold)
   }
 
   /** Cross-snapshot near-dedup: for each INCOMING document, its best
@@ -279,27 +277,14 @@ object Dedup {
       bands: Int = 32, rowsPerBand: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val par = history.sparkSession.sparkContext.defaultParallelism
-    // same materialization discipline as nearDuplicates: exchange between
-    // tokenization and the hash lambdas (CollapseProject would otherwise
-    // re-tokenize per hash), sorted shingles for the merge-walk verify,
-    // cached because each side feeds its banding AND the verification
-    def shingleSide(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
-      .where(size(col("w")) >= 3)
-      .repartition(par, col("doc_id"))
-      .select(col("doc_id"), sort_array(shinglesFromTokens(col("w"))).as("sh"))
-      .cache()
-    def banded(sh: DataFrame): DataFrame = sh
-      .select(col("doc_id"), posexplode(
-        graft.functions.VectorExpressions.minhash_band_keys(col("sh"), bands, rowsPerBand)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-
-    val shH = shingleSide(history)
-    val shI = shingleSide(incoming)
+    // the SAME shingle/band/verify pipeline as nearDuplicates (one
+    // definition of the measured plan shape), split across two corpora
+    val shH = shingleTable(history, 3)
+    val shI = shingleTable(incoming, 3)
     OpCaches.track("dedup.incrNear", Seq(shH, shI))
 
-    val cand = banded(shH).alias("h")
-      .join(banded(shI).alias("i"),
+    val cand = bandTable(shH, bands, rowsPerBand).alias("h")
+      .join(bandTable(shI, bands, rowsPerBand).alias("i"),
         col("h.band") === col("i.band") && col("h.bkey") === col("i.bkey"))
       .select(col("h.doc_id").as("dup_of"), col("i.doc_id").as("doc_id"))
       .distinct()
@@ -307,15 +292,7 @@ object Dedup {
       // so AQE's byte-based sizing can't fold the verify into one task
       .repartition(par, col("doc_id"), col("dup_of"))
 
-    val withSh = cand
-      .join(shH.select(col("doc_id").as("dup_of"), col("sh").as("sha")), "dup_of")
-      .join(shI.select(col("doc_id"), col("sh").as("shb")), "doc_id")
-    val inter = graft.functions.VectorExpressions
-      .sorted_intersect_count(col("sha"), col("shb"))
-    val union = size(col("sha")) + size(col("shb")) - inter
-    val jac = inter.cast("double") / union.cast("double")
-    withSh.where(jac >= threshold)
-      .select(col("doc_id"), col("dup_of"), jaccardE4(inter, union).as("jaccard_r"))
+    verifyExact(cand, shH, shI, "dup_of", "doc_id", threshold)
       // best match per incoming doc: max rounded Jaccard, ties toward the
       // SMALLEST history id (negate inside the struct max — ids are
       // nonnegative, so max(-id) recovers min(id))

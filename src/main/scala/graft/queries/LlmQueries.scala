@@ -439,20 +439,46 @@ object LlmQueries {
       ((s: SparkSession, d: String) => graft.llm.Mining.zipf(docs(s, d))),
     "llm_token_budget" ->
       ((s: SparkSession, d: String) => Curation.tokenBudget(docs(s, d))),
-    "llm_dedup_incr_near" -> (dedupIncrNear _)
+    "llm_dedup_incr_near" -> (dedupIncrNear _),
+    "llm_dedup_incr_apply" -> (dedupIncrApply _)
   )
 
-  /** Cross-snapshot near-dedup: the doc-id upper half (the "incoming
-    * snapshot") deduplicated against the lower half (the "history"),
-    * via [[Dedup.nearDuplicatesAgainst]]. The midpoint is a bounded
-    * 1-row aggregate collect (the stream_incr_dedup cutoff pattern),
-    * pure integer arithmetic mirrored by the oracle. */
-  def dedupIncrNear(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val cut = d.agg(org.apache.spark.sql.functions.expr("(max(doc_id) + 1) div 2"))
+  /** The doc-id midpoint splitting the corpus into history (below) and
+    * the incoming snapshot (at/above) — a bounded 1-row aggregate
+    * collect (the stream_incr_dedup cutoff pattern), pure integer
+    * arithmetic mirrored by the oracles. */
+  private def snapshotCut(spark: SparkSession, dir: String): Long =
+    docs(spark, dir)
+      .agg(org.apache.spark.sql.functions.expr("(max(doc_id) + 1) div 2"))
       .head().getLong(0)
-    Dedup.nearDuplicatesAgainst(
-      d.filter(col("doc_id") < cut), d.filter(col("doc_id") >= cut))
+
+  /** Cross-snapshot near-dedup verdicts, memoized per (session, dir)
+    * like [[ngramPairs]] — the verdict table feeds BOTH the verdict
+    * entry and the applied accept ([[dedupIncrApply]]), exactly how a
+    * pipeline consumes it (tiny: one row per duplicate incoming doc). */
+  private def incrNearVerdicts(spark: SparkSession, dir: String): DataFrame =
+    memo(miningCache, spark, s"incrnear|$dir") {
+      val d = docs(spark, dir)
+      val cut = snapshotCut(spark, dir)
+      Dedup.nearDuplicatesAgainst(
+        d.filter(col("doc_id") < cut), d.filter(col("doc_id") >= cut))
+    }
+
+  def dedupIncrNear(spark: SparkSession, dir: String): DataFrame =
+    incrNearVerdicts(spark, dir)
+
+  /** The ACCEPTED snapshot: incoming docs minus the near-dup verdicts —
+    * what an incremental ingest actually appends to the corpus. One
+    * anti-join of the incoming metadata against the (tiny) verdict
+    * table; the history side is untouched by construction. */
+  def dedupIncrApply(spark: SparkSession, dir: String): DataFrame = {
+    val cut = snapshotCut(spark, dir)
+    docs(spark, dir)
+      .filter(col("doc_id") >= cut)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("n_chars").cast("long").as("n_chars"))
+      .join(incrNearVerdicts(spark, dir).select("doc_id"), Seq("doc_id"),
+        "left_anti")
   }
 
   /** The duplicate-cluster reachability closure (word-2-gram Jaccard at
@@ -710,33 +736,50 @@ object LlmQueries {
     // exact cross-half all-pairs word-3-shingle Jaccard with per-incoming
     // argmax (ties toward the smallest history id) — feasible at oracle
     // scale; the Spark side reaches the same verdicts via LSH banding +
-    // exact verification (the llm_dedup_near machinery, cross-corpus)
+    // exact verification (the llm_dedup_near machinery, cross-corpus).
+    // ONE CTE chain feeds both the verdict entry and the applied accept.
     "llm_dedup_incr_near" ->
-      """WITH cu AS (SELECT (max(doc_id) + 1) // 2 AS cut FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(
-        |    range(1, greatest(len(w) - 2, 0) + 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
-        |                                   t -> t != '') w
-        |        FROM documents)),
-        |inter AS (
-        |  SELECT a.doc_id AS h, b.doc_id AS i, count(*) AS c
-        |  FROM sh a JOIN sh b USING (g), cu
-        |  WHERE a.doc_id < cut AND b.doc_id >= cut
-        |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |p AS (
-        |  SELECT i, h,
-        |    floor(c * 1.0e4 / (sa.n + sb.n - c) + 0.5)::BIGINT AS jaccard_r
-        |  FROM inter
-        |  JOIN sizes sa ON sa.doc_id = inter.h
-        |  JOIN sizes sb ON sb.doc_id = inter.i
-        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
-        |r AS (SELECT i, h, jaccard_r, row_number() OVER (
-        |        PARTITION BY i ORDER BY jaccard_r DESC, h) AS rn
-        |      FROM p)
-        |SELECT i::BIGINT AS doc_id, h::BIGINT AS dup_of, jaccard_r
-        |FROM r WHERE rn = 1""".stripMargin
+      s"""$incrNearCte
+         |SELECT i::BIGINT AS doc_id, h::BIGINT AS dup_of, jaccard_r
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "llm_dedup_incr_apply" ->
+      s"""$incrNearCte
+         |SELECT doc_id::BIGINT AS doc_id, lang, source,
+         |  n_chars::BIGINT AS n_chars
+         |FROM documents, cu
+         |WHERE doc_id >= cut
+         |  AND doc_id NOT IN (SELECT i FROM r WHERE rn = 1)""".stripMargin
   )
+
+  /** The shared cross-snapshot near-dedup closure: history = doc ids
+    * below the midpoint, incoming at/above; `r` holds the per-incoming
+    * ranked matches (rn = 1 is the best-match verdict row). Shared
+    * verbatim by the `llm_dedup_incr_near` and `llm_dedup_incr_apply`
+    * oracles so the verdict definition can never diverge between them. */
+  private lazy val incrNearCte: String =
+    """WITH cu AS (SELECT (max(doc_id) + 1) // 2 AS cut FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(w) - 2, 0) + 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+      |                                   t -> t != '') w
+      |        FROM documents)),
+      |inter AS (
+      |  SELECT a.doc_id AS h, b.doc_id AS i, count(*) AS c
+      |  FROM sh a JOIN sh b USING (g), cu
+      |  WHERE a.doc_id < cut AND b.doc_id >= cut
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |p AS (
+      |  SELECT i, h,
+      |    floor(c * 1.0e4 / (sa.n + sb.n - c) + 0.5)::BIGINT AS jaccard_r
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = inter.h
+      |  JOIN sizes sb ON sb.doc_id = inter.i
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+      |r AS (SELECT i, h, jaccard_r, row_number() OVER (
+      |        PARTITION BY i ORDER BY jaccard_r DESC, h) AS rn
+      |      FROM p)""".stripMargin
 }

@@ -1048,54 +1048,62 @@ object Mining {
           .as("slope_e4"))
   }
 
-  /** DuckDB twin of [[zipf]] — the Log2Fix kernel replayed on the melted
-    * (rank ∪ count) log arguments, identical shifts, sums and split
-    * division (`//`/`%` are trunc on BIGINT, matching Spark `div`/`%`
-    * for either sign of the slope numerator). */
-  val zipfOracle: String = {
-    val lg = Log2Fix.duckdbCtes("melt", "r, kind", "lg")
-    s"""WITH RECURSIVE wc AS (
+  /** The [[zipf]] oracle's CTE chain (`z`-prefixed names so it composes
+    * into multi-diagnostic oracles without collisions — the corpus-card
+    * oracle splices it next to the closure/gopher/decontam chains):
+    * ends with `ztot(n, vocab)` and `zsl(…, num, den, m10, m100, mtop)`.
+    * Requires the query to open with `WITH RECURSIVE`. */
+  val zipfCtes: String = {
+    val lg = Log2Fix.duckdbCtes("zmelt", "r, kind", "zlg")
+    s"""zwc AS (
        |  SELECT t, count(*)::BIGINT AS c
        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
        |                                  x -> x != '')) AS t
        |        FROM documents)
        |  GROUP BY 1),
-       |tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS vocab FROM wc),
-       |top AS (
+       |ztot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS vocab FROM zwc),
+       |ztop AS (
        |  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
-       |  FROM wc ORDER BY c DESC, t LIMIT $ZipfTopN),
-       |melt AS (
-       |  SELECT r, 'x' AS kind, r::BIGINT AS num, 1::BIGINT AS den FROM top
+       |  FROM zwc ORDER BY c DESC, t LIMIT $ZipfTopN),
+       |zmelt AS (
+       |  SELECT r, 'x' AS kind, r::BIGINT AS num, 1::BIGINT AS den FROM ztop
        |  UNION ALL
-       |  SELECT r, 'y' AS kind, c::BIGINT AS num, 1::BIGINT AS den FROM top),
+       |  SELECT r, 'y' AS kind, c::BIGINT AS num, 1::BIGINT AS den FROM ztop),
        |$lg,
-       |xy AS (
+       |zxy AS (
        |  SELECT t.r, t.c,
        |    (lx.l20 >> 11)::BIGINT AS x, (ly.l20 >> 11)::BIGINT AS y
-       |  FROM top t
-       |  JOIN lg lx ON lx.r = t.r AND lx.kind = 'x'
-       |  JOIN lg ly ON ly.r = t.r AND ly.kind = 'y'),
-       |reg AS (
+       |  FROM ztop t
+       |  JOIN zlg lx ON lx.r = t.r AND lx.kind = 'x'
+       |  JOIN zlg ly ON ly.r = t.r AND ly.kind = 'y'),
+       |zreg AS (
        |  SELECT count(*)::BIGINT AS k,
        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
        |    sum(CASE WHEN r <= 10 THEN c ELSE 0 END)::BIGINT AS m10,
        |    sum(CASE WHEN r <= 100 THEN c ELSE 0 END)::BIGINT AS m100,
        |    sum(c)::BIGINT AS mtop
-       |  FROM xy),
-       |sl AS (
+       |  FROM zxy),
+       |zsl AS (
        |  SELECT k, sx, sy, sxy, sxx, m10, m100, mtop,
        |    (k * sxy - sx * sy)::BIGINT AS num,
        |    nullif(k * sxx - sx * sx, 0)::BIGINT AS den
-       |  FROM reg)
+       |  FROM zreg)""".stripMargin
+  }
+
+  /** DuckDB twin of [[zipf]] — the Log2Fix kernel replayed on the melted
+    * (rank ∪ count) log arguments, identical shifts, sums and split
+    * division (`//`/`%` are trunc on BIGINT, matching Spark `div`/`%`
+    * for either sign of the slope numerator). */
+  val zipfOracle: String =
+    s"""WITH RECURSIVE $zipfCtes
        |SELECT vocab, n AS total_tokens,
        |  (m10 * 10000 // n)::BIGINT AS top10_e4,
        |  (m100 * 10000 // n)::BIGINT AS top100_e4,
        |  (mtop * 10000 // n)::BIGINT AS top1000_e4,
        |  ((num // den) * 10000 + (num % den) * 10000 // den)::BIGINT
        |    AS slope_e4
-       |FROM sl, tot""".stripMargin
-  }
+       |FROM zsl, ztot""".stripMargin
 
   /** DuckDB twin of [[vocabGrowth]] — same decile arithmetic (`//` is
     * trunc on BIGINT, matching Spark's `div` on nonnegative ids), same

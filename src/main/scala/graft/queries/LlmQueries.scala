@@ -266,6 +266,48 @@ object LlmQueries {
     rows.toDF("variant", "floor_e4", "meets_floor")
   }
 
+  /** The corpus DATA CARD: one `(metric, value)` table summarizing the
+    * corpus the way a dataset datasheet does — size (docs/tokens/langs/
+    * sources), vocabulary shape (vocab, Zipf slope, head mass),
+    * quality (Gopher pass rate), duplication (share of docs in near-dup
+    * clusters) and benchmark contamination, every number produced by
+    * the SAME operator the corresponding standalone entry gates (the
+    * cluster and Gopher tables even reuse the memoized computations),
+    * and the oracle assembled from the SAME CTE fragments — so the card
+    * can never drift from the operators it summarizes. All shares are
+    * e4 with the one truncating-div form. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = docs(spark, dir)
+    val totals = d.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val z = graft.llm.Mining.zipf(d).select(col("vocab"), col("total_tokens"),
+      col("top100_e4"), col("slope_e4"))
+    val gp = gopherVerdicts(spark, dir)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("gpass"))
+    val dd = dupClusters(spark, dir).filter(!col("keep"))
+      .agg(count(lit(1)).as("dup_docs"))
+    val cc = Curation.decontaminate(d)
+      .agg(count(lit(1)).as("contam_docs"))
+    totals.crossJoin(broadcast(z)).crossJoin(broadcast(gp))
+      .crossJoin(broadcast(dd)).crossJoin(broadcast(cc))
+      .selectExpr(
+        """stack(11,
+          |  'n_docs', n_docs,
+          |  'n_langs', n_langs,
+          |  'n_sources', n_sources,
+          |  'n_tokens', total_tokens,
+          |  'mean_doc_tokens', total_tokens div n_docs,
+          |  'vocab', vocab,
+          |  'top100_mass_e4', top100_e4,
+          |  'zipf_slope_e4', slope_e4,
+          |  'gopher_pass_e4', gpass * 10000 div n_docs,
+          |  'dup_doc_e4', dup_docs * 10000 div n_docs,
+          |  'contam_e4', contam_docs * 10000 div n_docs
+          |) as (metric, value)""".stripMargin)
+  }
+
   def sample(spark: SparkSession, dir: String): DataFrame =
     Curation.stratifiedSample(docs(spark, dir))
 
@@ -440,7 +482,8 @@ object LlmQueries {
     "llm_token_budget" ->
       ((s: SparkSession, d: String) => Curation.tokenBudget(docs(s, d))),
     "llm_dedup_incr_near" -> (dedupIncrNear _),
-    "llm_dedup_incr_apply" -> (dedupIncrApply _)
+    "llm_dedup_incr_apply" -> (dedupIncrApply _),
+    "llm_corpus_card" -> (corpusCard _)
   )
 
   /** The doc-id midpoint splitting the corpus into history (below) and
@@ -731,6 +774,45 @@ object LlmQueries {
 
     "llm_vocab_growth" -> graft.llm.Mining.vocabGrowthOracle,
     "llm_zipf" -> graft.llm.Mining.zipfOracle,
+
+    // the data card's oracle is assembled from the SAME CTE fragments
+    // the standalone gates use (cluster closure, Gopher rules, decontam
+    // shingles, Zipf chain) — the summary cannot diverge from the
+    // operators it summarizes
+    "llm_corpus_card" ->
+      s"""$clusterClosureCte,
+         |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r)),
+         |${graft.llm.Repetition.gopherCtes},
+         |${Curation.decontamCtes("csh", "cbench")},
+         |contam AS (
+         |  SELECT DISTINCT doc_id FROM csh JOIN cbench USING (g)
+         |  WHERE doc_id % 17 != 0),
+         |${graft.llm.Mining.zipfCtes},
+         |nd AS (SELECT count(*)::BIGINT AS n_docs,
+         |         count(DISTINCT lang)::BIGINT AS n_langs,
+         |         count(DISTINCT source)::BIGINT AS n_sources
+         |       FROM documents)
+         |SELECT 'n_docs' AS metric, n_docs::BIGINT AS value FROM nd
+         |UNION ALL SELECT 'n_langs', n_langs FROM nd
+         |UNION ALL SELECT 'n_sources', n_sources FROM nd
+         |UNION ALL SELECT 'n_tokens', n FROM ztot
+         |UNION ALL SELECT 'mean_doc_tokens', (n // n_docs)::BIGINT
+         |  FROM ztot, nd
+         |UNION ALL SELECT 'vocab', vocab FROM ztot
+         |UNION ALL SELECT 'top100_mass_e4', (m100 * 10000 // n)::BIGINT
+         |  FROM zsl, ztot
+         |UNION ALL SELECT 'zipf_slope_e4',
+         |  ((num // den) * 10000 + (num % den) * 10000 // den)::BIGINT
+         |  FROM zsl
+         |UNION ALL SELECT 'gopher_pass_e4',
+         |  ((SELECT count(*) FROM v WHERE reason = 'ok') * 10000
+         |    // n_docs)::BIGINT FROM nd
+         |UNION ALL SELECT 'dup_doc_e4',
+         |  ((SELECT count(*) FROM dropped) * 10000 // n_docs)::BIGINT
+         |  FROM nd
+         |UNION ALL SELECT 'contam_e4',
+         |  ((SELECT count(*) FROM contam) * 10000 // n_docs)::BIGINT
+         |  FROM nd""".stripMargin,
     "llm_token_budget" -> Curation.tokenBudgetOracle,
 
     // exact cross-half all-pairs word-3-shingle Jaccard with per-incoming

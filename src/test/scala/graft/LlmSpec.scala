@@ -94,6 +94,21 @@ class LlmSpec extends AnyFunSuite {
       s"equal-score ties must resolve to min history id: ${out.toSeq}")
   }
 
+  test("corpus card: metrics agree with the standalone operators they summarize") {
+    val card = graft.queries.LlmQueries.corpusCard(spark, dir).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(card.size == 11)
+    assert(card("n_docs") == Some(docs.count()))
+    assert(card("n_tokens") ==
+      Some(docs.select(explode(Dedup.tokens(col("text")))).count()))
+    val gopher = graft.llm.Repetition.gopherFilter(docs)
+    assert(card("gopher_pass_e4") ==
+      Some(gopher.filter(col("keep")).count() * 10000 / docs.count()))
+    for (m <- Seq("gopher_pass_e4", "dup_doc_e4", "contam_e4", "top100_mass_e4"))
+      assert(card(m).exists(v => v >= 0L && v <= 10000L), s"$m out of range: $card")
+  }
+
   test("dup clusters: min-label propagation finds components + survivors") {
     import spark.implicits._
     // chain 1-2-3 (tests transitivity, not just direct pairs), pair 5-6,

@@ -385,6 +385,16 @@ class CurationSpec extends AnyFunSuite {
     assert(out("small") == ((100L, 200000L, 1020L, 102000L, 400L, 620L)))
   }
 
+  test("tokenBudget plan: one sources-sized aggregate, corpus never joins wide") {
+    val plan = Curation.tokenBudget(docs).queryExecution.executedPlan.toString
+    // the totals ride back as a broadcast 1-row cross — the corpus side
+    // must never reach a sort-merge join or a Window
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"totals must broadcast-cross:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no SMJ expected:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
+
   test("tokenBudget: corpus invariants — budget respected, √-damping holds") {
     val out = Curation.tokenBudget(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -443,6 +443,19 @@ class MiningSpec extends AnyFunSuite {
     assert(s < -8500 && s > -11500, s"planted 1/r law must slope near -1e4, got $s")
   }
 
+  test("vocab growth / zipf plans: pruned scans, TOP-k top-N, no corpus-wide window") {
+    val vg = Mining.vocabGrowth(docs.select("doc_id", "text", "lang", "source",
+      "n_chars")).queryExecution.executedPlan.toString
+    // the only shuffles are the word-count aggregate, the bucket
+    // aggregate, and the 10-row spine join/window — never a sort-merge
+    // join of corpus-sized sides
+    assert(!vg.contains("SortMergeJoin"), s"vocabGrowth must not SMJ:\n$vg")
+    val zp = Mining.zipf(docs).queryExecution.executedPlan.toString
+    assert(zp.contains("TakeOrderedAndProject"),
+      s"zipf top-N must be a TOP, not a global sort:\n$zp")
+    assert(!zp.contains("SortMergeJoin"), s"zipf must not SMJ:\n$zp")
+  }
+
   test("vocabGrowth: empty deciles densify to zero rows, totals still close") {
     // all docs land in decile 0 and 9 (ids 0 and nd-1): the spine must
     // still emit all 10 deciles with zeroed middles and flat cum curves

@@ -711,7 +711,15 @@ object Curation {
     *
     * Output: (doc_id, lang, mean_nll_e6, bucket).
     */
-  def ccnetBuckets(docs: DataFrame): DataFrame = {
+  def ccnetBuckets(docs: DataFrame): DataFrame =
+    ccnetRanked(docs)
+      .select(col("doc_id"), col("lang"), col("mean_nll_e6"), col("bucket"))
+
+  /** The shared CCNet ranking: per-language NLL-ascending tercile
+    * assignment with n_tokens carried through — [[ccnetBuckets]]
+    * projects it down; [[qualityPairs]] consumes the label side. ONE
+    * definition of the tercile arithmetic. */
+  private def ccnetRanked(docs: DataFrame): DataFrame = {
     val scored = lmScore(docs)
       .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("lang")),
         "doc_id")
@@ -723,8 +731,71 @@ object Curation {
       .withColumn("bucket",
         element_at(array(lit("head"), lit("middle"), lit("tail")),
           (expr("((rn - 1) * 3) div n") + 1).cast("int")))
-      .select(col("doc_id"), col("lang"), col("mean_nll_e6"), col("bucket"))
   }
+
+  /** Quality-classifier training-set construction — the step that closes
+    * the CCNet loop (Wenzek et al. 2020): label the perplexity HEAD as
+    * positive and the TAIL as negative (middle excluded), then balance
+    * the classes per language to `min(|head|, |tail|)` rows each with a
+    * deterministic doc_id-ordered trim (production swaps in the md5
+    * shuffle rank for an unbiased trim — same plan shape). Output
+    * `(doc_id, lang, label, n_tokens, n_chars)` — the labeled feature
+    * table a fastText-style quality model trains on. A language whose
+    * tercile split yields only one class (fewer than 3 docs) caps to
+    * ZERO pairs rather than emitting unpaired examples.
+    *
+    * Scale shape: scoring is the lmScore plan (corpus never shuffles);
+    * ranking shuffles once on lang (the ccnetBuckets window, same
+    * documented 100 TB swap to sketch thresholds); class caps ride back
+    * as a broadcast langs-sized table. */
+  def qualityPairs(docs: DataFrame): DataFrame = {
+    val lab = ccnetRanked(docs)
+      .filter(col("bucket") =!= "middle")
+      .withColumn("label",
+        when(col("bucket") === "head", 1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"), col("label"), col("n_tokens"))
+    val caps = lab.groupBy(col("lang")).agg(
+      least(sum(when(col("label") === 1L, 1L).otherwise(0L)),
+        sum(when(col("label") === 0L, 1L).otherwise(0L))).as("cap"))
+    val w = Window.partitionBy(col("lang"), col("label")).orderBy(col("doc_id"))
+    lab.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(caps), "lang")
+      .filter(col("rn") <= col("cap"))
+      // feature metadata joined AFTER the trim (the smaller side)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("label"), col("n_tokens"),
+        col("n_chars"))
+  }
+
+  /** DuckDB twin of [[qualityPairs]] — same tercile, label, cap and
+    * trim arithmetic over the shared lmScore CTEs. */
+  val qualityPairsOracle: String =
+    s"""$lmScoreCtes,
+       |qj AS (
+       |  SELECT l.doc_id, d.lang, l.mean_nll_e6, l.n_tokens,
+       |    d.n_chars::BIGINT AS n_chars
+       |  FROM lmdoc l JOIN documents d ON d.doc_id::BIGINT = l.doc_id),
+       |qr AS (
+       |  SELECT doc_id, lang, n_tokens, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY mean_nll_e6, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM qj),
+       |qlab AS (
+       |  SELECT doc_id, lang, n_tokens, n_chars,
+       |    (CASE ((rn - 1) * 3) // n WHEN 0 THEN 1 ELSE 0 END)::BIGINT AS label
+       |  FROM qr WHERE ((rn - 1) * 3) // n != 1),
+       |qcap AS (
+       |  SELECT lang, least(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END),
+       |                     sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)) AS cap
+       |  FROM qlab GROUP BY 1),
+       |qrk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang, label
+       |                               ORDER BY doc_id) AS rn2
+       |  FROM qlab)
+       |SELECT doc_id, lang, label, n_tokens, n_chars
+       |FROM qrk JOIN qcap USING (lang) WHERE rn2 <= cap""".stripMargin
 
   val ccnetBucketsOracle: String =
     s"""$lmScoreCtes,

@@ -483,7 +483,9 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Curation.tokenBudget(docs(s, d))),
     "llm_dedup_incr_near" -> (dedupIncrNear _),
     "llm_dedup_incr_apply" -> (dedupIncrApply _),
-    "llm_corpus_card" -> (corpusCard _)
+    "llm_corpus_card" -> (corpusCard _),
+    "llm_quality_pairs" ->
+      ((s: SparkSession, d: String) => Curation.qualityPairs(docs(s, d)))
   )
 
   /** The doc-id midpoint splitting the corpus into history (below) and
@@ -694,6 +696,7 @@ object LlmQueries {
     "llm_split" -> Curation.splitOracle,
     "llm_lm_score" -> Curation.lmScoreOracle,
     "llm_ccnet_buckets" -> Curation.ccnetBucketsOracle,
+    "llm_quality_pairs" -> Curation.qualityPairsOracle,
     // invariant gate (the kmeans-gate pattern): the clustering is
     // deterministic in-engine but not bit-portable, so the oracle pins
     // the four SemDeDup invariants as constants

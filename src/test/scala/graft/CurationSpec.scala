@@ -385,6 +385,43 @@ class CurationSpec extends AnyFunSuite {
     assert(out("small") == ((100L, 200000L, 1020L, 102000L, 400L, 620L)))
   }
 
+  test("qualityPairs: classes balance per language, degenerate languages cap to zero") {
+    val out = Curation.qualityPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // exact per-language class balance
+    val byLang = out.groupBy(_._2)
+    byLang.foreach { case (l, rows) =>
+      val pos = rows.count(_._3 == 1L); val neg = rows.count(_._3 == 0L)
+      assert(pos == neg && pos > 0, s"$l unbalanced: $pos vs $neg")
+    }
+    // labels are exactly the (trimmed) head/tail of the tercile table
+    val buckets = Curation.ccnetBuckets(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    out.foreach { case (id, _, lab) =>
+      assert(buckets(id) == (if (lab == 1L) "head" else "tail"))
+    }
+
+    import spark.implicits._
+    // 4 docs in one lang -> head 2 / middle 1 / tail 1 -> ONE pair, and
+    // the kept head is the best-scoring (trim is doc_id-ordered, but
+    // both head docs tie only if scores tie); 2 docs -> no tail -> zero
+    val d = Seq(
+        (1L, "alpha alpha alpha alpha", "en"), // repetitive -> low nll
+        (2L, "alpha alpha alpha beta", "en"),
+        (3L, "alpha beta gamma delta", "en"),
+        (4L, "epsilon zeta eta theta", "en"),  // all-rare -> high nll
+        (10L, "iota iota", "zz"), (11L, "kappa kappa", "zz"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val small = Curation.qualityPairs(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(small.forall(_._2 == "en"), s"zz must cap to zero: $small")
+    assert(small.size == 2 && small.count(_._3 == 1L) == 1 &&
+      small.count(_._3 == 0L) == 1, s"one balanced pair expected: $small")
+  }
+
   test("tokenBudget plan: one sources-sized aggregate, corpus never joins wide") {
     val plan = Curation.tokenBudget(docs).queryExecution.executedPlan.toString
     // the totals ride back as a broadcast 1-row cross — the corpus side

@@ -323,6 +323,88 @@ object Multimodal {
     * projection, no shuffle; the NN sampler touches T²·3 bytes per
     * image REGARDLESS of image size, which is the point of
     * thumbnailing at 100 TB (a full-decode resize reads w·h·3). */
+  /** Decimation factor for [[pcmDownsample]]. */
+  val PcmDecimate = 4
+
+  /** Audio downsampling: mean-pool the int16 PCM stream in groups of
+    * [[PcmDecimate]] samples (truncating integer mean — Java `/` and
+    * the oracle's BIGINT `//` both round toward zero) and emit one
+    * summary row per audio doc: `(doc_id, n_in, n_out, abs_sum, peak,
+    * checksum)` with the checksum position-weighted (Σ (j+1)·o_j) so a
+    * reordered or off-by-one pooling cannot hash-match. The ragged tail
+    * (n_in mod factor samples) is dropped — n_out = n_in div factor by
+    * contract. Same scale shape as [[pcmFrames]]: a pure mapPartitions
+    * projection over the opaque binary column, no shuffle, output one
+    * row per doc. */
+  def pcmDownsample(docs: DataFrame, factor: Int = PcmDecimate): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withMediaColumn(docs).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          wavData(bytes) match {
+            case None => Iterator.empty
+            case Some((at, len)) =>
+              val ns = len / 2
+              val nOut = ns / factor
+              var j = 0
+              var absSum = 0L
+              var peak = 0L
+              var ck = 0L
+              while (j < nOut) {
+                var k = 0
+                var s = 0L
+                while (k < factor) {
+                  val i = j * factor + k
+                  s += (bytes(at + 2 * i + 1) << 8) | (bytes(at + 2 * i) & 0xff)
+                  k += 1
+                }
+                val o = s / factor
+                val a = math.abs(o)
+                absSum += a
+                if (a > peak) peak = a
+                ck += (j + 1) * o
+                j += 1
+              }
+              Iterator.single((id, ns.toLong, nOut.toLong, absSum, peak, ck))
+          }
+        }
+      }.toDF("doc_id", "n_in", "n_out", "abs_sum", "peak", "checksum")
+  }
+
+  /** DuckDB twin of [[pcmDownsample]] — the [[pcmOracleSql]] int16
+    * decode, pooled with the same truncating-mean and position-weighted
+    * checksum. */
+  val pcmDownsampleOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |         octet_length(encode(text))::BIGINT AS plen,
+       |         hex(encode(text)) AS hx
+       |  FROM documents WHERE doc_id % 4 = 2),
+       |s AS (
+       |  SELECT doc_id, plen // 2 AS ns,
+       |    list_transform(range(0, plen // 2), i ->
+       |      ('0x' || substr(hx, (2 * i + 1) * 2 + 1, 2))::BIGINT * 256
+       |      + ('0x' || substr(hx, (2 * i) * 2 + 1, 2))::BIGINT
+       |      - CASE WHEN ('0x' || substr(hx, (2 * i + 1) * 2 + 1, 2))::BIGINT
+       |             >= 128 THEN 65536 ELSE 0 END) AS smp
+       |  FROM b),
+       |g AS (
+       |  SELECT doc_id, ns, ns // $PcmDecimate AS n_out,
+       |    list_transform(range(0, ns // $PcmDecimate), j ->
+       |      (smp[$PcmDecimate * j + 1] + smp[$PcmDecimate * j + 2] +
+       |       smp[$PcmDecimate * j + 3] + smp[$PcmDecimate * j + 4])
+       |        // $PcmDecimate) AS o
+       |  FROM s)
+       |SELECT doc_id, ns::BIGINT AS n_in, n_out::BIGINT AS n_out,
+       |  coalesce(list_sum(list_transform(o, x -> abs(x))), 0)::BIGINT
+       |    AS abs_sum,
+       |  coalesce(list_max(list_transform(o, x -> abs(x))), 0)::BIGINT AS peak,
+       |  coalesce(list_sum(list_transform(range(0, n_out),
+       |    j -> (j + 1) * o[j + 1])), 0)::BIGINT AS checksum
+       |FROM g""".stripMargin
+
   def thumbnails(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

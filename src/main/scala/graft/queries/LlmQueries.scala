@@ -424,6 +424,8 @@ object LlmQueries {
     "llm_sim_topk_sq8" -> (simTopKSq8Gate _),
     "llm_multimodal" -> (multimodal _),
     "llm_pcm_frames" -> (pcmFrames _),
+    "llm_pcm_downsample" ->
+      ((s: SparkSession, d: String) => Multimodal.pcmDownsample(docs(s, d))),
     "llm_thumbnail" ->
       ((s: SparkSession, d: String) => Multimodal.thumbnails(docs(s, d))),
     "llm_dedup_embed" -> (embedNearDup _),
@@ -744,6 +746,7 @@ object LlmQueries {
 
     "llm_multimodal" -> Multimodal.oracleSql,
     "llm_pcm_frames" -> Multimodal.pcmOracleSql,
+    "llm_pcm_downsample" -> Multimodal.pcmDownsampleOracle,
     "llm_thumbnail" -> Multimodal.thumbnailsOracle,
 
     "llm_dedup_embed" ->

@@ -484,6 +484,90 @@ object Multimodal {
        |FROM s""".stripMargin
   }
 
+  /** Area-pooled thumbnail reduction over real BMP pixel geometry — the
+    * average-pool counterpart to the [[thumbnails]] NN sampler. Every
+    * PAYLOAD byte is bucketed into its [[ThumbSize]]×[[ThumbSize]]
+    * pooling cell with the standard index map `cell = (coord·t) div dim`
+    * (pixels past the payload are zero and contribute nothing, so both
+    * engines touch exactly payload-length bytes — never w·h·3); stride
+    * padding bytes and rows beyond the bitmap are excluded. Output per
+    * image: `(doc_id, width, height, pool_checksum, pool_sum)` with the
+    * checksum weighted by (cell·3 + channel + 1) so a transposed,
+    * top-down, or stride-broken bucketing cannot hash-match. The pooled
+    * SUM is the statistic (mean = sum / cell pixel area is a display
+    * detail that would only add block-size bookkeeping). Pure
+    * mapPartitions, no shuffle. */
+  def thumbnailPool(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = ThumbSize
+    withMediaColumn(docs).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes.length < 54 || !ascii(bytes, 0, "BM")) Iterator.empty
+          else {
+            val w = le32(bytes, 18)
+            val h = le32(bytes, 22)
+            val off = le32(bytes, 10).toInt
+            val stride = ((w * 3 + 3) / 4) * 4
+            val plen = bytes.length - off
+            var checksum = 0L
+            var total = 0L
+            var p = 0
+            while (p < plen) {
+              val row = p / stride.toInt
+              val rem = p - row * stride.toInt
+              if (row < h && rem < 3 * w) {
+                val sy = h - 1 - row
+                val sx = rem / 3
+                val c = rem % 3
+                val cell = (sy * t / h) * t + (sx * t / w)
+                val v = (bytes(off + p) & 0xff).toLong
+                checksum += (cell * 3 + c + 1) * v
+                total += v
+              }
+              p += 1
+            }
+            Iterator.single((id, w, h, checksum, total))
+          }
+        }
+      }.toDF("doc_id", "width", "height", "pool_checksum", "pool_sum")
+  }
+
+  /** DuckDB twin of [[thumbnailPool]] — the same payload-byte bucketing
+    * replayed from hex pairs. */
+  val thumbnailPoolOracle: String = {
+    val t = ThumbSize
+    // row/rem/geometry for payload offset p
+    val row = "(p // stride)"
+    val rem = s"(p - $row * stride)"
+    val cell = s"((((h - 1 - $row) * $t) // h) * $t + ((($rem // 3) * $t) // w))"
+    s"""WITH b AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |         octet_length(encode(text))::BIGINT AS plen,
+       |         hex(encode(text)) AS hx,
+       |         doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |g AS (SELECT *, ((w * 3 + 3) // 4) * 4 AS stride FROM b),
+       |s AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(0, plen), p ->
+       |      CASE WHEN $row < h AND $rem < 3 * w
+       |           THEN ($cell * 3 + ($rem % 3) + 1)
+       |                * ('0x' || substr(hx, p * 2 + 1, 2))::BIGINT
+       |           ELSE 0 END) AS wv,
+       |    list_transform(range(0, plen), p ->
+       |      CASE WHEN $row < h AND $rem < 3 * w
+       |           THEN ('0x' || substr(hx, p * 2 + 1, 2))::BIGINT
+       |           ELSE 0 END) AS v
+       |  FROM g)
+       |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+       |  coalesce(list_sum(wv), 0)::BIGINT AS pool_checksum,
+       |  coalesce(list_sum(v), 0)::BIGINT AS pool_sum
+       |FROM s""".stripMargin
+  }
+
   /** DuckDB twin of [[pcmFrames]]: signed LE16 samples re-read from hex
     * byte pairs of the payload, same windows, same integer reductions. */
   val pcmOracleSql: String =

@@ -428,6 +428,8 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Multimodal.pcmDownsample(docs(s, d))),
     "llm_thumbnail" ->
       ((s: SparkSession, d: String) => Multimodal.thumbnails(docs(s, d))),
+    "llm_thumbnail_pool" ->
+      ((s: SparkSession, d: String) => Multimodal.thumbnailPool(docs(s, d))),
     "llm_dedup_embed" -> (embedNearDup _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_ann_recall" -> (annRecall _),
@@ -748,6 +750,7 @@ object LlmQueries {
     "llm_pcm_frames" -> Multimodal.pcmOracleSql,
     "llm_pcm_downsample" -> Multimodal.pcmDownsampleOracle,
     "llm_thumbnail" -> Multimodal.thumbnailsOracle,
+    "llm_thumbnail_pool" -> Multimodal.thumbnailPoolOracle,
 
     "llm_dedup_embed" ->
       """WITH e AS (

@@ -746,20 +746,25 @@ object Curation {
     *
     * Scale shape: scoring is the lmScore plan (corpus never shuffles);
     * ranking shuffles once on lang (the ccnetBuckets window, same
-    * documented 100 TB swap to sketch thresholds); class caps ride back
-    * as a broadcast langs-sized table. */
+    * documented 100 TB swap to sketch thresholds); the class cap is a
+    * pure expression of the already-windowed language count (min of the
+    * tercile sizes = n div 3), so balancing adds no aggregate, no join
+    * and no second pass. */
   def qualityPairs(docs: DataFrame): DataFrame = {
+    // the class cap needs NO second aggregate pass: the tercile
+    // arithmetic fixes the class sizes as pure functions of the
+    // language count n already windowed in — head = ceil(n/3) >=
+    // tail = floor(n/3), so min(|head|, |tail|) = n div 3, carried as
+    // a derived column instead of a caps aggregate + broadcast join
+    // (the review-caught double corpus sort/window pass)
     val lab = ccnetRanked(docs)
       .filter(col("bucket") =!= "middle")
       .withColumn("label",
         when(col("bucket") === "head", 1L).otherwise(0L))
-      .select(col("doc_id"), col("lang"), col("label"), col("n_tokens"))
-    val caps = lab.groupBy(col("lang")).agg(
-      least(sum(when(col("label") === 1L, 1L).otherwise(0L)),
-        sum(when(col("label") === 0L, 1L).otherwise(0L))).as("cap"))
+      .select(col("doc_id"), col("lang"), col("label"), col("n_tokens"),
+        expr("n div 3").as("cap"))
     val w = Window.partitionBy(col("lang"), col("label")).orderBy(col("doc_id"))
     lab.withColumn("rn", row_number().over(w).cast("long"))
-      .join(broadcast(caps), "lang")
       .filter(col("rn") <= col("cap"))
       // feature metadata joined AFTER the trim (the smaller side)
       .join(docs.select(col("doc_id").cast("long").as("doc_id"),
@@ -783,19 +788,15 @@ object Curation {
        |    count(*) OVER (PARTITION BY lang) AS n
        |  FROM qj),
        |qlab AS (
-       |  SELECT doc_id, lang, n_tokens, n_chars,
+       |  SELECT doc_id, lang, n_tokens, n_chars, n // 3 AS cap,
        |    (CASE ((rn - 1) * 3) // n WHEN 0 THEN 1 ELSE 0 END)::BIGINT AS label
        |  FROM qr WHERE ((rn - 1) * 3) // n != 1),
-       |qcap AS (
-       |  SELECT lang, least(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END),
-       |                     sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)) AS cap
-       |  FROM qlab GROUP BY 1),
        |qrk AS (
        |  SELECT *, row_number() OVER (PARTITION BY lang, label
        |                               ORDER BY doc_id) AS rn2
        |  FROM qlab)
        |SELECT doc_id, lang, label, n_tokens, n_chars
-       |FROM qrk JOIN qcap USING (lang) WHERE rn2 <= cap""".stripMargin
+       |FROM qrk WHERE rn2 <= cap""".stripMargin
 
   val ccnetBucketsOracle: String =
     s"""$lmScoreCtes,

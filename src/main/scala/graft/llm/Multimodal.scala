@@ -505,25 +505,31 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          if (bytes.length < 54 || !ascii(bytes, 0, "BM")) Iterator.empty
+          // degenerate header geometry (w or h <= 0, offset outside the
+          // blob, stride past Int range) is a foreign blob — skipped,
+          // like the NN sampler, never a divide-by-zero in the executor
+          lazy val w = le32(bytes, 18)
+          lazy val h = le32(bytes, 22)
+          lazy val off = le32(bytes, 10)
+          lazy val strideL = ((w * 3L + 3L) / 4L) * 4L
+          if (bytes.length < 54 || !ascii(bytes, 0, "BM") ||
+              w <= 0 || h <= 0 || off < 0 || off > bytes.length ||
+              strideL <= 0 || strideL > Int.MaxValue) Iterator.empty
           else {
-            val w = le32(bytes, 18)
-            val h = le32(bytes, 22)
-            val off = le32(bytes, 10).toInt
-            val stride = ((w * 3 + 3) / 4) * 4
-            val plen = bytes.length - off
+            val stride = strideL.toInt
+            val plen = bytes.length - off.toInt
             var checksum = 0L
             var total = 0L
             var p = 0
             while (p < plen) {
-              val row = p / stride.toInt
-              val rem = p - row * stride.toInt
+              val row = p / stride
+              val rem = p - row * stride
               if (row < h && rem < 3 * w) {
                 val sy = h - 1 - row
                 val sx = rem / 3
                 val c = rem % 3
                 val cell = (sy * t / h) * t + (sx * t / w)
-                val v = (bytes(off + p) & 0xff).toLong
+                val v = (bytes(off.toInt + p) & 0xff).toLong
                 checksum += (cell * 3 + c + 1) * v
                 total += v
               }

@@ -496,10 +496,18 @@ object LlmQueries {
     * the incoming snapshot (at/above) — a bounded 1-row aggregate
     * collect (the stream_incr_dedup cutoff pattern), pure integer
     * arithmetic mirrored by the oracles. */
-  private def snapshotCut(spark: SparkSession, dir: String): Long =
-    docs(spark, dir)
-      .agg(org.apache.spark.sql.functions.expr("(max(doc_id) + 1) div 2"))
-      .head().getLong(0)
+  private val snapshotCutCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def snapshotCut(spark: SparkSession, dir: String): Long = {
+    // memoized like bpeRules (a plain value — a getOrElseUpdate race at
+    // worst recomputes once): the verdict entry and the applied accept
+    // would otherwise each run this driver-blocking aggregate
+    snapshotCutCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    snapshotCutCache.getOrElseUpdate((spark, dir),
+      docs(spark, dir)
+        .agg(org.apache.spark.sql.functions.expr("(max(doc_id) + 1) div 2"))
+        .head().getLong(0))
+  }
 
   /** Cross-snapshot near-dedup verdicts, memoized per (session, dir)
     * like [[ngramPairs]] — the verdict table feeds BOTH the verdict

@@ -58,7 +58,8 @@ object SparkEntry {
       "q20_retention" -> (Analytics.q20Retention _),
       "q21_spikes" -> (Analytics.q21Spikes _),
       "q22_ewma" -> (Analytics.q22Ewma _),
-      "q23_transitions" -> (Analytics.q23Transitions _)
+      "q23_transitions" -> (Analytics.q23Transitions _),
+      "q24_user_sequences" -> (Analytics.q24UserSequences _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

@@ -416,8 +416,54 @@ object Analytics {
       .select(col("event_type"), col("hour_bucket"), col("n"), col("s1"), col("s2"))
   }
 
+  /** Behavioral-sequence dataset construction: one row per user with
+    * the (ts, event_id)-ordered event-type sequence CAPPED at
+    * [[SeqMaxLen]] events — the training-example builder for
+    * sequential/recommendation models. Output `(user_id, n_events,
+    * seq_len, seq_hash)` with the hash over the comma-joined capped
+    * sequence, so any reordering, truncation-point or tie-break drift
+    * breaks the gate.
+    *
+    * Scale shape: ONE user-keyed exchange + sort (the q23/sessionize
+    * shape, shareable with a user-bucketed layout); the rank filter
+    * bounds what the collect ever buffers to [[SeqMaxLen]] rows per
+    * user BEFORE aggregation — a chatty user costs 50 collected
+    * elements, not their history (the skew bound a naive
+    * collect_list-then-slice lacks); counts ride the same window. */
+  val SeqMaxLen = 50
+
+  def q24UserSequences(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .where(col("rn") <= SeqMaxLen)
+      .groupBy(col("user_id"))
+      .agg(first(col("n")).cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("seq_len"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ",").cast("binary")).as("seq_hash"))
+      .select(col("user_id").cast("long").as("user_id"), col("n_events"),
+        col("seq_len"), col("seq_hash"))
+  }
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q24_user_sequences" ->
+      s"""WITH r AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER w AS rn, count(*) OVER (PARTITION BY user_id) AS n,
+         |    epoch_ns(ts) AS tns, event_id
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+         |SELECT user_id::BIGINT AS user_id, n::BIGINT AS n_events,
+         |  count(*)::BIGINT AS seq_len,
+         |  md5(string_agg(event_type, ',' ORDER BY tns, event_id)) AS seq_hash
+         |FROM r WHERE rn <= $SeqMaxLen
+         |GROUP BY user_id, n""".stripMargin,
     "q23_transitions" ->
       """WITH s AS (
         |  SELECT event_type AS from_type,

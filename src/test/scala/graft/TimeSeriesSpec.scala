@@ -242,4 +242,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     val err = intercept[Exception](spikesAt(Seq.fill(7)(200000000L)))
     assert(err.getMessage != null)
   }
+
+  test("q24 user sequences: cap, count and hash match a scalar reference") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Analytics
+      .q24UserSequences(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.nonEmpty)
+    // scalar reference over the same normalized events
+    val rows = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = rows.groupBy(_._1).map { case (u, g) =>
+      val ordered = g.sortBy(e => (e._2, e._3)).map(_._4)
+      val capped = ordered.take(graft.queries.Analytics.SeqMaxLen)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(capped.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      u -> ((g.size.toLong, capped.size.toLong, md))
+    }
+    assert(out == want, "sequence hashes must match the scalar walk")
+    assert(out.values.forall(_._2 <= graft.queries.Analytics.SeqMaxLen))
+  }
 }

@@ -56,6 +56,35 @@ object TextStats {
       .drop("text")
   }
 
+  /** Language-ID evaluation: the confusion matrix of the stopword
+    * heuristic against the gold `lang` labels plus a per-gold-language
+    * recall (e4) — the classifier-evaluation table a pipeline reviews
+    * before trusting [[stats]]' `lang_guess` for routing/mixing. Output
+    * one row per observed `(lang, lang_guess)` cell: `(lang, lang_guess,
+    * n, n_lang, recall_e4)` where `recall_e4` is the diagonal share for
+    * the row's gold language. Reuses the SAME [[stats]] projection the
+    * gated entry runs, so the evaluated classifier is the shipped one.
+    *
+    * Scale shape: the per-doc projection is shuffle-free; the confusion
+    * aggregate is (langs × langs)-sized with map-side combine; the
+    * per-gold totals are a window over that tiny matrix. */
+  def langidEval(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guessed = stats(docs).select(col("doc_id"), col("lang_guess"))
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        "doc_id")
+    val byGold = Window.partitionBy(col("lang"))
+    guessed.groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_lang", sum(col("n")).over(byGold))
+      .withColumn("diag",
+        sum(when(col("lang") === col("lang_guess"), col("n"))
+          .otherwise(lit(0L))).over(byGold))
+      .withColumn("recall_e4", expr("diag * 10000 div n_lang"))
+      .select(col("lang"), col("lang_guess"), col("n"), col("n_lang"),
+        col("recall_e4"))
+  }
+
   /** The DuckDB twin of [[stats]] — formulas must stay in lockstep. */
   val oracleSql: String =
     """SELECT doc_id::BIGINT AS doc_id,
@@ -74,4 +103,19 @@ object TextStats {
       |       WHEN sw_es > sw_en THEN 'es'
       |       ELSE 'en' END AS lang_guess
       |FROM documents""".stripMargin
+
+  /** DuckDB twin of [[langidEval]] — the confusion/recall arithmetic
+    * over the [[oracleSql]] guess definition (ONE classifier spec). */
+  val langidEvalOracle: String =
+    s"""WITH st AS ($oracleSql),
+       |g AS (SELECT d.lang, st.lang_guess
+       |      FROM st JOIN documents d ON d.doc_id::BIGINT = st.doc_id),
+       |m AS (SELECT lang, lang_guess, count(*)::BIGINT AS n
+       |      FROM g GROUP BY 1, 2)
+       |SELECT lang, lang_guess, n,
+       |  (sum(n) OVER w)::BIGINT AS n_lang,
+       |  ((sum(CASE WHEN lang = lang_guess THEN n ELSE 0 END) OVER w)
+       |    * 10000 // sum(n) OVER w)::BIGINT AS recall_e4
+       |FROM m
+       |WINDOW w AS (PARTITION BY lang)""".stripMargin
 }

@@ -489,7 +489,9 @@ object LlmQueries {
     "llm_dedup_incr_apply" -> (dedupIncrApply _),
     "llm_corpus_card" -> (corpusCard _),
     "llm_quality_pairs" ->
-      ((s: SparkSession, d: String) => Curation.qualityPairs(docs(s, d)))
+      ((s: SparkSession, d: String) => Curation.qualityPairs(docs(s, d))),
+    "llm_langid_eval" ->
+      ((s: SparkSession, d: String) => TextStats.langidEval(docs(s, d)))
   )
 
   /** The doc-id midpoint splitting the corpus into history (below) and
@@ -733,6 +735,7 @@ object LlmQueries {
         |FROM hs""".stripMargin,
 
     "llm_text_stats" -> TextStats.oracleSql,
+    "llm_langid_eval" -> TextStats.langidEvalOracle,
 
     "llm_fingerprint" -> Fingerprint.oracleSql,
 

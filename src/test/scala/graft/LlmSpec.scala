@@ -94,6 +94,33 @@ class LlmSpec extends AnyFunSuite {
       s"equal-score ties must resolve to min history id: ${out.toSeq}")
   }
 
+  test("langid eval: planted multilingual docs land on the diagonal, mislabels off it") {
+    import spark.implicits._
+    val d = Seq(
+        (1L, "the cat of the house and the dog is in", "en"),
+        (2L, "der hund und die katze das ist nicht ein", "de"),
+        (3L, "le chat et la maison est dans les jardins une", "fr"),
+        (4L, "el gato es una casa para los perros las", "es"),
+        // mislabeled: gold says de, text is english
+        (5L, "the king of the hill and the dog was here", "de"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val out = TextStats.langidEval(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("en", "en")) == ((1L, 1L, 10000L)))
+    assert(out(("fr", "fr")) == ((1L, 1L, 10000L)))
+    assert(out(("es", "es")) == ((1L, 1L, 10000L)))
+    // gold de: one correct, one mislabeled-as-en doc -> recall 5000
+    assert(out(("de", "de")) == ((1L, 2L, 5000L)))
+    assert(out(("de", "en")) == ((1L, 2L, 5000L)))
+    // on the driver corpus the text is synthetic word soup: the gate
+    // honestly reports recall 10000 for en and 0 elsewhere (labels are
+    // uncorrelated with text there) — this planted case is what pins
+    // the non-degenerate behavior
+  }
+
   test("corpus card: metrics agree with the standalone operators they summarize") {
     val card = graft.queries.LlmQueries.corpusCard(spark, dir).collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))

@@ -491,7 +491,21 @@ object LlmQueries {
     "llm_quality_pairs" ->
       ((s: SparkSession, d: String) => Curation.qualityPairs(docs(s, d))),
     "llm_langid_eval" ->
-      ((s: SparkSession, d: String) => TextStats.langidEval(docs(s, d)))
+      ((s: SparkSession, d: String) => TextStats.langidEval(docs(s, d))),
+    // threshold-calibration sweep over the SAME memoized pair table the
+    // ngram/cluster/apply entries consume: per e3 similarity band, the
+    // pair count and band extrema — the "where would moving the dedup
+    // threshold land" decision table, one tiny aggregate over candidates
+    "llm_dedup_sweep" ->
+      ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.{count, lit, max, min}
+        ngramPairs(s, d)
+          .groupBy(org.apache.spark.sql.functions
+            .expr("(jaccard_r div 1000) * 1000").as("band_lo_e4"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("jaccard_r")).as("min_r"),
+            max(col("jaccard_r")).as("max_r"))
+      })
   )
 
   /** The doc-id midpoint splitting the corpus into history (below) and
@@ -671,7 +685,20 @@ object LlmQueries {
     // exact word-2-gram Jaccard at 0.5 — the oracle is the plain all-pairs
     // inverted-index form; the Spark side reaches the SAME pairs through the
     // exactness-preserving prefix filter (AllPairs/PPJoin)
-    "llm_dedup_ngram" ->
+    "llm_dedup_ngram" -> ngramPairsOracle,
+
+    // the threshold-calibration sweep over the SAME pair table: how many
+    // pairs each similarity band holds (where would moving the dedup
+    // knob land?) — oracle wraps the ngram oracle verbatim
+    "llm_dedup_sweep" ->
+      s"""WITH p AS ($ngramPairsOracle)
+         |SELECT (jaccard_r // 1000) * 1000 AS band_lo_e4,
+         |  count(*)::BIGINT AS n_pairs,
+         |  min(jaccard_r) AS min_r, max(jaccard_r) AS max_r
+         |FROM p GROUP BY 1""".stripMargin
+  ) ++ moreOracles
+
+  private lazy val ngramPairsOracle: String =
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, unnest(list_transform(
         |    range(1, greatest(len(w) - 1, 0) + 1),
@@ -689,8 +716,9 @@ object LlmQueries {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = inter.doc_a
         |JOIN sizes sb ON sb.doc_id = inter.doc_b
-        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin,
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin
 
+  private lazy val moreOracles: Map[String, String] = Map(
     // connected components over the ngram-Jaccard pairs via a recursive
     // reachability closure (feasible at oracle scale); the Spark side
     // reaches the same components by min-label propagation. ONE closure

@@ -366,6 +366,47 @@ object Curation {
        |SELECT r.lang, n_docs, rate_e6, coalesce(k.kept, 0)::BIGINT AS kept
        |FROM r LEFT JOIN k USING (lang)""".stripMargin
 
+  // ------------------------------------------------------------- blocklist
+
+  /** Blocked terms for [[blocklistFilter]] (the C4 "bad words" stage
+    * shape — Raffel et al. 2020 dropped any page containing a listed
+    * word; the list here is a fixture stand-in, the mechanism is the
+    * operator). */
+  val BlockedTerms: Seq[String] = Seq("dup", "slow", "stale")
+
+  /** Blocklist document filter: per doc, how many TOKEN OCCURRENCES hit
+    * the blocked-term list and the C4-style verdict (`keep` = zero
+    * hits). Token-membership semantics (not substring — "leaky" does
+    * not hit "leak"), over the same [[Dedup.tokens]] tokenization every
+    * text operator uses.
+    *
+    * Scale shape: the list is broadcast-tiny by nature (thousands of
+    * terms at most) — here it folds into a per-row array_intersect-free
+    * membership test (one `exists` over the token array against a
+    * literal set), zero shuffles, corpus streamed once. With a list too
+    * large for a literal, the drop-in swap is the Bloom-gate shape
+    * (`decontamBloomGate`). */
+  def blocklistFilter(docs: DataFrame): DataFrame = {
+    val w = Dedup.tokens(col("text"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(filter(w, t => t.isin(BlockedTerms: _*))).cast("long").as("n_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
+  /** DuckDB twin of [[blocklistFilter]] — same tokenization, same
+    * token-membership count. */
+  val blocklistOracle: String = {
+    val list = BlockedTerms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id::BIGINT AS doc_id,
+       |  len(list_filter(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                              t -> t != ''),
+       |                  t -> t IN ($list)))::BIGINT AS n_hits,
+       |  len(list_filter(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                              t -> t != ''),
+       |                  t -> t IN ($list))) = 0 AS keep
+       |FROM documents""".stripMargin
+  }
+
   // ---------------------------------------------------------- token budget
 
   /** Training-token budget as a multiple of the corpus's total token

@@ -492,6 +492,8 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Curation.qualityPairs(docs(s, d))),
     "llm_langid_eval" ->
       ((s: SparkSession, d: String) => TextStats.langidEval(docs(s, d))),
+    "llm_blocklist" ->
+      ((s: SparkSession, d: String) => Curation.blocklistFilter(docs(s, d))),
     // threshold-calibration sweep over the SAME memoized pair table the
     // ngram/cluster/apply entries consume: per e3 similarity band, the
     // pair count and band extrema — the "where would moving the dedup
@@ -764,6 +766,7 @@ object LlmQueries {
 
     "llm_text_stats" -> TextStats.oracleSql,
     "llm_langid_eval" -> TextStats.langidEvalOracle,
+    "llm_blocklist" -> Curation.blocklistOracle,
 
     "llm_fingerprint" -> Fingerprint.oracleSql,
 

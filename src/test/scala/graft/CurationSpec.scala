@@ -385,6 +385,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out("small") == ((100L, 200000L, 1020L, 102000L, 400L, 620L)))
   }
 
+  test("blocklist: token membership (not substring), C4 verdict on zero hits") {
+    import spark.implicits._
+    val d = Seq(
+        (1L, "the dup table and the slow scan"),   // 2 hits
+        (2L, "dups and slowness are not tokens"),  // 0: substrings don't hit
+        (3L, "clean merge join"),                  // 0
+        (4L, "DUP Dup dup"))                       // 3: case-folded
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val out = Curation.blocklistFilter(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((2L, false)))
+    assert(out(2L) == ((0L, true)), "substring matches must NOT hit")
+    assert(out(3L) == ((0L, true)))
+    assert(out(4L) == ((3L, false)), "matching is case-folded, per occurrence")
+  }
+
   test("qualityPairs: classes balance per language, degenerate languages cap to zero") {
     val out = Curation.qualityPairs(docs).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

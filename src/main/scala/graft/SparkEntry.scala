@@ -59,7 +59,8 @@ object SparkEntry {
       "q21_spikes" -> (Analytics.q21Spikes _),
       "q22_ewma" -> (Analytics.q22Ewma _),
       "q23_transitions" -> (Analytics.q23Transitions _),
-      "q24_user_sequences" -> (Analytics.q24UserSequences _)
+      "q24_user_sequences" -> (Analytics.q24UserSequences _),
+      "q25_trimmed_mean" -> (Analytics.q25TrimmedMean _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

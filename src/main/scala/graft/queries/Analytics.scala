@@ -450,8 +450,58 @@ object Analytics {
         col("seq_len"), col("seq_hash"))
   }
 
+  /** Exact 10%-trimmed mean of the e2-integerized event value per type —
+    * the robust-statistics twin of the plain mean (outliers at either
+    * end cannot move it), resolved EXACTLY through the value histogram:
+    * per type, drop the lowest and highest `n div 10` ranks and average
+    * the rest. Per-value kept-count = overlap of the value's rank span
+    * `(cle-c, cle]` with the kept band `[lo+1, n-lo]` — pure integer,
+    * no per-row sorting of raw events.
+    *
+    * Scale shape: ONE map-side-combined (type, value) histogram
+    * aggregate; the rank windows run over the histogram (distinct
+    * values per type), not the event stream — the [[q17Quantiles]]
+    * order-statistics discipline applied to a trimmed sum. */
+  def q25TrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "events")
+      .select(col("event_type"), fx(col("value"), 2).cast("long").as("v"))
+    val hist = e.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy("event_type")
+    val cum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n", sum(col("c")).over(byType))
+      .withColumn("cle", sum(col("c")).over(cum))
+      .withColumn("take",
+        expr("greatest(0L, least(cle, n - n div 10) - greatest(cle - c, n div 10))"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        sum(col("take")).as("n_kept"),
+        sum(expr("v * take")).as("kept_sum_e2"))
+      .withColumn("trimmed_mean_e2", expr("kept_sum_e2 div n_kept"))
+      .select("event_type", "n", "n_kept", "kept_sum_e2", "trimmed_mean_e2")
+  }
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q25_trimmed_mean" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |h AS (SELECT event_type, v, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, v, c,
+        |        (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n,
+        |        (sum(c) OVER (PARTITION BY event_type ORDER BY v))::BIGINT AS cle
+        |      FROM h),
+        |k AS (SELECT event_type, n, v, c,
+        |        greatest(0, least(cle, n - n // 10)
+        |                    - greatest(cle - c, n // 10)) AS take
+        |      FROM t)
+        |SELECT event_type, n, sum(take)::BIGINT AS n_kept,
+        |  sum(v * take)::BIGINT AS kept_sum_e2,
+        |  (sum(v * take) // sum(take))::BIGINT AS trimmed_mean_e2
+        |FROM k GROUP BY 1, 2""".stripMargin,
     "q24_user_sequences" ->
       s"""WITH r AS (
          |  SELECT user_id, event_type,

@@ -111,4 +111,36 @@ class QuantilesSpec extends AnyFunSuite {
     val flagged = out.map(_.getLong(0)).sorted
     assert(flagged.toSeq == ((1L to 9L) ++ (991L to 1000L)), "strictly outside [lo, hi]")
   }
+
+  test("q25 trimmed mean: histogram form equals the scalar sort-trim-average") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Analytics
+      .q25TrimmedMean(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.nonEmpty)
+    val rows = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"),
+        graft.Tables.fx(col("value"), 2).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (t, g) =>
+      val sorted = g.map(_._2).sorted
+      val n = sorted.length.toLong
+      val lo = (n / 10).toInt
+      val kept = sorted.slice(lo, sorted.length - lo)
+      t -> ((n, kept.length.toLong, kept.sum, kept.sum / kept.length))
+    }
+    assert(out == want, "histogram trim must equal the scalar sort-trim")
+    // robustness: an injected extreme outlier must not move the result
+    val spiked = rows :+ (rows.head._1, 1000000000L)
+    val tt = rows.head._1
+    val ref = {
+      val g = spiked.filter(_._1 == tt).map(_._2).sorted
+      val lo = (g.length / 10)
+      val k = g.slice(lo, g.length - lo); k.sum / k.length
+    }
+    // the outlier lands in the dropped top decile at this n
+    assert(math.abs(ref - want(tt)._4) <= math.abs(want(tt)._4) / 100 + 1,
+      "one extreme outlier must be trimmed away (robustness)")
+  }
 }

@@ -494,6 +494,8 @@ object LlmQueries {
       ((s: SparkSession, d: String) => TextStats.langidEval(docs(s, d))),
     "llm_blocklist" ->
       ((s: SparkSession, d: String) => Curation.blocklistFilter(docs(s, d))),
+    "llm_dedup_simhash" ->
+      ((s: SparkSession, d: String) => SimHash.hammingDedup(docs(s, d))),
     // threshold-calibration sweep over the SAME memoized pair table the
     // ngram/cluster/apply entries consume: per e3 similarity band, the
     // pair count and band extrema — the "where would moving the dedup
@@ -767,6 +769,35 @@ object LlmQueries {
     "llm_text_stats" -> TextStats.oracleSql,
     "llm_langid_eval" -> TextStats.langidEvalOracle,
     "llm_blocklist" -> Curation.blocklistOracle,
+
+    // all-pairs Hamming over the same simhash definition (feasible at
+    // oracle scale); the Spark side reaches the SAME verdicts through
+    // the pigeonhole band join, which is exact for d <= 2 by
+    // construction — no recall asterisk to carry
+    "llm_dedup_simhash" ->
+      """WITH hs AS (
+        |  SELECT doc_id, list_transform(
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\W+'),
+        |                              t -> t != '')),
+        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hl
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 60), i ->
+        |      CASE WHEN list_sum(list_transform(hl,
+        |             h -> CASE WHEN (h // (1::BIGINT << i)) % 2 = 1
+        |                       THEN 1 ELSE -1 END)) > 0
+        |           THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS s
+        |  FROM hs),
+        |p AS (
+        |  SELECT b.doc_id AS i, a.doc_id AS h, bit_count(xor(a.s, b.s)) AS d
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.s, b.s)) <= 2),
+        |r AS (SELECT i, h, d,
+        |        row_number() OVER (PARTITION BY i ORDER BY d, h) AS rn
+        |      FROM p)
+        |SELECT i::BIGINT AS doc_id, h::BIGINT AS dup_of, d::BIGINT AS hamming
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "llm_fingerprint" -> Fingerprint.oracleSql,
 

@@ -153,6 +153,22 @@ class LlmSpec extends AnyFunSuite {
     assert(chained.forall(_.getLong(1) == 1L) && chained.length == 12)
   }
 
+  test("simhash hamming-dedup: pigeonhole banding is EXACT vs brute force") {
+    val out = SimHash.hammingDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fp = SimHash.fingerprints(docs)
+    val brute = fp.alias("a").crossJoin(fp.alias("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("i"), col("a.doc_id").as("h"),
+        SimHash.hamming(col("a.simhash"), col("b.simhash")).cast("long").as("d"))
+      .where(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (_, g) => g.minBy(x => (x._3, x._2)) }.toSet
+    assert(brute.nonEmpty, "expected hamming<=2 pairs on this corpus")
+    assert(out == brute,
+      s"band join must lose nothing: missing=${brute -- out} extra=${out -- brute}")
+  }
+
   test("simhash: near-dup pairs are close in Hamming space, random pairs are not") {
     val fp = SimHash.fingerprints(docs)
     val pairs = Dedup.nearDuplicates(docs)

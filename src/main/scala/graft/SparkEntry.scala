@@ -60,7 +60,8 @@ object SparkEntry {
       "q22_ewma" -> (Analytics.q22Ewma _),
       "q23_transitions" -> (Analytics.q23Transitions _),
       "q24_user_sequences" -> (Analytics.q24UserSequences _),
-      "q25_trimmed_mean" -> (Analytics.q25TrimmedMean _)
+      "q25_trimmed_mean" -> (Analytics.q25TrimmedMean _),
+      "q26_mad" -> (Analytics.q26Mad _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

@@ -482,8 +482,49 @@ object Analytics {
       .select("event_type", "n", "n_kept", "kept_sum_e2", "trimmed_mean_e2")
   }
 
+  /** Median absolute deviation of the e2 event value per type — the
+    * robust scale estimator (σ ≈ 1.4826·MAD under normality), built by
+    * COMPOSING the exact grouped order statistic twice: median pass →
+    * types-sized median table broadcast back → deviation pass → median
+    * of |v − med|. Two corpus scans, histogram-sized state each, the
+    * corpus never sorted. Output `(event_type, n, med_e2, mad_e2)`. */
+  def q26Mad(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val e = load(spark, dir, "events")
+      .select(col("event_type"), fx(col("value"), 2).cast("long").as("v"))
+    val med = Quantiles.groupedOrderStat(e, "event_type", "v", 5000L)
+      .select(col("event_type"), col("value").as("med_e2"))
+    val dev = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("v") - col("med_e2")).as("d"))
+    Quantiles.groupedOrderStat(dev, "event_type", "d", 5000L)
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("n"), col("med_e2"),
+        col("value").as("mad_e2"))
+  }
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q26_mad" -> {
+      val k = graft.operators.Quantiles.kSql("5000", "n")
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |  FROM events),
+         |h1 AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+         |c1 AS (SELECT event_type, v, c,
+         |         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cle,
+         |         sum(c) OVER (PARTITION BY event_type) AS n FROM h1),
+         |med AS (SELECT event_type, v AS med_e2 FROM c1
+         |        WHERE cle - c < $k AND $k <= cle),
+         |d AS (SELECT e.event_type, abs(v - med_e2) AS dv
+         |      FROM e JOIN med USING (event_type)),
+         |h2 AS (SELECT event_type, dv, count(*) AS c FROM d GROUP BY 1, 2),
+         |c2 AS (SELECT event_type, dv, c,
+         |         sum(c) OVER (PARTITION BY event_type ORDER BY dv) AS cle,
+         |         sum(c) OVER (PARTITION BY event_type) AS n FROM h2)
+         |SELECT c2.event_type, n::BIGINT AS n, med_e2, dv AS mad_e2
+         |FROM c2 JOIN med ON med.event_type = c2.event_type
+         |WHERE cle - c < $k AND $k <= cle""".stripMargin
+    },
     "q25_trimmed_mean" ->
       """WITH e AS (
         |  SELECT event_type,

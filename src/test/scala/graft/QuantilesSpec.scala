@@ -112,6 +112,29 @@ class QuantilesSpec extends AnyFunSuite {
     assert(flagged.toSeq == ((1L to 9L) ++ (991L to 1000L)), "strictly outside [lo, hi]")
   }
 
+  test("q26 MAD: composed order stats equal the scalar median-of-deviations") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Analytics.q26Mad(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.nonEmpty)
+    val rows = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"),
+        graft.Tables.fx(col("value"), 2).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def kth(xs: Seq[Long], qE4: Long): Long = {
+      val s = xs.sorted
+      s(Quantiles.kOf(qE4, s.length.toLong).toInt - 1)
+    }
+    val want = rows.groupBy(_._1).map { case (t, g) =>
+      val vs = g.map(_._2)
+      val med = kth(vs, 5000L)
+      t -> ((vs.length.toLong, med, kth(vs.map(x => math.abs(x - med)), 5000L)))
+    }
+    assert(out == want, "MAD must equal the scalar composition")
+  }
+
   test("q25 trimmed mean: histogram form equals the scalar sort-trim-average") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.Analytics

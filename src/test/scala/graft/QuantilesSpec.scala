@@ -135,6 +135,58 @@ class QuantilesSpec extends AnyFunSuite {
     assert(out == want, "MAD must equal the scalar composition")
   }
 
+  test("robust stats fuzz: trim/MAD match scalar references on random tiny groups") {
+    import org.apache.spark.sql.functions._
+    // random corpora hammer the edges: n < 10 (lo = 0 -> plain mean),
+    // all-identical values (MAD = 0), negatives, duplicate-heavy
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(900 + seed)
+      val rows = (0 until 3 + rnd.nextInt(4)).flatMap { g =>
+        val n = 1 + rnd.nextInt(40)
+        val base = rnd.nextInt(200) - 100
+        (0 until n).map(_ => (s"t$g",
+          (if (rnd.nextInt(4) == 0) base else base + rnd.nextInt(7) - 3).toLong))
+      }
+      import spark.implicits._
+      val df = rows.toDF("event_type", "v")
+      // trimmed mean core (same algebra as q25 over a pre-integerized v)
+      val hist = df.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("c"))
+      val byT = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val cum = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("v")
+        .rowsBetween(Long.MinValue, 0)
+      val got = hist
+        .withColumn("n", sum(col("c")).over(byT))
+        .withColumn("cle", sum(col("c")).over(cum))
+        .withColumn("take",
+          expr("greatest(0L, least(cle, n - n div 10) - greatest(cle - c, n div 10))"))
+        .groupBy(col("event_type"))
+        .agg(expr("sum(v * take) div sum(take)").as("tm"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).map { case (t, g) =>
+        val s = g.map(_._2).sorted
+        val lo = s.length / 10
+        val k = s.slice(lo, s.length - lo)
+        t -> k.sum / k.length
+      }
+      assert(got == want, s"seed=$seed trimmed mean")
+      // MAD: scalar composition on the same groups
+      val mad = Quantiles.groupedOrderStat(
+          df.join(broadcast(Quantiles.groupedOrderStat(df, "event_type", "v", 5000L)
+            .select(col("event_type"), col("value").as("m"))), "event_type")
+            .select(col("event_type"), abs(col("v") - col("m")).as("d")),
+          "event_type", "d", 5000L)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      val wantMad = rows.groupBy(_._1).map { case (t, g) =>
+        val s = g.map(_._2).sorted
+        val med = s(Quantiles.kOf(5000L, s.length.toLong).toInt - 1)
+        val ds = g.map(x => math.abs(x._2 - med)).sorted
+        t -> ds(Quantiles.kOf(5000L, ds.length.toLong).toInt - 1)
+      }
+      assert(mad == wantMad, s"seed=$seed MAD")
+    }
+  }
+
   test("q25 trimmed mean: histogram form equals the scalar sort-trim-average") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.Analytics

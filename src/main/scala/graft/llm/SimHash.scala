@@ -74,7 +74,9 @@ object SimHash {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("dup_of"), col("l.simhash").as("sa"),
         col("r.doc_id").as("doc_id"), col("r.simhash").as("sb"))
-      .distinct()
+      // no distinct: a pair agreeing on k bands yields k identical rows,
+      // and the min-struct verdict is duplicate-insensitive — dedup here
+      // would cost a full-width exchange before the filter prunes
       .where(d <= maxDist)
       .groupBy(col("doc_id"))
       .agg(min(struct(d.as("d"), col("dup_of"))).as("b"))

@@ -32,8 +32,25 @@ object TextStats {
         + 0.5).cast("long"))
       .otherwise(lit(0L))
 
-  def stats(docs: DataFrame): DataFrame = {
-    var df = docs.select(
+  /** Appends the per-language stopword counts and the deterministic
+    * `lang_guess` argmax (fixed precedence en > de > fr > es) to any
+    * frame with a `text` column — the ONE classifier definition, shared
+    * by [[stats]] and [[langidEval]]. */
+  private def withLangGuess(in: DataFrame): DataFrame = {
+    var df = in
+    for ((lang, re) <- stops)
+      df = df.withColumn(s"sw_$lang",
+        size(regexp_extract_all(lower(col("text")), lit(re), lit(0))).cast("long"))
+    df.withColumn("lang_guess",
+        when(col("sw_de") > col("sw_en") && col("sw_de") >= col("sw_fr") && col("sw_de") >= col("sw_es"), "de")
+          .when(col("sw_fr") > col("sw_en") && col("sw_fr") >= col("sw_es"), "fr")
+          .when(col("sw_es") > col("sw_en"), "es")
+          .otherwise("en"))
+      .drop("text")
+  }
+
+  def stats(docs: DataFrame): DataFrame =
+    withLangGuess(docs.select(
       col("doc_id").cast("long").as("doc_id"),
       col("text"),
       // word tokens
@@ -43,18 +60,7 @@ object TextStats {
       ceil(length(col("text")) / 4.0).cast("long").as("n_tokens_approx"),
       qualityCol(col("text")).as("quality"),
       // content fingerprint
-      substring(md5(lower(col("text")).cast("binary")), 1, 16).as("fingerprint"))
-    for ((lang, re) <- stops)
-      df = df.withColumn(s"sw_$lang",
-        size(regexp_extract_all(lower(col("text")), lit(re), lit(0))).cast("long"))
-    // deterministic argmax with fixed precedence en > de > fr > es
-    df.withColumn("lang_guess",
-        when(col("sw_de") > col("sw_en") && col("sw_de") >= col("sw_fr") && col("sw_de") >= col("sw_es"), "de")
-          .when(col("sw_fr") > col("sw_en") && col("sw_fr") >= col("sw_es"), "fr")
-          .when(col("sw_es") > col("sw_en"), "es")
-          .otherwise("en"))
-      .drop("text")
-  }
+      substring(md5(lower(col("text")).cast("binary")), 1, 16).as("fingerprint")))
 
   /** Language-ID evaluation: the confusion matrix of the stopword
     * heuristic against the gold `lang` labels plus a per-gold-language
@@ -62,17 +68,21 @@ object TextStats {
     * before trusting [[stats]]' `lang_guess` for routing/mixing. Output
     * one row per observed `(lang, lang_guess)` cell: `(lang, lang_guess,
     * n, n_lang, recall_e4)` where `recall_e4` is the diagonal share for
-    * the row's gold language. Reuses the SAME [[stats]] projection the
-    * gated entry runs, so the evaluated classifier is the shipped one.
+    * the row's gold language. The guess expression is the SAME
+    * [[withLangGuess]] definition [[stats]] ships, so the evaluated
+    * classifier is the shipped one.
     *
-    * Scale shape: the per-doc projection is shuffle-free; the confusion
-    * aggregate is (langs × langs)-sized with map-side combine; the
-    * per-gold totals are a window over that tiny matrix. */
+    * Scale shape: ONE shuffle-free per-doc projection (gold label
+    * carried through — no doc_id self-join); the confusion aggregate is
+    * (langs × langs)-sized with map-side combine; the per-gold totals
+    * are a window over that tiny matrix. */
   def langidEval(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val guessed = stats(docs).select(col("doc_id"), col("lang_guess"))
-      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("lang")),
-        "doc_id")
+    // gold label carried THROUGH the classifier projection — one scan,
+    // no doc_id self-join (the review-caught two-exchange shape); the
+    // guess expression is the SAME withLangGuess definition stats ships
+    val guessed = withLangGuess(docs.select(col("lang"), col("text")))
+      .select(col("lang"), col("lang_guess"))
     val byGold = Window.partitionBy(col("lang"))
     guessed.groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n"))

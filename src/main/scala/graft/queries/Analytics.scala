@@ -416,6 +416,9 @@ object Analytics {
       .select(col("event_type"), col("hour_bucket"), col("n"), col("s1"), col("s2"))
   }
 
+  /** Sequence-length cap for [[q24UserSequences]]. */
+  val SeqMaxLen = 50
+
   /** Behavioral-sequence dataset construction: one row per user with
     * the (ts, event_id)-ordered event-type sequence CAPPED at
     * [[SeqMaxLen]] events — the training-example builder for
@@ -430,8 +433,6 @@ object Analytics {
     * user BEFORE aggregation — a chatty user costs 50 collected
     * elements, not their history (the skew bound a naive
     * collect_list-then-slice lacks); counts ride the same window. */
-  val SeqMaxLen = 50
-
   def q24UserSequences(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -462,9 +463,18 @@ object Analytics {
     * aggregate; the rank windows run over the histogram (distinct
     * values per type), not the event stream — the [[q17Quantiles]]
     * order-statistics discipline applied to a trimmed sum. */
-  def q25TrimmedMean(spark: SparkSession, dir: String): DataFrame = {
-    val e = load(spark, dir, "events")
-      .select(col("event_type"), fx(col("value"), 2).cast("long").as("v"))
+  def q25TrimmedMean(spark: SparkSession, dir: String): DataFrame =
+    trimmedMeanFrom(load(spark, dir, "events")
+      .select(col("event_type"), fx(col("value"), 2).cast("long").as("v")))
+
+  /** [[q25TrimmedMean]]'s core over a pre-integerized (event_type, v)
+    * frame — factored so the fuzz suite exercises the PRODUCTION
+    * algebra, not a copy. Null values are excluded (the
+    * [[graft.operators.Quantiles]] discipline — Spark and DuckDB sort
+    * nulls to opposite window ends, so an unguarded null shifts every
+    * rank on exactly one side). */
+  private[graft] def trimmedMeanFrom(ev: DataFrame): DataFrame = {
+    val e = ev.filter(col("v").isNotNull)
     val hist = e.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("c"))
     val byType = Window.partitionBy("event_type")
     val cum = Window.partitionBy("event_type").orderBy("v")
@@ -492,6 +502,11 @@ object Analytics {
     import graft.operators.Quantiles
     val e = load(spark, dir, "events")
       .select(col("event_type"), fx(col("value"), 2).cast("long").as("v"))
+      // explicit null exclusion BEFORE both passes so the oracle's n/k
+      // cannot drift (groupedOrderStat drops nulls internally, but the
+      // deviation join would otherwise carry null rows into n on the
+      // oracle side)
+      .filter(col("v").isNotNull)
     val med = Quantiles.groupedOrderStat(e, "event_type", "v", 5000L)
       .select(col("event_type"), col("value").as("med_e2"))
     val dev = e.join(broadcast(med), "event_type")
@@ -508,7 +523,7 @@ object Analytics {
       val k = graft.operators.Quantiles.kSql("5000", "n")
       s"""WITH e AS (
          |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-         |  FROM events),
+         |  FROM events WHERE value IS NOT NULL),
          |h1 AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
          |c1 AS (SELECT event_type, v, c,
          |         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cle,
@@ -529,7 +544,7 @@ object Analytics {
       """WITH e AS (
         |  SELECT event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |h AS (SELECT event_type, v, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
         |t AS (SELECT event_type, v, c,
         |        (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n,

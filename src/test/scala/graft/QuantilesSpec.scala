@@ -149,20 +149,9 @@ class QuantilesSpec extends AnyFunSuite {
       }
       import spark.implicits._
       val df = rows.toDF("event_type", "v")
-      // trimmed mean core (same algebra as q25 over a pre-integerized v)
-      val hist = df.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("c"))
-      val byT = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-      val cum = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("v")
-        .rowsBetween(Long.MinValue, 0)
-      val got = hist
-        .withColumn("n", sum(col("c")).over(byT))
-        .withColumn("cle", sum(col("c")).over(cum))
-        .withColumn("take",
-          expr("greatest(0L, least(cle, n - n div 10) - greatest(cle - c, n div 10))"))
-        .groupBy(col("event_type"))
-        .agg(expr("sum(v * take) div sum(take)").as("tm"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the PRODUCTION core (factored for exactly this), not a copy
+      val got = graft.queries.Analytics.trimmedMeanFrom(df)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
       val want = rows.groupBy(_._1).map { case (t, g) =>
         val s = g.map(_._2).sorted
         val lo = s.length / 10

@@ -147,6 +147,11 @@ object StreamQueries {
     StreamOps.windowTopKey(usAligned(storeDf(spark, dir)), "user", "1 hour",
       "5 seconds")
 
+  /** Per-hour top-3 users (the ranked leaderboard form of windowTop). */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.windowTopK(usAligned(storeDf(spark, dir)), "user", "1 hour",
+      "5 seconds", k = 3)
+
   /** Per-hour exact p90 of the integer `k` field (windowed order
     * statistic, chained aggregations over the value histogram). */
   def windowQuantile(spark: SparkSession, dir: String): DataFrame =
@@ -181,6 +186,7 @@ object StreamQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_top" -> (windowTop _),
+    "stream_window_topk" -> (windowTopK _),
     "stream_window_distinct" -> (windowDistinct _),
     "stream_window_quantile" -> (windowQuantile _),
     "stream_window_counts" -> (windowCounts _),
@@ -256,6 +262,19 @@ object StreamQueries {
          |    PARTITION BY window_start_us ORDER BY cnt DESC, key DESC) AS rn
          |  FROM cnt)
          |SELECT window_start_us, key, cnt FROM r WHERE rn = 1""".stripMargin,
+    "stream_window_topk" ->
+      s"""${EventStore.oracleCte},
+         |cnt AS (
+         |  SELECT (epoch_us(ts_raw) // 3600000000) * 3600000000
+         |    AS window_start_us,
+         |    CAST(user_id AS VARCHAR) AS key, count(*)::BIGINT AS cnt
+         |  FROM le GROUP BY 1, 2),
+         |r AS (
+         |  SELECT window_start_us, key, cnt, row_number() OVER (
+         |    PARTITION BY window_start_us ORDER BY cnt DESC, key DESC) AS rn
+         |  FROM cnt)
+         |SELECT window_start_us, rn::BIGINT AS rank, key, cnt
+         |FROM r WHERE rn <= 3""".stripMargin,
     "stream_window_quantile" ->
       s"""${EventStore.oracleCte},
          |vals AS (SELECT (epoch_us(ts_raw) // 3600000000) * 3600000000 AS ws,

@@ -177,6 +177,35 @@ object StreamOps {
         col("top.key").as("key"), col("top.cnt").as("cnt"))
   }
 
+  /** Per-window top-K keys — [[windowTopKey]] generalized to a ranked
+    * leaderboard: the K most frequent `fields[keyField]` values per
+    * event-time window, `(window_start_us, rank, key, cnt)`, ties
+    * toward the LARGER key (the windowTopKey convention, pinned for the
+    * oracle). Same chained-stateful-agg shape: stage 1's windowed
+    * (window, key) counts re-window on `window_time` into one aggregate
+    * holding the window's count histogram (state = windows × keys, the
+    * same bound stage 1 already carries), and the post-aggregate
+    * slice/explode is stateless — append emits each window's K rows
+    * exactly once when the watermark closes it. */
+  def windowTopK(events: DataFrame, keyField: String, windowDur: String,
+      watermarkDelay: String, k: Int = 3): DataFrame = {
+    val base = events.withColumn("event_time", eventTime(col("ts")))
+    val wm = if (events.isStreaming)
+      base.withWatermark("event_time", watermarkDelay) else base
+    val counts = wm
+      .groupBy(window(col("event_time"), windowDur).as("w"),
+        keyOf(keyField).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(window(window_time(col("w")), windowDur).as("w2"))
+      .agg(sort_array(collect_list(struct(col("cnt"), col("key"))),
+        asc = false).as("h"))
+      .select(unix_micros(col("w2.start")).as("window_start_us"),
+        posexplode(slice(col("h"), 1, k)))
+      .select(col("window_start_us"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("key"), col("col.cnt").as("cnt"))
+  }
+
   /** Per-window exact q-quantile of an integer field — the "windowed p99
     * latency" dashboard query — under the SAME rank contract as
     * [[graft.operators.Quantiles]]: k = max(1, ceil(q·n)) in integer

@@ -277,6 +277,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(p2 == Seq((3600000000L, "u2", 2L)), s"tie -> larger key, once: $p2")
   }
 
+  test("windowTopK: ranked leaderboard emits once per closed window, ties to larger key") {
+    val store = freshStore()
+    // [0,1h): u1 x3, u2 x2, u3 x2, u4 x1 -> top3 = u1/3, u3/2 (tie ->
+    // larger key first), u2/2; u4 cut at k=3
+    ingest(store, Map("app" -> "tk"), "u1", Seq(100, 200, 300))
+    ingest(store, Map("app" -> "tk"), "u2", Seq(400, 500))
+    ingest(store, Map("app" -> "tk"), "u3", Seq(600, 700))
+    ingest(store, Map("app" -> "tk"), "u4", Seq(800))
+
+    val batch = StreamOps.windowTopK(
+      spark.read.format("graft-store").option("root", store.root).load(),
+      "user", "1 hour", "5 seconds", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(batch.toSeq.sortBy(_._2) == Seq(
+      (0L, 1L, "u1", 3L), (0L, 2L, "u3", 2L), (0L, 3L, "u2", 2L)),
+      s"ranked top-3 with the larger-key tie-break: ${batch.toSeq}")
+
+    val cp = Files.createTempDirectory("graft-sops-tk").toString
+    def drain(): Seq[(Long, Long, String, Long)] =
+      drainAll[(Long, Long, String, Long)](
+        StreamOps.windowTopK(stream(store), "user", "1 hour", "5 seconds", 3),
+        cp, df => df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq)
+    val p1 = drain()
+    assert(p1.isEmpty, s"window still open: $p1")
+    ingest(store, Map("app" -> "tk"), "u9", Seq(7300)) // closes [0,1h)
+    val p2 = drain()
+    assert(p2.sortBy(_._2) == batch.toSeq.sortBy(_._2),
+      s"streamed leaderboard == batch, exactly once: $p2")
+  }
+
   test("windowQuantile: chained histogram aggs emit each window's exact p90 once") {
     val store = freshStore()
     // window [0,1h): values 1..10 -> n=10, k=ceil(0.9*10)=9 -> p90 = 9

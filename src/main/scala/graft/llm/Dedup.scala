@@ -276,14 +276,47 @@ object Dedup {
   def nearDuplicatesAgainst(history: DataFrame, incoming: DataFrame,
       bands: Int = 32, rowsPerBand: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val par = history.sparkSession.sparkContext.defaultParallelism
     // the SAME shingle/band/verify pipeline as nearDuplicates (one
-    // definition of the measured plan shape), split across two corpora
+    // definition of the measured plan shape), split across two corpora;
+    // the gate corpus is rebuilt per run so the history state is
+    // recomputed here — a production increment reads it back instead
+    // (see shingleState/bandState + nearDuplicatesAgainstState)
     val shH = shingleTable(history, 3)
-    val shI = shingleTable(incoming, 3)
-    OpCaches.track("dedup.incrNear", Seq(shH, shI))
+    OpCaches.track("dedup.incrNear", Seq(shH))
+    nearDuplicatesAgainstState(shH, bandTable(shH, bands, rowsPerBand),
+      incoming, bands, rowsPerBand, threshold)
+  }
 
-    val cand = bandTable(shH, bands, rowsPerBand).alias("h")
+  /** The persisted-state HISTORY artifacts for incremental near-dedup —
+    * what a production pipeline writes once per accepted snapshot and
+    * reads back on every increment, instead of re-tokenizing and
+    * re-hashing the whole history per run:
+    * [[shingleState]] = `(doc_id, sh)` (feeds verification) and
+    * [[bandState]] = `(doc_id, band, bkey)` (feeds the candidate join —
+    * the minhash hashing cost, paid once per doc ever). Both are plain
+    * DataFrames the caller stores however the corpus is stored
+    * (parquet/Delta, appended as snapshots are accepted). */
+  def shingleState(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleTable(docs, n)
+
+  /** See [[shingleState]]. */
+  def bandState(sh: DataFrame, bands: Int = 32, rowsPerBand: Int = 3): DataFrame =
+    bandTable(sh, bands, rowsPerBand)
+
+  /** [[nearDuplicatesAgainst]] with the history side supplied as
+    * PRECOMPUTED state ([[shingleState]] + [[bandState]], typically read
+    * back from storage): the increment pays only the incoming side's
+    * shingles/signatures plus the probe join — history cost is
+    * O(changed), not O(total). Verdict semantics identical to the
+    * recomputing form (spec-pinned). */
+  def nearDuplicatesAgainstState(shH: DataFrame, bandedH: DataFrame,
+      incoming: DataFrame, bands: Int = 32, rowsPerBand: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val par = incoming.sparkSession.sparkContext.defaultParallelism
+    val shI = shingleTable(incoming, 3)
+    OpCaches.track("dedup.incrNear.state", Seq(shI))
+
+    val cand = bandedH.alias("h")
       .join(bandTable(shI, bands, rowsPerBand).alias("i"),
         col("h.band") === col("i.band") && col("h.bkey") === col("i.bkey"))
       .select(col("h.doc_id").as("dup_of"), col("i.doc_id").as("doc_id"))

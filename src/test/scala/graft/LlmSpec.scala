@@ -78,6 +78,27 @@ class LlmSpec extends AnyFunSuite {
       s"cross-corpus verdicts must be exact: missing=${brute -- out} extra=${out -- brute}")
   }
 
+  test("incremental near-dedup: precomputed history state round-trips through storage") {
+    val cut = docs.agg(expr("(max(doc_id) + 1) div 2")).head.getLong(0)
+    val hist = docs.filter(col("doc_id") < cut)
+    val inc = docs.filter(col("doc_id") >= cut)
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = collectSet(Dedup.nearDuplicatesAgainst(hist, inc))
+    assert(direct.nonEmpty)
+    // write the history artifacts the way a production increment stores
+    // them, read them back cold, and dedup against the STORED state
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-state").toString
+    Dedup.shingleState(hist).write.parquet(s"$dir/sh")
+    val shStored = spark.read.parquet(s"$dir/sh")
+    Dedup.bandState(shStored).write.parquet(s"$dir/bands")
+    val got = collectSet(Dedup.nearDuplicatesAgainstState(
+      shStored, spark.read.parquet(s"$dir/bands"), inc))
+    assert(got == direct,
+      s"stored-state verdicts must equal the recomputing form: " +
+        s"missing=${direct -- got} extra=${got -- direct}")
+  }
+
   test("incremental near-dedup: best-match tie-break picks the smallest history id") {
     import spark.implicits._
     val t = (1 to 40).map(i => s"tok$i").mkString(" ")

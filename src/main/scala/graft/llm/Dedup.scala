@@ -75,14 +75,20 @@ object Dedup {
     *    consumers (banding/prefix join + verification), and uncached the
     *    optimizer plans full recomputations of the pipeline per use.
     * Callers own unpersist via [[OpCaches.track]]. */
-  private def shingleTable(docs: DataFrame, n: Int): DataFrame = {
+  private def shingleTable(docs: DataFrame, n: Int): DataFrame =
+    shingleProjection(docs, n).cache()
+
+  /** The uncached projection under [[shingleTable]] — what
+    * [[shingleState]] hands to a write-once caller (caching a frame
+    * whose single consumer is `.write` would materialize a copy that
+    * nothing ever reads or releases). */
+  private def shingleProjection(docs: DataFrame, n: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     docs
       .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
       .where(size(col("w")) >= n)
       .repartition(par, col("doc_id"))
       .select(col("doc_id"), sort_array(shinglesFromTokens(col("w"), n)).as("sh"))
-      .cache()
   }
 
   /** LSH band rows from a shingle table: one `(doc_id, band, bkey)` row
@@ -294,10 +300,18 @@ object Dedup {
     * [[shingleState]] = `(doc_id, sh)` (feeds verification) and
     * [[bandState]] = `(doc_id, band, bkey)` (feeds the candidate join —
     * the minhash hashing cost, paid once per doc ever). Both are plain
-    * DataFrames the caller stores however the corpus is stored
-    * (parquet/Delta, appended as snapshots are accepted). */
+    * UNCACHED DataFrames (the expected single consumer is a `.write`)
+    * that the caller stores however the corpus is stored (parquet/
+    * Delta, appended as snapshots are accepted).
+    *
+    * CONSISTENCY CONTRACT: the `(n, bands, rowsPerBand)` used to build
+    * the stored artifacts MUST be passed to
+    * [[nearDuplicatesAgainstState]] — shingle hashes from different n
+    * (or band keys from different banding) live in disjoint hash
+    * spaces, so a mismatch silently reports every duplicate as unique.
+    * Store the parameters beside the artifacts. */
   def shingleState(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleTable(docs, n)
+    shingleProjection(docs, n)
 
   /** See [[shingleState]]. */
   def bandState(sh: DataFrame, bands: Int = 32, rowsPerBand: Int = 3): DataFrame =
@@ -308,12 +322,14 @@ object Dedup {
     * back from storage): the increment pays only the incoming side's
     * shingles/signatures plus the probe join — history cost is
     * O(changed), not O(total). Verdict semantics identical to the
-    * recomputing form (spec-pinned). */
+    * recomputing form (spec-pinned). `n`/`bands`/`rowsPerBand` MUST
+    * match the stored artifacts (see the [[shingleState]] consistency
+    * contract). */
   def nearDuplicatesAgainstState(shH: DataFrame, bandedH: DataFrame,
       incoming: DataFrame, bands: Int = 32, rowsPerBand: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, n: Int = 3): DataFrame = {
     val par = incoming.sparkSession.sparkContext.defaultParallelism
-    val shI = shingleTable(incoming, 3)
+    val shI = shingleTable(incoming, n)
     OpCaches.track("dedup.incrNear.state", Seq(shI))
 
     val cand = bandedH.alias("h")

@@ -161,21 +161,29 @@ object StreamOps {
     * Scale: stage 1 is the standard map-side-combined windowed count;
     * stage 2's input is (windows × keys) rows — aggregate-sized, not
     * corpus-sized. */
-  def windowTopKey(events: DataFrame, keyField: String, windowDur: String,
-      watermarkDelay: String): DataFrame = {
+  /** Stage 1 shared by [[windowTopKey]] and [[windowTopK]]: watermarked
+    * per-(window, key) counts — ONE definition of the
+    * event-time/keyOf/window handling, so the two rankers cannot
+    * diverge. (They keep separate stage-2 aggregators deliberately:
+    * top-1's max-struct state is one struct per window, while top-K
+    * must hold the count histogram.) */
+  private def windowedKeyCounts(events: DataFrame, keyField: String,
+      windowDur: String, watermarkDelay: String): DataFrame = {
     val base = events.withColumn("event_time", eventTime(col("ts")))
     val wm = if (events.isStreaming)
       base.withWatermark("event_time", watermarkDelay) else base
-    val counts = wm
-      .groupBy(window(col("event_time"), windowDur).as("w"),
+    wm.groupBy(window(col("event_time"), windowDur).as("w"),
         keyOf(keyField).as("key"))
       .agg(count(lit(1)).as("cnt"))
-    counts
+  }
+
+  def windowTopKey(events: DataFrame, keyField: String, windowDur: String,
+      watermarkDelay: String): DataFrame =
+    windowedKeyCounts(events, keyField, windowDur, watermarkDelay)
       .groupBy(window(window_time(col("w")), windowDur).as("w2"))
       .agg(max(struct(col("cnt"), col("key"))).as("top"))
       .select(unix_micros(col("w2.start")).as("window_start_us"),
         col("top.key").as("key"), col("top.cnt").as("cnt"))
-  }
 
   /** Per-window top-K keys — [[windowTopKey]] generalized to a ranked
     * leaderboard: the K most frequent `fields[keyField]` values per
@@ -189,14 +197,7 @@ object StreamOps {
     * exactly once when the watermark closes it. */
   def windowTopK(events: DataFrame, keyField: String, windowDur: String,
       watermarkDelay: String, k: Int = 3): DataFrame = {
-    val base = events.withColumn("event_time", eventTime(col("ts")))
-    val wm = if (events.isStreaming)
-      base.withWatermark("event_time", watermarkDelay) else base
-    val counts = wm
-      .groupBy(window(col("event_time"), windowDur).as("w"),
-        keyOf(keyField).as("key"))
-      .agg(count(lit(1)).as("cnt"))
-    counts
+    windowedKeyCounts(events, keyField, windowDur, watermarkDelay)
       .groupBy(window(window_time(col("w")), windowDur).as("w2"))
       .agg(sort_array(collect_list(struct(col("cnt"), col("key"))),
         asc = false).as("h"))

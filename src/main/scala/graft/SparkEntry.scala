@@ -61,7 +61,8 @@ object SparkEntry {
       "q23_transitions" -> (Analytics.q23Transitions _),
       "q24_user_sequences" -> (Analytics.q24UserSequences _),
       "q25_trimmed_mean" -> (Analytics.q25TrimmedMean _),
-      "q26_mad" -> (Analytics.q26Mad _)
+      "q26_mad" -> (Analytics.q26Mad _),
+      "q27_correlation" -> (Analytics.q27Correlation _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

@@ -517,8 +517,80 @@ object Analytics {
         col("value").as("mad_e2"))
   }
 
+  /** Pearson correlation between the e2 event value and the integer `k`
+    * property, per event type — `(event_type, n, corr_e4)`. The moment
+    * sums are EXACT int64 (null-excluded on both sides); the final
+    * ratio uses only IEEE-correctly-rounded ops in a pinned evaluation
+    * order (int64→double conversion, one multiply, sqrt, one divide —
+    * deterministic across engines, unlike libm transcendentals), so the
+    * e4 result is bit-identical. Zero-variance groups yield null.
+    * Envelope: n·Σxy must stay in int64 — asserted loudly (the q21
+    * pattern) at n ≤ 1e6 per group for this corpus's value/k ranges; a
+    * 100 TB run shifts the moments to e-scaled longs or Decimal(38).
+    *
+    * Scale shape: one map-side-combined six-sum aggregate per type —
+    * the corpus never shuffles rows, only partial sums. */
+  def q27Correlation(spark: SparkSession, dir: String): DataFrame =
+    correlationFrom(load(spark, dir, "events")
+      .select(col("event_type"),
+        fx(col("value"), 2).cast("long").as("x"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("y")))
+
+  /** [[q27Correlation]]'s moment core over a pre-projected
+    * (event_type, x, y) frame — factored so specs exercise the
+    * PRODUCTION algebra (the trimmedMeanFrom discipline). */
+  private[graft] def correlationFrom(ev: DataFrame): DataFrame = {
+    val e = ev.filter(col("x").isNotNull && col("y").isNotNull)
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      // the q21 guard pattern: the assert rides a FILTERED column so
+      // projection pruning cannot elide it
+      .withColumn("_g", assert_true(col("n") <= lit(1000000L),
+        lit("q27_correlation int64 moment envelope exceeded: n > 1e6")))
+      .filter(col("_g").isNull)
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("d1", expr("n * sxx - sx * sx"))
+      .withColumn("d2", expr("n * syy - sy * sy"))
+      .withColumn("corr_e4",
+        when(col("d1") > 0 && col("d2") > 0,
+          floor(col("num").cast("double") * lit(10000.0) /
+            sqrt(col("d1").cast("double") * col("d2").cast("double")) + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .select(col("event_type"), col("n"), col("corr_e4"))
+  }
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q27_correlation" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+        |    TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n,
+        |    (n * sxy - sx * sy)::BIGINT AS num,
+        |    (n * sxx - sx * sx)::BIGINT AS d1,
+        |    (n * syy - sy * sy)::BIGINT AS d2
+        |  FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |       THEN floor(num::DOUBLE * 10000.0
+        |                  / sqrt(d1::DOUBLE * d2::DOUBLE) + 0.5)::BIGINT
+        |       ELSE NULL END AS corr_e4
+        |FROM d""".stripMargin,
     "q26_mad" -> {
       val k = graft.operators.Quantiles.kSql("5000", "n")
       s"""WITH e AS (

@@ -243,6 +243,58 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("q27 correlation: planted perfect/anti/constant cases + scalar parity") {
+    import org.apache.spark.sql.functions._
+    // corpus parity against a scalar recomputation of the same formula
+    val out = graft.queries.Analytics
+      .q27Correlation(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.nonEmpty)
+    val rows = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"),
+        graft.Tables.fx(col("value"), 2).cast("long").as("x"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (t, g) =>
+      val n = g.length.toLong
+      val (sx, sy) = (g.map(_._2).sum, g.map(_._3).sum)
+      val sxy = g.map(e => e._2 * e._3).sum
+      val (sxx, syy) = (g.map(e => e._2 * e._2).sum, g.map(e => e._3 * e._3).sum)
+      val (num, d1, d2) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      t -> (if (d1 > 0 && d2 > 0)
+        Some(math.floor(num.toDouble * 10000.0 /
+          math.sqrt(d1.toDouble * d2.toDouble) + 0.5).toLong)
+      else None)
+    }
+    assert(out == want, "corr must match the scalar moment formula")
+
+    // planted: y = 2x -> +10000; y = -x + 100 -> -10000; constant -> null
+    def mk(rows: Seq[(String, Long, Long)]) = {
+      import spark.implicits._
+      rows.map { case (t, x, y) => (t, x / 100.0, s"k=$y") }
+        .toDF("event_type", "value", "props")
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .withColumn("event_id", monotonically_increasing_id())
+        .withColumn("user_id", lit(1L))
+    }
+    // the PRODUCTION moment core (factored for exactly this), fed the
+    // same projection the entry builds
+    val e = mk((1L to 20L).map(i => ("p", i * 100, 2 * i)) ++
+        (1L to 20L).map(i => ("m", i * 100, 100 - i)) ++
+        (1L to 20L).map(i => ("c", i * 100, 7L)))
+      .select(col("event_type"),
+        graft.Tables.fx(col("value"), 2).cast("long").as("x"),
+        expr("cast(regexp_extract(props, '[0-9]+', 0) as long)").as("y"))
+    val got = graft.queries.Analytics.correlationFrom(e)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got("p") == Some(10000L), s"perfect correlation: $got")
+    assert(got("m") == Some(-10000L), s"perfect anti-correlation: $got")
+    assert(got("c") == None, s"zero variance must be null: $got")
+  }
+
   test("q24 user sequences: cap, count and hash match a scalar reference") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.Analytics

@@ -62,7 +62,8 @@ object SparkEntry {
       "q24_user_sequences" -> (Analytics.q24UserSequences _),
       "q25_trimmed_mean" -> (Analytics.q25TrimmedMean _),
       "q26_mad" -> (Analytics.q26Mad _),
-      "q27_correlation" -> (Analytics.q27Correlation _)
+      "q27_correlation" -> (Analytics.q27Correlation _),
+      "q28_histogram" -> (Analytics.q28Histogram _)
     )
 
   /** DuckDB twins for the driver's correctness gate. */

@@ -563,8 +563,73 @@ object Analytics {
       .select(col("event_type"), col("n"), col("corr_e4"))
   }
 
+  /** Equi-width histogram buckets for [[q28Histogram]]. */
+  val HistBuckets = 20L
+
+  /** Per-type equi-width histogram of the e2 event value — the
+    * profiling/exploration operator: [[HistBuckets]] buckets spanning
+    * the type's own [min, max], `(event_type, bucket, lo_e2, hi_e2,
+    * n_rows)`, empty buckets densified to zero (a histogram with holes
+    * misleads). All integer: width = (span + B - 1) div B (ceil, so
+    * B·width covers the span and max lands in the last bucket), bucket
+    * = (v - min) div width. Single-valued types collapse to one
+    * full-count bucket (width floors at 1).
+    *
+    * Scale shape: one map-combined (type, min, max) aggregate broadcast
+    * back, one map-combined (type, bucket) count, and a types×B spine
+    * densify — the corpus never shuffles rows, only partial sums. */
+  def q28Histogram(spark: SparkSession, dir: String): DataFrame =
+    histogramFrom(load(spark, dir, "events")
+      .select(col("event_type"), fx(col("value"), 2).cast("long").as("v")))
+
+  /** [[q28Histogram]]'s core over a pre-integerized (event_type, v)
+    * frame — factored so specs exercise the PRODUCTION bucketing. */
+  private[graft] def histogramFrom(ev: DataFrame): DataFrame = {
+    val e = ev.filter(col("v").isNotNull)
+    val b = HistBuckets
+    val bounds = e.groupBy(col("event_type"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .withColumn("width",
+        expr(s"greatest(1L, (mx - mn + $b - 1) div $b)"))
+    // clamp: when the span divides B exactly, mx would index bucket B —
+    // the boundary value belongs to the LAST bucket, not off the end
+    val counts = e.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"),
+        expr(s"least((v - mn) div width, ${b - 1})").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    val spine = bounds.select(col("event_type"), col("mn"), col("width"),
+      explode(sequence(lit(0L), lit(b - 1))).as("bucket"))
+    spine.join(counts, Seq("event_type", "bucket"), "left_outer")
+      .select(col("event_type"), col("bucket"),
+        expr("mn + bucket * width").as("lo_e2"),
+        expr("mn + (bucket + 1) * width - 1").as("hi_e2"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
   /** Oracle SQL (DuckDB) twins — column names must match exactly. */
   val oracles: Map[String, String] = Map(
+    "q28_histogram" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |bd AS (SELECT event_type, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+         |w AS (SELECT event_type, mn,
+         |        greatest(1, (mx - mn + $HistBuckets - 1) // $HistBuckets)
+         |          AS width
+         |      FROM bd),
+         |c AS (SELECT e.event_type,
+         |        least((v - mn) // width, $HistBuckets - 1) AS bucket,
+         |        count(*)::BIGINT AS n_rows
+         |      FROM e JOIN w USING (event_type) GROUP BY 1, 2),
+         |sp AS (SELECT event_type, mn, width, unnest(range(0, $HistBuckets))
+         |         AS bucket
+         |       FROM w)
+         |SELECT sp.event_type, sp.bucket::BIGINT AS bucket,
+         |  (mn + sp.bucket * width)::BIGINT AS lo_e2,
+         |  (mn + (sp.bucket + 1) * width - 1)::BIGINT AS hi_e2,
+         |  coalesce(n_rows, 0)::BIGINT AS n_rows
+         |FROM sp LEFT JOIN c ON c.event_type = sp.event_type
+         |  AND c.bucket = sp.bucket""".stripMargin,
     "q27_correlation" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -243,6 +243,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("q28 histogram: buckets partition every row, boundary lands in the last bucket") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Analytics
+      .q28Histogram(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val b = graft.queries.Analytics.HistBuckets
+    val byType = out.groupBy(_._1)
+    val rows = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"),
+        graft.Tables.fx(col("value"), 2).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totals = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    byType.foreach { case (t, g) =>
+      assert(g.length == b, s"$t must densify to $b buckets")
+      assert(g.map(_._5).sum == totals(t), s"$t buckets must partition all rows")
+      // contiguous, non-overlapping bounds
+      val s = g.sortBy(_._2)
+      for (Seq(a, c) <- s.sliding(2).map(_.toSeq))
+        assert(c._3 == a._4 + 1, s"$t bounds must tile: $a then $c")
+    }
+    // planted boundary: span exactly divisible by B (0..2000, width 100)
+    // — the max value must CLAMP into the last bucket, not fall off
+    import spark.implicits._
+    val planted = graft.queries.Analytics.histogramFrom(
+        Seq(("t", 0L), ("t", 2000L)).toDF("event_type", "v"))
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    assert(planted(0L) == 1L && planted(b - 1) == 1L &&
+      planted.values.sum == 2L, s"boundary row must clamp into bucket ${b - 1}: $planted")
+  }
+
   test("q27 correlation: planted perfect/anti/constant cases + scalar parity") {
     import org.apache.spark.sql.functions._
     // corpus parity against a scalar recomputation of the same formula

@@ -393,8 +393,8 @@ object Multimodal {
        |g AS (
        |  SELECT doc_id, ns, ns // $PcmDecimate AS n_out,
        |    list_transform(range(0, ns // $PcmDecimate), j ->
-       |      (smp[$PcmDecimate * j + 1] + smp[$PcmDecimate * j + 2] +
-       |       smp[$PcmDecimate * j + 3] + smp[$PcmDecimate * j + 4])
+       |      (${(1 to PcmDecimate).map(k => s"smp[$PcmDecimate * j + $k]")
+              .mkString(" + ")})
        |        // $PcmDecimate) AS o
        |  FROM s)
        |SELECT doc_id, ns::BIGINT AS n_in, n_out::BIGINT AS n_out,
@@ -500,45 +500,61 @@ object Multimodal {
   def thumbnailPool(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = ThumbSize
     withMediaColumn(docs).select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          // degenerate header geometry (w or h <= 0, offset outside the
-          // blob, stride past Int range) is a foreign blob — skipped,
-          // like the NN sampler, never a divide-by-zero in the executor
-          lazy val w = le32(bytes, 18)
-          lazy val h = le32(bytes, 22)
-          lazy val off = le32(bytes, 10)
-          lazy val strideL = ((w * 3L + 3L) / 4L) * 4L
-          if (bytes.length < 54 || !ascii(bytes, 0, "BM") ||
-              w <= 0 || h <= 0 || off < 0 || off > bytes.length ||
-              strideL <= 0 || strideL > Int.MaxValue) Iterator.empty
-          else {
-            val stride = strideL.toInt
-            val plen = bytes.length - off.toInt
-            var checksum = 0L
-            var total = 0L
-            var p = 0
-            while (p < plen) {
-              val row = p / stride
-              val rem = p - row * stride
-              if (row < h && rem < 3 * w) {
-                val sy = h - 1 - row
-                val sx = rem / 3
-                val c = rem % 3
-                val cell = (sy * t / h) * t + (sx * t / w)
-                val v = (bytes(off.toInt + p) & 0xff).toLong
-                checksum += (cell * 3 + c + 1) * v
-                total += v
-              }
-              p += 1
-            }
-            Iterator.single((id, w, h, checksum, total))
-          }
+          poolBlob(bytes).map { case (w, h, checksum, total) =>
+            (id, w, h, checksum, total)
+          }.iterator
         }
       }.toDF("doc_id", "width", "height", "pool_checksum", "pool_sum")
+  }
+
+  /** [[thumbnailPool]]'s per-blob core, factored so specs can feed
+    * crafted FOREIGN headers (huge h, bogus strides) straight at the
+    * geometry guards. Returns None for non-BMP/degenerate blobs. */
+  private[graft] def poolBlob(
+      bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    val t = ThumbSize
+    // degenerate header geometry (w or h <= 0, offset outside the
+    // blob, stride past Int range) is a foreign blob — skipped,
+    // like the NN sampler, never a divide-by-zero in the executor
+    lazy val w = le32(bytes, 18)
+    lazy val h = le32(bytes, 22)
+    lazy val off = le32(bytes, 10)
+    lazy val strideL = ((w * 3L + 3L) / 4L) * 4L
+    if (bytes.length < 54 || !ascii(bytes, 0, "BM") ||
+        w <= 0 || h <= 0 || off < 0 || off > bytes.length ||
+        strideL <= 0 || strideL > Int.MaxValue) None
+    else {
+      val stride = strideL.toInt
+      val plen = bytes.length - off.toInt
+      var checksum = 0L
+      var total = 0L
+      var p = 0
+      while (p < plen) {
+        val row = p / stride
+        val rem = p - row * stride
+        if (row < h && rem < 3 * w) {
+          val sy = h - 1 - row
+          val sx = rem / 3
+          val c = rem % 3
+          // cell map in Long end-to-end (the strideL discipline): a
+          // foreign blob with a valid 'BM' header and h near
+          // Int.MaxValue passes the geometry guards (which only bound
+          // w via strideL), and sx·t likewise wraps Int for w past
+          // ~2^31/t — either would poison the checksum with negative
+          // cells; sy·t and sx·t always fit int64. cell ≤ t²−1.
+          val cell = (sy * t / h) * t + sx.toLong * t / w
+          val v = (bytes(off.toInt + p) & 0xff).toLong
+          checksum += (cell * 3L + c + 1L) * v
+          total += v
+        }
+        p += 1
+      }
+      Some((w, h, checksum, total))
+    }
   }
 
   /** DuckDB twin of [[thumbnailPool]] — the same payload-byte bucketing

@@ -436,7 +436,13 @@ object Analytics {
   def q24UserSequences(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // event_type rides as the TERTIARY sort key on both the rank window
+    // and the collected struct (and in the oracle's windows/string_agg)
+    // so a (ts, event_id) tie cannot make the rn<=cap cut or the joined
+    // sequence engine-dependent — the full triple is a total order over
+    // identical rows, so any residual tie is value-identical.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"), col("event_type"))
     e.withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
       .where(col("rn") <= SeqMaxLen)
@@ -524,9 +530,12 @@ object Analytics {
     * order (int64→double conversion, one multiply, sqrt, one divide —
     * deterministic across engines, unlike libm transcendentals), so the
     * e4 result is bit-identical. Zero-variance groups yield null.
-    * Envelope: n·Σxy must stay in int64 — asserted loudly (the q21
-    * pattern) at n ≤ 1e6 per group for this corpus's value/k ranges; a
-    * 100 TB run shifts the moments to e-scaled longs or Decimal(38).
+    * Envelope: every int64 product — per-row x·y, the moment sums, the
+    * n·Σ and Σ·Σ cross terms — is asserted loudly inside a 2^62 bound
+    * derived from max|x|, max|y| and the sums themselves (see
+    * [[correlationFrom]]'s guard), so large-magnitude values trip
+    * instead of wrapping; a run past the envelope shifts the moments to
+    * e-scaled longs or Decimal(38).
     *
     * Scale shape: one map-side-combined six-sum aggregate per type —
     * the corpus never shuffles rows, only partial sums. */
@@ -545,11 +554,30 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(expr("x * y")).as("sxy"),
-        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+        max(abs(col("x"))).as("mx"), max(abs(col("y"))).as("my"))
       // the q21 guard pattern: the assert rides a FILTERED column so
-      // projection pruning cannot elide it
-      .withColumn("_g", assert_true(col("n") <= lit(1000000L),
-        lit("q27_correlation int64 moment envelope exceeded: n > 1e6")))
+      // projection pruning cannot elide it. The envelope is checked on
+      // the MOMENT MAGNITUDES, not just n — every int64 product in the
+      // pipeline is bounded so nothing can wrap silently in non-ANSI
+      // Spark:
+      //   (a) mx,my ≤ ⌊√(2^63)⌋         — per-row x², y², x·y fit;
+      //   (b) n·max(mx²,my²,mx·my)≤2^62 — no moment SUM can wrap (each
+      //       |Σ| ≤ n·mx·my); sound even if (b)'s own products wrap,
+      //       because that requires (a) to already fail the AND;
+      //   (c) n·max(sxx,syy,|sxy|)≤2^62 — the n·Σ products in num/d1/d2
+      //       fit, and their subtraction of two ≤2^62 terms fits too;
+      //   (d) |sx|,|sy| ≤ 2^31−1        — sx², sy², sx·sy ≤ 2^62.
+      // A large-|value| group now trips loudly instead of returning a
+      // confidently wrong corr_e4 (div is wrap-free, so the bounds
+      // themselves cannot overflow).
+      .withColumn("_g", assert_true(
+        expr("mx <= 3037000499L AND my <= 3037000499L") &&
+          expr(s"n <= ${Long.MaxValue / 2}L div greatest(mx*mx, my*my, mx*my, 1L)") &&
+          expr(s"n <= ${Long.MaxValue / 2}L div greatest(sxx, syy, abs(sxy), 1L)") &&
+          expr("abs(sx) <= 2147483647L AND abs(sy) <= 2147483647L"),
+        lit("q27_correlation int64 moment envelope exceeded: " +
+          "value magnitudes break the 2^62 product bound for this n")))
       .filter(col("_g").isNull)
       .withColumn("num", expr("n * sxy - sx * sy"))
       .withColumn("d1", expr("n * sxx - sx * sx"))
@@ -701,10 +729,12 @@ object Analytics {
          |    row_number() OVER w AS rn, count(*) OVER (PARTITION BY user_id) AS n,
          |    epoch_ns(ts) AS tns, event_id
          |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+         |  WINDOW w AS (PARTITION BY user_id
+         |               ORDER BY epoch_ns(ts), event_id, event_type))
          |SELECT user_id::BIGINT AS user_id, n::BIGINT AS n_events,
          |  count(*)::BIGINT AS seq_len,
-         |  md5(string_agg(event_type, ',' ORDER BY tns, event_id)) AS seq_hash
+         |  md5(string_agg(event_type, ',' ORDER BY tns, event_id, event_type))
+         |    AS seq_hash
          |FROM r WHERE rn <= $SeqMaxLen
          |GROUP BY user_id, n""".stripMargin,
     "q23_transitions" ->

@@ -561,6 +561,33 @@ class LlmSpec extends AnyFunSuite {
     assert(!got.exists(_ % 4 != 1))
   }
 
+  test("thumbnail pool: a foreign blob with h near Int.MaxValue pools in Long, no negative cells") {
+    // ADVICE r10: a valid 'BM' header with huge h passes the geometry
+    // guards (which only bound w via the stride), and Int cell math
+    // would wrap sy*t negative. Craft w=1, h=6e8, 8 payload bytes.
+    val h = 600000000L
+    val bb = java.nio.ByteBuffer.allocate(54 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(62).putInt(0).putInt(54)
+      .putInt(40).putInt(1).putInt(h.toInt)
+      .putShort(1).putShort(24).putInt(0).putInt(8)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    for (i <- 0 until 8) bb.put((10 * (i + 1)).toByte)
+    val Some((w, hh, checksum, total)) = Multimodal.poolBlob(bb.array())
+    assert(w == 1L && hh == h)
+    // independent Long replay: stride 4, rows 0..1 valid at rem<3
+    val t = Multimodal.ThumbSize
+    var want = 0L; var wantTotal = 0L
+    for (p <- 0 until 8; row = p / 4; rem = p % 4; if rem < 3) {
+      val cell = ((h - 1 - row) * t / h) * t + 0L
+      val v = (10L * (p + 1)) & 0xff
+      want += (cell * 3 + rem + 1) * v; wantTotal += v
+    }
+    assert(checksum == want && checksum > 0L,
+      s"Long cell map must hold at huge h: got $checksum want $want")
+    assert(total == wantTotal)
+  }
+
   test("embedding outliers: a planted far vector ranks first with the exact integer distance") {
     import spark.implicits._
     // 9 near-zero vectors + one far vector; centroid ~ the far vector / 10

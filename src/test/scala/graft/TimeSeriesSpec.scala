@@ -326,6 +326,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got("c") == None, s"zero variance must be null: $got")
   }
 
+  test("q27 correlation: moment envelope trips loudly, not silently wrong") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the ADVICE r10 scenario: a group whose n passes a naive row-count
+    // guard but whose value magnitudes wrap n*sxx in non-ANSI Spark —
+    // 200k rows of |x| ~ 3e6 gives sxx ~ 1.8e18 and n*sxx ~ 3.6e23.
+    def run(xs: Seq[(Long, Long)]): Unit =
+      graft.queries.Analytics.correlationFrom(
+        xs.map { case (x, y) => ("t", x, y) }.toDF("event_type", "x", "y"))
+        .collect()
+    val big = (1L to 200000L).map(i => (3000000L + i % 7, i % 100))
+    val e1 = intercept[Exception] { run(big) }
+    assert(e1.getMessage.contains("moment envelope"), e1.getMessage)
+    // per-row product overflow (mx > sqrt 2^63): under ANSI (the Spark 4
+    // default) the multiply itself raises first; with ANSI off, bound (a)
+    // of the guard trips — loud either way, never silently wrong
+    val e2 = intercept[Exception] { run(Seq((4000000000L, 4000000000L),
+      (4000000001L, 1L))) }
+    assert(e2.getMessage.contains("moment envelope") ||
+      e2.getMessage.contains("ARITHMETIC_OVERFLOW"), e2.getMessage)
+    // cross-term overflow via |sx| (each x fine, sum past 2^31)
+    val e3 = intercept[Exception] {
+      run((1L to 3000L).map(i => (1000000L, i % 50))) }
+    assert(e3.getMessage.contains("moment envelope"), e3.getMessage)
+    // and a comfortably in-envelope group still computes
+    run((1L to 1000L).map(i => (i, 2 * i)))
+  }
+
   test("q24 user sequences: cap, count and hash match a scalar reference") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.Analytics
@@ -339,7 +367,9 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val want = rows.groupBy(_._1).map { case (u, g) =>
-      val ordered = g.sortBy(e => (e._2, e._3)).map(_._4)
+      // the production triple sort (ts, event_id, event_type) — ties on
+      // (ts, event_id) are broken identically on both engines
+      val ordered = g.sortBy(e => (e._2, e._3, e._4)).map(_._4)
       val capped = ordered.take(graft.queries.Analytics.SeqMaxLen)
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(capped.mkString(",").getBytes("UTF-8"))

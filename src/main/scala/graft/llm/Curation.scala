@@ -413,6 +413,14 @@ object Curation {
     * count (the "how many epochs of what" planning input). */
   val BudgetMultiple = 3L
 
+  /** The composed pipeline's CONSTRAINED budget multiple, e2 (0.60× the
+    * corpus token count). The standalone [[tokenBudget]] report runs the
+    * planning default 3.00×, where every source's want exceeds its
+    * supply and a cap stage never cuts; the pipeline's cap stage uses
+    * this genuinely data-constrained setting so the budget cut is a real
+    * gate (verdict-distribution-checked, the llm_blocklist lesson). */
+  val PipelineBudgetMultipleE2 = 60L
+
   /** Per-source epoch cap, e4 fixed point (4.0 epochs — past which
     * repetition hurts more than the tokens help, the Muennighoff et al.
     * 2023 data-constrained heuristic). */
@@ -442,10 +450,31 @@ object Curation {
     * Scale shape: one corpus scan map-side-combines into a sources-sized
     * aggregate; the budget/weight totals ride back as a broadcast 1-row
     * cross; the corpus itself never shuffles. */
-  def tokenBudget(docs: DataFrame): DataFrame = {
-    val avail = docs
-      .select(col("source"), size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens_avail"))
+  def tokenBudget(docs: DataFrame): DataFrame =
+    tokenBudgetAt(docs, BudgetMultiple * 100L)
+
+  /** [[tokenBudget]]'s core, parameterized over the budget multiple in
+    * e2 fixed point (`tokenBudget` = 300 = 3.00× the corpus; the
+    * composed pipeline's cap stage runs a genuinely CONSTRAINED 0.60× so
+    * the cut actually bites — with B ≈ 3× every source wants more than
+    * it has and a cap stage is vacuous). The budget
+    * `B = t·multipleE2 div 100` then splits exactly like before
+    * (`(B div 1e6)·share + (B mod 1e6)·share div 1e6` — in-int64 for any
+    * int64 B); at multipleE2 = 300 this is bit-identical to the previous
+    * `t·3` form since t·300 div 100 = 3t exactly. */
+  def tokenBudgetAt(docs: DataFrame, multipleE2: Long): DataFrame =
+    tokenBudgetFromCounts(
+      docs.select(col("source"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens_avail")),
+      multipleE2)
+
+  /** The budget algebra over a pre-aggregated `(source, tokens_avail)`
+    * frame — factored so the composed pipeline can budget the CURATED
+    * corpus (its survivor token counts, already in hand) without a
+    * second tokenization pass. */
+  def tokenBudgetFromCounts(counts: DataFrame, multipleE2: Long): DataFrame = {
+    val avail = counts
       // a zero-token source cannot absorb budget and would divide the
       // epochs by zero (null in Spark, a hard error in the oracle) —
       // omitted from the report by contract
@@ -454,9 +483,9 @@ object Curation {
     val tot = avail.agg(sum(col("s")).as("sw"), sum(col("tokens_avail")).as("t"))
     avail.crossJoin(broadcast(tot))
       .withColumn("share_e6", expr("s * 1000000 div sw"))
+      .withColumn("b", expr(s"t * $multipleE2 div 100"))
       .withColumn("tokens_want",
-        expr(s"(t * $BudgetMultiple div 1000000) * share_e6 + " +
-          s"(t * $BudgetMultiple % 1000000) * share_e6 div 1000000"))
+        expr("(b div 1000000) * share_e6 + (b % 1000000) * share_e6 div 1000000"))
       .withColumn("epochs_e4", expr("tokens_want * 10000 div tokens_avail"))
       .withColumn("tokens_got",
         expr(s"least(tokens_want, tokens_avail * $BudgetEpochsCapE4 div 10000)"))
@@ -465,33 +494,52 @@ object Curation {
         "epochs_e4", "tokens_got", "shortfall")
   }
 
-  /** DuckDB twin of [[tokenBudget]] — identical √-weight, quantized-want
-    * and cap arithmetic (`//` ≡ `div` on the nonnegative operands). */
-  val tokenBudgetOracle: String =
+  /** DuckDB twin of [[tokenBudgetAt]] — identical √-weight,
+    * quantized-want and cap arithmetic (`//` ≡ `div` on the nonnegative
+    * operands), parameterized like the Scala core so the composed
+    * pipeline's constrained-budget stage replays the SAME algebra. */
+  def tokenBudgetOracleAt(multipleE2: Long): String =
     s"""WITH a AS (
        |  SELECT source,
        |    sum(len(list_filter(string_split_regex(lower(text), '\\W+'),
        |                        t -> t != '')))::BIGINT AS tokens_avail
        |  FROM documents GROUP BY 1
        |  HAVING tokens_avail > 0),
-       |w AS (SELECT source, tokens_avail,
-       |        floor(sqrt(tokens_avail))::BIGINT AS s FROM a),
-       |t AS (SELECT sum(s)::BIGINT AS sw, sum(tokens_avail)::BIGINT AS t
-       |      FROM w),
-       |sh AS (SELECT source, tokens_avail,
-       |         (s * 1000000 // sw)::BIGINT AS share_e6, t FROM w, t),
-       |wt AS (SELECT source, tokens_avail, share_e6,
-       |         ((t * $BudgetMultiple // 1000000) * share_e6 +
-       |          (t * $BudgetMultiple % 1000000) * share_e6 // 1000000)::BIGINT
+       |${tokenBudgetAlgebraCtes("a", "", multipleE2)}
+       |SELECT source, tokens_avail, share_e6, tokens_want, epochs_e4,
+       |  tokens_got, shortfall
+       |FROM rep""".stripMargin
+
+  /** The [[tokenBudgetFromCounts]] algebra as a reusable CTE chain over
+    * any `(source, tokens_avail)` relation `availRel` (tokens_avail > 0
+    * by the caller's contract) — CTEs `{p}w, {p}t, {p}sh, {p}wt, {p}rep`
+    * with the full report in `{p}rep`. Shared verbatim by the standalone
+    * 3.00× oracle and the pipeline's constrained-budget stage so the two
+    * cannot diverge. */
+  def tokenBudgetAlgebraCtes(availRel: String, p: String,
+      multipleE2: Long): String =
+    s"""${p}w AS (SELECT source, tokens_avail,
+       |        floor(sqrt(tokens_avail))::BIGINT AS s FROM $availRel),
+       |${p}t AS (SELECT sum(s)::BIGINT AS sw, sum(tokens_avail)::BIGINT AS t
+       |      FROM ${p}w),
+       |${p}sh AS (SELECT source, tokens_avail,
+       |         (s * 1000000 // sw)::BIGINT AS share_e6,
+       |         (t * $multipleE2 // 100)::BIGINT AS b FROM ${p}w, ${p}t),
+       |${p}wt AS (SELECT source, tokens_avail, share_e6,
+       |         ((b // 1000000) * share_e6 +
+       |          (b % 1000000) * share_e6 // 1000000)::BIGINT
        |           AS tokens_want
-       |       FROM sh)
-       |SELECT source, tokens_avail, share_e6, tokens_want,
+       |       FROM ${p}sh),
+       |${p}rep AS (SELECT source, tokens_avail, share_e6, tokens_want,
        |  (tokens_want * 10000 // tokens_avail)::BIGINT AS epochs_e4,
        |  least(tokens_want,
        |        tokens_avail * $BudgetEpochsCapE4 // 10000)::BIGINT AS tokens_got,
        |  (tokens_want - least(tokens_want,
        |     tokens_avail * $BudgetEpochsCapE4 // 10000))::BIGINT AS shortfall
-       |FROM wt""".stripMargin
+       |FROM ${p}wt)""".stripMargin
+
+  /** DuckDB twin of [[tokenBudget]] (the 3.00× standalone report). */
+  val tokenBudgetOracle: String = tokenBudgetOracleAt(BudgetMultiple * 100L)
 
   // ------------------------------------------------------------------ pack
 

@@ -59,6 +59,55 @@ object PrefixSum {
       .toDF(orderCol, valCol, outCol)
   }
 
+  /** `outCol` = sum of `valCol` over rows of the SAME `groupCol` value
+    * strictly preceding in `ordCol` order — i.e.
+    * `sum(v) OVER (PARTITION BY g ORDER BY ord) - v`, but WITHOUT
+    * partitioning by group (a G-ary window puts each group's whole
+    * membership in one task; see [[groupedRank]]). Range-partitions on
+    * the ORDER key — balanced regardless of group sizes — with
+    * per-(partition, group) subtotal offsets (P×G longs to the driver,
+    * so `groupCol` must be LOW-CARDINALITY by design: sources, splits,
+    * shard ids). `ordCol` must be globally unique; ord/val read as
+    * longs, group as string. Output is exactly
+    * (ordCol, groupCol, valCol, outCol). */
+  def groupedCumBefore(df: DataFrame, ordCol: String, groupCol: String,
+      valCol: String, outCol: String = "cum_before",
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val base = df
+      .select(col(ordCol).cast("long").as("k"),
+        col(groupCol).cast("string").as("g"), col(valCol).cast("long").as("v"))
+      .repartitionByRange(p, col("k"))
+      .sortWithinPartitions("k")
+      .as[(Long, String, Long)]
+      .persist()
+    graft.llm.OpCaches.track(s"prefixsum.cum.$ordCol.$groupCol", Seq(base.toDF()))
+    val sums = base.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { case (_, g, v) => m.update(g, m.getOrElse(g, 0L) + v) }
+        Iterator((i, m.toMap))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(Map.empty[String, Long]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (g, s)) => a.updated(g, a.getOrElse(g, 0L) + s) }
+    }.init
+    val bc = spark.sparkContext.broadcast(offsets)
+    base.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        val run = scala.collection.mutable.HashMap(bc.value(i).toSeq: _*)
+        it.map { case (k, g, v) =>
+          val before = run.getOrElse(g, 0L)
+          run.update(g, before + v)
+          (k, g, v, before)
+        }
+      }
+      .toDF(ordCol, groupCol, valCol, outCol)
+  }
+
   /** `outCol` = 0-based rank WITHIN the row's `groupCol` value, in global
     * (`ord1`, `ord2`) order — i.e.
     * `row_number() OVER (PARTITION BY g ORDER BY ord1, ord2) - 1`, but

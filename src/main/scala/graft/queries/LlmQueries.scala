@@ -78,19 +78,34 @@ object LlmQueries {
 
   /** The COMPOSED curation pipeline — the DAG a user actually runs:
     * Gopher quality filter ∧ model-based quality score (the zero-shuffle
-    * hashed-linear stage) ∧ duplicate-cluster non-survivor removal ∧
-    * duplicated-span cut (docs ≥[[graft.llm.Mining.DupSpanDropE4]]
-    * covered by cross-corpus duplicated spans) ∧ benchmark
-    * decontamination ∧ per-domain cap ∧ mixture resampling ∧
-    * deterministic stratified sampling, then per-language survivor
-    * counts (+ a doc_id checksum so the oracle pins the exact surviving
-    * SET, not just its size). Every stage is the SAME operator its
-    * standalone entry gates — the cluster drop list even reuses the
+    * hashed-linear stage) ∧ C4 blocklist ∧ duplicate-cluster
+    * non-survivor removal ∧ duplicated-span cut (docs
+    * ≥[[graft.llm.Mining.DupSpanDropE4]] covered by cross-corpus
+    * duplicated spans) ∧ benchmark decontamination ∧ per-domain cap ∧
+    * mixture resampling ∧ deterministic stratified sampling ∧ a
+    * CONSTRAINED per-source token-budget cap
+    * ([[graft.llm.Curation.PipelineBudgetMultipleE2]] = 0.60× the
+    * CURATED corpus — the budget is planned over the survivors' own
+    * token counts via the same [[Curation.tokenBudgetFromCounts]]
+    * algebra the standalone 3.00× report gates; budgeting the raw
+    * corpus would dwarf the caps against what filtering left and the
+    * stage would be vacuous, exactly as a 3.00× multiple is), then
+    * per-language
+    * survivor counts (+ a doc_id checksum so the oracle pins the exact
+    * surviving SET, not just its size). Every stage is the SAME operator
+    * its standalone entry gates — the cluster drop list even reuses the
     * memoized pair computation — so this entry asserts the stages
     * compose: one plan, semi/anti joins against the (tiny) stage verdict
-    * sets, corpus streamed once through the join chain. */
+    * sets, corpus streamed once through the join chain.
+    *
+    * The budget cut keeps each source's surviving docs in doc_id order
+    * while the running token total stays inside the source's allocation
+    * — a grouped prefix sum over SURVIVORS, computed with
+    * [[graft.operators.PrefixSum.groupedCumBefore]] (range exchange on
+    * doc_id + per-source running counters), NOT a sources-partition
+    * window that would funnel the corpus into S tasks. */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{count, lit, sum}
+    import org.apache.spark.sql.functions.{broadcast, count, least, lit, size, sum}
     val d = docs(spark, dir)
     val qualityKeep = gopherVerdicts(spark, dir)
       .where(col("keep")).select("doc_id")
@@ -103,15 +118,45 @@ object LlmQueries {
     val mixKeep = Curation.mixtureKeep(d)
     val sampled = Curation.stratifiedSample(d).select("doc_id")
     val modelKeep = Curation.qualityScore(d).where(col("keep")).select("doc_id")
-    d.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+    val blockKeep = Curation.blocklistFilter(d)
+      .where(col("keep")).select("doc_id")
+    val survivors = d
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"),
+        size(graft.llm.Dedup.tokens(col("text"))).cast("long").as("n_tok"))
       .join(qualityKeep, "doc_id")
       .join(modelKeep, "doc_id")
+      .join(blockKeep, "doc_id")
       .join(capped, "doc_id")
       .join(mixKeep, "doc_id")
       .join(sampled, "doc_id")
       .join(dupDrop, Seq("doc_id"), "left_anti")
       .join(spanDrop, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      // consumed three times below (budget agg, prefix sum, final
+      // join) — persist so the nine-stage join chain runs once; at
+      // production scale this materialization IS the curated snapshot
+      // a run would checkpoint before packing anyway
+      .persist()
+    graft.llm.OpCaches.track("pipeline.survivors", Seq(survivors))
+    // the budget cap: per-source allocations planned over the CURATED
+    // corpus (the survivors' own token counts — budgeting the raw corpus
+    // would dwarf the caps against what filtering left and never cut);
+    // unique-token cap = least(avail, got); caps are a sources-sized
+    // broadcast, the allocation agg reuses the n_tok already computed
+    val availSv = survivors.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens_avail"))
+    val caps = Curation
+      .tokenBudgetFromCounts(availSv, Curation.PipelineBudgetMultipleE2)
+      .select(col("source"),
+        least(col("tokens_avail"), col("tokens_got")).as("cap_tok"))
+    val cum = graft.operators.PrefixSum
+      .groupedCumBefore(survivors.select("doc_id", "source", "n_tok"),
+        "doc_id", "source", "n_tok")
+    val budgetKeep = cum.join(broadcast(caps), "source")
+      .where(col("cum_before") + col("n_tok") <= col("cap_tok"))
+      .select("doc_id")
+    survivors.join(budgetKeep, "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
   }
@@ -631,19 +676,40 @@ object LlmQueries {
          |${Curation.domainCapKeepCte("cap_keep")},
          |${Curation.mixtureKeepCtes("mx_")},
          |${Curation.qualityKeepCte("mdl_keep")},
+         |blk_keep AS (
+         |  SELECT doc_id FROM (${Curation.blocklistOracle}) WHERE keep),
          |keep AS (
-         |  SELECT doc_id::BIGINT AS doc_id, lang FROM documents
+         |  SELECT doc_id::BIGINT AS doc_id, lang, source,
+         |    len(list_filter(string_split_regex(lower(text), '\\W+'),
+         |                    t -> t != ''))::BIGINT AS n_tok
+         |  FROM documents
          |  WHERE doc_id IN (SELECT doc_id FROM v WHERE reason = 'ok')
          |    AND doc_id IN (SELECT doc_id FROM mdl_keep)
+         |    AND doc_id IN (SELECT doc_id FROM blk_keep)
          |    AND doc_id IN (SELECT doc_id FROM cap_keep)
          |    AND doc_id IN (SELECT doc_id FROM mx_keep)
          |    AND ${Curation.sampleKeepSql}
          |    AND doc_id NOT IN (SELECT id FROM dropped)
          |    AND doc_id NOT IN (SELECT doc_id FROM span_drop)
-         |    AND doc_id NOT IN (SELECT doc_id FROM contam))
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |sv_a AS (
+         |  SELECT source, sum(n_tok)::BIGINT AS tokens_avail
+         |  FROM keep GROUP BY 1 HAVING tokens_avail > 0),
+         |${Curation.tokenBudgetAlgebraCtes("sv_a", "bg_",
+               Curation.PipelineBudgetMultipleE2)},
+         |bud AS (
+         |  SELECT source, least(tokens_avail, tokens_got) AS cap_tok
+         |  FROM bg_rep),
+         |cum AS (
+         |  SELECT k.*, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in
+         |  FROM keep k),
+         |fin AS (
+         |  SELECT doc_id, lang FROM cum JOIN bud USING (source)
+         |  WHERE cum_in <= cap_tok)
          |SELECT lang, count(*)::BIGINT AS n_docs,
          |  sum(doc_id)::BIGINT AS sum_doc_id
-         |FROM keep GROUP BY lang""".stripMargin,
+         |FROM fin GROUP BY lang""".stripMargin,
     "llm_embed_outliers" -> Similarity.embedOutliersOracle,
     "llm_embed_quantize" -> Similarity.embedQuantizeOracle,
     "llm_source_kl" -> graft.llm.Mining.sourceKlOracle,

@@ -244,13 +244,42 @@ class CurationSpec extends AnyFunSuite {
       .where(col("dup_frac_e4") >= graft.llm.Mining.DupSpanDropE4))
     val capped = ids(Curation.domainCap(docs))
     val mixed = ids(Curation.mixtureKeep(docs))
+    val blocked = ids(Curation.blocklistFilter(docs).where(col("keep")))
     val survivors = docs
-      .select(col("doc_id").cast("long").as("doc_id"), col("lang")).collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-      .filter { case (id, _) =>
-        keepQ(id) && keepM(id) && sampled(id) && capped(id) && mixed(id) &&
-          !dropped(id) && !spanDrop(id) && !contam(id) }
-    val want = survivors.groupBy(_._2)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"),
+        size(graft.llm.Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .filter { case (id, _, _, _) =>
+        keepQ(id) && keepM(id) && blocked(id) && sampled(id) && capped(id) &&
+          mixed(id) && !dropped(id) && !spanDrop(id) && !contam(id) }
+    // scalar re-derivation of the constrained budget cut: the same
+    // √-share integer algebra as tokenBudgetFromCounts, then a per-source
+    // doc_id-ordered running cut — independent of groupedCumBefore
+    val avail = survivors.groupBy(_._3).map { case (s, xs) =>
+      s -> xs.map(_._4).sum }.filter(_._2 > 0)
+    val sqrtW = avail.map { case (s, a) => s -> math.sqrt(a.toDouble).toLong }
+    val sw = sqrtW.values.sum
+    val t = avail.values.sum
+    val b = t * Curation.PipelineBudgetMultipleE2 / 100
+    val capTok = avail.map { case (s, a) =>
+      val share = sqrtW(s) * 1000000L / sw
+      val want = (b / 1000000L) * share + (b % 1000000L) * share / 1000000L
+      val got = math.min(want, a * Curation.BudgetEpochsCapE4 / 10000L)
+      s -> math.min(a, got)
+    }
+    val budgetKept = survivors.groupBy(_._3).toSeq.flatMap { case (s, xs) =>
+      var run = 0L
+      xs.sortBy(_._1).flatMap { case (id, l, _, n) =>
+        val fits = run + n <= capTok.getOrElse(s, 0L)
+        run += n
+        if (fits) Some((id, l)) else None
+      }.toSeq
+    }
+    // NOTE the running total advances past a non-fitting doc (strict
+    // prefix-sum semantics, matching cum_before + n_tok <= cap)
+    val want = budgetKept.groupBy(_._2)
       .map { case (l, xs) => (l, xs.size.toLong, xs.map(_._1).sum) }.toSet
     assert(got == want, s"pipeline != composed stages: got=$got want=$want")
     assert(got.nonEmpty, "the composed pipeline must keep documents")

@@ -43,6 +43,37 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(r.length == 1 && r.head.getLong(2) == 0L)
   }
 
+  test("groupedCumBefore matches the per-group window on random data") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 600).map(i =>
+      (i.toLong * 5 + 1, s"src${rnd.nextInt(5)}", rnd.nextInt(50).toLong))
+    val df = rows.toDF("k", "g", "v")
+    val got = PrefixSum.groupedCumBefore(df, "k", "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val want = df.withColumn("cb", coalesce(
+        sum(col("v")).over(Window.partitionBy("g").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == want)
+  }
+
+  test("groupedCumBefore is invariant to the partition count") {
+    val rows = (0 until 300).map(i => (i.toLong, s"s${i % 4}", (i % 11).toLong))
+    val df = rows.toDF("k", "g", "v")
+    def run(p: Int) = PrefixSum.groupedCumBefore(df, "k", "g", "v", partitions = p)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+    assert(run(1) == run(7) && run(7) == run(32))
+  }
+
+  test("groupedCumBefore: empty input and single-group input") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("k", "g", "v")
+    assert(PrefixSum.groupedCumBefore(empty, "k", "g", "v").count() == 0)
+    val one = (0 until 8).map(i => (i.toLong, "only", 3L)).toDF("k", "g", "v")
+    val r = PrefixSum.groupedCumBefore(one, "k", "g", "v")
+      .collect().map(x => (x.getLong(0), x.getLong(3))).sortBy(_._1)
+    assert(r.map(_._2).toSeq == (0 until 8).map(_ * 3L))
+  }
+
   test("groupedRank matches the per-group window on random data") {
     val rnd = new scala.util.Random(31)
     val rows = (0 until 400).map(i =>

@@ -525,17 +525,19 @@ object Analytics {
 
   /** Pearson correlation between the e2 event value and the integer `k`
     * property, per event type — `(event_type, n, corr_e4)`. The moment
-    * sums are EXACT int64 (null-excluded on both sides); the final
-    * ratio uses only IEEE-correctly-rounded ops in a pinned evaluation
-    * order (int64→double conversion, one multiply, sqrt, one divide —
-    * deterministic across engines, unlike libm transcendentals), so the
-    * e4 result is bit-identical. Zero-variance groups yield null.
-    * Envelope: every int64 product — per-row x·y, the moment sums, the
-    * n·Σ and Σ·Σ cross terms — is asserted loudly inside a 2^62 bound
-    * derived from max|x|, max|y| and the sums themselves (see
-    * [[correlationFrom]]'s guard), so large-magnitude values trip
-    * instead of wrapping; a run past the envelope shifts the moments to
-    * e-scaled longs or Decimal(38).
+    * sums are EXACT int64 (null-excluded on both sides) and the n·Σ / Σ·Σ
+    * cross terms are EXACT Decimal(38,0) — provably in range under the
+    * envelope, see [[correlationFrom]]'s guard — so num/d1/d2 carry no
+    * rounding at all; the final ratio uses only IEEE-correctly-rounded
+    * ops in a pinned evaluation order (integer→double conversion, one
+    * multiply, sqrt, one divide — deterministic across engines, unlike
+    * libm transcendentals), so the e4 result is bit-identical (the
+    * oracle computes the same cross terms in int128). Zero-variance
+    * groups yield null. Envelope: the per-row products and the int64
+    * moment sums are asserted loudly inside the 2^62 bound derived from
+    * max|x| and max|y|, so value magnitudes past what int64 sums hold
+    * trip instead of wrapping; everything wider already lives in the
+    * decimal cross terms.
     *
     * Scale shape: one map-side-combined six-sum aggregate per type —
     * the corpus never shuffles rows, only partial sums. */
@@ -558,30 +560,34 @@ object Analytics {
         max(abs(col("x"))).as("mx"), max(abs(col("y"))).as("my"))
       // the q21 guard pattern: the assert rides a FILTERED column so
       // projection pruning cannot elide it. The envelope is checked on
-      // the MOMENT MAGNITUDES, not just n — every int64 product in the
-      // pipeline is bounded so nothing can wrap silently in non-ANSI
-      // Spark:
+      // the MOMENT MAGNITUDES, not just n — the per-row products and the
+      // int64 moment SUMS are bounded so nothing can wrap silently in
+      // non-ANSI Spark:
       //   (a) mx,my ≤ ⌊√(2^63)⌋         — per-row x², y², x·y fit;
       //   (b) n·max(mx²,my²,mx·my)≤2^62 — no moment SUM can wrap (each
       //       |Σ| ≤ n·mx·my); sound even if (b)'s own products wrap,
-      //       because that requires (a) to already fail the AND;
-      //   (c) n·max(sxx,syy,|sxy|)≤2^62 — the n·Σ products in num/d1/d2
-      //       fit, and their subtraction of two ≤2^62 terms fits too;
-      //   (d) |sx|,|sy| ≤ 2^31−1        — sx², sy², sx·sy ≤ 2^62.
-      // A large-|value| group now trips loudly instead of returning a
-      // confidently wrong corr_e4 (div is wrap-free, so the bounds
-      // themselves cannot overflow).
+      //       because that requires (a) to already fail the AND.
+      // The cross terms n·Σ and Σ·Σ need NO further bound: they are
+      // computed below in Decimal(38,0), and (a)∧(b) already prove them
+      // in range — |Σ| ≤ n·max ≤ 2^62 and n ≤ 2^62 give |n·Σ| and
+      // |Σx·Σy| ≤ n·(n·max) ≤ 2^124 ≈ 2.1e37, so each product and the
+      // final difference (≤ 4.3e37) sit inside Decimal(38)'s 10^38−1
+      // exactly — no overflow, no precision loss, never null. (The old
+      // all-int64 envelope also demanded n·Σ ≤ 2^62 and |Σ| ≤ 2^31−1,
+      // which aborted legitimate large groups — e.g. 1e6 rows of e2
+      // values ~1e4 — that the widened type computes exactly for free.)
       .withColumn("_g", assert_true(
         expr("mx <= 3037000499L AND my <= 3037000499L") &&
-          expr(s"n <= ${Long.MaxValue / 2}L div greatest(mx*mx, my*my, mx*my, 1L)") &&
-          expr(s"n <= ${Long.MaxValue / 2}L div greatest(sxx, syy, abs(sxy), 1L)") &&
-          expr("abs(sx) <= 2147483647L AND abs(sy) <= 2147483647L"),
+          expr(s"n <= ${Long.MaxValue / 2}L div greatest(mx*mx, my*my, mx*my, 1L)"),
         lit("q27_correlation int64 moment envelope exceeded: " +
           "value magnitudes break the 2^62 product bound for this n")))
       .filter(col("_g").isNull)
-      .withColumn("num", expr("n * sxy - sx * sy"))
-      .withColumn("d1", expr("n * sxx - sx * sx"))
-      .withColumn("d2", expr("n * syy - sy * sy"))
+      .withColumn("num",
+        expr("cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"))
+      .withColumn("d1",
+        expr("cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("d2",
+        expr("cast(n as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy"))
       .withColumn("corr_e4",
         when(col("d1") > 0 && col("d2") > 0,
           floor(col("num").cast("double") * lit(10000.0) /
@@ -674,9 +680,9 @@ object Analytics {
         |  FROM e GROUP BY 1),
         |d AS (
         |  SELECT event_type, n,
-        |    (n * sxy - sx * sy)::BIGINT AS num,
-        |    (n * sxx - sx * sx)::BIGINT AS d1,
-        |    (n * syy - sy * sy)::BIGINT AS d2
+        |    (n::HUGEINT * sxy - sx::HUGEINT * sy) AS num,
+        |    (n::HUGEINT * sxx - sx::HUGEINT * sx) AS d1,
+        |    (n::HUGEINT * syy - sy::HUGEINT * sy) AS d2
         |  FROM m)
         |SELECT event_type, n,
         |  CASE WHEN d1 > 0 AND d2 > 0

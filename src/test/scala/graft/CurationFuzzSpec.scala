@@ -186,25 +186,48 @@ class CurationFuzzSpec extends AnyFunSuite {
     }
   }
 
-  /** The pipeline conjoins seven keep-gates (gopher ∧ ¬dup ∧ ¬span ∧
-    * ¬contam ∧ cap ∧ mixture ∧ sample) — on the small adversarial corpus
-    * alone the survivor set is often empty, which would make the
-    * composition check vacuous. Append a keep-biased block: long unique
-    * texts over a wide vocab (passes gopher), weighted languages only
-    * (passes mixture), so enough docs reach the hash-rate sampling stages
-    * that some always survive. The naive reference recomputes every stage
-    * from the same rows, so the bias costs no generality. */
+  /** The pipeline conjoins nine keep-gates (gopher ∧ model ∧ blocklist ∧
+    * ¬dup ∧ ¬span ∧ ¬contam ∧ cap ∧ mixture ∧ sample) and then a
+    * constrained token-budget cut — on the small adversarial corpus alone
+    * the survivor set is often empty, which would make the composition
+    * check vacuous; and if the stragglers that do survive each sit alone
+    * in their source, the 0.60× budget cut empties the set entirely (the
+    * r11 seed=51 regression). Append a keep-biased block engineered so a
+    * MULTI-DOC source always reaches the budget stage:
+    *  - long unique texts over a wide vocab (passes gopher, no blocked
+    *    terms), rejection-sampled until the hashed-linear quality score
+    *    is ≥ 0 (passes the model gate);
+    *  - all in source "web" with weighted langs repeated ∝ their mixture
+    *    weight, so the fitted T keeps every acceptance rate high;
+    *  - doc_ids rejection-sampled on the shared md5 hash so each doc's
+    *    md5 leads with '0' (wins the domain-cap rank), docBucket < 25
+    *    (passes every sample rate) and mixBucket < 250000 (passes any
+    *    healthy mixture rate).
+    * The naive reference recomputes every stage from the same rows, so
+    * the bias costs no generality — and the test asserts the budget cut
+    * is PARTIAL (some but not all survivors kept), so neither the
+    * cut-nothing nor the cut-everything degeneracy can pass silently. */
   private def pipelineCorpus(seed: Int): Seq[Doc] = {
     val base = corpus(seed)
     val rnd = new scala.util.Random(seed * 7919)
     val wide = (0 until 40).map(i => s"word$i")
-    val langs = Vector("en", "zh", "de", "fr", "es")
-    val sources = Vector("web", "wiki", "books")
-    val extra = (0 until 80).map { j =>
-      val t = (0 until 12 + rnd.nextInt(12))
+    val half = (Curation.QualityMod - 1) / 2
+    def qualityPass(t: String): Boolean =
+      tok(t).map(w => hash15(w, Curation.QualityMod) - half).sum >= 0
+    val langPool = Vector("en", "en", "en", "en", "zh", "zh", "de", "de",
+      "fr", "es")
+    val goodIds = Iterator.from(1000).map(_.toLong).filter { id =>
+      val hex = md5hex(id.toString)
+      val v = java.lang.Long.parseLong(hex.take(15), 16)
+      hex.head == '0' && v % 100 < 25 && v % 1000000 < 250000
+    }
+    val extra = goodIds.take(60).toSeq.zipWithIndex.map { case (id, j) =>
+      var t = (0 until 12 + rnd.nextInt(12))
         .map(_ => wide(rnd.nextInt(wide.length))).mkString(" ")
-      (base.size.toLong + j, langs(j % langs.length),
-        sources(rnd.nextInt(sources.length)), t, t.length.toLong)
+      while (!qualityPass(t))
+        t = (0 until 12 + rnd.nextInt(12))
+          .map(_ => wide(rnd.nextInt(wide.length))).mkString(" ")
+      (id, langPool(j % langPool.length), "web", t, t.length.toLong)
     }
     base ++ extra
   }
@@ -239,6 +262,7 @@ class CurationFuzzSpec extends AnyFunSuite {
         df.select("doc_id").collect().map(_.getLong(0)).toSet
       val keepQ = ids(Repetition.gopherFilter(d).filter(col("keep")))
       val keepM = ids(Curation.qualityScore(d).filter(col("keep")))
+      val keepB = ids(Curation.blocklistFilter(d).filter(col("keep")))
       val dropDup = ids(LlmQueries.dupClusters(spark, dir).filter(!col("keep")))
       val dropSpan = ids(Mining.dupSpans(d)
         .filter(col("dup_frac_e4") >= Mining.DupSpanDropE4))
@@ -246,15 +270,51 @@ class CurationFuzzSpec extends AnyFunSuite {
       val cap = ids(Curation.domainCap(d))
       val mix = ids(Curation.mixtureKeep(d))
       val samp = ids(Curation.stratifiedSample(d))
-      val kept = rows.filter { case (id, _, _, _, _) =>
-        keepQ(id) && keepM(id) && cap(id) && mix(id) && samp(id) &&
-          !dropDup(id) && !dropSpan(id) && !contam(id)
-      }
-      val want = kept.groupBy(_._2)
-        .map { case (l, rs) => (l, rs.size.toLong, rs.map(_._1).sum) }
+      val survivors = rows
+        .map { case (id, l, s, text, _) => (id, l, s, tok(text).size.toLong) }
+        .filter { case (id, _, _, _) =>
+          keepQ(id) && keepM(id) && keepB(id) && cap(id) && mix(id) &&
+            samp(id) && !dropDup(id) && !dropSpan(id) && !contam(id)
+        }
+      // scalar re-derivation of the constrained budget cut — the same
+      // √-share integer algebra as tokenBudgetFromCounts plus a
+      // per-source doc_id-ordered strict prefix cut, independent of
+      // groupedCumBefore (mirrors CurationSpec's composition twin)
+      val avail = survivors.groupBy(_._3)
+        .map { case (s, xs) => s -> xs.map(_._4).sum }.filter(_._2 > 0)
+      val budgetKept: Seq[(Long, String)] =
+        if (avail.isEmpty) Seq.empty
+        else {
+          val sqrtW = avail.map { case (s, a) =>
+            s -> math.sqrt(a.toDouble).toLong }
+          val sw = sqrtW.values.sum
+          val b = avail.values.sum * Curation.PipelineBudgetMultipleE2 / 100
+          val capTok = avail.map { case (s, a) =>
+            val share = sqrtW(s) * 1000000L / sw
+            val want = (b / 1000000L) * share + (b % 1000000L) * share / 1000000L
+            s -> math.min(a, math.min(want, a * Curation.BudgetEpochsCapE4 / 10000L))
+          }
+          survivors.groupBy(_._3).toSeq.flatMap { case (s, xs) =>
+            // a source absent from capTok (all-zero tokens) drops all its
+            // docs — mirrors the engine's inner join to the cap set
+            capTok.get(s).toSeq.flatMap { capT =>
+              var run = 0L
+              xs.sortBy(_._1).flatMap { case (id, l, _, n) =>
+                val fits = run + n <= capT
+                run += n
+                if (fits) Some((id, l)) else None
+              }
+            }
+          }
+        }
+      val want = budgetKept.groupBy(_._2)
+        .map { case (l, xs) => (l, xs.size.toLong, xs.map(_._1).sum) }
         .toSeq.sortBy(_._1)
       assert(got == want, s"seed=$seed")
-      assert(kept.nonEmpty, s"seed=$seed degenerate: pipeline kept nothing")
+      assert(got.nonEmpty, s"seed=$seed degenerate: pipeline kept nothing")
+      assert(budgetKept.nonEmpty && budgetKept.size < survivors.size,
+        s"seed=$seed budget cut must be partial: " +
+          s"kept ${budgetKept.size} of ${survivors.size} survivors")
       } finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

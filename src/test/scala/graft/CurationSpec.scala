@@ -270,12 +270,17 @@ class CurationSpec extends AnyFunSuite {
       s -> math.min(a, got)
     }
     val budgetKept = survivors.groupBy(_._3).toSeq.flatMap { case (s, xs) =>
-      var run = 0L
-      xs.sortBy(_._1).flatMap { case (id, l, _, n) =>
-        val fits = run + n <= capTok.getOrElse(s, 0L)
-        run += n
-        if (fits) Some((id, l)) else None
-      }.toSeq
+      // a source absent from capTok (all-zero tokens_avail) drops ALL its
+      // docs — the engine reaches the budget filter through an inner join
+      // to the cap set, so even an n_tok=0 doc from such a source is cut
+      capTok.get(s).toSeq.flatMap { capT =>
+        var run = 0L
+        xs.sortBy(_._1).flatMap { case (id, l, _, n) =>
+          val fits = run + n <= capT
+          run += n
+          if (fits) Some((id, l)) else None
+        }
+      }
     }
     // NOTE the running total advances past a non-fitting doc (strict
     // prefix-sum semantics, matching cum_before + n_tok <= cap)

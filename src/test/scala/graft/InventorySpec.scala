@@ -29,19 +29,37 @@ class InventorySpec extends AnyFunSuite {
       s"entries with no SURVEY §2 inventory mention: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
-  test("every entry named in the SURVEY §2.12 table exists in the code") {
-    // rows of the §2.12 table carry the entry in the second column;
-    // parse just that table so prose backticks (config keys, file
-    // names) don't false-positive
-    val section = survey.split("### 2\\.12 ")(1).split("\n## ")(0)
-    val named = "\\| *`([a-z0-9_]+)`(?: *, *`([a-z0-9_]+)`)? *\\|".r
-      .findAllMatchIn(section)
-      .flatMap(m => Seq(Option(m.group(1)), Option(m.group(2))).flatten)
-      .toSet
-    assert(named.nonEmpty, "the §2.12 table must parse")
-    val ghosts = named.diff(entries)
+  /** The named SURVEY section, bounded at the NEXT heading of any level
+    * (a `\n## `-only bound would silently absorb a following `###`
+    * sibling and exempt its rows from the ghost check). */
+  private def section(headingRegex: String): String =
+    survey.split(headingRegex)(1).split("\n#{1,6} ")(0)
+
+  /** ALL backticked entry names in the given cell of each table row —
+    * rows naming three or more entries in one cell count every one
+    * (the old 1-or-2-capture regex left 3+-entry rows unchecked).
+    * Parsing a single designated cell keeps prose backticks in the
+    * other columns (config keys, §-references) from false-positives. */
+  private def entryCellNames(sectionText: String, cellIdx: Int): Set[String] =
+    sectionText.linesIterator
+      .filter(_.trim.startsWith("|"))
+      .flatMap { row =>
+        val cells = row.split("\\|")
+        if (cells.length > cellIdx)
+          "`([a-z0-9_]+)`".r.findAllMatchIn(cells(cellIdx)).map(_.group(1))
+        else Iterator.empty
+      }.toSet
+
+  test("every entry named in the SURVEY §2.12/§2.13 tables exists in the code") {
+    // §2.12 rows carry the entry in the second column, §2.13 rows (the
+    // entry↔inventory map) in the first
+    val named212 = entryCellNames(section("### 2\\.12 "), 2)
+    val named213 = entryCellNames(section("### 2\\.13 "), 1)
+    assert(named212.nonEmpty, "the §2.12 table must parse")
+    assert(named213.nonEmpty, "the §2.13 table must parse")
+    val ghosts = (named212 ++ named213).diff(entries)
     assert(ghosts.isEmpty,
-      s"SURVEY §2.12 names entries that do not exist: ${ghosts.toSeq.sorted.mkString(", ")}")
+      s"SURVEY §2.12/§2.13 name entries that do not exist: ${ghosts.toSeq.sorted.mkString(", ")}")
   }
 
   test("every queries key has an oracle (the rows-only escape hatch stays empty)") {

@@ -326,19 +326,42 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got("c") == None, s"zero variance must be null: $got")
   }
 
-  test("q27 correlation: moment envelope trips loudly, not silently wrong") {
+  test("q27 correlation: moment envelope trips loudly, decimal cross terms compute exactly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // the ADVICE r10 scenario: a group whose n passes a naive row-count
-    // guard but whose value magnitudes wrap n*sxx in non-ANSI Spark —
-    // 200k rows of |x| ~ 3e6 gives sxx ~ 1.8e18 and n*sxx ~ 3.6e23.
-    def run(xs: Seq[(Long, Long)]): Unit =
+    def run(xs: Seq[(Long, Long)]) =
       graft.queries.Analytics.correlationFrom(
         xs.map { case (x, y) => ("t", x, y) }.toDF("event_type", "x", "y"))
         .collect()
+    def got(xs: Seq[(Long, Long)]): Option[Long] = {
+      val r = run(xs)
+      assert(r.length == 1)
+      if (r(0).isNullAt(2)) None else Some(r(0).getLong(2))
+    }
+    // exact BigInt twin of the production algebra (BigInt→double is the
+    // same correctly-rounded conversion Decimal(38,0)→double makes)
+    def want(xs: Seq[(Long, Long)]): Option[Long] = {
+      val n = BigInt(xs.length)
+      val sx = xs.map(e => BigInt(e._1)).sum
+      val sy = xs.map(e => BigInt(e._2)).sum
+      val sxy = xs.map(e => BigInt(e._1) * e._2).sum
+      val sxx = xs.map(e => BigInt(e._1) * e._1).sum
+      val syy = xs.map(e => BigInt(e._2) * e._2).sum
+      val (num, d1, d2) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      if (d1 > 0 && d2 > 0)
+        Some(math.floor(num.toDouble * 10000.0 /
+          math.sqrt(d1.toDouble * d2.toDouble) + 0.5).toLong)
+      else None
+    }
+    // the ADVICE r10 scenario — 200k rows of |x| ~ 3e6: sxx ~ 1.8e18 fits
+    // int64 but n·sxx ~ 3.6e23 does not. The old all-int64 envelope
+    // aborted this LEGITIMATE group; the Decimal(38,0) cross terms now
+    // compute it exactly (r11 ADVICE), verified against the BigInt twin.
     val big = (1L to 200000L).map(i => (3000000L + i % 7, i % 100))
-    val e1 = intercept[Exception] { run(big) }
-    assert(e1.getMessage.contains("moment envelope"), e1.getMessage)
+    assert(got(big) == want(big), "large-magnitude group must compute exactly")
+    // |sx| far past the old 2^31-1 bound (d) — also just computes now
+    val wideSum = (1L to 3000L).map(i => (1000000L + i, i % 50))
+    assert(got(wideSum) == want(wideSum), "sx past 2^31 must compute exactly")
     // per-row product overflow (mx > sqrt 2^63): under ANSI (the Spark 4
     // default) the multiply itself raises first; with ANSI off, bound (a)
     // of the guard trips — loud either way, never silently wrong
@@ -346,12 +369,14 @@ class TimeSeriesSpec extends AnyFunSuite {
       (4000000001L, 1L))) }
     assert(e2.getMessage.contains("moment envelope") ||
       e2.getMessage.contains("ARITHMETIC_OVERFLOW"), e2.getMessage)
-    // cross-term overflow via |sx| (each x fine, sum past 2^31)
+    // moment-SUM overflow risk (bound (b)): one row at mx = 3e9 keeps the
+    // per-row square inside int64, but n·mx² = 5.4e21 says a sum COULD
+    // wrap — must abort loudly, int64 moments are the exactness contract
     val e3 = intercept[Exception] {
-      run((1L to 3000L).map(i => (1000000L, i % 50))) }
+      run(Seq((3000000000L, 1L)) ++ Seq.fill(599)((0L, 1L))) }
     assert(e3.getMessage.contains("moment envelope"), e3.getMessage)
     // and a comfortably in-envelope group still computes
-    run((1L to 1000L).map(i => (i, 2 * i)))
+    assert(got((1L to 1000L).map(i => (i, 2 * i))) == Some(10000L))
   }
 
   test("q24 user sequences: cap, count and hash match a scalar reference") {

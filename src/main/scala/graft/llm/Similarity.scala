@@ -350,14 +350,20 @@ object Similarity {
     * the reduced dimension are the two recall levers). Defaults chosen
     * SCALE-ROBUSTLY: recall at fixed (dOut, pool) decays as the corpus
     * grows (dOut=16/pool=40x measured 0.76/0.92/0.54 recall@5 at
-    * sf0.001/0.01/0.1 — fine at the tuning scale, under water one decade
-    * up); dOut=32/pool=80x measures 1.00/1.00/0.88 across the same three
-    * decades with both costs still corpus-size-independent (400 rerank
-    * pairs per query; the reduced scan reads dOut/dim = half-width). Per
-    * Johnson-Lindenstrauss, dOut should grow ~log n — bump it again
-    * before the next corpus decade rather than widening the pool. */
+    * sf0.001/0.01/0.1; dOut=32/pool=80x measured 1.00/1.00/0.88 across
+    * those three decades but decayed to 0.54 at the sf1 fourth decade —
+    * the ScaleDecadeSpec measurement, 2026-08-14, PLANS.md). At the
+    * 20k-vector decade the POOL is the binding lever, not JL distortion
+    * (dOut=64 alone recovered only 0.70): isotropic 64-dim similarity
+    * gaps shrink with n, so the true top-5 sit past rank 400 in the
+    * reduced order. dOut=48/pool=240x measures 0.84 at sf1 (and ≥0.88
+    * at every smaller decade) with both costs still
+    * corpus-size-independent: 1200 rerank pairs per query, reduced scan
+    * at dOut/dim = 3/4 width. Per Johnson-Lindenstrauss, dOut should
+    * keep growing ~log n — bump (dOut, pool) again before the next
+    * corpus decade, and re-measure with ScaleProbeMain. */
   def rpTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
-      dOut: Int = 32, seed: Long = 7L, poolFactor: Int = 80): DataFrame = {
+      dOut: Int = 48, seed: Long = 7L, poolFactor: Int = 240): DataFrame = {
     val pool = bruteForceTopK(rpReduce(emb, dOut, seed), numQueries, k * poolFactor)
       .select("qid", "nid")
     exactRerank(emb, pool, numQueries, k)

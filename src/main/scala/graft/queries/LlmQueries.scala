@@ -245,8 +245,10 @@ object LlmQueries {
     * sf0.1 gate run caught the rp floor breaking there when its params
     * were tuned only at smaller scales — recall decays with corpus size
     * at fixed reduction/pool, so a floor is only as good as the largest
-    * scale it was checked at). rp: 1.00/1.00/0.88 measured across the
-    * three sf decades at dOut=32/pool=80x. */
+    * scale it was checked at). rp: 1.00/1.00/1.00 measured across the
+    * three sf decades at dOut=48/pool=240x (re-tuned 2026-08-14 after
+    * the sf1 ScaleDecadeSpec measured 0.54 at the old dOut=32/pool=80x;
+    * 0.84 at sf1 with the new params). */
   private val annFloorsE4 =
     Map("lsh" -> 5000L, "ivf" -> 4000L, "rp" -> 7500L, "sq8" -> 9000L)
 

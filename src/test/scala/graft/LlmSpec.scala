@@ -250,13 +250,14 @@ class LlmSpec extends AnyFunSuite {
   test("JL random-projection top-k recall vs brute force is usable") {
     val exact = Similarity.bruteForceTopK(emb, numQueries = 10, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // defaults dOut=32/pool=80x: recall 1.00/1.00/0.88 at sf0.001/0.01/0.1
+    // defaults dOut=48/pool=240x: recall 1.00/1.00/1.00 at sf0.001/0.01/0.1
+    // and 0.84 at the sf1 fourth decade (ScaleDecadeSpec)
     val approx = Similarity.rpTopK(emb, numQueries = 10, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"rp recall@5 = $recall")
     assert(recall >= 0.75,
-      s"recall@5 $recall below the llm_sim_topk_rp gate floor (32-dim JL, pool 80x)")
+      s"recall@5 $recall below the llm_sim_topk_rp gate floor (48-dim JL, pool 240x)")
   }
 
   test("SQ8 top-k recall vs brute force clears the pinned floor at every SF") {

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fourth-decade (sf1) gating of the scale-sensitive floors (VERDICT r11
+  * directive 2 / r10 directive 1): the rp precedent — recall decayed
+  * exactly one decade above its tuning scale, twice (dOut=16 at sf0.1,
+  * then dOut=32 at sf1) — says a floor is only as good as the largest
+  * scale it was checked at. These tests run on the deterministic
+  * [[ScaleData]] sf1 extrapolation (20k vectors, 50k docs, 1M events;
+  * generated on first run, cached under .testdata/).
+  *
+  * Measured 2026-08-14 (ScaleProbeMain, also in PLANS.md): lsh 0.80,
+  * ivf 0.98, rp 0.84 (after the dOut 32→48 / pool 80x→240x re-tune;
+  * 0.54 before), sq8 1.00, production banding density 5.0e-4, simhash
+  * 33,956 distinct fingerprints / 50k docs, events 56,022 distinct e2
+  * values / 1M rows. */
+class ScaleDecadeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val dir = ScaleData.ensure(spark)
+  private lazy val emb =
+    spark.read.parquet(s"$dir/embeddings.parquet").cache()
+  private lazy val docs =
+    spark.read.parquet(s"$dir/documents.parquet").cache()
+
+  import graft.llm.{SimHash, Similarity}
+
+  private def pairs(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    d.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  private lazy val exact = pairs(Similarity.bruteForceTopK(emb))
+
+  test("ANN recall floors hold at the sf1 decade (lsh/ivf/rp/sq8)") {
+    // the same floors annFloorsE4 pins for the llm_ann_recall gate —
+    // asserted here one decade ABOVE the largest driver-gated scale
+    val floors = Seq[(String, Double, () => org.apache.spark.sql.DataFrame)](
+      ("lsh", 0.50, () => Similarity.lshTopK(emb)),
+      ("ivf", 0.40, () => Similarity.ivfTopK(emb)),
+      ("rp", 0.75, () => Similarity.rpTopK(emb)),
+      ("sq8", 0.90, () => Similarity.sq8TopK(emb)))
+    assert(exact.nonEmpty)
+    for ((name, floor, mk) <- floors) {
+      val recall = (exact & pairs(mk())).size.toDouble / exact.size
+      info(f"sf1 $name recall@5 = $recall%.3f (floor $floor)")
+      assert(recall >= floor,
+        s"$name recall@5 $recall decayed below the $floor floor at sf1 — " +
+          "re-tune its params one decade ahead (the rp dOut precedent)")
+    }
+  }
+
+  test("production near-dup banding still prunes to <1% density at sf1") {
+    val n = emb.count()
+    val (pb, pr) = Similarity.ProductionNearDupParams
+    val cand = Similarity.nearDupCandidates(emb, pb, pr, 13L).count()
+    val density = cand / (n * (n - 1) / 2.0)
+    info(f"sf1 production banding density = $density%.6f ($cand pairs)")
+    assert(density < 0.01,
+      s"16x16 banding candidate density $density at sf1 — banding broken")
+  }
+
+  test("simhash band collisions stay subquadratic on the 31-word vocab at sf1") {
+    // the 60-bit fingerprint of a 31-word-vocab corpus has limited
+    // entropy; the pigeonhole bands must still prune. Collision PAIRS
+    // (the candidate-join size) are computed from band-group counts —
+    // sum c·(c−1)/2 — without materializing the join. hammingDedup
+    // self-joins DISTINCT fingerprints (the identical-print collapse),
+    // so the operator's join size is the distinct-print collision count;
+    // the doc-level count documents what the collapse saves (measured
+    // 67.4M → 5.25M, 12.8×, at this decade).
+    val n = docs.count()
+    val fp = SimHash.fingerprints(docs)
+    val bands = 3
+    val bits = 60 / bands
+    val mask = (1L << bits) - 1
+    def collisions(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), i -> " +
+          s"shiftright(simhash, i * $bits) & $mask)")).as(Seq("band", "bkey")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2"))).head.getLong(0)
+    val docPairs = collisions(fp)
+    val printPairs = collisions(fp.select("simhash").distinct())
+    val allPairs = n.toDouble * (n - 1) / 2.0
+    info(f"sf1 simhash band collisions: doc-level ${docPairs / allPairs}%.4f " +
+      f"($docPairs), distinct-print ${printPairs / allPairs}%.4f ($printPairs)")
+    assert(printPairs / allPairs < 0.01,
+      s"distinct-print band candidate density ${printPairs / allPairs} at " +
+        "sf1 is heading quadratic — the identical-print collapse no longer prunes")
+    assert(printPairs * 5 < docPairs,
+      "the identical-print collapse should cut the band join by >5x on a " +
+        "low-entropy corpus; if this fails the collapse regressed")
+    // and the full verdict operator completes with per-doc output
+    val verdicts = SimHash.hammingDedup(docs).count()
+    assert(verdicts > 0 && verdicts <= n)
+  }
+
+  test("histogram/MAD order-stat state stays value-bounded (not row-bounded) at sf1") {
+    // q17/q18/q26/q28 build distinct-value-sized histograms; the e2
+    // integerization bounds distinct values by the VALUE RANGE (56,022
+    // for [0, 560.21]) no matter how many rows the decade adds — 1M rows
+    // must not mean 1M state entries
+    val ev = Tables.load(spark, dir, "events")
+    val rows = ev.count()
+    val dv = ev.selectExpr("cast(floor(value * 100 + 0.5) as bigint) v")
+      .where("v is not null").distinct().count()
+    info(s"sf1 events: $rows rows, $dv distinct e2 values")
+    assert(rows >= 1000000L)
+    assert(dv <= 56100L,
+      s"distinct e2 values $dv exceed the value-range bound — the " +
+        "order-stat histogram state would now scale with rows")
+  }
+}

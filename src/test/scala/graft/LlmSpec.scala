@@ -238,6 +238,49 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 $recall too low for 4-plane Hamming-2 multi-probe")
   }
 
+  test("production lshTopK params: <1% candidate density AND a recall floor on clustered embeddings") {
+    import spark.implicits._
+    // a planted CLUSTERED corpus — the production regime. The oracle
+    // gate's near-isotropic vectors are LSH's worst case, which is why
+    // the entry DEFAULTS are test-shaped (4 planes probing ~69% of the
+    // corpus); ProductionTopKParams must instead prune hard and still
+    // recall, which only clustered data can demonstrate. 200 clusters
+    // of 20 vectors at ~0.97 cosine-to-center (0.25x Gaussian noise on
+    // a Gaussian center).
+    val rnd = new scala.util.Random(4242)
+    val dim = 64
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(200)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 4000).map { id =>
+      val c = centers(id % 200)
+      val v = c.zip(Array.fill(dim)(rnd.nextGaussian()))
+        .map { case (a, g) => a + 0.25 * g }
+      (id.toLong, unit(v), id % 200)
+    }
+    val cemb = vecs.toDF("vec_id", "embedding", "label").cache()
+    val nq = 20
+    val (pl, ham) = Similarity.ProductionTopKParams
+    val cand = Similarity.lshCandidates(cemb, nq, pl, ham, 42L).count()
+    val density = cand.toDouble / (nq.toLong * (vecs.size - 1))
+    info(f"production lshTopK candidate density = $density%.4f ($cand pairs)")
+    assert(density < 0.01,
+      s"production probing density $density — the Hamming-2 ring over " +
+        "2^16 buckets must stay under 1% of the corpus per query")
+    val exact = Similarity.bruteForceTopK(cemb, nq, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity
+      .lshTopK(cemb, nq, 5, numPlanes = pl, maxProbeHamming = ham)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"production lshTopK recall@5 = $recall%.3f")
+    assert(recall >= 0.70,
+      s"production lshTopK recall@5 $recall under the clustered-corpus floor")
+    cemb.unpersist()
+  }
+
   test("IVF top-k recall vs brute force is usable") {
     val exact = Similarity.bruteForceTopK(emb, numQueries = 10, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

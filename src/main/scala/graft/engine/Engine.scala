@@ -257,13 +257,11 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
     * OFFSET/LIMIT paging. Ties broken by tag line for determinism. */
   def showPartitions(s: ShowPartitions): DataFrame = {
     val pred = TagsCompiler.compile(s.source)
-    val entries = store.catalog.load()
-    val byPart = entries.groupBy(_.part).filter { case (line, _) =>
-      pred(Model.parseTags(line).getOrElse(Map.empty))
-    }
-    val rows = byPart.toSeq.map { case (line, es) =>
-      (line, es.map(_.sizeBytes).sum, es.map(_.records).sum)
-    }.sortBy { case (line, size, _) => (-size, line) }
+    // summary-backed: O(parts) sidecar read, never the O(chunks) base
+    val rows = store.catalog.partSummaries().valuesIterator
+      .filter(ps => pred(Model.parseTags(ps.part).getOrElse(Map.empty)))
+      .map(ps => (ps.part, ps.sizeBytes, ps.records))
+      .toSeq.sortBy { case (line, size, _) => (-size, line) }
     val page = rows.drop(s.offset.getOrElse(0)).take(s.limit.getOrElse(Int.MaxValue))
     import spark.implicits._
     page.toDF("partition", "size_bytes", "records")
@@ -273,12 +271,11 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
     * total size/records regardless of paging). */
   def showPartitionsTotals(source: Option[Source]): (Long, Long, Long) = {
     val pred = TagsCompiler.compile(source)
-    val byPart = store.catalog.load().groupBy(_.part).filter { case (line, _) =>
-      pred(Model.parseTags(line).getOrElse(Map.empty))
-    }
-    (byPart.size.toLong,
-      byPart.values.flatten.map(_.sizeBytes).sum,
-      byPart.values.flatten.map(_.records).sum)
+    // summary-backed like showPartitions: totals never parse per-chunk rows
+    val sums = store.catalog.partSummaries().valuesIterator
+      .filter(ps => pred(Model.parseTags(ps.part).getOrElse(Map.empty)))
+      .toSeq
+    (sums.size.toLong, sums.map(_.sizeBytes).sum, sums.map(_.records).sum)
   }
 
   // --- DESCRIBE PARTITION -------------------------------------------------
@@ -308,10 +305,14 @@ final class Engine(val store: Store, clock: () => Instant = () => Instant.now())
     */
   def truncate(t: Truncate): DataFrame = {
     val pred = TagsCompiler.compile(t.source)
-    val all = store.catalog.load()
-    val matching = all.groupBy(_.part).filter { case (line, _) =>
-      pred(Model.parseTags(line).getOrElse(Map.empty))
-    }
+    // partition selection from the O(parts) summaries; per-chunk detail
+    // is then loaded shard-locally for ONLY the matching partitions, so a
+    // tag-filtered TRUNCATE never parses the whole catalog
+    val matchingLines = store.catalog.partSummaries().keysIterator
+      .filter(line => pred(Model.parseTags(line).getOrElse(Map.empty)))
+      .toSeq
+    val matching = store.catalog.entriesForParts(matchingLines)
+      .filter(_._2.nonEmpty)
 
     val minSize = t.minSize.getOrElse(0L)
     val maxSize = t.maxSize.getOrElse(0L)

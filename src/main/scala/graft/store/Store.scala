@@ -196,7 +196,10 @@ final class Store(val spark: SparkSession, val root: String) {
 
   private def epochCounter: java.util.concurrent.atomic.AtomicLong =
     Store.epochs.getOrElseUpdate(root, {
-      val hw = catalog.load().foldLeft(-1L)((m, e) => math.max(m, e.maxSeq))
+      // high-water from the O(parts) summaries — opening a 10^7-chunk
+      // store must not pay a full catalog parse to allocate its first epoch
+      val hw = catalog.partSummaries().valuesIterator
+        .foldLeft(-1L)((m, ps) => math.max(m, ps.maxSeq))
       new java.util.concurrent.atomic.AtomicLong(hw >> Store.SeqEpochShift)
     })
 
@@ -398,9 +401,11 @@ final class Store(val spark: SparkSession, val root: String) {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
   }
 
-  /** All partitions (tag line → parsed tags) known to the catalog. */
+  /** All partitions (tag line → parsed tags) known to the catalog —
+    * summary-backed (O(parts)): FROM-subset resolution at 10^7 chunks
+    * reads sidecars, not the base. */
   def partitions(): Map[String, Map[String, String]] =
-    catalog.load().groupBy(_.part).keys.map { line =>
+    catalog.partSummaries().keysIterator.map { line =>
       line -> Model.parseTags(line).getOrElse(Map.empty)
     }.toMap
 
@@ -433,9 +438,13 @@ final class Store(val spark: SparkSession, val root: String) {
     val set = paths.toSet
     paths.foreach(p => fs.delete(new Path(p), false))
     catalog.replace(set, Nil)
-    // clean empty partition dirs
-    val remaining = catalog.load()
-    val live = remaining.map(e => new Path(e.file).getParent.toString).toSet
+    // clean empty partition dirs; live dirs derive from the O(parts)
+    // summaries (the writer escapes part lines with the same
+    // ExternalCatalogUtils scheme partitionBy uses)
+    val live = catalog.partSummaries().keysIterator.map { line =>
+      new Path(dataDir, "part=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(line)).toString
+    }.toSet
     val dataPath = new Path(dataDir)
     if (fs.exists(dataPath)) {
       fs.listStatus(dataPath).foreach { st =>

@@ -306,7 +306,6 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
   }
 
   private def triggerOnce(): Int = {
-    val cat = store.catalog.load()
     val tagsCache = scala.collection.mutable.HashMap.empty[String, Map[String, String]]
     def tagsOf(line: String): Map[String, String] =
       tagsCache.getOrElseUpdate(line, Model.parseTags(line).getOrElse(Map.empty))
@@ -318,11 +317,21 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     val safeCache = scala.collection.mutable.HashMap.empty[String, Long]
     def safeFor(part: String): Long =
       safeCache.getOrElseUpdate(part, Store.safeSeqWatermarkFor(store.root, part))
-    val cand = cat.filter { e =>
-      val t = tagsOf(e.part)
+    // discovery is O(new data), not O(catalog): the O(parts) summaries
+    // name the partitions whose seq high-water advanced past the cursor
+    // (a part-level maxSeq ≤ cursor means NO chunk can pass the
+    // entry-level gate below), then only those partitions' shards load
+    // per-chunk detail
+    val advanced = store.catalog.partSummaries().valuesIterator.filter { ps =>
+      val t = tagsOf(ps.part)
       !t.contains(PipeTag) && pred(t) &&   // pipes never cascade
-        e.maxSeq > cursors.getOrElse(e.part, -1L) && e.maxSeq <= safeFor(e.part)
-    }
+        ps.maxSeq > cursors.getOrElse(ps.part, -1L)
+    }.map(_.part).toSeq
+    if (advanced.isEmpty) return 0
+    val cand = store.catalog.entriesForParts(advanced).valuesIterator.flatten
+      .filter(e => e.maxSeq > cursors.getOrElse(e.part, -1L) &&
+        e.maxSeq <= safeFor(e.part))
+      .toVector
     if (cand.isEmpty) return 0
 
     // whole registration batches (same writeTs) oldest-first up to the file

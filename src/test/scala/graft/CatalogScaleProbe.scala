@@ -80,6 +80,19 @@ object CatalogScaleProbe {
     val cold = Catalog(new org.apache.hadoop.conf.Configuration(), dir.getAbsolutePath)
     val (viaShard, partColdMs) = time(cold.entriesForPart(target))
     val (_, partWarmMs) = time(cold.entriesForPart(target))
+    // admin plane on ANOTHER fresh instance: SHOW PARTITIONS totals and
+    // the epoch high-water ride partSummaries — O(parts) sidecar lines
+    // plus O(segment batches), never the O(chunks) base parse
+    val coldSum = Catalog(new org.apache.hadoop.conf.Configuration(), dir.getAbsolutePath)
+    val (sums, sumColdMs) = time(coldSum.partSummaries())
+    val (_, sumWarmMs) = time(coldSum.partSummaries())
+    require(sums.size == parts, s"expected $parts summaries, got ${sums.size}")
+    val totSize = sums.valuesIterator.map(_.sizeBytes).sum
+    val totRecs = sums.valuesIterator.map(_.records).sum
+    val hw = sums.valuesIterator.map(_.maxSeq).max
+    require(totSize == n.toLong * (128L << 20) && totRecs == n.toLong * 100000L,
+      s"summary totals drifted: size=$totSize recs=$totRecs")
+    require(hw == n.toLong - 1 || hw == n.toLong, s"epoch high-water $hw")
     // second fresh instance, different part/shard: same disk-cold parse but
     // JIT-warm — the steady-state cold cost a long-lived driver pays
     val cold2 = Catalog(new org.apache.hadoop.conf.Configuration(), dir.getAbsolutePath)
@@ -109,7 +122,7 @@ object CatalogScaleProbe {
     cold2.append(Seq(entry(n + 1)))
     val (_, incrMs) = time(cold2.load())
 
-    println(f"""{"entries":$n,"parts":$parts,"build_ms":$buildMs%.0f,"part_cold_ms":$partColdMs%.1f,"part_cold_jitwarm_ms":$partCold2Ms%.1f,"part_warm_ms":$partWarmMs%.3f,"chunks_for_part":${viaShard.size},"full_load_ms":$preMs%.0f,"incr_load_ms":$incrMs%.0f,"cold_load_ms":$coldMs%.0f,"warm_load_ms":$warmMs%.3f,"prune_index_ms":$idxMs%.3f,"prune_scan_ms":$scanMs%.1f,"heap_mb":$heapMb}""")
+    println(f"""{"entries":$n,"parts":$parts,"build_ms":$buildMs%.0f,"part_cold_ms":$partColdMs%.1f,"part_cold_jitwarm_ms":$partCold2Ms%.1f,"part_warm_ms":$partWarmMs%.3f,"chunks_for_part":${viaShard.size},"full_load_ms":$preMs%.0f,"incr_load_ms":$incrMs%.0f,"cold_load_ms":$coldMs%.0f,"warm_load_ms":$warmMs%.3f,"prune_index_ms":$idxMs%.3f,"prune_scan_ms":$scanMs%.1f,"heap_mb":$heapMb,"summaries_cold_ms":$sumColdMs%.1f,"summaries_warm_ms":$sumWarmMs%.3f}""")
 
     // the documented driver budgets; the full-load budget applies at the
     // supported admin scale (<= 2M chunks) — a FORCED full run above that
@@ -118,6 +131,10 @@ object CatalogScaleProbe {
     // collapse/sort/index is not), so it reports without failing
     require(partColdMs < 2000, f"cold per-part load $partColdMs%.1f ms blows the 2 s budget")
     require(partCold2Ms < 1000, f"JIT-warm cold per-part load $partCold2Ms%.1f ms blows the 1 s budget")
+    // the summary-backed admin plane holds its budget AT ANY N, including
+    // the forced-10^7 run where the full load is out of budget — that is
+    // the r10-directive-3 contract (totals without catalog.load())
+    require(sumColdMs < 2000, f"cold partSummaries $sumColdMs%.1f ms blows the 2 s budget")
     if (measureFull && n <= 10000000) {
       require(coldMs < 30000, f"cold full load $coldMs%.0f ms blows the 30 s budget")
       require(idxMs < 50, f"indexed prune $idxMs%.3f ms blows the 50 ms budget")

@@ -184,6 +184,65 @@ class CatalogSpec extends AnyFunSuite {
     CatalogScaleProbe.main(Array("20000", "500"))
   }
 
+  /** partSummaries must equal the load()-derived per-part aggregate in
+    * EVERY layout state: sidecar-backed base, segments-only, mixed,
+    * legacy single file, and a base written before sidecars existed. */
+  private def naiveSummaries(cat: Catalog) =
+    cat.load().groupBy(_.part).map { case (p, es) =>
+      p -> ((es.size.toLong, es.map(_.sizeBytes).sum, es.map(_.records).sum,
+        es.map(_.maxSeq).max, es.map(_.writeTs).max))
+    }
+
+  private def gotSummaries(cat: Catalog) =
+    cat.partSummaries().map { case (p, ps) =>
+      p -> ((ps.chunks, ps.sizeBytes, ps.records, ps.maxSeq, ps.maxWriteTs))
+    }
+
+  test("partSummaries: sidecar-backed base + segment overlay matches the full load") {
+    val (cat, _) = freshCatalog()
+    cat.save((1 to 50).map(i => entry(s"a=${i % 7}", s"/f$i", seq = i.toLong)))
+    cat.append(Seq(entry("a=1", "/g1", seq = 99), entry("z=9", "/g2", seq = 3)))
+    cat.append(Seq(entry("a=3", "/g3", seq = 55)))
+    assert(gotSummaries(cat) == naiveSummaries(cat))
+  }
+
+  test("partSummaries: segments-only and legacy single-file layouts fall back correctly") {
+    val (cat, _) = freshCatalog()
+    cat.append(Seq(entry("a=1", "/f1"), entry("b=2", "/f2")))
+    assert(gotSummaries(cat) == naiveSummaries(cat), "segments only")
+    // legacy single file: write the old layout directly
+    val (cat2, dir2) = freshCatalog()
+    val legacy = new java.io.File(dir2, "catalog.jsonl")
+    val w = new java.io.PrintWriter(legacy, "UTF-8")
+    w.println("""{"part":"p=1","file":"/l1","records":5,"sizeBytes":50,"minTs":1,"maxTs":2,"writeTs":10,"maxSeq":4}""")
+    w.println("""{"part":"p=1","file":"/l2","records":6,"sizeBytes":60,"minTs":1,"maxTs":2,"writeTs":11,"maxSeq":9}""")
+    w.close()
+    assert(gotSummaries(cat2) == naiveSummaries(cat2), "legacy single file")
+  }
+
+  test("partSummaries: a base without sidecars (pre-summary layout) parses the shards") {
+    val (cat, dir) = freshCatalog()
+    cat.save((1 to 20).map(i => entry(s"a=${i % 3}", s"/f$i", seq = i.toLong)))
+    // simulate a pre-summary base: delete every sidecar
+    val shards = new java.io.File(dir, "catalog.jsonl.shards").listFiles()
+    shards.filter(_.getName.endsWith(".sum")).foreach(f => assert(f.delete()))
+    val cold = Catalog(new Configuration(), dir.getAbsolutePath)
+    assert(gotSummaries(cold) == naiveSummaries(cold))
+  }
+
+  test("partSummaries invalidates on append/replace from another instance") {
+    val (cat, dir) = freshCatalog()
+    cat.save(Seq(entry("a=1", "/f1", seq = 1)))
+    assert(gotSummaries(cat) == naiveSummaries(cat))
+    val other = Catalog(new Configuration(), dir.getAbsolutePath)
+    other.append(Seq(entry("a=1", "/f2", seq = 2)))
+    assert(gotSummaries(cat) == naiveSummaries(cat), "sees the foreign append")
+    other.replace(Set("/f1"), Nil)
+    assert(gotSummaries(cat) == naiveSummaries(cat), "sees the foreign replace")
+    assert(!cat.partSummaries().contains("a=1") ||
+      cat.partSummaries()("a=1").chunks == 1)
+  }
+
   test("codec round-trips adversarial part/file strings") {
     val (cat, _) = freshCatalog()
     val nasty = "a=\"x,y\",b=back\\slash,c=\"quo\\\"te\",d=new\nline"

@@ -104,41 +104,53 @@ object LlmQueries {
     * [[graft.operators.PrefixSum.groupedCumBefore]] (range exchange on
     * doc_id + per-source running counters), NOT a sources-partition
     * window that would funnel the corpus into S tasks. */
+  /** The pipeline's curated-survivor snapshot — the nine-gate join chain,
+    * memoized per (session, dir) like every other shared sub-result
+    * (gopherVerdicts / ngramPairs / topk): consumed three times by
+    * [[pipeline]] (budget agg, prefix sum, final join) AND by repeat
+    * invocations. Before memoization each call re-ran the whole chain and
+    * re-persisted (the r11 bench showed it: llm_pipeline warm 8.8 s >
+    * cold 5.5 s, because "warm" was a full rebuild whose OpCaches.track
+    * also unpersisted the previous snapshot); now the warm path reads the
+    * persisted doc-metadata-sized snapshot — at production scale this
+    * materialization IS the curated checkpoint a run writes before
+    * packing anyway. */
+  private val pipelineCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Memo]
+  private def pipelineSurvivors(spark: SparkSession, dir: String): DataFrame =
+    memo(pipelineCache, spark, dir) {
+      import org.apache.spark.sql.functions.size
+      val d = docs(spark, dir)
+      val qualityKeep = gopherVerdicts(spark, dir)
+        .where(col("keep")).select("doc_id")
+      val dupDrop = dupClusters(spark, dir).filter(!col("keep")).select("doc_id")
+      val spanDrop = graft.llm.Mining.dupSpans(d)
+        .where(col("dup_frac_e4") >= graft.llm.Mining.DupSpanDropE4)
+        .select("doc_id")
+      val contaminated = Curation.decontaminate(d).select("doc_id")
+      val capped = Curation.domainCap(d).select("doc_id")
+      val mixKeep = Curation.mixtureKeep(d)
+      val sampled = Curation.stratifiedSample(d).select("doc_id")
+      val modelKeep = Curation.qualityScore(d).where(col("keep")).select("doc_id")
+      val blockKeep = Curation.blocklistFilter(d)
+        .where(col("keep")).select("doc_id")
+      d.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("source"),
+          size(graft.llm.Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+        .join(qualityKeep, "doc_id")
+        .join(modelKeep, "doc_id")
+        .join(blockKeep, "doc_id")
+        .join(capped, "doc_id")
+        .join(mixKeep, "doc_id")
+        .join(sampled, "doc_id")
+        .join(dupDrop, Seq("doc_id"), "left_anti")
+        .join(spanDrop, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+    }
+
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, count, least, lit, size, sum}
-    val d = docs(spark, dir)
-    val qualityKeep = gopherVerdicts(spark, dir)
-      .where(col("keep")).select("doc_id")
-    val dupDrop = dupClusters(spark, dir).filter(!col("keep")).select("doc_id")
-    val spanDrop = graft.llm.Mining.dupSpans(d)
-      .where(col("dup_frac_e4") >= graft.llm.Mining.DupSpanDropE4)
-      .select("doc_id")
-    val contaminated = Curation.decontaminate(d).select("doc_id")
-    val capped = Curation.domainCap(d).select("doc_id")
-    val mixKeep = Curation.mixtureKeep(d)
-    val sampled = Curation.stratifiedSample(d).select("doc_id")
-    val modelKeep = Curation.qualityScore(d).where(col("keep")).select("doc_id")
-    val blockKeep = Curation.blocklistFilter(d)
-      .where(col("keep")).select("doc_id")
-    val survivors = d
-      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-        col("source"),
-        size(graft.llm.Dedup.tokens(col("text"))).cast("long").as("n_tok"))
-      .join(qualityKeep, "doc_id")
-      .join(modelKeep, "doc_id")
-      .join(blockKeep, "doc_id")
-      .join(capped, "doc_id")
-      .join(mixKeep, "doc_id")
-      .join(sampled, "doc_id")
-      .join(dupDrop, Seq("doc_id"), "left_anti")
-      .join(spanDrop, Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      // consumed three times below (budget agg, prefix sum, final
-      // join) — persist so the nine-stage join chain runs once; at
-      // production scale this materialization IS the curated snapshot
-      // a run would checkpoint before packing anyway
-      .persist()
-    graft.llm.OpCaches.track("pipeline.survivors", Seq(survivors))
+    import org.apache.spark.sql.functions.{broadcast, count, least, lit, sum}
+    val survivors = pipelineSurvivors(spark, dir)
     // the budget cap: per-source allocations planned over the CURATED
     // corpus (the survivors' own token counts — budgeting the raw corpus
     // would dwarf the caps against what filtering left and never cut);

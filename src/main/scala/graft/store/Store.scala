@@ -30,7 +30,23 @@ object Store {
   val SeqEpochShift = 36
 
   private val epochs =
-    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+    scala.collection.concurrent.TrieMap.empty[String, EpochAllocator]
+
+  private val epochFactories =
+    scala.collection.concurrent.TrieMap.empty[String, Long => EpochAllocator]
+
+  /** Install a non-default [[EpochAllocator]] for a store root (e.g.
+    * [[FileEpochAllocator]] for multi-driver deployments). Must run
+    * BEFORE the root's first seq-assigning append in this JVM — the
+    * factory receives the catalog's persisted high-water epoch as its
+    * seed. Installing after an allocator exists throws: swapping
+    * allocators mid-life could mint epochs below ones already handed
+    * out. */
+  def useEpochAllocator(root: String, mk: Long => EpochAllocator): Unit = {
+    require(!epochs.contains(root),
+      s"epoch allocator for $root already active — install before first append")
+    epochFactories.put(root, mk)
+  }
 
   /** One in-flight append: start time (for the hung-append lease) and,
     * when the caller knows it, the exact set of target partitions. */
@@ -139,10 +155,12 @@ final class Store(val spark: SparkSession, val root: String) {
     * race is structurally gone — while later epochs still sort after earlier
     * ones, keeping continuation tokens paging in append order. The epoch
     * counter starts above the catalog's persisted high-water mark, so it also
-    * survives process restarts. Single-JVM atomicity matches the
+    * survives process restarts. Epochs come from the root's
+    * [[EpochAllocator]]: the [[JvmEpochAllocator]] default matches the
     * single-driver design point (every append to a root flows through one
-    * driver); multi-driver deployments would take epochs from the
-    * transaction log / metastore sequence instead. Bulk loads using
+    * driver); multi-driver deployments install a shared-sequence
+    * implementation ([[FileEpochAllocator]], or a metastore sequence with
+    * the same contract) via [[Store.useEpochAllocator]]. Bulk loads using
     * `append(saltBuckets > 1)` should supply their own seq (a source row id,
     * as EventStore does) — the dense row number here serializes each part
     * into one window task.
@@ -158,7 +176,7 @@ final class Store(val spark: SparkSession, val root: String) {
     * interval identity fix removed). Full-content duplicate rows remain
     * interchangeable — any tie order yields the same written multiset. */
   def assignSeq(rows: DataFrame, orderBy: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
-    assignSeqEpoch(epochCounter.incrementAndGet(), rows, orderBy)
+    assignSeqEpoch(epochAllocator.next(), rows, orderBy)
 
   private def assignSeqEpoch(epoch: Long, rows: DataFrame,
       orderBy: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
@@ -188,19 +206,23 @@ final class Store(val spark: SparkSession, val root: String) {
   def appendWithSeq(rows: DataFrame, maxRecordsPerFile: Long = 0,
       saltBuckets: Int = 1, partsHint: Option[Set[String]] = None,
       orderBy: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
-    val epoch = epochCounter.incrementAndGet()
+    val epoch = epochAllocator.next()
     Store.inFlightFor(root).put(epoch, Store.InFlight(System.nanoTime(), partsHint))
     try append(assignSeqEpoch(epoch, rows, orderBy), maxRecordsPerFile, saltBuckets)
     finally Store.inFlightFor(root).remove(epoch)
   }
 
-  private def epochCounter: java.util.concurrent.atomic.AtomicLong =
+  private def epochAllocator: EpochAllocator =
     Store.epochs.getOrElseUpdate(root, {
       // high-water from the O(parts) summaries — opening a 10^7-chunk
       // store must not pay a full catalog parse to allocate its first epoch
       val hw = catalog.partSummaries().valuesIterator
         .foldLeft(-1L)((m, ps) => math.max(m, ps.maxSeq))
-      new java.util.concurrent.atomic.AtomicLong(hw >> Store.SeqEpochShift)
+      val seed = hw >> Store.SeqEpochShift
+      Store.epochFactories.get(root) match {
+        case Some(mk) => mk(seed)
+        case None => new JvmEpochAllocator(seed)
+      }
     })
 
   /** Seq high-water mark of a partition (-1 when empty/unknown), from the

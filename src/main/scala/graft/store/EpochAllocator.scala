@@ -20,7 +20,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * at the 100 TB design point. Install one per root with
   * [[Store.useEpochAllocator]] BEFORE the store's first seq-assigning
   * append (reference analogue: the journal controller's single writer,
-  * pkg/partition/partition.go:175-206, which this generalizes). */
+  * pkg/partition/partition.go:175-206, which this generalizes).
+  *
+  * Scope note: a shared allocator makes cross-driver (part, seq)
+  * UNIQUENESS hold; the registration-order watermark
+  * ([[Store.safeSeqWatermarkFor]]) that streaming consumers use to defer
+  * not-yet-registered lower epochs remains per-JVM — a consumer only
+  * sees in-flight appends started in its own driver. Multi-driver
+  * deployments where a SECOND driver appends to partitions a first
+  * driver's pipes consume need the in-flight lease externalized the same
+  * way (a metastore table, or claim files carrying the target parts);
+  * until then, route a consumed partition's appends through the
+  * consuming driver. */
 trait EpochAllocator {
   /** The next epoch: strictly greater than anything this allocator — or
     * any allocator sharing the backing sequence — has returned. */
@@ -37,19 +48,23 @@ final class JvmEpochAllocator(seed: Long) extends EpochAllocator {
 
 /** Shared-filesystem allocator for multi-driver stores: epoch N belongs
   * to whoever atomically creates `<dir>/epoch-N` first. Collisions are
-  * impossible by the create-if-absent primitive (POSIX `O_EXCL` locally;
-  * the atomic namespace create on HDFS; a conditional put on an object
-  * store), not by any in-process lock — so two allocators in two JVMs
-  * that have never heard of each other still mint disjoint epochs.
+  * impossible by the create-if-absent primitive (POSIX `O_CREAT|O_EXCL`
+  * when the FILESYSTEM is the local one; the atomic namespace create on
+  * HDFS; a conditional put on an object store), not by any in-process
+  * lock — so two allocators in two JVMs that have never heard of each
+  * other still mint disjoint epochs.
   *
   * Claim-file growth is bounded by a high-water rollup: every
-  * [[FileEpochAllocator.RollupEvery]] claims the allocator persists
-  * `hw` = its latest epoch and deletes claims at or below the PREVIOUS
-  * rollup's high-water. The one-generation lag is what makes deletion
-  * safe: a racing allocator's scan always sees either the deleted claims
-  * themselves or the high-water file that superseded them, so its next
-  * attempt is strictly above both — it can never re-claim a deleted
-  * number. */
+  * [[FileEpochAllocator.RollupEvery]] claims the allocator records its
+  * latest epoch as an exclusive-create marker file `hw-N` (the VALUE is
+  * the name — there is no content to read, so no truncate/partial-read
+  * window and no way for two writers to splice bytes) and deletes claims
+  * at or below the PREVIOUS rollup's high-water. The one-generation lag
+  * is what makes deletion safe: a racing allocator's scan always sees
+  * either the deleted claims themselves or a high-water marker at or
+  * above them, so its next attempt is strictly above both — it can never
+  * re-claim a deleted number. Superseded `hw-*` markers are deleted
+  * best-effort once a newer one exists. */
 final class FileEpochAllocator(fs: FileSystem, dir: Path, seed: Long)
     extends EpochAllocator {
 
@@ -58,7 +73,7 @@ final class FileEpochAllocator(fs: FileSystem, dir: Path, seed: Long)
   if (!fs.exists(dir)) fs.mkdirs(dir)
 
   private var cursor = math.max(seed, scanFloor())
-  private var lastRollup = readHw()
+  private var lastRollup = cursor
 
   def next(): Long = synchronized {
     var n = math.max(cursor, scanFloor()) + 1
@@ -77,19 +92,22 @@ final class FileEpochAllocator(fs: FileSystem, dir: Path, seed: Long)
       s"could not claim an epoch after $MaxAttempts attempts under $dir")
   }
 
-  /** Highest epoch visible on disk: the high-water file or any claim. */
+  /** Highest epoch visible on disk: any hw marker or any claim. */
   private def scanFloor(): Long =
-    claimNames().foldLeft(readHw()) { (m, n) =>
-      math.max(m, n.substring(ClaimPrefix.length).toLong)
+    listNames().foldLeft(-1L) { (m, name) =>
+      val n =
+        if (name.startsWith(ClaimPrefix)) name.substring(ClaimPrefix.length).toLong
+        else if (name.startsWith(HwPrefix)) name.substring(HwPrefix.length).toLong
+        else -1L
+      math.max(m, n)
     }
 
-  /** Claim names, retrying the listing: a concurrent allocator's rollup
-    * can delete a file between the directory list and its stat. */
-  private def claimNames(): Seq[String] = {
+  /** Directory listing, retrying the race where a concurrent allocator's
+    * rollup deletes a file between the directory list and its stat. */
+  private def listNames(): Seq[String] = {
     var attempts = 0
     while (true) {
-      try return fs.listStatus(dir).iterator.map(_.getPath.getName)
-        .filter(_.startsWith(ClaimPrefix)).toSeq
+      try return fs.listStatus(dir).iterator.map(_.getPath.getName).toSeq
       catch {
         case _: java.io.FileNotFoundException if attempts < MaxAttempts =>
           attempts += 1
@@ -98,66 +116,58 @@ final class FileEpochAllocator(fs: FileSystem, dir: Path, seed: Long)
     Nil // unreachable
   }
 
-  /** The persisted high-water, -1 when absent or UNREADABLE: a concurrent
-    * rollup's truncate-and-rewrite window can expose an empty/partial
-    * file. Tolerating it is safe — claims of the current generation are
-    * only deleted AFTER the hw write closes, so whenever the hw read
-    * fails (or reads a stale prefix) the surviving claim files still
-    * carry the true floor and [[scanFloor]]'s max recovers it. */
-  private def readHw(): Long = {
-    val p = new Path(dir, HwName)
-    try {
-      if (!fs.exists(p)) return -1L
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      if (txt.isEmpty) -1L else txt.toLong
-    } catch {
-      case _: java.io.IOException => -1L
-      case _: NumberFormatException => -1L
-    }
-  }
-
+  /** Best-effort maintenance — an epoch was already claimed when this
+    * runs, so no failure here may fail the caller's append. The hw marker
+    * must land BEFORE any claim is deleted (that ordering is the whole
+    * deletion-safety argument); if its create fails, skip the deletes and
+    * leave `lastRollup` alone so a later claim retries the rollup. */
   private def rollup(n: Long): Unit = {
-    // write hw FIRST (overwrite — monotonically increasing values only),
-    // then drop claims a full generation behind it (see class doc)
-    val out = fs.create(new Path(dir, HwName), true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    try { if (!tryClaim(new Path(dir, hwName(n)))) return }
+    catch { case _: java.io.IOException => return }
     val floor = lastRollup
-    claimNames().foreach { name =>
-      if (name.substring(ClaimPrefix.length).toLong <= floor)
-        fs.delete(new Path(dir, name), false) // false = already gone: fine
-    }
     lastRollup = n
+    try listNames().foreach { name =>
+      val stale =
+        (name.startsWith(ClaimPrefix) && name.substring(ClaimPrefix.length).toLong <= floor) ||
+        (name.startsWith(HwPrefix) && name.substring(HwPrefix.length).toLong < n)
+      if (stale) fs.delete(new Path(dir, name), false) // false = already gone: fine
+    } catch { case _: java.io.IOException => () } // claims linger, harmless
   }
 
   /** Atomic create-if-absent. Hadoop's local-FS `create(overwrite=false)`
-    * is check-then-act, so local paths go through NIO's `createFile`
-    * (`O_CREAT|O_EXCL` — genuinely atomic); everything else relies on the
-    * filesystem's own atomic namespace create (HDFS) and is documented as
-    * requiring one. */
-  private def tryClaim(p: Path): Boolean = {
-    val uri = p.toUri
-    if (uri.getScheme == null || uri.getScheme == "file") {
+    * is check-then-act, so when the FILESYSTEM is local the claim goes
+    * through NIO's `createFile` (`O_CREAT|O_EXCL` — genuinely atomic) at
+    * the fs-qualified path; every other filesystem relies on its own
+    * atomic namespace create (HDFS) and is documented as requiring one.
+    * Only already-exists outcomes mean "owned by someone else"; any other
+    * IOException (permissions, quota, safe-mode) propagates — retrying it
+    * as contention would spin the claim loop against a dead filesystem. */
+  private def tryClaim(p: Path): Boolean =
+    if (fs.getUri.getScheme == "file") {
       try {
-        java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
+        val local = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+        java.nio.file.Files.createFile(local)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
       }
     } else {
       try { fs.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: org.apache.hadoop.ipc.RemoteException
+            if e.getClassName.endsWith("AlreadyBeingCreatedException") ||
+               e.getClassName.endsWith("FileAlreadyExistsException") => false
+      }
     }
-  }
 }
 
 object FileEpochAllocator {
   private[store] val ClaimPrefix = "epoch-"
-  private[store] val HwName = "hw"
+  private[store] val HwPrefix = "hw-"
   private[store] val RollupEvery = 64L
   private[store] val MaxAttempts = 100000
 
   private[store] def claimName(n: Long): String = f"$ClaimPrefix$n%019d"
+  private[store] def hwName(n: Long): String = f"$HwPrefix$n%019d"
 }

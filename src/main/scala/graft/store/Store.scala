@@ -41,12 +41,15 @@ object Store {
     * factory receives the catalog's persisted high-water epoch as its
     * seed. Installing after an allocator exists throws: swapping
     * allocators mid-life could mint epochs below ones already handed
-    * out. */
-  def useEpochAllocator(root: String, mk: Long => EpochAllocator): Unit = {
-    require(!epochs.contains(root),
-      s"epoch allocator for $root already active — install before first append")
-    epochFactories.put(root, mk)
-  }
+    * out. Serialized with allocator creation on [[epochs]]' monitor so
+    * an install racing the root's first append either wins (the append
+    * sees the factory) or throws — it can never be silently ignored. */
+  def useEpochAllocator(root: String, mk: Long => EpochAllocator): Unit =
+    epochs.synchronized {
+      require(!epochs.contains(root),
+        s"epoch allocator for $root already active — install before first append")
+      epochFactories.put(root, mk)
+    }
 
   /** One in-flight append: start time (for the hung-append lease) and,
     * when the caller knows it, the exact set of target partitions. */
@@ -213,16 +216,22 @@ final class Store(val spark: SparkSession, val root: String) {
   }
 
   private def epochAllocator: EpochAllocator =
-    Store.epochs.getOrElseUpdate(root, {
-      // high-water from the O(parts) summaries — opening a 10^7-chunk
-      // store must not pay a full catalog parse to allocate its first epoch
-      val hw = catalog.partSummaries().valuesIterator
-        .foldLeft(-1L)((m, ps) => math.max(m, ps.maxSeq))
-      val seed = hw >> Store.SeqEpochShift
-      Store.epochFactories.get(root) match {
-        case Some(mk) => mk(seed)
-        case None => new JvmEpochAllocator(seed)
-      }
+    Store.epochs.get(root).getOrElse(Store.epochs.synchronized {
+      // creation serialized with useEpochAllocator (same monitor): the
+      // factory check and the insert are one atomic step, so an install
+      // can never slip between them and be silently ignored. Steady
+      // state stays lock-free on the get above.
+      Store.epochs.getOrElseUpdate(root, {
+        // high-water from the O(parts) summaries — opening a 10^7-chunk
+        // store must not pay a full catalog parse to allocate its first epoch
+        val hw = catalog.partSummaries().valuesIterator
+          .foldLeft(-1L)((m, ps) => math.max(m, ps.maxSeq))
+        val seed = hw >> Store.SeqEpochShift
+        Store.epochFactories.get(root) match {
+          case Some(mk) => mk(seed)
+          case None => new JvmEpochAllocator(seed)
+        }
+      })
     })
 
   /** Seq high-water mark of a partition (-1 when empty/unknown), from the

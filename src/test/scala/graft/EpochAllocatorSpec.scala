@@ -42,6 +42,25 @@ class EpochAllocatorSpec extends AnyFunSuite {
     // with RollupEvery=64 must leave far fewer than 600 files
     val files = localFs.listStatus(dir).length
     assert(files < 200, s"claim dir grew to $files files — rollup broken")
+    // and the floor never INFLATES: 600 claims from epoch 0 must stay in
+    // the low hundreds (a spliced/garbage high-water would jump the
+    // sequence far above the claim count and burn the 2^27 epoch budget)
+    val maxEpoch = all.map(_._2).max
+    assert(maxEpoch < 1200, s"epoch sequence inflated to $maxEpoch after 600 claims")
+  }
+
+  test("rollup markers carry the floor after claims are pruned") {
+    val dir = new Path(java.nio.file.Files
+      .createTempDirectory("graft-epoch3").toString)
+    val a = new FileEpochAllocator(localFs, dir, seed = -1L)
+    val last = (0 until 200).map(_ => a.next()).last
+    val names = localFs.listStatus(dir).map(_.getPath.getName)
+    // at least two rollups happened: claims below the previous high-water
+    // are gone, an hw-* marker exists, and a FRESH allocator that can see
+    // only the directory resumes above everything ever claimed
+    assert(names.exists(_.startsWith("hw-")), s"no hw marker in ${names.take(5).mkString(",")}")
+    val b = new FileEpochAllocator(localFs, dir, seed = -1L)
+    assert(b.next() > last)
   }
 
   test("a third allocator joining later resumes above everything already claimed") {

@@ -598,6 +598,105 @@ object Log2Fix {
        |  FROM ${out}_it WHERE i = 20)""".stripMargin
 }
 
+/** Fixed-point base-2 EXPONENTIAL — the inverse kernel of [[Log2Fix]]:
+  * for `x20 = x * 2^20` with `x ∈ [0, 41]`, returns `E ≈ 2^x * 2^20`
+  * computed in PURE int64 arithmetic. Same portability contract as
+  * [[Log2Fix]]: no libm anywhere, every step replayable in DuckDB, so
+  * the truncating approximation (~1e-5 relative) IS the cross-engine
+  * spec — exact at integer x by construction (the fraction path is a
+  * no-op and the result is a pure shift).
+  *
+  * Algorithm (both engines run EXACTLY these steps):
+  *  1. split `k = x20 >> 20` (integer part), `f = x20 & (2^20 - 1)`;
+  *  2. binary exponentiation over the 20 PINNED constants
+  *     `C_i = round(2^(2^-i) * 2^20)`: `r = 2^20`, then for i = 1..20,
+  *     if fraction bit `20-i` is set, `r = (r * C_i) >> 20`
+  *     (r stays < 2^21, so every product fits easily);
+  *  3. result `r << k` (k <= 41 keeps it under 2^63).
+  * Negative x or x20 > 41·2^20 yields NULL (the envelope, enforced not
+  * clamped). The softmax-style weights this feeds ([[graft.llm.DoReMi]])
+  * normalize afterwards, so the e20 scale divides out. */
+case class Exp2Fix(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType || child.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"exp2_fix expects an integral child, got ${child.dataType}")
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = child.dataType match {
+      case IntegerType => a.asInstanceOf[Int].toLong
+      case _           => a.asInstanceOf[Long]
+    }
+    if (x < 0L || x > Exp2Fix.MaxX20) null else Exp2Fix.eval(x)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val x = ctx.freshName("x")
+      s"""
+         |long $x = (long)($a);
+         |if ($x < 0L || $x > ${Exp2Fix.MaxX20}L) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  graft.functions.Exp2Fix$$.MODULE$$.eval($x); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Exp2Fix {
+  /** Domain ceiling: 2^41 * 2^20 = 2^61 < 2^63. */
+  val MaxX20: Long = 41L << 20
+
+  /** The pinned square-root-of-two ladder, `C_i = round(2^(2^-i) * 2^20)`
+    * for i = 1..20 (index 0 unused). These LITERALS are the spec — both
+    * engines multiply exactly these integers. */
+  private[graft] val C: Array[Long] = Array(0L,
+    1482910L, 1246974L, 1143480L, 1095000L, 1071537L,
+    1059994L, 1054270L, 1051419L, 1049997L, 1049286L,
+    1048931L, 1048753L, 1048665L, 1048620L, 1048598L,
+    1048587L, 1048582L, 1048579L, 1048577L, 1048577L)
+
+  /** The integer kernel; requires `0 <= x20 <= MaxX20`. Codegen calls it
+    * via `Exp2Fix$.MODULE$` (see [[Log2Fix.eval]]'s forwarder note). */
+  def eval(x20: Long): Long = {
+    val k = (x20 >> 20).toInt
+    val f = x20 & 0xFFFFFL
+    var r = 1L << 20
+    var i = 1
+    while (i <= 20) {
+      if (((f >> (20 - i)) & 1L) == 1L) r = (r * C(i)) >> 20
+      i += 1
+    }
+    r << k
+  }
+
+  /** The DuckDB replay of [[eval]]: given a CTE `{src}` with a BIGINT
+    * column `x20` (and key columns in `{keys}`), produces a CTE chain
+    * ending in `{out}(…keys, e20)`; rows with x20 outside [0, MaxX20]
+    * are dropped (the kernel's NULL). Requires `WITH RECURSIVE`. */
+  def duckdbCtes(src: String, keys: String, out: String): String =
+    s"""${out}_c(ci, cc) AS (VALUES
+       |  ${(1 to 20).map(i => s"($i, ${C(i)})").mkString(", ")}),
+       |${out}_it AS (
+       |  SELECT $keys, (x20 >> 20) AS k, x20 & 1048575 AS f,
+       |    0 AS i, (1::BIGINT << 20) AS r
+       |  FROM $src WHERE x20 >= 0 AND x20 <= $MaxX20
+       |  UNION ALL
+       |  SELECT $keys, k, f, ci,
+       |    CASE WHEN ((f >> (20 - ci)) & 1) = 1 THEN (r * cc) >> 20 ELSE r END
+       |  FROM ${out}_it JOIN ${out}_c ON ci = i + 1),
+       |$out AS (
+       |  SELECT $keys, r << k AS e20 FROM ${out}_it WHERE i = 20)""".stripMargin
+}
+
 object VectorExpressions {
   /** Column API: `dot_product(a, b)` in double, left-to-right. */
   def dot_product(a: Column, b: Column): Column =
@@ -611,6 +710,11 @@ object VectorExpressions {
     * engine-portable (see [[Log2Fix]]). */
   def log2_fix(num: Column, den: Column): Column =
     GraftColumn.of(Log2Fix(GraftColumn.exprOf(num), GraftColumn.exprOf(den)))
+
+  /** Column API: fixed-point `2^(x20/2^20) * 2^20` for x20 in
+    * [0, 41·2^20] — pure-integer, engine-portable (see [[Exp2Fix]]). */
+  def exp2_fix(x20: Column): Column =
+    GraftColumn.of(Exp2Fix(GraftColumn.exprOf(x20)))
 
   /** Column API: SIGNED fixed-point log2 ratio for num, den >= 1 in
     * EITHER order ([[Log2Fix]] itself requires num >= den; the

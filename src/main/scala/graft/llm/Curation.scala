@@ -755,10 +755,11 @@ object Curation {
   }
 
   /** The [[lmScore]] CTE chain up to the per-doc score, shared by the
-    * lm-score and CCNet-bucket oracles so the score definition can never
-    * diverge between them. Ends in `lmdoc(doc_id, n_tokens, mean_nll_e6)`;
-    * requires the query to open with this string (it owns WITH RECURSIVE). */
-  private val lmScoreCtes: String =
+    * lm-score, CCNet-bucket and DoReMi oracles so the score definition
+    * can never diverge between them. Ends in
+    * `lmdoc(doc_id, n_tokens, mean_nll_e6)`; requires the query to open
+    * with this string (it owns WITH RECURSIVE). */
+  private[graft] val lmScoreCtes: String =
     s"""WITH RECURSIVE tok AS (
        |  SELECT doc_id::BIGINT AS doc_id,
        |    unnest(list_filter(string_split_regex(lower(text), '\\W+'),

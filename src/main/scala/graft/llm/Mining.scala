@@ -279,42 +279,54 @@ object Mining {
         expr("sum(coalesce(nll_e6, floor_e6)) div count(1)").as("mean_nll2_e6"))
   }
 
-  /** DuckDB twin of [[lm2Score]] — replays the hapax pre-filter as the
-    * plain exact-count predicate it is (`HAVING count(*) >= HapaxMin`;
-    * the bucket/Bloom pass is a pure implementation detail with no
-    * semantic footprint), plus the per-word add-one floor fallback. */
-  val lm2ScoreOracle: String = {
-    val lg = Log2Fix.duckdbCtes("src", "g", "lg")
-    val fl = Log2Fix.duckdbCtes("fsrc", "t", "fl")
-    s"""WITH RECURSIVE tok AS (
+  /** The [[lm2Score]] CTE chain up to the per-doc score, with every CTE
+    * name prefixed by `p` so it can be spliced alongside OTHER chains
+    * (the DoReMi oracle runs it next to [[Curation.lmScoreCtes]] — one
+    * definition of the score, never a re-derivation). Replays the hapax
+    * pre-filter as the plain exact-count predicate it is
+    * (`HAVING count(*) >= HapaxMin`; the bucket/Bloom pass is a pure
+    * implementation detail with no semantic footprint), plus the
+    * per-word add-one floor fallback. Ends in
+    * `${p}doc(doc_id, n_bigrams, mean_nll2_e6)`; does NOT own the
+    * `WITH RECURSIVE` opener. */
+  private[graft] def lm2ScoreCtes(p: String): String = {
+    val lg = Log2Fix.duckdbCtes(s"${p}src", "g", s"${p}lg")
+    val fl = Log2Fix.duckdbCtes(s"${p}fsrc", "t", s"${p}fl")
+    s"""${p}tok AS (
        |  SELECT doc_id::BIGINT AS doc_id,
        |    list_filter(string_split_regex(lower(text), '\\W+'),
        |                t -> t != '') AS w FROM documents),
-       |big AS (
+       |${p}big AS (
        |  SELECT doc_id, unnest(list_transform(
        |    range(1, greatest(len(w) - 1, 0) + 1),
-       |    i -> w[i] || ' ' || w[i+1])) AS g FROM tok),
-       |bcnt AS (SELECT g, count(*)::BIGINT AS c12 FROM big GROUP BY 1
+       |    i -> w[i] || ' ' || w[i+1])) AS g FROM ${p}tok),
+       |${p}bcnt AS (SELECT g, count(*)::BIGINT AS c12 FROM ${p}big GROUP BY 1
        |         HAVING count(*) >= $HapaxMin),
-       |ucnt AS (
+       |${p}ucnt AS (
        |  SELECT t, count(*)::BIGINT AS c1
-       |  FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
-       |vs AS (SELECT count(*)::BIGINT AS v FROM ucnt),
-       |src AS (
+       |  FROM (SELECT unnest(w) AS t FROM ${p}tok) GROUP BY 1),
+       |${p}vs AS (SELECT count(*)::BIGINT AS v FROM ${p}ucnt),
+       |${p}src AS (
        |  SELECT g, c1 + v AS num, c12 + 1 AS den
-       |  FROM bcnt JOIN ucnt ON t = string_split(g, ' ')[1], vs),
+       |  FROM ${p}bcnt JOIN ${p}ucnt ON t = string_split(g, ' ')[1], ${p}vs),
        |$lg,
-       |nll AS (SELECT g, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS nll_e6 FROM lg),
-       |fsrc AS (SELECT t, c1 + v AS num, 1::BIGINT AS den FROM ucnt, vs),
+       |${p}nll AS (SELECT g, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS nll_e6 FROM ${p}lg),
+       |${p}fsrc AS (SELECT t, c1 + v AS num, 1::BIGINT AS den FROM ${p}ucnt, ${p}vs),
        |$fl,
-       |flr AS (SELECT t, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS floor_e6 FROM fl)
-       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       |  (sum(coalesce(nll_e6, floor_e6)) // count(*))::BIGINT AS mean_nll2_e6
-       |FROM big
-       |LEFT JOIN nll USING (g)
-       |JOIN flr ON flr.t = string_split(g, ' ')[1]
-       |GROUP BY doc_id""".stripMargin
+       |${p}flr AS (SELECT t, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS floor_e6 FROM ${p}fl),
+       |${p}doc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |    (sum(coalesce(nll_e6, floor_e6)) // count(*))::BIGINT AS mean_nll2_e6
+       |  FROM ${p}big
+       |  LEFT JOIN ${p}nll USING (g)
+       |  JOIN ${p}flr ON ${p}flr.t = string_split(g, ' ')[1]
+       |  GROUP BY doc_id)""".stripMargin
   }
+
+  /** DuckDB twin of [[lm2Score]] — the shared [[lm2ScoreCtes]] chain. */
+  val lm2ScoreOracle: String =
+    s"""WITH RECURSIVE ${lm2ScoreCtes("")}
+       |SELECT doc_id, n_bigrams, mean_nll2_e6 FROM doc""".stripMargin
 
   /** The fixed keyword query for the BM25 entry: two common terms and one
     * rare term ("dup" appears only in the planted duplicate docs), so the

@@ -501,6 +501,11 @@ object LlmQueries {
     "llm_lm2_score" ->
       ((s: SparkSession, d: String) =>
         graft.llm.Mining.lm2Score(docs(s, d), gramCounts(s, d))),
+    // DoReMi reuses the same persisted gram table as the bigram LM it
+    // scores with — no extra corpus pass beyond the two LM streams
+    "llm_doremi" ->
+      ((s: SparkSession, d: String) =>
+        graft.llm.DoReMi.domainWeights(docs(s, d), gramCounts(s, d))),
     "llm_bm25" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.bm25(docs(s, d))),
     // memoized like llm_collocations: fuzzyDecontam persists its shingle
@@ -661,6 +666,7 @@ object LlmQueries {
     "llm_collocations" -> graft.llm.Mining.collocationsOracle,
     "llm_bm25" -> graft.llm.Mining.bm25Oracle,
     "llm_lm2_score" -> graft.llm.Mining.lm2ScoreOracle,
+    "llm_doremi" -> graft.llm.DoReMi.domainWeightsOracle,
     "llm_decontam_fuzzy" -> graft.llm.Mining.fuzzyDecontamOracle,
     "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,
     "llm_domain_cap" -> Curation.domainCapOracle,

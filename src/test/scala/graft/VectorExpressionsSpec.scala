@@ -187,4 +187,75 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .select(VectorExpressions.log2_fix(col("num"), col("den")).as("l")).collect()
     assert(bad.forall(_.isNullAt(0)), "num<den or den<=0 must be NULL")
   }
+
+  test("exp2_fix replays the pinned constant ladder exactly and inverts log2_fix") {
+    import graft.functions.{Exp2Fix, Log2Fix, VectorExpressions}
+    // reference: an independent BigInt transliteration of the spec
+    def ref(x20: Long): Long = {
+      val k = (x20 >> 20).toInt
+      val f = x20 & 0xFFFFFL
+      var r = BigInt(1) << 20
+      (1 to 20).foreach { i =>
+        if (((f >> (20 - i)) & 1L) == 1L) r = (r * Exp2Fix.C(i)) >> 20
+      }
+      (r << k).toLong
+    }
+    val rnd = new scala.util.Random(17)
+    val cases = Seq(0L, 1L, 1L << 20, 2L << 20, (1L << 20) - 1, Exp2Fix.MaxX20) ++
+      (1 to 300).map(_ => math.abs(rnd.nextLong()) % (Exp2Fix.MaxX20 + 1))
+    cases.foreach { x =>
+      assert(Exp2Fix.eval(x) == ref(x), s"kernel mismatch at $x")
+    }
+    // exact at integer x (pure shift), ~1e-5-relative elsewhere (sanity)
+    (0 to 41).foreach { k =>
+      assert(Exp2Fix.eval(k.toLong << 20) == (1L << 20) << k)
+    }
+    cases.foreach { x =>
+      val approx = Exp2Fix.eval(x).toDouble / (1L << 20)
+      val truth = math.pow(2.0, x.toDouble / (1L << 20))
+      assert(math.abs(approx - truth) / truth < 2e-5, s"drift at $x")
+    }
+    // monotone (softmax ordering preservation is the whole point)
+    val sorted = cases.sorted
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(Exp2Fix.eval(a) <= Exp2Fix.eval(b))
+    }
+    // round-trips log2_fix within the combined tolerance
+    Seq(1L, 7L, 1000L, 999999937L, 1L << 40).foreach { n =>
+      val e = Exp2Fix.eval(Log2Fix.eval(n, 1L))
+      assert(math.abs(e.toDouble / (1L << 20) - n.toDouble) / n.toDouble < 3e-5)
+    }
+    // expression path (codegen) equals the kernel; nulls outside the domain
+    val df = cases.toDF("x")
+    val viaExpr = df.select(VectorExpressions.exp2_fix(col("x")).as("e"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaExpr == cases.map(Exp2Fix.eval))
+    val bad = Seq(-1L, Exp2Fix.MaxX20 + 1).toDF("x")
+      .select(VectorExpressions.exp2_fix(col("x")).as("e")).collect()
+    assert(bad.forall(_.isNullAt(0)), "negative or >MaxX20 must be NULL")
+  }
+
+  test("shift-quantized softmax normalization stays int64-exact at extreme weights") {
+    // the DoReMi normalization algebra on weights spanning the full e20
+    // range: a common right shift to NormBits bits keeps w*1e6 and the
+    // sum inside int64 while preserving order
+    import graft.llm.DoReMi
+    val ws = Seq(1L << 20, 1L << 40, (1L << 61) - 1, 3L << 58, 1L << 21)
+    val df = ws.toDF("w_e20")
+    val mx = df.agg(max("w_e20").as("mx"))
+    val out = df.crossJoin(mx)
+      .withColumn("sh",
+        greatest(lit(0), length(bin(col("mx"))) - 1 - DoReMi.NormBits))
+      .withColumn("wr", expr("shiftright(w_e20, sh)"))
+    val tot = out.agg(sum("wr").as("t"))
+    val shares = out.crossJoin(tot)
+      .select(col("w_e20"), expr("wr * 1000000 div t").as("weight_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // no overflow: all shares in [0, 1e6]; the dominant weight takes ~all
+    assert(shares.values.forall(s => s >= 0L && s <= 1000000L))
+    assert(shares((1L << 61) - 1) > 600000L)
+    // order preserved, small weights quantize to zero (documented)
+    assert(shares(1L << 20) == 0L && shares(1L << 40) == 0L)
+    assert(shares(3L << 58) > shares(1L << 40))
+  }
 }

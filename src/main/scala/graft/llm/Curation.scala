@@ -207,6 +207,51 @@ object Curation {
        |  FROM ($domainCapRankedSql)
        |  WHERE rn <= $DomainCapN)""".stripMargin
 
+  /** One-in-[[PipelineCapMod]] of each domain survives the pipeline's
+    * cap stage beyond the absolute floor. */
+  val PipelineCapMod = 4L
+
+  /** The COMPOSED pipeline's cap keep-set: the absolute [[domainCap]]
+    * top-[[DomainCapN]] floor UNION a deterministic
+    * 1-in-[[PipelineCapMod]] salted-hash sample of every domain.
+    *
+    * Why not [[domainCap]] alone: an absolute per-domain cap has a
+    * scale-INVARIANT numerator — at the sf1 decade it kept 800 of
+    * 50,000 docs (1.6 % and falling linearly with corpus growth), and
+    * the pipeline's stage intersection emptied (the fourth-decade probe
+    * that caught it is in PLANS.md). The union keeps the cap's
+    * spam-defense floor for small domains while surviving a constant
+    * FRACTION of large ones, so the composed pipeline's survivor set
+    * scales with the corpus. The sample is the salted engine-portable
+    * hash kernel (`md5('cap:' || doc_id)`, the [[shuffleOrder]]
+    * precedent) — map-side, zero shuffle beyond the floor's existing
+    * WindowGroupLimit window; the union dedupes on the keep-set-sized
+    * side only, never the corpus. */
+  def pipelineCapKeep(docs: DataFrame): DataFrame =
+    domainCap(docs).select("doc_id")
+      .union(docs
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .where(conv(substring(md5(concat(lit("cap:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % PipelineCapMod === 0L))
+      .distinct()
+
+  /** DuckDB twin of [[pipelineCapKeep]] as a named CTE. DISTINCT over
+    * UNION ALL, not a bare UNION: under the pipeline oracle's
+    * `WITH RECURSIVE` opener DuckDB parses a CTE whose body is a
+    * top-level UNION as a (degenerate) recursive definition and skips
+    * the dedup — measured as exactly |floor| + |sample| rows. */
+  def pipelineCapKeepCte(name: String): String =
+    s"""$name AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id::BIGINT AS doc_id
+       |    FROM ($domainCapRankedSql)
+       |    WHERE rn <= $DomainCapN
+       |    UNION ALL
+       |    SELECT doc_id::BIGINT AS doc_id FROM documents
+       |    WHERE ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |          % $PipelineCapMod = 0) u)""".stripMargin
+
   // -------------------------------------------------------- length outliers
 
   /** Percentile bounds for [[lengthOutliers]] (e4): flag docs strictly

@@ -117,6 +117,19 @@ object LlmQueries {
     * packing anyway. */
   private val pipelineCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Memo]
+
+  /** The span-dup and contamination DROP sets, memoized because two
+    * consumers (the survivor snapshot and the retention funnel) each
+    * need them and both derive from a full corpus gram pass — the sets
+    * themselves are doc-id-sized. */
+  private def spanDropSet(spark: SparkSession, dir: String): DataFrame =
+    memo(miningCache, spark, s"spandrop|$dir")(
+      graft.llm.Mining.dupSpans(docs(spark, dir))
+        .where(col("dup_frac_e4") >= graft.llm.Mining.DupSpanDropE4)
+        .select("doc_id"))
+  private def contamDropSet(spark: SparkSession, dir: String): DataFrame =
+    memo(miningCache, spark, s"contamdrop|$dir")(
+      Curation.decontaminate(docs(spark, dir)).select("doc_id"))
   private def pipelineSurvivors(spark: SparkSession, dir: String): DataFrame =
     memo(pipelineCache, spark, dir) {
       import org.apache.spark.sql.functions.size
@@ -124,11 +137,12 @@ object LlmQueries {
       val qualityKeep = gopherVerdicts(spark, dir)
         .where(col("keep")).select("doc_id")
       val dupDrop = dupClusters(spark, dir).filter(!col("keep")).select("doc_id")
-      val spanDrop = graft.llm.Mining.dupSpans(d)
-        .where(col("dup_frac_e4") >= graft.llm.Mining.DupSpanDropE4)
-        .select("doc_id")
-      val contaminated = Curation.decontaminate(d).select("doc_id")
-      val capped = Curation.domainCap(d).select("doc_id")
+      val spanDrop = spanDropSet(spark, dir)
+      val contaminated = contamDropSet(spark, dir)
+      // the cap stage is the RELATIVE pipelineCapKeep, not the absolute
+      // standalone domainCap — an absolute per-domain cap emptied the
+      // composition at the sf1 decade (PLANS.md, round 12)
+      val capped = Curation.pipelineCapKeep(d)
       val mixKeep = Curation.mixtureKeep(d)
       val sampled = Curation.stratifiedSample(d).select("doc_id")
       val modelKeep = Curation.qualityScore(d).where(col("keep")).select("doc_id")
@@ -171,6 +185,45 @@ object LlmQueries {
     survivors.join(budgetKeep, "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+  }
+
+  /** The pipeline's retention funnel: every stage's keep/drop count plus
+    * the composed survivor count, one row per stage — the observability
+    * surface a production curation run watches so a degenerate gate
+    * (a stage emptying the corpus, or passing everything) is VISIBLE
+    * instead of silently composing to zero. Added after the sf1 probe
+    * found exactly that: the absolute domain cap + benchmark-gram
+    * saturation emptied the composed survivor set one decade above the
+    * gated scales (PLANS.md, round 12).
+    *
+    * Plan shape: eleven 1-row aggregates unioned — each stage's count is
+    * a map-side-combined aggregate over that stage's existing plan
+    * (memoized tables — gopher verdicts, dup clusters, the survivor
+    * snapshot — are reused, never rebuilt), and nothing but counts ever
+    * reaches the driver. */
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val d = docs(spark, dir)
+    val stages: Seq[(String, DataFrame)] = Seq(
+      "corpus" -> d.select("doc_id"),
+      "gopher_keep" -> gopherVerdicts(spark, dir)
+        .where(col("keep")).select("doc_id"),
+      "model_keep" -> Curation.qualityScore(d)
+        .where(col("keep")).select("doc_id"),
+      "blocklist_keep" -> Curation.blocklistFilter(d)
+        .where(col("keep")).select("doc_id"),
+      "cap_keep" -> Curation.pipelineCapKeep(d),
+      "mixture_keep" -> Curation.mixtureKeep(d),
+      "sample_keep" -> Curation.stratifiedSample(d).select("doc_id"),
+      "dup_drop" -> dupClusters(spark, dir)
+        .filter(!col("keep")).select("doc_id"),
+      "span_drop" -> spanDropSet(spark, dir),
+      "contam_drop" -> contamDropSet(spark, dir),
+      "survivors" -> pipelineSurvivors(spark, dir).select("doc_id"))
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i.toLong).as("ord"), lit(name).as("stage"), col("n_docs"))
+    }.reduce(_.union(_))
   }
 
   def split(spark: SparkSession, dir: String): DataFrame =
@@ -533,6 +586,7 @@ object LlmQueries {
     "llm_weighted_sample" ->
       ((s: SparkSession, d: String) => Curation.weightedSample(docs(s, d))),
     "llm_pipeline" -> (pipeline _),
+    "llm_pipeline_funnel" -> (pipelineFunnel _),
     "llm_embed_outliers" ->
       ((s: SparkSession, d: String) => Similarity.embedOutliers(emb(s, d))),
     "llm_embed_quantize" ->
@@ -652,6 +706,42 @@ object LlmQueries {
       |  UNION
       |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)""".stripMargin
 
+  /** Every pipeline stage's keep/drop set plus the composed survivor
+    * set (`keep`) as ONE CTE chain — shared verbatim by the llm_pipeline
+    * and llm_pipeline_funnel oracles so the stage semantics cannot
+    * diverge between the composition and its observability twin. */
+  private lazy val pipelineStageCtes: String =
+    s"""$clusterClosureCte,
+       |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r)),
+       |${Repetition.gopherCtes},
+       |${Curation.decontamCtes("csh", "cbench")},
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM csh JOIN cbench USING (g)
+       |  WHERE doc_id % 17 != 0),
+       |${graft.llm.Mining.dupSpansCtes("ds_")},
+       |span_drop AS (
+       |  SELECT doc_id FROM ds_sp
+       |  WHERE dup_frac_e4 >= ${graft.llm.Mining.DupSpanDropE4}),
+       |${Curation.pipelineCapKeepCte("cap_keep")},
+       |${Curation.mixtureKeepCtes("mx_")},
+       |${Curation.qualityKeepCte("mdl_keep")},
+       |blk_keep AS (
+       |  SELECT doc_id FROM (${Curation.blocklistOracle}) WHERE keep),
+       |keep AS (
+       |  SELECT doc_id::BIGINT AS doc_id, lang, source,
+       |    len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                    t -> t != ''))::BIGINT AS n_tok
+       |  FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM v WHERE reason = 'ok')
+       |    AND doc_id IN (SELECT doc_id FROM mdl_keep)
+       |    AND doc_id IN (SELECT doc_id FROM blk_keep)
+       |    AND doc_id IN (SELECT doc_id FROM cap_keep)
+       |    AND doc_id IN (SELECT doc_id FROM mx_keep)
+       |    AND ${Curation.sampleKeepSql}
+       |    AND doc_id NOT IN (SELECT id FROM dropped)
+       |    AND doc_id NOT IN (SELECT doc_id FROM span_drop)
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_kmeans" ->
       """SELECT * FROM (VALUES
@@ -682,36 +772,7 @@ object LlmQueries {
     // rules, decontam shingles, sample predicate) — the stage semantics
     // cannot diverge between the standalone gates and the composition
     "llm_pipeline" ->
-      s"""$clusterClosureCte,
-         |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r)),
-         |${Repetition.gopherCtes},
-         |${Curation.decontamCtes("csh", "cbench")},
-         |contam AS (
-         |  SELECT DISTINCT doc_id FROM csh JOIN cbench USING (g)
-         |  WHERE doc_id % 17 != 0),
-         |${graft.llm.Mining.dupSpansCtes("ds_")},
-         |span_drop AS (
-         |  SELECT doc_id FROM ds_sp
-         |  WHERE dup_frac_e4 >= ${graft.llm.Mining.DupSpanDropE4}),
-         |${Curation.domainCapKeepCte("cap_keep")},
-         |${Curation.mixtureKeepCtes("mx_")},
-         |${Curation.qualityKeepCte("mdl_keep")},
-         |blk_keep AS (
-         |  SELECT doc_id FROM (${Curation.blocklistOracle}) WHERE keep),
-         |keep AS (
-         |  SELECT doc_id::BIGINT AS doc_id, lang, source,
-         |    len(list_filter(string_split_regex(lower(text), '\\W+'),
-         |                    t -> t != ''))::BIGINT AS n_tok
-         |  FROM documents
-         |  WHERE doc_id IN (SELECT doc_id FROM v WHERE reason = 'ok')
-         |    AND doc_id IN (SELECT doc_id FROM mdl_keep)
-         |    AND doc_id IN (SELECT doc_id FROM blk_keep)
-         |    AND doc_id IN (SELECT doc_id FROM cap_keep)
-         |    AND doc_id IN (SELECT doc_id FROM mx_keep)
-         |    AND ${Curation.sampleKeepSql}
-         |    AND doc_id NOT IN (SELECT id FROM dropped)
-         |    AND doc_id NOT IN (SELECT doc_id FROM span_drop)
-         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+      s"""$pipelineStageCtes,
          |sv_a AS (
          |  SELECT source, sum(n_tok)::BIGINT AS tokens_avail
          |  FROM keep GROUP BY 1 HAVING tokens_avail > 0),
@@ -730,6 +791,23 @@ object LlmQueries {
          |SELECT lang, count(*)::BIGINT AS n_docs,
          |  sum(doc_id)::BIGINT AS sum_doc_id
          |FROM fin GROUP BY lang""".stripMargin,
+    // the funnel counts the SAME stage CTEs the composition filters by
+    "llm_pipeline_funnel" ->
+      s"""$pipelineStageCtes
+         |SELECT 0::BIGINT AS ord, 'corpus' AS stage,
+         |  (SELECT count(*) FROM documents)::BIGINT AS n_docs
+         |UNION ALL SELECT 1, 'gopher_keep',
+         |  (SELECT count(*) FROM v WHERE reason = 'ok')
+         |UNION ALL SELECT 2, 'model_keep', (SELECT count(*) FROM mdl_keep)
+         |UNION ALL SELECT 3, 'blocklist_keep', (SELECT count(*) FROM blk_keep)
+         |UNION ALL SELECT 4, 'cap_keep', (SELECT count(*) FROM cap_keep)
+         |UNION ALL SELECT 5, 'mixture_keep', (SELECT count(*) FROM mx_keep)
+         |UNION ALL SELECT 6, 'sample_keep',
+         |  (SELECT count(*) FROM documents WHERE ${Curation.sampleKeepSql})
+         |UNION ALL SELECT 7, 'dup_drop', (SELECT count(*) FROM dropped)
+         |UNION ALL SELECT 8, 'span_drop', (SELECT count(*) FROM span_drop)
+         |UNION ALL SELECT 9, 'contam_drop', (SELECT count(*) FROM contam)
+         |UNION ALL SELECT 10, 'survivors', (SELECT count(*) FROM keep)""".stripMargin,
     "llm_embed_outliers" -> Similarity.embedOutliersOracle,
     "llm_embed_quantize" -> Similarity.embedQuantizeOracle,
     "llm_source_kl" -> graft.llm.Mining.sourceKlOracle,

@@ -267,7 +267,7 @@ class CurationFuzzSpec extends AnyFunSuite {
       val dropSpan = ids(Mining.dupSpans(d)
         .filter(col("dup_frac_e4") >= Mining.DupSpanDropE4))
       val contam = ids(Curation.decontaminate(d))
-      val cap = ids(Curation.domainCap(d))
+      val cap = ids(Curation.pipelineCapKeep(d))
       val mix = ids(Curation.mixtureKeep(d))
       val samp = ids(Curation.stratifiedSample(d))
       val survivors = rows

@@ -242,7 +242,7 @@ class CurationSpec extends AnyFunSuite {
     val contam = ids(Curation.decontaminate(docs))
     val spanDrop = ids(graft.llm.Mining.dupSpans(docs)
       .where(col("dup_frac_e4") >= graft.llm.Mining.DupSpanDropE4))
-    val capped = ids(Curation.domainCap(docs))
+    val capped = ids(Curation.pipelineCapKeep(docs))
     val mixed = ids(Curation.mixtureKeep(docs))
     val blocked = ids(Curation.blocklistFilter(docs).where(col("keep")))
     val survivors = docs

@@ -24,16 +24,33 @@ object Curation {
   val SampleRates: Seq[(String, Int)] =
     Seq("en" -> 25, "de" -> 60, "fr" -> 60, "es" -> 60, "zh" -> 90)
 
-  /** The ONE deterministic doc→bucket assignment (md5 of doc_id, first
+  /** The ONE deterministic doc→bucket assignment (md5 of the id, first
     * 15 hex digits, mod 100) shared by sampling and splitting — keep in
-    * lockstep with [[bucketSql]]. */
-  private def docBucket: Column =
-    conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+    * lockstep with [[bucketSqlOf]]. */
+  private def bucketOf(docId: Column): Column =
+    conv(substring(md5(docId.cast("string")), 1, 15), 16, 10)
       .cast("long") % 100
+  private def docBucket: Column = bucketOf(col("doc_id"))
 
-  /** DuckDB twin of [[docBucket]]. */
-  private val bucketSql =
-    "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"
+  /** DuckDB twin of [[bucketOf]], parameterized over the id expression. */
+  def bucketSqlOf(e: String): String =
+    s"('0x' || substr(md5($e::VARCHAR), 1, 15))::BIGINT % 100"
+  private val bucketSql = bucketSqlOf("doc_id")
+
+  /** The deterministic split assignment as a pure per-row projection of
+    * the id — usable on EITHER side of a pair table without touching the
+    * corpus (the leakage audit's whole trick). Keep the thresholds in
+    * lockstep with [[split]] and [[splitCaseSqlOf]]. */
+  def splitOf(docId: Column): Column = {
+    val b = bucketOf(docId)
+    when(b < 80, "train").when(b < 90, "validation").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitOf]]. */
+  def splitCaseSqlOf(e: String): String =
+    s"""CASE WHEN ${bucketSqlOf(e)} < 80 THEN 'train'
+       |     WHEN ${bucketSqlOf(e)} < 90 THEN 'validation'
+       |     ELSE 'test' END""".stripMargin
 
   /** [[docBucket]] at e6 granularity (mixture rates need finer steps than
     * percent). 15 hex digits = 60 bits, safely inside int64. */
@@ -955,15 +972,47 @@ object Curation {
     * re-run-stable across engines/partitionings — the assignment is pure
     * per-row arithmetic, no shuffle. Reported as per-(split, lang)
     * counts; the assignment itself is the obvious projection. */
-  def split(docs: DataFrame): DataFrame = {
+  def split(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-        docBucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "validation")
-          .otherwise("test"))
+        splitOf(col("doc_id")).as("split"))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Train→eval near-dup LEAKAGE audit: every validation/test document
+    * with at least one verified near-duplicate in the train split — the
+    * contamination a benchmark-decontam pass cannot see because both
+    * sides live in the SAME corpus. One row per leaked eval doc:
+    * `(doc_id, split, n_train_dups, best_jaccard_r, best_train_dup)`,
+    * best = max similarity, ties toward the smallest train id (pinned
+    * via lexicographic struct max so the oracle can mirror it). The
+    * actionable output is the removal list a practitioner feeds back
+    * into the eval split.
+    *
+    * Scale shape: `pairs` is the verified near-dup pair table (tiny —
+    * candidates, not corpus; memoized upstream exactly as the cluster
+    * view consumes it), and the split of EACH side is a pure per-row
+    * md5 projection of the id — no join back to the corpus, no new
+    * corpus scan, one pairs-sized shuffle for the per-doc aggregate. */
+  def splitLeakage(pairs: DataFrame): DataFrame = {
+    val sp = pairs.select(
+      col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b"),
+      col("jaccard_r").cast("long").as("jaccard_r"),
+      splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+    val oriented = sp
+      .where(col("sa") === "train" && col("sb") =!= "train")
+      .select(col("doc_b").as("doc_id"), col("sb").as("split"),
+        col("doc_a").as("train_dup"), col("jaccard_r"))
+      .union(sp.where(col("sb") === "train" && col("sa") =!= "train")
+        .select(col("doc_a").as("doc_id"), col("sa").as("split"),
+          col("doc_b").as("train_dup"), col("jaccard_r")))
+    oriented.groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        max(struct(col("jaccard_r").as("j"),
+          (-col("train_dup")).as("nd"))).as("b"))
+      .select(col("doc_id"), col("split"), col("n_train_dups"),
+        col("b.j").as("best_jaccard_r"),
+        (-col("b.nd")).as("best_train_dup"))
   }
 
   val splitOracle: String =
@@ -1201,6 +1250,62 @@ object Curation {
   def qualityKeepCte(name: String): String =
     s"""${qualityCtes(s"${name}_t", s"${name}_s")},
        |$name AS (SELECT doc_id FROM ${name}_s WHERE score >= 0)""".stripMargin
+
+  /** CALIBRATION matrix between the model-based [[qualityScore]] and a
+    * rule-based keep verdict (the Gopher filter, in the shipped entry):
+    * per score-DECILE — exact global deciles of `score_per_tok_e4`, ties
+    * broken by doc_id — the doc count, how many the rules keep, and the
+    * decile's score extrema. The standard acceptance check before a
+    * learned filter replaces (or gates behind) a heuristic one: if rule
+    * keep-rate is flat across score deciles the model carries no signal
+    * the rules recognize; a monotone curve says where to put the cut.
+    *
+    * Scale shape: the score is the zero-shuffle [[qualityScore]]
+    * projection; the exact decile comes from
+    * [[graft.operators.PrefixSum.groupedRank]]'s global (score, doc_id)
+    * rank — a range exchange, never a 1-partition window; then one
+    * doc-keyed equi-join with the (memoized) rule verdicts and a 10-row
+    * map-side-combined aggregate. `docs.count()` is the only driver
+    * value (parquet row-count pushdown). */
+  def qualityCalibration(docs: DataFrame, ruleKeep: DataFrame): DataFrame = {
+    val n = docs.count()
+    val qs = qualityScore(docs)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("score_per_tok_e4"))
+    val ranked = graft.operators.PrefixSum.groupedRank(
+      qs.withColumn("g", lit(0L)), "score_per_tok_e4", "doc_id", "g", "rnk")
+    ranked
+      .select(col("doc_id"), col("score_per_tok_e4"),
+        expr(s"rnk * 10 div ${n}L").as("decile"))
+      .join(ruleKeep.select(col("doc_id").cast("long").as("doc_id"),
+        col("keep").as("rule_keep")), Seq("doc_id"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rule_keep"), 1L).otherwise(0L)).as("n_rule_keep"),
+        min("score_per_tok_e4").as("min_spt"),
+        max("score_per_tok_e4").as("max_spt"))
+  }
+
+  /** DuckDB twin of [[qualityCalibration]]: caller splices the rule CTE
+    * chain ending in `v(doc_id, …, reason)` (the Gopher chain in the
+    * shipped oracle) — the SAME chain the standalone rule gate runs. */
+  def qualityCalibrationOracle(ruleCtes: String): String =
+    s"""WITH ${qualityCtes("qc_t", "qc_s")},
+       |q AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |    CASE WHEN n_tokens > 0 THEN (score * 10000 // n_tokens)
+       |         ELSE 0 END::BIGINT AS spt
+       |  FROM qc_s),
+       |r AS (
+       |  SELECT doc_id, spt,
+       |    row_number() OVER (ORDER BY spt, doc_id) - 1 AS rnk
+       |  FROM q),
+       |$ruleCtes
+       |SELECT (rnk * 10 // (SELECT count(*) FROM q))::BIGINT AS decile,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN v.reason = 'ok' THEN 1 ELSE 0 END)::BIGINT AS n_rule_keep,
+       |  min(spt)::BIGINT AS min_spt, max(spt)::BIGINT AS max_spt
+       |FROM r JOIN v USING (doc_id) GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------- curriculum order
 

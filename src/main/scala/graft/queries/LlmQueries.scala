@@ -521,6 +521,12 @@ object LlmQueries {
     "llm_dup_clusters" -> (dupClusters _),
     "llm_dedup_apply" -> (dedupApply _),
     "llm_split" -> (split _),
+    "llm_split_leakage" ->
+      ((s: SparkSession, d: String) =>
+        Curation.splitLeakage(ngramPairs(s, d))),
+    "llm_quality_calibration" ->
+      ((s: SparkSession, d: String) => Curation.qualityCalibration(
+        docs(s, d), gopherVerdicts(s, d).select("doc_id", "keep"))),
     "llm_lm_score" -> (lmScore _),
     "llm_ccnet_buckets" -> (ccnetBuckets _),
     "llm_semdedup" -> (semDedupGate _),
@@ -904,6 +910,30 @@ object LlmQueries {
          |SELECT doc_id::BIGINT AS doc_id, lang, source, n_chars::BIGINT AS n_chars
          |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin,
     "llm_split" -> Curation.splitOracle,
+    // train→eval near-dup leakage over the SAME verified pair table the
+    // dedup entries consume; split assignment is the pure per-row md5
+    // projection — the oracle never rejoins the corpus either
+    "llm_split_leakage" ->
+      s"""WITH p AS ($ngramPairsOracle),
+         |sp AS (
+         |  SELECT doc_a, doc_b, jaccard_r,
+         |    ${Curation.splitCaseSqlOf("doc_a")} AS sa,
+         |    ${Curation.splitCaseSqlOf("doc_b")} AS sb
+         |  FROM p),
+         |o AS (
+         |  SELECT doc_b AS doc_id, sb AS split, doc_a AS train_dup, jaccard_r
+         |  FROM sp WHERE sa = 'train' AND sb != 'train'
+         |  UNION ALL
+         |  SELECT doc_a, sa, doc_b, jaccard_r FROM sp
+         |  WHERE sb = 'train' AND sa != 'train')
+         |SELECT doc_id, split, count(*)::BIGINT AS n_train_dups,
+         |  (max({'j': jaccard_r, 'nd': -train_dup})).j::BIGINT AS best_jaccard_r,
+         |  (-(max({'j': jaccard_r, 'nd': -train_dup})).nd)::BIGINT AS best_train_dup
+         |FROM o GROUP BY 1, 2""".stripMargin,
+    // model-score deciles vs the SAME Gopher rule chain the standalone
+    // gate runs (Repetition.gopherCtes spliced verbatim)
+    "llm_quality_calibration" ->
+      Curation.qualityCalibrationOracle(graft.llm.Repetition.gopherCtes),
     "llm_lm_score" -> Curation.lmScoreOracle,
     "llm_ccnet_buckets" -> Curation.ccnetBucketsOracle,
     "llm_quality_pairs" -> Curation.qualityPairsOracle,

@@ -509,4 +509,68 @@ class CurationSpec extends AnyFunSuite {
     for (Seq(sm, bg) <- byAvail.sliding(2); if bg._2 > sm._2)
       assert(bg._4 >= sm._4, "want must be monotone in availability")
   }
+
+  test("qualityCalibration: equals the naive driver-side decile reference") {
+    val rule = graft.llm.Repetition.gopherFilter(docs).select("doc_id", "keep")
+    val out = Curation.qualityCalibration(docs, rule).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val qs = Curation.qualityScore(docs)
+      .select(col("doc_id").cast("long"), col("score_per_tok_e4")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keep = rule.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val n = qs.length
+    val want = qs.sortBy { case (id, s) => (s, id) }.zipWithIndex
+      .map { case ((id, s), i) => (i.toLong * 10 / n, id, s) }
+      .groupBy(_._1).map { case (d, rows) =>
+        (d, rows.length.toLong, rows.count(r => keep(r._2)).toLong,
+          rows.map(_._3).min, rows.map(_._3).max)
+      }.toSet
+    assert(out == want)
+    // all ten deciles populated and exactly covering the corpus
+    assert(out.map(_._1) == (0L to 9L).toSet)
+    assert(out.toSeq.map(_._2).sum == n)
+    // decile score ranges are disjoint and ordered (exact-rank sanity)
+    val ordered = out.toSeq.sortBy(_._1)
+    for (Seq(a, b) <- ordered.sliding(2)) assert(a._5 <= b._4)
+  }
+
+  test("splitLeakage: orientations, non-train-pair exclusion, pinned ties") {
+    import spark.implicits._
+    // the spec's own md5-bucket twin — MUST stay in lockstep with
+    // Curation.splitOf (an independent JVM re-derivation, not a call)
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      val b = java.lang.Long.parseLong(hex, 16) % 100
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    }
+    val ids = (0L until 400L).groupBy(splitOf)
+    val (tr, va, te) = (ids("train"), ids("validation"), ids("test"))
+    // engine and twin agree on every id (lockstep guard)
+    val got = spark.range(400).select(col("id"),
+      Curation.splitOf(col("id")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 400L).foreach(i => assert(got(i) == splitOf(i), s"id $i"))
+
+    // pairs: both orientations leak, train-train and val-test do not,
+    // and eval doc te(0) has TWO train dups tied on jaccard_r
+    val pairs = Seq(
+      (tr(0), te(0), 9000L), // train→test leak (a=train)
+      (te(0), tr(1), 9000L), // test→train leak (b=train), tied similarity
+      (te(0), tr(2), 8000L), // weaker third dup of the same eval doc
+      (va(0), tr(3), 7000L), // validation leak
+      (tr(4), tr(5), 9999L), // train-train: not a leak
+      (va(1), te(1), 9999L)  // val-test: no train side, not a leak
+    ).toDF("doc_a", "doc_b", "jaccard_r")
+    val out = Curation.splitLeakage(pairs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val bestTrain = math.min(tr(0), tr(1)) // tie at 9000 → smallest id
+    assert(out == Set(
+      (te(0), "test", 3L, 9000L, bestTrain),
+      (va(0), "validation", 1L, 7000L, tr(3))))
+  }
 }

@@ -238,6 +238,89 @@ object Bpe {
       |  ('matches_naive', true), ('bounds', true)
       |) t("check", pass)""".stripMargin
 
+  /** Per-language tokenizer FERTILITY profile under an ordered merge-rule
+    * list: subwords per whitespace word (×e4) and word-characters per
+    * subword (×e4) — the standard per-language tokenizer-quality
+    * diagnostic (a vocabulary trained on an en-heavy mix segments tail
+    * languages into near-character soup; fertility is how that shows up,
+    * cf. Rust et al. 2021). Over docs with ≥1 word:
+    * `(lang, n_docs, n_words, n_subwords, fert_e4, chars_per_sub_e4)`.
+    * Subword counts include the end-of-word marker symbol (the
+    * [[segment]] convention); character counts are the words' own.
+    *
+    * Scale shape: [[segment]]'s vocabulary-sized rule application +
+    * broadcast join, plus a zero-shuffle per-doc char-count projection
+    * and one lang-keyed map-side-combined aggregate (≤ #langs rows). */
+  def fertility(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    segment(docs, merges)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        aggregate(Dedup.tokens(col("text")), lit(0L),
+          (a, w) => a + length(w)).as("n_word_chars")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_subwords").as("n_subwords"),
+        sum("n_word_chars").as("n_word_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        expr("n_subwords * 10000 div n_words").as("fert_e4"),
+        expr("n_word_chars * 10000 div n_subwords").as("chars_per_sub_e4"))
+
+  /** The `llm_bpe_fertility` gate: one row per language with the doc and
+    * whitespace-word counts (replayed EXACTLY by the DuckDB twin — both
+    * are SQL) and `matches_naive` = the distributed [[fertility]] row
+    * equals the fully in-driver naive tokenizer's, field for field. The
+    * subword-derived columns ride inside the boolean because the learned
+    * rules are corpus-derived and not SQL-expressible — the [[gate]] /
+    * [[segmentGate]] differential pattern. Driver-side collection is
+    * gate-only; production callers use [[fertility]] directly. */
+  def fertilityGate(docs: DataFrame, dist: Seq[Merge],
+      naive: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val got = fertility(docs, dist).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val naiveRules = naive.map(m => (m.left, m.right))
+    val want = docs.select(col("doc_id").cast("long"), col("lang"),
+        col("text")).collect()
+      .flatMap { r =>
+        val words = r.getString(2).toLowerCase
+          .split("\\W+").filterNot(_.isEmpty)
+        if (words.isEmpty) None
+        else {
+          val subs = words.map { w =>
+            var syms = w.map(_.toString).toArray :+ EndMark
+            naiveRules.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+            syms.length.toLong
+          }.sum
+          Some((r.getString(1),
+            (words.length.toLong, subs, words.map(_.length.toLong).sum)))
+        }
+      }
+      .groupBy(_._1).map { case (lang, rows) =>
+        val nw = rows.map(_._2._1).sum
+        val ns = rows.map(_._2._2).sum
+        val nc = rows.map(_._2._3).sum
+        lang -> ((rows.length.toLong, nw, ns,
+          ns * 10000L / nw, nc * 10000L / ns))
+      }
+    want.toSeq.map { case (lang, w) =>
+      (lang, w._1, w._2, got.get(lang).contains(w))
+    }.toDF("lang", "n_docs", "n_words", "matches_naive")
+  }
+
+  /** DuckDB twin of [[fertilityGate]]: the lang/doc/word columns are
+    * replayed exactly (whitespace tokenization IS SQL); `matches_naive`
+    * is pinned true — a distributed/naive divergence flips the boolean
+    * and fails the hash gate. */
+  val fertilityGateOracle: String =
+    """WITH t AS (
+      |  SELECT lang, list_filter(string_split_regex(lower(text), '\W+'),
+      |                           x -> x != '') AS w
+      |  FROM documents)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(len(w))::BIGINT AS n_words, true AS matches_naive
+      |FROM t WHERE len(w) >= 1 GROUP BY lang""".stripMargin
+
   /** The `llm_bpe` gate: runs the distributed learner and the naive
     * in-driver reference on the same corpus and emits one row per step —
     * (step, matches_naive) — plus an `n_merges` summary row. A divergence

@@ -405,4 +405,34 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("keep"))
   }
+
+  /** Per-source DUPLICATION profile over a [[dupClusters]] verdict table:
+    * `(source, n_docs, n_clustered, n_dropped, n_clusters, dup_frac_e4)`
+    * — how much of each source sits in duplicate clusters, how much the
+    * dedup drops, and how many distinct clusters it touches (a
+    * cross-source cluster counts toward every source it touches). The
+    * "which source is spammy" table that decides where a crawl's dedup
+    * budget goes.
+    *
+    * Scale shape: `clusters` is tiny by construction (clustered docs
+    * only), so it BROADCASTS into the corpus's (doc_id, source)
+    * projection; both aggregates are sources-sized and map-side
+    * combined; the final join is sources × sources. */
+  def dupProfile(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val src = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+    val clustered = src.join(broadcast(clusters), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clustered"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(clustered, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_clustered"), lit(0L)).as("n_clustered"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"))
+      .withColumn("dup_frac_e4", expr("n_dropped * 10000 div n_docs"))
+  }
 }

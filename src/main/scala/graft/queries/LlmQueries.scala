@@ -76,6 +76,20 @@ object LlmQueries {
       .join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-source DUPLICATION profile over the same memoized cluster
+    * table: how many of each source's docs sit in a duplicate cluster,
+    * how many the dedup drops, how many distinct clusters the source
+    * touches, and the drop fraction — the "which source is spammy"
+    * diagnostic that decides where a crawl's dedup budget goes (a
+    * cross-source cluster counts toward every source it touches).
+    *
+    * Scale shape: the cluster table is tiny by construction (clustered
+    * docs only), so it BROADCASTS into the corpus's (doc_id, source)
+    * projection; both aggregates are sources-sized and map-side
+    * combined; the final join is sources × sources. */
+  def dupProfile(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupProfile(dupClusters(spark, dir), docs(spark, dir))
+
   /** The COMPOSED curation pipeline — the DAG a user actually runs:
     * Gopher quality filter ∧ model-based quality score (the zero-shuffle
     * hashed-linear stage) ∧ C4 blocklist ∧ duplicate-cluster
@@ -502,6 +516,11 @@ object LlmQueries {
         val l = bpeRules(s, d)
         graft.llm.Bpe.segmentGate(docs(s, d), l.dist, l.naive)
       }),
+    "llm_bpe_fertility" ->
+      ((s: SparkSession, d: String) => {
+        val l = bpeRules(s, d)
+        graft.llm.Bpe.fertilityGate(docs(s, d), l.dist, l.naive)
+      }),
     "llm_sample" -> (sample _),
     "llm_mixture" -> (mixture _),
     "llm_pack" -> (pack _),
@@ -519,6 +538,7 @@ object LlmQueries {
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_ngram" -> (dedupNgram _),
     "llm_dup_clusters" -> (dupClusters _),
+    "llm_dup_profile" -> (dupProfile _),
     "llm_dedup_apply" -> (dedupApply _),
     "llm_split" -> (split _),
     "llm_split_leakage" ->
@@ -759,6 +779,7 @@ object LlmQueries {
     "llm_curriculum" -> Curation.curriculumOracle,
     "llm_bpe" -> graft.llm.Bpe.gateOracle,
     "llm_bpe_tokens" -> graft.llm.Bpe.segmentGateOracle,
+    "llm_bpe_fertility" -> graft.llm.Bpe.fertilityGateOracle,
     "llm_collocations" -> graft.llm.Mining.collocationsOracle,
     "llm_bm25" -> graft.llm.Mining.bm25Oracle,
     "llm_lm2_score" -> graft.llm.Mining.lm2ScoreOracle,
@@ -902,6 +923,30 @@ object LlmQueries {
          |SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
          |  (id = min(r)) AS keep
          |FROM reach GROUP BY id""".stripMargin,
+
+    // same reachability closure, profiled per source: a cross-source
+    // cluster counts toward every source it touches
+    "llm_dup_profile" ->
+      s"""$clusterClosureCte,
+         |cl AS (
+         |  SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
+         |    (id = min(r)) AS keep
+         |  FROM reach GROUP BY id),
+         |j AS (
+         |  SELECT d.source, cl.cluster_id, cl.keep
+         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+         |base AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT b.source, b.n_docs,
+         |  count(j.cluster_id)::BIGINT AS n_clustered,
+         |  coalesce(sum(CASE WHEN NOT j.keep THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS n_dropped,
+         |  count(DISTINCT j.cluster_id)::BIGINT AS n_clusters,
+         |  (coalesce(sum(CASE WHEN NOT j.keep THEN 1 ELSE 0 END), 0)
+         |    * 10000 // b.n_docs)::BIGINT AS dup_frac_e4
+         |FROM base b LEFT JOIN j USING (source)
+         |GROUP BY 1, 2""".stripMargin,
 
     // same reachability closure, applied: corpus minus non-survivors
     "llm_dedup_apply" ->

@@ -77,4 +77,35 @@ class BpeSpec extends AnyFunSuite {
     assert(rows.length == Bpe.NumMerges + 1)
     assert(rows.forall(_._2), s"gate rows must all match: ${rows.toSeq}")
   }
+
+  test("bpe fertility: hand-computed per-lang ratios; merging lowers fertility") {
+    // rules merge (a,a): "aaaa" -> [aa, aa, </w>] = 3 subwords, 4 chars
+    val docs = Seq(
+      (1L, "aaaa aaaa", "xx"), (2L, "bc", "xx"), // xx: 3 words, 10 chars
+      (3L, "aaaa", "yy"), (4L, "", "yy")         // yy: empty doc drops
+    ).toDF("doc_id", "text", "lang")
+    val rules = Seq(Bpe.Merge(1, "a", "a", 0L))
+    val out = Bpe.fertility(docs, rules).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // xx: 2 docs; words aaaa,aaaa,bc; subwords 3+3+3=9; chars 4+4+2=10
+    //   fert = 9e4 div 3 = 30000; chars/sub = 10e4 div 9 = 11111
+    // yy: 1 doc; 1 word, 3 subwords, 4 chars; fert 30000, cps 13333
+    assert(out == Map(
+      "xx" -> ((2L, 3L, 9L, 30000L, 11111L)),
+      "yy" -> ((1L, 1L, 3L, 30000L, 13333L))))
+    // zero-merge fertility is strictly higher (chars+1 subwords per word)
+    val noMerge = Bpe.fertility(docs, Seq.empty).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(noMerge("xx") > out("xx")._4 && noMerge("yy") > out("yy")._4)
+  }
+
+  test("bpe fertility gate: every lang row true on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val l = Bpe.learnBoth(docs)
+    val rows = Bpe.fertilityGate(docs, l.dist, l.naive).collect()
+      .map(r => (r.getString(0), r.getBoolean(3)))
+    assert(rows.nonEmpty && rows.forall(_._2),
+      s"fertility gate rows must all match: ${rows.toSeq}")
+  }
 }

@@ -174,6 +174,27 @@ class LlmSpec extends AnyFunSuite {
     assert(chained.forall(_.getLong(1) == 1L) && chained.length == 12)
   }
 
+  test("dup profile: per-source counts, cross-source clusters count twice") {
+    import spark.implicits._
+    // cluster 1 = {1,2,5} spans s1+s2; cluster 3 = {3,4} inside s1;
+    // doc 6 (s2) and doc 7 (s3) unclustered
+    val clusters = Seq(
+      (1L, 1L, true), (2L, 1L, false), (5L, 1L, false),
+      (3L, 3L, true), (4L, 3L, false)
+    ).toDF("doc_id", "cluster_id", "keep")
+    val d = Seq(
+      (1L, "s1"), (2L, "s1"), (3L, "s1"), (4L, "s1"),
+      (5L, "s2"), (6L, "s2"), (7L, "s3")
+    ).toDF("doc_id", "source")
+    val out = Dedup.dupProfile(clusters, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(out == Set(
+      ("s1", 4L, 4L, 2L, 2L, 5000L), // clusters {1,3}; drops {2,4}
+      ("s2", 2L, 1L, 1L, 1L, 5000L), // cluster 1 counts here too
+      ("s3", 1L, 0L, 0L, 0L, 0L)))   // untouched source still reported
+  }
+
   test("simhash hamming-dedup: pigeonhole banding is EXACT vs brute force") {
     val out = SimHash.hammingDedup(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -448,12 +448,16 @@ object Curation {
     * literal set), zero shuffles, corpus streamed once. With a list too
     * large for a literal, the drop-in swap is the Bloom-gate shape
     * (`decontamBloomGate`). */
-  def blocklistFilter(docs: DataFrame): DataFrame = {
-    val w = Dedup.tokens(col("text"))
+  /** Blocked-term hit count as a Column over a token-array column — the
+    * kernel [[blocklistFilter]] and the streaming [[curationVerdicts]]
+    * share (one definition of "hit"). */
+  def blocklistHitsOf(w: Column): Column =
+    size(filter(w, t => t.isin(BlockedTerms: _*))).cast("long")
+
+  def blocklistFilter(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").cast("long").as("doc_id"),
-        size(filter(w, t => t.isin(BlockedTerms: _*))).cast("long").as("n_hits"))
+        blocklistHitsOf(Dedup.tokens(col("text"))).as("n_hits"))
       .withColumn("keep", col("n_hits") === 0L)
-  }
 
   /** DuckDB twin of [[blocklistFilter]] — same tokenization, same
     * token-membership count. */
@@ -1210,13 +1214,19 @@ object Curation {
     * model-based filters are the CHEAP stage of a curation pipeline).
     * Pure integer arithmetic: |w| <= 1000, so a doc needs 2^53/1000
     * tokens before the sum could even approach the int64 envelope. */
+  /** The hashed-linear score as a Column over a token-array column —
+    * the kernel [[qualityScore]] and the streaming [[curationVerdicts]]
+    * share (one definition of the score). */
+  def qualityScoreOf(w: Column): Column =
+    aggregate(w, lit(0L), (acc, t) =>
+      acc + conv(substring(md5(t), 1, 15), 16, 10).cast("long") % QualityMod
+        - lit((QualityMod - 1) / 2))
+
   def qualityScore(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        aggregate(col("w"), lit(0L), (acc, t) =>
-          acc + conv(substring(md5(t), 1, 15), 16, 10).cast("long") % QualityMod
-            - lit((QualityMod - 1) / 2)).as("score"))
+        qualityScoreOf(col("w")).as("score"))
       .withColumn("score_per_tok_e4",
         when(col("n_tokens") > 0, expr("score * 10000 div n_tokens"))
           .otherwise(lit(0L)))
@@ -1244,6 +1254,27 @@ object Curation {
        |       ELSE 0 END AS score_per_tok_e4,
        |  score >= 0 AS keep
        |FROM s""".stripMargin
+
+  /** The per-document STATELESS curation gate: Gopher rules ∧ model
+    * score ∧ blocklist, as ONE projection chain over (doc_id, lang,
+    * text) — no joins, no aggregation, no state. That makes it the
+    * incremental-ingest filter: the SAME plan runs unchanged on a
+    * streaming DataFrame (each arriving document is judged in its own
+    * micro-batch; pinned batch ≡ stream by StreamCurationSpec), which is
+    * how a production pipeline curates a crawl as it lands rather than
+    * re-scanning the corpus. The corpus-level stages (dedup, decontam,
+    * caps, budget) stay batch — they need global state by definition;
+    * this gate is the part that doesn't.
+    *
+    * Output: (doc_id, lang, keep). Rule definitions are the SHARED
+    * kernels ([[Repetition.gopherFilterWith]], [[qualityScoreOf]],
+    * [[blocklistHitsOf]]) — nothing re-derived, nothing to diverge. */
+  def curationVerdicts(docs: DataFrame): DataFrame =
+    Repetition.gopherFilterWith(docs, Seq("lang", "text"))
+      .withColumn("w", Dedup.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        (col("keep") && qualityScoreOf(col("w")) >= 0 &&
+          blocklistHitsOf(col("w")) === 0L).as("keep"))
 
   /** CTE chain ending in `<name>` = the [[qualityScore]] keep set, for
     * oracle composition (the pipeline entry conjoins it). */

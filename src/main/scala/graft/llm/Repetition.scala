@@ -84,27 +84,37 @@ object Repetition {
     *
     * Output: (doc_id, n_tokens, quality, keep, reason). */
   def gopherFilter(docs: DataFrame): DataFrame =
+    gopherFilterWith(docs, Nil)
+
+  /** [[gopherFilter]] carrying `passThrough` input columns (`lang`,
+    * `text`, …) into the output unchanged — the streaming curation gate
+    * composes further stateless stages after the verdict and must not
+    * JOIN back to the source (a self-join is illegal on a stream; on a
+    * batch it is a pointless shuffle). Same projection chain, same rule
+    * definitions. */
+  def gopherFilterWith(docs: DataFrame, passThrough: Seq[String]): DataFrame = {
+    val pt = passThrough.map(col)
     docs
-      .select(col("doc_id").cast("long").as("doc_id"),
+      .select(Seq(col("doc_id").cast("long").as("doc_id"),
         TextStats.qualityCol(col("text")).as("quality"),
-        Dedup.tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("quality"), col("w"),
+        Dedup.tokens(col("text")).as("w")) ++ pt: _*)
+      .select(Seq(col("doc_id"), col("quality"), col("w"),
         when(size(col("w")) >= 2,
           expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"))
-          .otherwise(array().cast("array<string>")).as("bg"))
-      .select(col("doc_id"), col("quality"),
+          .otherwise(array().cast("array<string>")).as("bg")) ++ pt: _*)
+      .select(Seq(col("doc_id"), col("quality"),
         size(col("w")).cast("long").as("n_tokens"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct"),
         size(col("bg")).cast("long").as("n_bg"),
         graft.functions.VectorExpressions
-          .sorted_max_run_length(sort_array(col("bg"))).as("max_bg"))
-      .select(col("doc_id"), col("n_tokens"), col("quality"),
+          .sorted_max_run_length(sort_array(col("bg"))).as("max_bg")) ++ pt: _*)
+      .select(Seq(col("doc_id"), col("n_tokens"), col("quality"),
         when(col("n_tokens") > 0,
           floor(col("n_distinct") * lit(1.0e4) / col("n_tokens") + 0.5).cast("long"))
           .otherwise(0L).as("distinct_frac_e4"),
         when(col("n_bg") > 0,
           floor(col("max_bg") * lit(1.0e4) / col("n_bg") + 0.5).cast("long"))
-          .otherwise(0L).as("top_bigram_frac_e4"))
+          .otherwise(0L).as("top_bigram_frac_e4")) ++ pt: _*)
       .withColumn("reason",
         when(col("n_tokens") < MinTokens, "too_short")
           .when(col("n_tokens") > MaxTokens, "too_long")
@@ -112,8 +122,9 @@ object Repetition {
           .when(col("distinct_frac_e4") < MinDistinctFracE4, "low_diversity")
           .when(col("top_bigram_frac_e4") > MaxTopBigramFracE4, "repetitive")
           .otherwise("ok"))
-      .select(col("doc_id"), col("n_tokens"), col("quality"),
-        (col("reason") === "ok").as("keep"), col("reason"))
+      .select(Seq(col("doc_id"), col("n_tokens"), col("quality"),
+        (col("reason") === "ok").as("keep"), col("reason")) ++ pt: _*)
+  }
 
   /** The Gopher-filter CTE chain (tok/base/mx/m/v, ending in
     * `v(doc_id, n_tokens, quality, reason)`), exposed so the

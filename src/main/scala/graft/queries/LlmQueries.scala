@@ -613,6 +613,15 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Curation.weightedSample(docs(s, d))),
     "llm_pipeline" -> (pipeline _),
     "llm_pipeline_funnel" -> (pipelineFunnel _),
+    "stream_curation" ->
+      ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.{count, lit, sum}
+        Curation.curationVerdicts(docs(s, d))
+          .where(col("keep"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_doc_id"))
+      }),
     "llm_embed_outliers" ->
       ((s: SparkSession, d: String) => Similarity.embedOutliers(emb(s, d))),
     "llm_embed_quantize" ->
@@ -979,6 +988,20 @@ object LlmQueries {
     // gate runs (Repetition.gopherCtes spliced verbatim)
     "llm_quality_calibration" ->
       Curation.qualityCalibrationOracle(graft.llm.Repetition.gopherCtes),
+    // the stateless per-doc gate: Gopher ∧ model ∧ blocklist — the same
+    // stage CTEs the standalone gates and the pipeline oracle splice
+    "stream_curation" ->
+      s"""WITH ${graft.llm.Repetition.gopherCtes},
+         |${Curation.qualityKeepCte("sc_mdl")},
+         |sc_blk AS (
+         |  SELECT doc_id FROM (${Curation.blocklistOracle}) WHERE keep)
+         |SELECT d.lang, count(*)::BIGINT AS n_docs,
+         |  sum(d.doc_id)::BIGINT AS sum_doc_id
+         |FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM v WHERE reason = 'ok')
+         |  AND d.doc_id IN (SELECT doc_id FROM sc_mdl)
+         |  AND d.doc_id IN (SELECT doc_id FROM sc_blk)
+         |GROUP BY 1""".stripMargin,
     "llm_lm_score" -> Curation.lmScoreOracle,
     "llm_ccnet_buckets" -> Curation.ccnetBucketsOracle,
     "llm_quality_pairs" -> Curation.qualityPairsOracle,

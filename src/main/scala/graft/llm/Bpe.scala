@@ -72,6 +72,18 @@ object Bpe {
     b.result()
   }
 
+  /** Subword count of one word under an ordered (left, right) rule list —
+    * chars + [[EndMark]], then every merge applied in order. The ONE
+    * reference segmenter shared by [[segment]]'s distributed path and the
+    * in-driver naive sides of [[segmentGate]] / [[fertilityGate]] (a fix
+    * to it cannot desynchronize the gates). */
+  private[llm] def subwordCount(word: String,
+      rules: Seq[(String, String)]): Long = {
+    var syms = word.map(_.toString).toArray :+ EndMark
+    rules.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+    syms.length.toLong
+  }
+
   /** Learn [[NumMerges]] merge rules (fewer if the pair space exhausts).
     * Returns the ordered rules; `words` must be a (word, cnt) table.
     *
@@ -169,15 +181,11 @@ object Bpe {
   def segment(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rules = merges.sortBy(_.step).map(m => (m.left, m.right)).toArray
+    val rules = merges.sortBy(_.step).map(m => (m.left, m.right))
     val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
       explode(Dedup.tokens(col("text"))).as("word"))
     val segLens = toks.select("word").distinct().as[String].rdd
-      .map { w =>
-        var syms = w.map(_.toString).toArray :+ EndMark
-        rules.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
-        (w, syms.length.toLong)
-      }
+      .map(w => (w, subwordCount(w, rules)))
       .toDF("word", "n_sub")
     toks
       .join(broadcast(segLens), "word")
@@ -210,11 +218,7 @@ object Bpe {
     val want = docs.select(col("doc_id").cast("long"), col("text")).collect()
       .map { r =>
         val words = r.getString(1).toLowerCase.split("\\W+").filterNot(_.isEmpty)
-        val subs = words.map { w =>
-          var syms = w.map(_.toString).toArray :+ EndMark
-          naiveRules.foreach { case (l, r2) => syms = applyMerge(syms, l, r2) }
-          syms.length.toLong
-        }.sum
+        val subs = words.map(subwordCount(_, naiveRules)).sum
         val maxSubs = words.map(_.length.toLong + 1L).sum
         r.getLong(0) -> ((words.length.toLong, subs, maxSubs))
       }
@@ -286,15 +290,9 @@ object Bpe {
         val words = r.getString(2).toLowerCase
           .split("\\W+").filterNot(_.isEmpty)
         if (words.isEmpty) None
-        else {
-          val subs = words.map { w =>
-            var syms = w.map(_.toString).toArray :+ EndMark
-            naiveRules.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
-            syms.length.toLong
-          }.sum
-          Some((r.getString(1),
-            (words.length.toLong, subs, words.map(_.length.toLong).sum)))
-        }
+        else Some((r.getString(1),
+          (words.length.toLong, words.map(subwordCount(_, naiveRules)).sum,
+            words.map(_.length.toLong).sum)))
       }
       .groupBy(_._1).map { case (lang, rows) =>
         val nw = rows.map(_._2._1).sum
@@ -303,8 +301,11 @@ object Bpe {
         lang -> ((rows.length.toLong, nw, ns,
           ns * 10000L / nw, nc * 10000L / ns))
       }
+    // keyset equality folds into every row so a distributed-only extra
+    // language (invisible to the want-shaped output) still flips the gate
+    val sameLangs = got.keySet == want.keySet
     want.toSeq.map { case (lang, w) =>
-      (lang, w._1, w._2, got.get(lang).contains(w))
+      (lang, w._1, w._2, sameLangs && got.get(lang).contains(w))
     }.toDF("lang", "n_docs", "n_words", "matches_naive")
   }
 

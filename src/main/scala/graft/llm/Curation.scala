@@ -24,17 +24,28 @@ object Curation {
   val SampleRates: Seq[(String, Int)] =
     Seq("en" -> 25, "de" -> 60, "fr" -> 60, "es" -> 60, "zh" -> 90)
 
-  /** The ONE deterministic doc→bucket assignment (md5 of the id, first
-    * 15 hex digits, mod 100) shared by sampling and splitting — keep in
-    * lockstep with [[bucketSqlOf]]. */
-  private def bucketOf(docId: Column): Column =
-    conv(substring(md5(docId.cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
+  /** The 60-bit salted md5 draw (first 15 hex digits as int64 — safely
+    * inside the type) — the ONE deterministic per-row randomness kernel
+    * the sampling/splitting/ordering operators derive from, engine-
+    * portable by construction. Keep in lockstep with [[hash60SqlOf]]. */
+  def hash60(salt: String, id: Column): Column = {
+    val s = if (salt.isEmpty) id.cast("string")
+            else concat(lit(salt), id.cast("string"))
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  }
+
+  /** DuckDB twin of [[hash60]], parameterized over the id expression. */
+  def hash60SqlOf(salt: String, e: String): String =
+    if (salt.isEmpty) s"('0x' || substr(md5($e::VARCHAR), 1, 15))::BIGINT"
+    else s"('0x' || substr(md5('$salt' || $e::VARCHAR), 1, 15))::BIGINT"
+
+  /** The ONE deterministic doc→bucket assignment ([[hash60]] mod 100)
+    * shared by sampling and splitting. */
+  private def bucketOf(docId: Column): Column = hash60("", docId) % 100
   private def docBucket: Column = bucketOf(col("doc_id"))
 
   /** DuckDB twin of [[bucketOf]], parameterized over the id expression. */
-  def bucketSqlOf(e: String): String =
-    s"('0x' || substr(md5($e::VARCHAR), 1, 15))::BIGINT % 100"
+  def bucketSqlOf(e: String): String = s"${hash60SqlOf("", e)} % 100"
   private val bucketSql = bucketSqlOf("doc_id")
 
   /** The deterministic split assignment as a pure per-row projection of
@@ -54,9 +65,7 @@ object Curation {
 
   /** [[docBucket]] at e6 granularity (mixture rates need finer steps than
     * percent). 15 hex digits = 60 bits, safely inside int64. */
-  private def mixBucket: Column =
-    conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 1000000
+  private def mixBucket: Column = hash60("", col("doc_id")) % 1000000
 
   /** DuckDB twin of [[mixBucket]]. */
   private val mixBucketSql =
@@ -101,9 +110,7 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val keyed = docs
       .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
-      .withColumn("shuffle_key",
-        conv(substring(md5(concat(lit("shuf:"), col("doc_id").cast("string"))),
-          1, 15), 16, 10).cast("long"))
+      .withColumn("shuffle_key", hash60("shuf:", col("doc_id")))
     keyed
       .orderBy(col("shuffle_key").asc, col("doc_id").asc)
       .limit(ShuffleTopK)
@@ -114,11 +121,9 @@ object Curation {
   /** DuckDB twin of [[shuffleOrder]]. */
   val shuffleOrderOracle: String =
     s"""SELECT doc_id::BIGINT AS doc_id, lang,
-       |  ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT
-       |    AS shuffle_key,
+       |  ${hash60SqlOf("shuf:", "doc_id")} AS shuffle_key,
        |  row_number() OVER (ORDER BY
-       |    ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT,
-       |    doc_id)::BIGINT AS rank
+       |    ${hash60SqlOf("shuf:", "doc_id")}, doc_id)::BIGINT AS rank
        |FROM documents
        |ORDER BY shuffle_key, doc_id LIMIT $ShuffleTopK""".stripMargin
 
@@ -216,14 +221,6 @@ object Curation {
        |FROM ($domainCapRankedSql)
        |WHERE rn <= $DomainCapN""".stripMargin
 
-  /** The domain-cap keep set as a named CTE — the stage form the
-    * composed-pipeline oracle embeds. */
-  def domainCapKeepCte(name: String): String =
-    s"""$name AS (
-       |  SELECT doc_id::BIGINT AS doc_id
-       |  FROM ($domainCapRankedSql)
-       |  WHERE rn <= $DomainCapN)""".stripMargin
-
   /** One-in-[[PipelineCapMod]] of each domain survives the pipeline's
     * cap stage beyond the absolute floor. */
   val PipelineCapMod = 4L
@@ -239,18 +236,16 @@ object Curation {
     * that caught it is in PLANS.md). The union keeps the cap's
     * spam-defense floor for small domains while surviving a constant
     * FRACTION of large ones, so the composed pipeline's survivor set
-    * scales with the corpus. The sample is the salted engine-portable
-    * hash kernel (`md5('cap:' || doc_id)`, the [[shuffleOrder]]
-    * precedent) — map-side, zero shuffle beyond the floor's existing
+    * scales with the corpus. The sample is the shared salted draw
+    * kernel ([[hash60]] with salt `cap:`) — map-side, zero shuffle
+    * beyond the floor's existing
     * WindowGroupLimit window; the union dedupes on the keep-set-sized
     * side only, never the corpus. */
   def pipelineCapKeep(docs: DataFrame): DataFrame =
     domainCap(docs).select("doc_id")
       .union(docs
         .select(col("doc_id").cast("long").as("doc_id"))
-        .where(conv(substring(md5(concat(lit("cap:"),
-            col("doc_id").cast("string"))), 1, 15), 16, 10)
-          .cast("long") % PipelineCapMod === 0L))
+        .where(hash60("cap:", col("doc_id")) % PipelineCapMod === 0L))
       .distinct()
 
   /** DuckDB twin of [[pipelineCapKeep]] as a named CTE. DISTINCT over
@@ -266,7 +261,7 @@ object Curation {
        |    WHERE rn <= $DomainCapN
        |    UNION ALL
        |    SELECT doc_id::BIGINT AS doc_id FROM documents
-       |    WHERE ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |    WHERE ${hash60SqlOf("cap:", "doc_id")}
        |          % $PipelineCapMod = 0) u)""".stripMargin
 
   // -------------------------------------------------------- length outliers
@@ -1270,8 +1265,7 @@ object Curation {
     * kernels ([[Repetition.gopherFilterWith]], [[qualityScoreOf]],
     * [[blocklistHitsOf]]) — nothing re-derived, nothing to diverge. */
   def curationVerdicts(docs: DataFrame): DataFrame =
-    Repetition.gopherFilterWith(docs, Seq("lang", "text"))
-      .withColumn("w", Dedup.tokens(col("text")))
+    Repetition.gopherFilterWith(docs, Seq("lang"), retainTokens = true)
       .select(col("doc_id"), col("lang"),
         (col("keep") && qualityScoreOf(col("w")) >= 0 &&
           blocklistHitsOf(col("w")) === 0L).as("keep"))
@@ -1372,9 +1366,7 @@ object Curation {
         when(col("score_per_tok_e4") >= CurriculumHighE4, 0L)
           .when(col("score_per_tok_e4") >= CurriculumLowE4, 1L)
           .otherwise(2L).as("bucket"))
-      .withColumn("shuffle_key",
-        conv(substring(md5(concat(lit("curr:"), col("doc_id").cast("string"))),
-          1, 15), 16, 10).cast("long"))
+      .withColumn("shuffle_key", hash60("curr:", col("doc_id")))
     graft.operators.PrefixSum
       .groupedRank(scored, "shuffle_key", "doc_id", "bucket", "brank")
       .select(col("doc_id"), col("bucket"), col("brank"),
@@ -1394,8 +1386,7 @@ object Curation {
        |  SELECT doc_id,
        |    CASE WHEN spt >= $CurriculumHighE4 THEN 0
        |         WHEN spt >= $CurriculumLowE4 THEN 1 ELSE 2 END AS bucket,
-       |    ('0x' || substr(md5('curr:' || doc_id::VARCHAR), 1, 15))::BIGINT
-       |      AS shuffle_key
+       |    ${hash60SqlOf("curr:", "doc_id")} AS shuffle_key
        |  FROM cu_b),
        |cu_r AS (
        |  SELECT doc_id, bucket,

@@ -90,10 +90,14 @@ object Repetition {
     * `text`, …) into the output unchanged — the streaming curation gate
     * composes further stateless stages after the verdict and must not
     * JOIN back to the source (a self-join is illegal on a stream; on a
-    * batch it is a pointless shuffle). Same projection chain, same rule
-    * definitions. */
-  def gopherFilterWith(docs: DataFrame, passThrough: Seq[String]): DataFrame = {
+    * batch it is a pointless shuffle). With `retainTokens` the token
+    * array the filter already computed rides along as `w`, so a
+    * downstream stage doesn't re-tokenize the text. Same projection
+    * chain, same rule definitions. */
+  def gopherFilterWith(docs: DataFrame, passThrough: Seq[String],
+      retainTokens: Boolean = false): DataFrame = {
     val pt = passThrough.map(col)
+    val ptw = if (retainTokens) col("w") +: pt else pt
     docs
       .select(Seq(col("doc_id").cast("long").as("doc_id"),
         TextStats.qualityCol(col("text")).as("quality"),
@@ -107,14 +111,14 @@ object Repetition {
         size(array_distinct(col("w"))).cast("long").as("n_distinct"),
         size(col("bg")).cast("long").as("n_bg"),
         graft.functions.VectorExpressions
-          .sorted_max_run_length(sort_array(col("bg"))).as("max_bg")) ++ pt: _*)
+          .sorted_max_run_length(sort_array(col("bg"))).as("max_bg")) ++ ptw: _*)
       .select(Seq(col("doc_id"), col("n_tokens"), col("quality"),
         when(col("n_tokens") > 0,
           floor(col("n_distinct") * lit(1.0e4) / col("n_tokens") + 0.5).cast("long"))
           .otherwise(0L).as("distinct_frac_e4"),
         when(col("n_bg") > 0,
           floor(col("max_bg") * lit(1.0e4) / col("n_bg") + 0.5).cast("long"))
-          .otherwise(0L).as("top_bigram_frac_e4")) ++ pt: _*)
+          .otherwise(0L).as("top_bigram_frac_e4")) ++ ptw: _*)
       .withColumn("reason",
         when(col("n_tokens") < MinTokens, "too_short")
           .when(col("n_tokens") > MaxTokens, "too_long")
@@ -123,7 +127,7 @@ object Repetition {
           .when(col("top_bigram_frac_e4") > MaxTopBigramFracE4, "repetitive")
           .otherwise("ok"))
       .select(Seq(col("doc_id"), col("n_tokens"), col("quality"),
-        (col("reason") === "ok").as("keep"), col("reason")) ++ pt: _*)
+        (col("reason") === "ok").as("keep"), col("reason")) ++ ptw: _*)
   }
 
   /** The Gopher-filter CTE chain (tok/base/mx/m/v, ending in

@@ -1263,7 +1263,14 @@ object Curation {
     *
     * Output: (doc_id, lang, keep). Rule definitions are the SHARED
     * kernels ([[Repetition.gopherFilterWith]], [[qualityScoreOf]],
-    * [[blocklistHitsOf]]) — nothing re-derived, nothing to diverge. */
+    * [[blocklistHitsOf]]) — nothing re-derived, nothing to diverge.
+    *
+    * CONSUMPTION CAVEAT: do not `.where(col("keep"))` directly on this
+    * (un-persisted) frame — the optimizer pushes the predicate below the
+    * projection chain, re-inlining the tokenizer into every heavy
+    * reference of the reason CASE (measured ~100× on sf0.1). Aggregate
+    * the projected boolean conditionally, persist first, or filter after
+    * an aggregation boundary. */
   def curationVerdicts(docs: DataFrame): DataFrame =
     Repetition.gopherFilterWith(docs, Seq("lang"), retainTokens = true)
       .select(col("doc_id"), col("lang"),

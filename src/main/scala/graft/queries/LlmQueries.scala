@@ -615,12 +615,17 @@ object LlmQueries {
     "llm_pipeline_funnel" -> (pipelineFunnel _),
     "stream_curation" ->
       ((s: SparkSession, d: String) => {
-        import org.apache.spark.sql.functions.{count, lit, sum}
+        import org.apache.spark.sql.functions.{sum, when, lit}
+        // conditional aggregation, NOT .where(keep): a filter on the
+        // verdict pushes the keep expression below the projection chain
+        // and re-inlines the tokenizer into every heavy reference of the
+        // reason CASE (measured ~100x on sf0.1 — PLANS.md round 12); the
+        // aggregate consumes the projected boolean once per row
         Curation.curationVerdicts(docs(s, d))
-          .where(col("keep"))
           .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("doc_id")).as("sum_doc_id"))
+          .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs"),
+            sum(when(col("keep"), col("doc_id"))).as("sum_doc_id"))
+          .where(col("n_docs") > 0)
       }),
     "llm_embed_outliers" ->
       ((s: SparkSession, d: String) => Similarity.embedOutliers(emb(s, d))),

@@ -213,7 +213,18 @@ object Similarity {
     * order, so no RNG is involved at all. */
   def ivfTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 5,
-      sampleSize: Int = 4096): DataFrame = {
+      sampleSize: Int = 4096): DataFrame =
+    exactRerank(emb,
+      ivfCandidates(emb, numQueries, nLists, nProbe, iters, sampleSize),
+      numQueries, k)
+
+  /** Candidate (qid, nid) pairs of [[ivfTopK]]'s coarse probing stage —
+    * the inverted-list build, nProbe probes and pair dedup without the
+    * scoring tail, so the coarse quantizer composes with either scoring
+    * backend: exact rerank ([[ivfTopK]]) or ADC over the PQ code table
+    * ([[ivfPqTopK]] — the literal IVF-PQ pairing). */
+  private[graft] def ivfCandidates(emb: DataFrame, numQueries: Int,
+      nLists: Int, nProbe: Int, iters: Int, sampleSize: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val ds = emb.select(col("vec_id").cast("long"), col("embedding"))
@@ -223,29 +234,16 @@ object Similarity {
     val sample = ds.sort("vec_id").limit(sampleSize).collect()
       .map { case (_, v) => v.map(_.toDouble) }
     if (sample.isEmpty)
-      return emptyResult(spark, "qid BIGINT, nid BIGINT, score_r BIGINT, rank BIGINT")
+      return emptyResult(spark, "qid BIGINT, nid BIGINT")
     require(sample.length >= nLists, s"need >= $nLists sample vectors")
     val dim = sample.head.length
     var centroids = Array.tabulate(nLists)(i => sample(i).clone())
-    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0
-        var i = 0
-        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
     var it = 0
     while (it < iters) {
       val sums = Array.fill(nLists)(new Array[Double](dim))
       val counts = new Array[Int](nLists)
       sample.foreach { v =>
-        val c = nearest(v, centroids)
+        val c = nearestCentroid(v, centroids)
         counts(c) += 1
         var i = 0
         while (i < dim) { sums(c)(i) += v(i); i += 1 }
@@ -262,7 +260,7 @@ object Similarity {
       val cs = bcC.value
       rows.map { case (id, v0) =>
         val v = v0.map(_.toDouble)
-        (id, nearest(v, cs))
+        (id, nearestCentroid(v, cs))
       }
     }.toDF("nid", "list")
     // --- query probes: the nProbe nearest centroids per query ---
@@ -279,25 +277,11 @@ object Similarity {
         byDist.map { case (_, c) => (id, c) }
       }
     }.toDF("qid", "list")
-    // --- candidates on the list id only, then exact scoring (lshTopK's
-    // dedup-then-rejoin discipline) ---
-    val pairs = assigned.join(broadcast(probes), "list")
+    // --- candidates on the list id only (lshTopK's dedup-then-rejoin
+    // discipline); scoring is the caller's backend ---
+    assigned.join(broadcast(probes), "list")
       .where(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()
-    val withNorm = emb.select(
-      col("vec_id").cast("long").as("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    val qv = withNorm.where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
-    val nv = withNorm
-      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
-    val scoreR = floor(dot(col("qv"), col("nv")) / (col("qn") * col("nn")) * 1e6 + 0.5)
-      .cast("long")
-    val w = Window.partitionBy("qid").orderBy(col("score_r").desc, col("nid").asc)
-    pairs.join(broadcast(qv), "qid").join(nv, "nid")
-      .withColumn("score_r", scoreR)
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("score_r"), col("rank").cast("long").as("rank"))
   }
 
   /** Johnson–Lindenstrauss signed random projection: embed each vector
@@ -426,6 +410,259 @@ object Similarity {
     val pool = bruteForceTopK(sq8Dequant(emb), numQueries, k * poolFactor)
       .select("qid", "nid")
     exactRerank(emb, pool, numQueries, k)
+  }
+
+  /** Index of the centroid in `cs` nearest (squared L2) to `v` —
+    * first-wins on exact ties, so assignment is deterministic for a
+    * fixed codebook order. Shared by the IVF coarse quantizer and the
+    * PQ sub-quantizers. */
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cc = cs(c)
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val t = v(i) - cc(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-subspace product-quantization codebooks (Jégou et al., TPAMI
+    * 2011): subspace `s` covers dims [s·sub, (s+1)·sub) and gets its own
+    * `ksub`-centroid codebook trained by Lloyd's iterations over the
+    * (driver-side, bounded) sample. Fully deterministic like the IVF
+    * trainer: init takes the sample's first `ksub` subvectors in sample
+    * order, iterations walk the sample in that fixed order, empty cells
+    * keep their previous centroid, L2 ties resolve to the lowest index. */
+  private[graft] def pqCodebooks(sample: Array[Array[Double]], m: Int,
+      ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val dim = sample.head.length
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val svs = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      var cs = Array.tabulate(ksub)(i => svs(i).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](sub))
+        val counts = new Array[Int](ksub)
+        svs.foreach { v =>
+          val c = nearestCentroid(v, cs)
+          counts(c) += 1
+          var i = 0
+          while (i < sub) { sums(c)(i) += v(i); i += 1 }
+        }
+        cs = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cs(c)
+          else {
+            val mc = sums(c)
+            var i = 0
+            while (i < sub) { mc(i) /= counts(c); i += 1 }
+            mc
+          })
+        it += 1
+      }
+      cs
+    }
+  }
+
+  /** Unit-normalized double view of a float vector (zero vectors pass
+    * through unscaled). PQ trains/encodes on the NORMALIZED vectors so
+    * the ADC inner product approximates cosine directly — the per-vector
+    * norm would otherwise have to be stored beside the codes. */
+  private def unitVec(v0: Array[Float]): Array[Double] = {
+    val v = new Array[Double](v0.length)
+    var n2 = 0.0
+    var i = 0
+    while (i < v0.length) { val x = v0(i).toDouble; v(i) = x; n2 += x * x; i += 1 }
+    val n = math.sqrt(n2)
+    if (n > 0) { i = 0; while (i < v.length) { v(i) /= n; i += 1 } }
+    v
+  }
+
+  /** The PQ code table: `m` sub-quantizer codes per vector — the ONLY
+    * corpus-wide state the first stage of [[pqTopK]] scans. At the
+    * defaults (m=8 subspaces × 32 centroids) a 64-dim f32 vector's
+    * 256 bytes compress to 8 five-bit codes (one packed u64, ~3 % of
+    * the raw bytes even stored bytewise): a 100 TB embedding store
+    * shortlists candidates from a ~3 TB code scan. Exposed
+    * package-private as the spec's invariant hook (codes bounded by
+    * ksub, table row-for-row with the corpus). */
+  private[graft] def pqCodes(emb: DataFrame, m: Int = 8, ksub: Int = 32,
+      iters: Int = 5, sampleSize: Int = 4096): DataFrame =
+    pqEncode(emb, m, ksub, iters, sampleSize) match {
+      case Some((codes, _, _)) =>
+        codes.toDF("vec_id", "codes")
+      case None =>
+        emptyResult(emb.sparkSession, "vec_id BIGINT, codes ARRAY<INT>")
+    }
+
+  /** Trained PQ model + per-vector code table, or None on an empty
+    * corpus: (codes, codebooks, subspace width). Training is the bounded
+    * driver-side sample (the IVF discipline); the code table is the ONE
+    * corpus-wide artifact — at 100 TB it is precomputed store state (the
+    * incremental-dedup history-band precedent), not per-query work. */
+  private def pqEncode(emb: DataFrame, m: Int, ksub: Int, iters: Int,
+      sampleSize: Int): Option[(org.apache.spark.sql.Dataset[(Long, Array[Int])],
+        Array[Array[Array[Double]]], Int)] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val sample = ds.sort("vec_id").limit(sampleSize).collect()
+      .map { case (_, v) => unitVec(v) }
+    if (sample.isEmpty) return None
+    require(sample.length >= ksub, s"need >= $ksub sample vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim does not split into $m subspaces")
+    val sub = dim / m
+    val books = pqCodebooks(sample, m, ksub, iters)
+    val bcB = spark.sparkContext.broadcast(books)
+    val codes = ds.mapPartitions { rows =>
+      val bs = bcB.value
+      rows.map { case (id, v0) =>
+        val v = unitVec(v0)
+        val cd = new Array[Int](bs.length)
+        var s = 0
+        while (s < bs.length) {
+          cd(s) = nearestCentroid(
+            java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub), bs(s))
+          s += 1
+        }
+        (id, cd)
+      }
+    }
+    Some((codes, books, sub))
+  }
+
+  /** Per-query ADC lookup tables: lut(s)(c) = ⟨query subvector s,
+    * codebook s centroid c⟩ — numQueries × m × ksub doubles, a bounded
+    * driver set (the query side of every variant broadcasts anyway). */
+  private def adcLuts(emb: DataFrame, books: Array[Array[Array[Double]]],
+      sub: Int, numQueries: Int): Array[(Long, Array[Array[Double]])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .filter(_._1 < numQueries).collect().sortBy(_._1).map { case (qid, v0) =>
+        val q = unitVec(v0)
+        val lut = books.zipWithIndex.map { case (book, s) =>
+          book.map { cc =>
+            var d = 0.0
+            var i = 0
+            while (i < sub) { d += q(s * sub + i) * cc(i); i += 1 }
+            d
+          }
+        }
+        (qid, lut)
+      }
+  }
+
+  /** The per-query candidate pool cut over ADC-scored (qid, nid,
+    * approx_r) rows — ties break on ascending nid like every variant. */
+  private def adcPool(scored: DataFrame, poolSize: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("approx_r").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= poolSize).select("qid", "nid")
+  }
+
+  /** Product-quantized approximate top-k with exact rerank — the
+    * memory-compressed ANN shape (FAISS's PQ/IVF-PQ standard) a 100 TB
+    * embedding store actually serves from: vectors are stored as `m`
+    * sub-quantizer codes ([[pqCodes]] — ~0.4 % of the f32 bytes at the
+    * defaults), and query scoring is ADC (asymmetric distance
+    * computation): per query, an m×ksub table of partial inner products
+    * between the query's subvectors and the codebook centroids is built
+    * ONCE, so scoring a corpus vector is `m` array lookups + adds — no
+    * full-width arithmetic until the exact rerank touches the
+    * `k·poolFactor` pool.
+    *
+    * Plan shape: codebook training is a bounded driver-side sample (the
+    * IVF discipline — cost independent of corpus size); encoding is one
+    * broadcast+kernel pass, no shuffle; the ADC scan streams the narrow
+    * code table once and shuffles only (qid, nid, score) longs into the
+    * per-query pool cut; the rerank joins full vectors for pool-sized
+    * candidates only. Orthogonal to IVF by construction — composing the
+    * two (probe IVF lists, ADC-score within them) is the literal IVF-PQ
+    * pairing and needs no new machinery, the code table simply replaces
+    * the vector column in the probed lists.
+    *
+    * Deterministic end-to-end: seedless (sample order = vec_id order),
+    * ADC sums run over subspaces left-to-right, pool and rerank ties
+    * break on ascending nid. Approximate by design — recall is pinned by
+    * the llm_sim_topk_pq gate; the pool is the recall lever, the
+    * codebook resolution `ksub` the distortion lever. Defaults chosen
+    * SCALE-ROBUSTLY by the rp precedent (measured 2026-08-15, PqProbe,
+    * PLANS.md): ksub=16/pool=40x decays 1.00/0.98/0.84/0.56 across
+    * sf0.001/0.01/0.1/sf1; ksub=32/pool=160x holds 1.00/1.00/1.00/0.90
+    * with both costs still corpus-size-independent (8×32 LUT per query,
+    * 800 rerank pairs per query). Like JL's dOut, resolution should grow
+    * ~log n — re-measure with PqProbe before the next corpus decade. */
+  def pqTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
+      m: Int = 8, ksub: Int = 32, iters: Int = 5,
+      sampleSize: Int = 4096, poolFactor: Int = 160): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (codes, books, sub) = pqEncode(emb, m, ksub, iters, sampleSize).getOrElse(
+      return emptyResult(spark, "qid BIGINT, nid BIGINT, score_r BIGINT, rank BIGINT"))
+    val bcL = spark.sparkContext.broadcast(adcLuts(emb, books, sub, numQueries))
+    val scored = codes.mapPartitions { rows =>
+      val ls = bcL.value
+      rows.flatMap { case (nid, cd) =>
+        ls.iterator.filter(_._1 != nid).map { case (qid, lut) =>
+          var s = 0.0
+          var i = 0
+          while (i < cd.length) { s += lut(i)(cd(i)); i += 1 }
+          (qid, nid, math.floor(s * 1e6 + 0.5).toLong)
+        }
+      }
+    }.toDF("qid", "nid", "approx_r")
+    exactRerank(emb, adcPool(scored, k * poolFactor), numQueries, k)
+  }
+
+  /** IVF-PQ — the literal FAISS pairing, composed from the two stages
+    * this file already serves: IVF's coarse quantizer decides WHICH
+    * vectors a query scores at all ([[ivfCandidates]] — nProbe/nLists
+    * of the corpus), PQ's ADC decides HOW CHEAPLY each survivor is
+    * scored (m lookup-adds over the code table instead of a full-width
+    * dot product), and the shared exact rerank touches raw vectors only
+    * for the k·poolFactor pool. At 100 TB this is the index a production
+    * embedding store actually serves: the coarse lists and the code
+    * table are the persisted index state, the raw floats are cold
+    * storage the rerank pages in. Every shuffle in the plan carries ids
+    * and small ints/longs only. Recall compounds BOTH approximations —
+    * measured (PqProbe, 2026-08-15) 0.88/0.92/0.92/0.94 across
+    * sf0.001/0.01/0.1/sf1 at the defaults: scale-STABLE where flat PQ
+    * decays (the coarse stage prunes noise neighbours as n grows, the
+    * ADC stage's pool absorbs quantization distortion), floor gated at
+    * 0.75 in llm_sim_topk_ivfpq. */
+  def ivfPqTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 32,
+      iters: Int = 5, sampleSize: Int = 4096, poolFactor: Int = 160): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (codes, books, sub) = pqEncode(emb, m, ksub, iters, sampleSize).getOrElse(
+      return emptyResult(spark, "qid BIGINT, nid BIGINT, score_r BIGINT, rank BIGINT"))
+    val cand = ivfCandidates(emb, numQueries, nLists, nProbe, iters, sampleSize)
+    val bcL = spark.sparkContext.broadcast(adcLuts(emb, books, sub, numQueries))
+    val scored = cand.join(codes.toDF("nid", "codes"), "nid")
+      .select(col("qid"), col("nid"), col("codes"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { rows =>
+        val ls = bcL.value.toMap
+        rows.map { case (qid, nid, cd) =>
+          val lut = ls(qid)
+          var s = 0.0
+          var i = 0
+          while (i < cd.length) { s += lut(i)(cd(i)); i += 1 }
+          (qid, nid, math.floor(s * 1e6 + 0.5).toLong)
+        }
+      }.toDF("qid", "nid", "approx_r")
+    exactRerank(emb, adcPool(scored, k * poolFactor), numQueries, k)
   }
 
   /** Deterministic random hyperplanes (seeded JVM LCG — stable across

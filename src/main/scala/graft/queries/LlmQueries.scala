@@ -307,6 +307,12 @@ object LlmQueries {
   def simTopKSq8(spark: SparkSession, dir: String): DataFrame =
     topk(spark, "sq8", dir)(Similarity.sq8TopK(emb(spark, dir)))
 
+  def simTopKPq(spark: SparkSession, dir: String): DataFrame =
+    topk(spark, "pq", dir)(Similarity.pqTopK(emb(spark, dir)))
+
+  def simTopKIvfPq(spark: SparkSession, dir: String): DataFrame =
+    topk(spark, "ivfpq", dir)(Similarity.ivfPqTopK(emb(spark, dir)))
+
   def multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAll(docs(spark, dir))
 
@@ -329,7 +335,8 @@ object LlmQueries {
     * the sf1 ScaleDecadeSpec measured 0.54 at the old dOut=32/pool=80x;
     * 0.84 at sf1 with the new params). */
   private val annFloorsE4 =
-    Map("lsh" -> 5000L, "ivf" -> 4000L, "rp" -> 7500L, "sq8" -> 9000L)
+    Map("lsh" -> 5000L, "ivf" -> 4000L, "rp" -> 7500L, "sq8" -> 9000L,
+      "pq" -> 7500L, "ivfpq" -> 7500L)
 
   /** recall@5 of an approximate top-k against the memoized brute-force
     * exact top-k. Driver-side sets are diagnostic-sized (numQueries × k =
@@ -369,6 +376,12 @@ object LlmQueries {
   def simTopKSq8Gate(spark: SparkSession, dir: String): DataFrame =
     annVariantGate(spark, dir, "sq8", simTopKSq8(spark, dir))
 
+  def simTopKPqGate(spark: SparkSession, dir: String): DataFrame =
+    annVariantGate(spark, dir, "pq", simTopKPq(spark, dir))
+
+  def simTopKIvfPqGate(spark: SparkSession, dir: String): DataFrame =
+    annVariantGate(spark, dir, "ivfpq", simTopKIvfPq(spark, dir))
+
   /** ANN recall as DATA: measure recall@5 of each approximate variant
     * against the exact brute-force top-k (50 rows collected — a
     * diagnostic-sized driver set) and report whether it clears its pinned
@@ -379,11 +392,13 @@ object LlmQueries {
     * (intersects the SAME memoized top-k results the entries serve). */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = Seq("lsh", "ivf", "rp", "sq8").map { v =>
+    val rows = Seq("lsh", "ivf", "rp", "sq8", "pq", "ivfpq").map { v =>
       val df = v match {
         case "lsh" => simTopKLsh(spark, dir)
         case "ivf" => simTopKIvf(spark, dir)
         case "sq8" => simTopKSq8(spark, dir)
+        case "pq"  => simTopKPq(spark, dir)
+        case "ivfpq" => simTopKIvfPq(spark, dir)
         case _     => simTopKRp(spark, dir)
       }
       val floor = annFloorsE4(v)
@@ -560,6 +575,8 @@ object LlmQueries {
     "llm_sim_topk_ivf" -> (simTopKIvfGate _),
     "llm_sim_topk_rp" -> (simTopKRpGate _),
     "llm_sim_topk_sq8" -> (simTopKSq8Gate _),
+    "llm_sim_topk_pq" -> (simTopKPqGate _),
+    "llm_sim_topk_ivfpq" -> (simTopKIvfPqGate _),
     "llm_multimodal" -> (multimodal _),
     "llm_pcm_frames" -> (pcmFrames _),
     "llm_pcm_downsample" ->
@@ -1109,7 +1126,8 @@ object LlmQueries {
     "llm_ann_recall" ->
       """SELECT * FROM (VALUES
         |  ('lsh', 5000::BIGINT, true), ('ivf', 4000::BIGINT, true),
-        |  ('rp', 7500::BIGINT, true), ('sq8', 9000::BIGINT, true)
+        |  ('rp', 7500::BIGINT, true), ('sq8', 9000::BIGINT, true),
+        |  ('pq', 7500::BIGINT, true), ('ivfpq', 7500::BIGINT, true)
         |) t(variant, floor_e4, meets_floor)""".stripMargin,
 
     "llm_sim_topk_lsh" ->
@@ -1120,6 +1138,10 @@ object LlmQueries {
       "SELECT 'rp' AS variant, 7500::BIGINT AS floor_e4, true AS meets_floor",
     "llm_sim_topk_sq8" ->
       "SELECT 'sq8' AS variant, 9000::BIGINT AS floor_e4, true AS meets_floor",
+    "llm_sim_topk_pq" ->
+      "SELECT 'pq' AS variant, 7500::BIGINT AS floor_e4, true AS meets_floor",
+    "llm_sim_topk_ivfpq" ->
+      "SELECT 'ivfpq' AS variant, 7500::BIGINT AS floor_e4, true AS meets_floor",
 
     "llm_vocab_growth" -> graft.llm.Mining.vocabGrowthOracle,
     "llm_zipf" -> graft.llm.Mining.zipfOracle,

@@ -340,6 +340,75 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ top-k recall vs brute force clears the pinned floor at every SF") {
+    // the sq8 three-decade discipline; sf1 is covered by ScaleDecadeSpec
+    // (ksub=32/pool=160x measured 1.00/1.00/1.00/0.90 — PqProbe, PLANS.md)
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val e = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+      val exact = Similarity.bruteForceTopK(e, numQueries = 10, k = 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Similarity.pqTopK(e, numQueries = 10, k = 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      info(s"sf$sf pq recall@5 = $recall")
+      assert(recall >= 0.75,
+        s"sf$sf: recall@5 $recall below the llm_sim_topk_pq gate floor")
+    }
+  }
+
+  test("IVF-PQ top-k recall vs brute force clears the pinned floor at every SF") {
+    // composed coarse-probe × ADC: measured 0.88/0.92/0.92(/0.94 at sf1
+    // via ScaleDecadeSpec) — scale-stable where flat pq decays
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val e = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+      val exact = Similarity.bruteForceTopK(e, numQueries = 10, k = 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Similarity.ivfPqTopK(e, numQueries = 10, k = 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      info(s"sf$sf ivfpq recall@5 = $recall")
+      assert(recall >= 0.75,
+        s"sf$sf: recall@5 $recall below the llm_sim_topk_ivfpq gate floor")
+    }
+  }
+
+  test("IVF-PQ pool is a subset of the coarse candidates (the composition contract)") {
+    // every ivfpq result must come from an IVF-probed list — the ADC
+    // stage can only re-rank the coarse survivors, never resurrect a
+    // pruned vector
+    val cand = Similarity.ivfCandidates(emb, 10, 16, 4, 5, 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.ivfPqTopK(emb, numQueries = 10, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty && out.subsetOf(cand),
+      s"${(out -- cand).size} ivfpq results outside the coarse candidate set")
+  }
+
+  test("pqCodes: one code row per vector, every code inside its codebook") {
+    val m = 8
+    val ksub = 32
+    val codes = Similarity.pqCodes(emb, m = m, ksub = ksub).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val ids = emb.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(codes.keySet == ids, "code table must be row-for-row with the corpus")
+    codes.values.foreach { cd =>
+      assert(cd.length == m, s"expected $m sub-codes, got ${cd.length}")
+      assert(cd.forall(c => c >= 0 && c < ksub), s"code outside [0,$ksub)")
+    }
+    // the compression claim: distinct codes actually spread across the
+    // codebook (a collapsed trainer would map everything to one cell)
+    val distinctPerSub = (0 until m).map(s => codes.values.map(_(s)).toSet.size)
+    info(s"distinct codes per subspace = $distinctPerSub")
+    assert(distinctPerSub.forall(_ > 1), "a subspace collapsed to one centroid")
+    // determinism: re-encoding yields the identical table (seedless
+    // trainer, fixed sample order)
+    val again = Similarity.pqCodes(emb, m = m, ksub = ksub).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(codes.keySet == again.keySet &&
+      codes.forall { case (id, cd) => cd.sameElements(again(id)) },
+      "pqCodes must be deterministic across invocations")
+  }
+
   test("sq8Dequant: reconstruction stays inside the embedQuantize error bound") {
     val orig = emb.select(col("vec_id").cast("long"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap

@@ -31,14 +31,20 @@ class ScaleDecadeSpec extends AnyFunSuite {
     d.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   private lazy val exact = pairs(Similarity.bruteForceTopK(emb))
 
-  test("ANN recall floors hold at the sf1 decade (lsh/ivf/rp/sq8)") {
+  test("ANN recall floors hold at the sf1 decade (lsh/ivf/rp/sq8/pq/ivfpq)") {
     // the same floors annFloorsE4 pins for the llm_ann_recall gate —
     // asserted here one decade ABOVE the largest driver-gated scale
     val floors = Seq[(String, Double, () => org.apache.spark.sql.DataFrame)](
       ("lsh", 0.50, () => Similarity.lshTopK(emb)),
       ("ivf", 0.40, () => Similarity.ivfTopK(emb)),
       ("rp", 0.75, () => Similarity.rpTopK(emb)),
-      ("sq8", 0.90, () => Similarity.sq8TopK(emb)))
+      ("sq8", 0.90, () => Similarity.sq8TopK(emb)),
+      // ksub=32/pool=160x measured 0.90 at sf1 (PqProbe, 2026-08-15);
+      // the test-floor margin is the same one rp carries (0.84 vs 0.75)
+      ("pq", 0.75, () => Similarity.pqTopK(emb)),
+      // nProbe=4/pool=160x measured 0.94 at sf1 — scale-stable where
+      // flat pq decays (the coarse stage prunes noise as n grows)
+      ("ivfpq", 0.75, () => Similarity.ivfPqTopK(emb)))
     assert(exact.nonEmpty)
     for ((name, floor, mk) <- floors) {
       val recall = (exact & pairs(mk())).size.toDouble / exact.size

@@ -475,24 +475,136 @@ object Mining {
       .where(col("c") >= 2).select("g")
     val starts = grams.join(dup, "g")
       .select(col("doc_id"), col("n_tokens"), col("p"))
-
-    val byDoc = Window.partitionBy("doc_id").orderBy("p")
-    val prevEnd = max(col("p") + lit(L - 1))
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = starts
-      .withColumn("isnew",
-        when(col("p") > coalesce(prevEnd, lit(-1L)) + 1, 1L).otherwise(0L))
-      .withColumn("gid", sum(col("isnew"))
-        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("gid"))
-      .agg(max(col("n_tokens")).as("n_tokens"), min(col("p")).as("s"),
-        (max(col("p")) + lit(L - 1)).as("e"))
+    val spans = mergeSpanStarts(starts, Seq("n_tokens"))
     spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tok"),
         max(col("n_tokens")).as("n_tokens"))
       .select(col("doc_id"), col("n_spans"), col("dup_tok"), col("n_tokens"),
         floor(col("dup_tok") * lit(1e4) / col("n_tokens") + 0.5)
           .cast("long").as("dup_frac_e4"))
+  }
+
+  /** Merge the covered [p, p+SpanGram-1] token ranges of a `(doc_id,
+    * carry…, p)` start table into maximal contiguous intervals
+    * `(doc_id, carry…, s, e)` — the two-window single-sort merge (ONE
+    * (doc_id)-keyed shuffle of only the duplicated starts) shared by the
+    * detection report ([[dupSpans]]) and the cut apply ([[dupSpanCut]]);
+    * `carry` columns ride through with max(). */
+  private def mergeSpanStarts(starts: DataFrame, carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = SpanGram
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val prevEnd = max(col("p") + lit(L - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val aggs = carry.map(c => max(col(c)).as(c)) ++
+      Seq(min(col("p")).as("s"), (max(col("p")) + lit(L - 1)).as("e"))
+    starts
+      .withColumn("isnew",
+        when(col("p") > coalesce(prevEnd, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("isnew"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Duplicated-span CUT — the APPLY step of [[dupSpans]]'s detection
+    * (Lee et al. 2022 keep-one semantics): every duplicated
+    * [[SpanGram]]-gram occurrence EXCEPT its first corpus-order
+    * occurrence (min (doc_id, p) struct — an exact integer tie-break)
+    * has its covered tokens removed; covered ranges merge exactly as the
+    * detection reports them, and the cut acts at token granularity (the
+    * granularity the detection measures), so case/punctuation
+    * normalization is inherited from the tokenizer, not a second text
+    * pass. Emits EVERY document: `(doc_id, n_tokens, cut_tok,
+    * text_clean)` with text_clean the kept tokens rejoined — docs
+    * without duplicated spans (or under [[SpanGram]] tokens) pass
+    * through with cut_tok = 0.
+    *
+    * Plan shape: gram ownership is ONE map-side-combined aggregate
+    * (count + min-struct per gram — never a per-gram window, so hot
+    * boilerplate grams stay skew-safe, the tfidf df argument); the
+    * membership join back is gram-keyed; the interval merge runs over
+    * only the non-owner duplicated starts (a sliver of the corpus); the
+    * cut itself is a per-row HOF filter against the doc's own
+    * span-count-bounded interval list joined in by doc_id — the corpus
+    * token arrays never shuffle, and the positional gram stream is
+    * re-generated rather than persisted (the [[dupSpans]] discipline:
+    * it is corpus-sized, the narrow re-scan beats materializing it). */
+  def dupSpanCut(docs: DataFrame): DataFrame = {
+    val L = SpanGram
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      Dedup.tokens(col("text")).as("w"))
+    val grams = toks.where(size(col("w")) >= L)
+      .select(col("doc_id"), explode(posShingleSeq(col("w"), L)).as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+    val owners = grams.groupBy("g")
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("p"))).as("o"))
+      .where(col("c") >= 2)
+      .select(col("g"), col("o.doc_id").as("odoc"), col("o.p").as("op"))
+    val nonOwner = grams.join(owners, "g")
+      .where(!(col("doc_id") === col("odoc") && col("p") === col("op")))
+      .select("doc_id", "p")
+    val ivTable = mergeSpanStarts(nonOwner, Seq.empty)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    val ivl = coalesce(col("ivs"),
+      array().cast("array<struct<s:bigint,e:bigint>>"))
+    val kept = filter(col("w"), (_, i) =>
+      !exists(ivl, iv =>
+        (i + 1) >= iv.getField("s") && (i + 1) <= iv.getField("e")))
+    toks.join(ivTable, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(kept)).cast("long").as("cut_tok"),
+        array_join(kept, " ").as("text_clean"))
+  }
+
+  /** DuckDB twin of [[dupSpanCut]]. */
+  val dupSpanCutOracle: String = {
+    val L = SpanGram
+    val gramExpr = (1 to L).map(o => s"w[i+${o - 1}]").mkString(" || ' ' || ")
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                             t -> t != '') AS w FROM documents),
+       |ge AS (
+       |  SELECT doc_id, unnest(
+       |    list_transform(range(1, len(w) - ${L - 1} + 1),
+       |      i -> struct_pack(p := i::BIGINT, g := $gramExpr))) AS pg
+       |  FROM tok0 WHERE len(w) >= $L),
+       |gp AS (SELECT doc_id, pg.p AS p, pg.g AS g FROM ge),
+       |own AS (
+       |  SELECT g, min(struct_pack(d := doc_id, p := p)) AS o
+       |  FROM gp GROUP BY g HAVING count(*) >= 2),
+       |no AS (
+       |  SELECT doc_id, p FROM gp JOIN own USING (g)
+       |  WHERE NOT (doc_id = o.d AND p = o.p)),
+       |m AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN p > coalesce(max(p + ${L - 1}) OVER (
+       |        PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |      THEN 1 ELSE 0 END AS isnew
+       |  FROM no),
+       |gi AS (
+       |  SELECT doc_id, p, sum(isnew) OVER (
+       |    PARTITION BY doc_id ORDER BY p) AS gid FROM m),
+       |iv AS (
+       |  SELECT doc_id, gid, min(p) AS s, max(p) + ${L - 1} AS e
+       |  FROM gi GROUP BY 1, 2),
+       |ivl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs
+       |        FROM iv GROUP BY doc_id),
+       |cut AS (
+       |  SELECT t.doc_id, t.w,
+       |    list_transform(
+       |      list_filter(range(1, len(t.w) + 1),
+       |        i -> len(list_filter(coalesce(l.ivs, []),
+       |               x -> x.s <= i AND i <= x.e)) = 0),
+       |      i -> t.w[i]) AS kept
+       |  FROM tok0 t LEFT JOIN ivl l ON t.doc_id = l.doc_id)
+       |SELECT doc_id::BIGINT AS doc_id, len(w)::BIGINT AS n_tokens,
+       |  (len(w) - len(kept))::BIGINT AS cut_tok,
+       |  coalesce(array_to_string(kept, ' '), '') AS text_clean
+       |FROM cut""".stripMargin
   }
 
   /** Docs whose duplicated-span coverage reaches this fraction (e4) are

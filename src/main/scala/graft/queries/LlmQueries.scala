@@ -611,6 +611,10 @@ object LlmQueries {
         memo(miningCache, s, s"fuzzy|$d")(graft.llm.Mining.fuzzyDecontam(docs(s, d)))),
     "llm_dup_spans" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.dupSpans(docs(s, d))),
+    // the APPLY step of the span detection — keep-one cut at token
+    // granularity (the llm_dedup_apply analog for spans)
+    "llm_dup_span_cut" ->
+      ((s: SparkSession, d: String) => graft.llm.Mining.dupSpanCut(docs(s, d))),
     "llm_source_overlap" ->
       ((s: SparkSession, d: String) =>
         memo(miningCache, s, s"srcoverlap|$d")(graft.llm.Mining.sourceOverlap(docs(s, d)))),
@@ -817,6 +821,7 @@ object LlmQueries {
     "llm_doremi" -> graft.llm.DoReMi.domainWeightsOracle,
     "llm_decontam_fuzzy" -> graft.llm.Mining.fuzzyDecontamOracle,
     "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,
+    "llm_dup_span_cut" -> graft.llm.Mining.dupSpanCutOracle,
     "llm_domain_cap" -> Curation.domainCapOracle,
     "llm_length_outliers" -> Curation.lengthOutliersOracle,
     "llm_source_overlap" -> graft.llm.Mining.sourceOverlapOracle,

@@ -127,6 +127,37 @@ class MiningFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("dupSpanCut matches the naive keep-one reference on random corpora") {
+    // the naive reference marks covered positions directly (coverage
+    // union == merged-interval union, so the merge machinery is not
+    // re-implemented — a divergence is a plan bug, not a merge choice)
+    val L = Mining.SpanGram
+    for (seed <- 31 to 36) {
+      val rows = corpus(seed)
+      val toks = rows.map { case (id, t) => id -> tok(t) }
+      val grams = toks.flatMap { case (id, w) =>
+        w.sliding(L).filter(_.size == L).zipWithIndex
+          .map { case (g, i) => (id, i + 1L, g.mkString(" ")) }
+      }
+      val cnt = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val owner = grams.filter(g => cnt(g._3) >= 2).groupBy(_._3)
+        .view.mapValues(os => os.map(o => (o._1, o._2)).min).toMap
+      val want = toks.map { case (id, w) =>
+        val covered = Array.fill(w.size)(false)
+        grams.foreach { case (d, p, g) =>
+          if (d == id && cnt(g) >= 2 && owner(g) != ((d, p)))
+            (p.toInt - 1 until p.toInt - 1 + L).foreach(covered(_) = true)
+        }
+        val kept = w.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        (id, w.size.toLong, (w.size - kept.size).toLong, kept.mkString(" "))
+      }.sortBy(_._1)
+      val got = Mining.dupSpanCut(mkDocs(rows)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"seed=$seed rows=$rows")
+    }
+  }
+
   test("bm25 matches the naive reference on random corpora") {
     for (seed <- 31 to 36) {
       // vocab overlaps the fixed query terms so matches actually occur

@@ -216,6 +216,34 @@ class MiningSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, 10L)), s"two disjoint spans expected: $out")
   }
 
+  test("dup span cut: keep-one — the first corpus-order occurrence survives, the copy is cut") {
+    val shared = "v w x y z"
+    val rows = Seq(
+      (1L, s"a1 b1 c1 $shared d1 e1 f1"),
+      (2L, s"a2 b2 $shared c2 d2 e2 f2"),
+      (5L, "u1 u2 u3 u4 u5 u6"))
+    val out = Mining.dupSpanCut(mkDocs(rows)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 5L), "every doc must appear, cut or not")
+    assert(out(1L) == ((11L, 0L, "a1 b1 c1 v w x y z d1 e1 f1")),
+      s"the owner occurrence must keep its span: $out")
+    assert(out(2L) == ((11L, 5L, "a2 b2 c2 d2 e2 f2")),
+      s"the copy must lose exactly the shared span: $out")
+    assert(out(5L) == ((6L, 0L, "u1 u2 u3 u4 u5 u6")),
+      "docs without duplicated spans pass through")
+  }
+
+  test("dup span cut: identical docs — the min-doc_id copy keeps everything, the other empties") {
+    val rows = Seq(
+      (3L, "m n o p q r s t"),
+      (4L, "m n o p q r s t"))
+    val out = Mining.dupSpanCut(mkDocs(rows)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(3L) == ((0L, "m n o p q r s t")))
+    assert(out(4L) == ((8L, "")), s"the full copy must cut to empty: $out")
+  }
+
   // -------------------------------------------------------- fuzzyDecontam
 
   test("fuzzy decontam: identical cross-boundary docs hit at 10000; sub-threshold pairs don't") {

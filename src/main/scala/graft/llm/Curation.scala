@@ -701,6 +701,65 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Decontamination by CUT: remove the benchmark-overlapping token
+    * spans from every TRAINING document instead of dropping the whole
+    * doc — the surgical variant of [[decontaminate]] (drop a doc that is
+    * half eval text, keep a long doc that merely quotes one eval
+    * sentence... minus the quote). Every training-doc position starting
+    * a [[DecontamGram]]-gram found in the benchmark set (the SAME set
+    * definition as the flag operator: docs with `doc_id % 17 = 0`) has
+    * its covered range cut; ranges merge exactly like the dup-span cut
+    * and the cleaned text is the kept tokens rejoined. Unlike the
+    * keep-one dup cut there is NO ownership — eval text must not
+    * survive in training data anywhere. Emits every training doc
+    * (benchmark docs are eval data, not output): `(doc_id, n_tokens,
+    * cut_tok, text_clean)`.
+    *
+    * Plan shape: the benchmark positional-gram side is tiny and
+    * broadcasts (the [[decontaminate]] argument); matched starts — the
+    * rare case — are the only rows the doc_id merge exchange carries;
+    * the cut tail is [[Mining.cutCovered]] (interval list joined by
+    * doc_id, per-row HOF filter, corpus token arrays never shuffle). */
+  def decontamCut(docs: DataFrame): DataFrame = {
+    val G = DecontamGram
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      Dedup.tokens(col("text")).as("w"))
+    val grams = toks.where(size(col("w")) >= G)
+      .select(col("doc_id"), explode(Mining.posShingleSeq(col("w"), G)).as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+    val bench = grams.filter(col("doc_id") % 17 === 0).select("g").distinct()
+    val starts = grams.filter(col("doc_id") % 17 =!= 0)
+      .join(broadcast(bench), "g")
+      .select("doc_id", "p")
+    Mining.cutCovered(toks.where(col("doc_id") % 17 =!= 0),
+      Mining.mergeSpanStarts(starts, Seq.empty, G))
+  }
+
+  /** DuckDB twin of [[decontamCut]] — the merge+cut tail is
+    * [[Mining.spanCutTailSql]], the ONE definition the dup-span cut
+    * oracle also replays; the bench set is value-identical to
+    * [[decontamCtes]]'s (same gram width, same `doc_id % 17` membership),
+    * expressed over the positional gram table the cut needs. */
+  val decontamCutOracle: String = {
+    val G = DecontamGram
+    val gramExpr = (1 to G).map(o => s"w[i+${o - 1}]").mkString(" || ' ' || ")
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+       |                             x -> x != '') AS w FROM documents),
+       |ge AS (
+       |  SELECT doc_id, unnest(
+       |    list_transform(range(1, len(w) - ${G - 1} + 1),
+       |      i -> struct_pack(p := i::BIGINT, g := $gramExpr))) AS pg
+       |  FROM tok0 WHERE len(w) >= $G),
+       |gp AS (SELECT doc_id, pg.p AS p, pg.g AS g FROM ge),
+       |bench AS (SELECT DISTINCT g FROM gp WHERE doc_id % 17 = 0),
+       |no AS (
+       |  SELECT doc_id, p FROM gp JOIN bench USING (g)
+       |  WHERE doc_id % 17 != 0),
+       |train AS (SELECT doc_id, w FROM tok0 WHERE doc_id % 17 != 0),
+       |${Mining.spanCutTailSql("no", "train", G)}""".stripMargin
+  }
+
   // ---------------------------------------------------------------- tfidf
 
   val TfIdfTopK = 5

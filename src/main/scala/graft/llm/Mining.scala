@@ -490,9 +490,9 @@ object Mining {
     * (doc_id)-keyed shuffle of only the duplicated starts) shared by the
     * detection report ([[dupSpans]]) and the cut apply ([[dupSpanCut]]);
     * `carry` columns ride through with max(). */
-  private def mergeSpanStarts(starts: DataFrame, carry: Seq[String]): DataFrame = {
+  private[llm] def mergeSpanStarts(starts: DataFrame, carry: Seq[String],
+      L: Int = SpanGram): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = SpanGram
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
     val prevEnd = max(col("p") + lit(L - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -544,7 +544,18 @@ object Mining {
     val nonOwner = grams.join(owners, "g")
       .where(!(col("doc_id") === col("odoc") && col("p") === col("op")))
       .select("doc_id", "p")
-    val ivTable = mergeSpanStarts(nonOwner, Seq.empty)
+    cutCovered(toks, mergeSpanStarts(nonOwner, Seq.empty))
+  }
+
+  /** Apply merged `(doc_id, s, e)` token intervals as a CUT over a
+    * `(doc_id, w)` token table: every row of `toks` comes back as
+    * `(doc_id, n_tokens, cut_tok, text_clean)` with covered tokens
+    * removed — the shared tail of [[dupSpanCut]] and
+    * [[Curation.decontamCut]]. The interval list is span-count-bounded
+    * per doc and joins in by doc_id; the cut is a per-row HOF filter, so
+    * the corpus token arrays never shuffle. */
+  private[llm] def cutCovered(toks: DataFrame, intervals: DataFrame): DataFrame = {
+    val ivTable = intervals
       .groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
     val ivl = coalesce(col("ivs"),
@@ -558,6 +569,41 @@ object Mining {
         (size(col("w")) - size(kept)).cast("long").as("cut_tok"),
         array_join(kept, " ").as("text_clean"))
   }
+
+  /** The merge+cut SQL tail shared by [[dupSpanCutOracle]] and
+    * [[Curation.decontamCutOracle]]: CTEs m/gi/iv/ivl/cut over a
+    * caller-defined start table `$no(doc_id, p)` (covered width `L`) and
+    * token table `$tok(doc_id, w)`, plus the final projection — ONE
+    * definition of the merge windows and the empty-list/NULL coalesce
+    * both cut oracles replay. */
+  private[llm] def spanCutTailSql(no: String, tok: String, L: Int): String =
+    s"""m AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN p > coalesce(max(p + ${L - 1}) OVER (
+       |        PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |      THEN 1 ELSE 0 END AS isnew
+       |  FROM $no),
+       |gi AS (
+       |  SELECT doc_id, p, sum(isnew) OVER (
+       |    PARTITION BY doc_id ORDER BY p) AS gid FROM m),
+       |iv AS (
+       |  SELECT doc_id, gid, min(p) AS s, max(p) + ${L - 1} AS e
+       |  FROM gi GROUP BY 1, 2),
+       |ivl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs
+       |        FROM iv GROUP BY doc_id),
+       |cut AS (
+       |  SELECT t.doc_id, t.w,
+       |    list_transform(
+       |      list_filter(range(1, len(t.w) + 1),
+       |        i -> len(list_filter(coalesce(l.ivs, []),
+       |               x -> x.s <= i AND i <= x.e)) = 0),
+       |      i -> t.w[i]) AS kept
+       |  FROM $tok t LEFT JOIN ivl l ON t.doc_id = l.doc_id)
+       |SELECT doc_id::BIGINT AS doc_id, len(w)::BIGINT AS n_tokens,
+       |  (len(w) - len(kept))::BIGINT AS cut_tok,
+       |  coalesce(array_to_string(kept, ' '), '') AS text_clean
+       |FROM cut""".stripMargin
 
   /** DuckDB twin of [[dupSpanCut]]. */
   val dupSpanCutOracle: String = {
@@ -578,33 +624,7 @@ object Mining {
        |no AS (
        |  SELECT doc_id, p FROM gp JOIN own USING (g)
        |  WHERE NOT (doc_id = o.d AND p = o.p)),
-       |m AS (
-       |  SELECT doc_id, p,
-       |    CASE WHEN p > coalesce(max(p + ${L - 1}) OVER (
-       |        PARTITION BY doc_id ORDER BY p
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-       |      THEN 1 ELSE 0 END AS isnew
-       |  FROM no),
-       |gi AS (
-       |  SELECT doc_id, p, sum(isnew) OVER (
-       |    PARTITION BY doc_id ORDER BY p) AS gid FROM m),
-       |iv AS (
-       |  SELECT doc_id, gid, min(p) AS s, max(p) + ${L - 1} AS e
-       |  FROM gi GROUP BY 1, 2),
-       |ivl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs
-       |        FROM iv GROUP BY doc_id),
-       |cut AS (
-       |  SELECT t.doc_id, t.w,
-       |    list_transform(
-       |      list_filter(range(1, len(t.w) + 1),
-       |        i -> len(list_filter(coalesce(l.ivs, []),
-       |               x -> x.s <= i AND i <= x.e)) = 0),
-       |      i -> t.w[i]) AS kept
-       |  FROM tok0 t LEFT JOIN ivl l ON t.doc_id = l.doc_id)
-       |SELECT doc_id::BIGINT AS doc_id, len(w)::BIGINT AS n_tokens,
-       |  (len(w) - len(kept))::BIGINT AS cut_tok,
-       |  coalesce(array_to_string(kept, ' '), '') AS text_clean
-       |FROM cut""".stripMargin
+       |${spanCutTailSql("no", "tok0", L)}""".stripMargin
   }
 
   /** Docs whose duplicated-span coverage reaches this fraction (e4) are

@@ -541,6 +541,10 @@ object LlmQueries {
     "llm_pack" -> (pack _),
     "llm_chunk" -> (chunk _),
     "llm_decontam" -> (decontam _),
+    // decontamination by CUT — benchmark-overlapping spans removed from
+    // training docs (the surgical variant of the drop-the-doc flag)
+    "llm_decontam_cut" ->
+      ((s: SparkSession, d: String) => Curation.decontamCut(docs(s, d))),
     "llm_decontam_bloom" -> (decontamBloom _),
     "llm_tfidf" -> (tfidf _),
     "llm_redact" -> (redact _),
@@ -879,6 +883,7 @@ object LlmQueries {
     "llm_pack" -> Curation.packOracle,
     "llm_chunk" -> Curation.chunkOracle,
     "llm_decontam" -> Curation.decontamOracle,
+    "llm_decontam_cut" -> Curation.decontamCutOracle,
     "llm_decontam_bloom" -> Curation.decontamBloomOracle,
     "llm_tfidf" -> Curation.tfidfOracle,
     "llm_redact" -> Curation.redactOracle,

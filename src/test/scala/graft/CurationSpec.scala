@@ -215,6 +215,34 @@ class CurationSpec extends AnyFunSuite {
     assert(again == scores)
   }
 
+  test("decontam cut: planted bench overlap loses exactly the covered span, flag ≡ cut agree") {
+    import spark.implicits._
+    // doc 0 is benchmark (0 % 17 = 0); doc 1 quotes its 4-gram inside
+    // unique filler; doc 2 is clean training text
+    val planted = Seq(
+      (0L, "e1 e2 e3 e4 e5"),
+      (1L, "u1 u2 e2 e3 e4 e5 u3 u4"),
+      (2L, "c1 c2 c3 c4 c5 c6")).toDF("doc_id", "text")
+    val out = Curation.decontamCut(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L), "benchmark docs are eval data, not output")
+    // doc 1 shares grams (e2 e3 e4 e5) at p=3 -> covered 3..6
+    assert(out(1L) == ((8L, 4L, "u1 u2 u3 u4")), s"quote must be cut: $out")
+    assert(out(2L) == ((6L, 0L, "c1 c2 c3 c4 c5 c6")))
+
+    // corpus-level consistency: the docs the CUT touches are EXACTLY the
+    // docs the flag operator reports, and each loses >= 1 token
+    val flagged = Curation.decontaminate(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val cut = Curation.decontamCut(docs).collect()
+    val touched = cut.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    assert(touched == flagged,
+      s"cut/flag drift: ${(touched -- flagged).size} cut-only, ${(flagged -- touched).size} flag-only")
+    val nTrain = docs.filter(col("doc_id") % 17 =!= 0).count()
+    assert(cut.length == nTrain, "every training doc must appear, cut or not")
+  }
+
   test("bloom decontamination: no false negatives, FP envelope holds") {
     val gate = Curation.decontamBloomGate(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap

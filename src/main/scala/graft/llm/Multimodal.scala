@@ -557,6 +557,301 @@ object Multimodal {
     }
   }
 
+  /** aHash grid: 10×6 = 60 cells, so the print is EXACTLY
+    * [[SimHash.Bits]] wide and the text pipeline's pigeonhole banding
+    * machinery applies unchanged (a 64-cell grid would need bit 63 —
+    * an overflow DuckDB's `<<` rejects and int64 sign-wraps). */
+  val PhashGridX = 10
+  val PhashGridY = 6
+
+  /** Perceptual average-hash (aHash) of a BMP blob over the real
+    * bottom-up/stride geometry: every payload byte is bucketed into its
+    * [[PhashGridY]]×[[PhashGridX]] cell (the [[poolBlob]] cell map on a
+    * non-square grid), and cell bit `c` is set when the cell's mean
+    * byte value exceeds the image mean — compared EXACTLY by
+    * cross-multiplication (`cellSum·totalCnt > totalSum·cellCnt`, all
+    * int64), so both engines agree at the boundary with no division
+    * anywhere. Returns (w, h, phash); None for non-BMP/degenerate blobs
+    * (the [[poolBlob]] guards). The cross-multiply stays inside int64
+    * for payloads under ~1.8e8 bytes (255·plen² < 2^63); larger blobs
+    * fail loudly rather than wrap. */
+  private[graft] def phashBlob(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    val tx = PhashGridX
+    val ty = PhashGridY
+    lazy val w = le32(bytes, 18)
+    lazy val h = le32(bytes, 22)
+    lazy val off = le32(bytes, 10)
+    lazy val strideL = ((w * 3L + 3L) / 4L) * 4L
+    if (bytes.length < 54 || !ascii(bytes, 0, "BM") ||
+        w <= 0 || h <= 0 || off < 0 || off > bytes.length ||
+        strideL <= 0 || strideL > Int.MaxValue) None
+    else {
+      val stride = strideL.toInt
+      val plen = bytes.length - off.toInt
+      require(plen < 100000000,
+        s"payload $plen bytes exceeds the int64 cross-multiply envelope")
+      val cellSum = new Array[Long](tx * ty)
+      val cellCnt = new Array[Long](tx * ty)
+      var totalSum = 0L
+      var totalCnt = 0L
+      var p = 0
+      while (p < plen) {
+        val row = p / stride
+        val rem = p - row * stride
+        if (row < h && rem < 3 * w) {
+          val sy = h - 1 - row
+          val sx = rem / 3
+          // Long cell map end-to-end (the poolBlob discipline)
+          val cell = ((sy * ty / h) * tx + sx.toLong * tx / w).toInt
+          val v = (bytes(off.toInt + p) & 0xff).toLong
+          cellSum(cell) += v
+          cellCnt(cell) += 1
+          totalSum += v
+          totalCnt += 1
+        }
+        p += 1
+      }
+      var ph = 0L
+      var c = 0
+      while (c < tx * ty) {
+        if (cellSum(c) * totalCnt > totalSum * cellCnt(c)) ph |= 1L << c
+        c += 1
+      }
+      Some((w, h, ph))
+    }
+  }
+
+  /** Per-BMP perceptual hash table `(doc_id, width, height, phash)` —
+    * one narrow mapPartitions pass over the opaque binary column, no
+    * shuffle; the print is the corpus-wide state an image-dedup store
+    * persists (8 bytes per image). */
+  def imagePhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withMediaColumn(docs).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          phashBlob(bytes).map { case (w, h, ph) => (id, w, h, ph) }.iterator
+        }
+      }.toDF("doc_id", "width", "height", "phash")
+  }
+
+  /** Image near-dedup verdicts over the aHash prints — delegates to the
+    * text pipeline's pigeonhole-exact Hamming machinery
+    * ([[SimHash.hammingDedupFrom]]): zero false negatives within the
+    * radius, verdicts `(doc_id, dup_of, hamming)` with min-(d, partner)
+    * tie-break. */
+  def imagePhashDedup(docs: DataFrame, maxDist: Int = 2): DataFrame =
+    SimHash.hammingDedupFrom(
+      imagePhash(docs).select(col("doc_id"), col("phash").as("simhash")),
+      maxDist, "phash.dedup")
+
+  /** DuckDB twin of [[imagePhash]] — per-position (cell, byte) pairs
+    * unnest to rows (relational, not a 60-wide lambda scan), per-cell
+    * sums re-aggregate, and the bit test replays the exact
+    * cross-multiplication. */
+  /** The aHash CTE chain ending in `pr(doc_id, width, height, phash)` —
+    * shared by [[imagePhashOracle]] and [[imageDedupOracle]] so the
+    * print definition cannot drift between the table and the verdicts
+    * (the dupSpansCtes discipline). */
+  private def imagePhashCtes: String = {
+    val tx = PhashGridX
+    val ty = PhashGridY
+    val row = "(p // stride)"
+    val rem = s"(p - $row * stride)"
+    val cell = s"((((h - 1 - $row) * $ty) // h) * $tx + ((($rem // 3) * $tx) // w))"
+    s"""b AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |         octet_length(encode(text))::BIGINT AS plen,
+       |         hex(encode(text)) AS hx,
+       |         doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |g AS (SELECT *, ((w * 3 + 3) // 4) * 4 AS stride FROM b),
+       |s AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, plen), p ->
+       |    struct_pack(
+       |      cell := CASE WHEN $row < h AND $rem < 3 * w
+       |                   THEN $cell ELSE -1 END,
+       |      v := ('0x' || substr(hx, p * 2 + 1, 2))::BIGINT))) AS pv
+       |  FROM g),
+       |c AS (
+       |  SELECT doc_id, pv.cell AS cell, sum(pv.v)::BIGINT AS cs,
+       |         count(*)::BIGINT AS cn
+       |  FROM s WHERE pv.cell >= 0 GROUP BY 1, 2),
+       |t AS (SELECT doc_id, sum(cs)::BIGINT AS ts, sum(cn)::BIGINT AS tn
+       |      FROM c GROUP BY 1),
+       |ph AS (
+       |  SELECT c.doc_id,
+       |    sum(CASE WHEN c.cs * t.tn > t.ts * c.cn
+       |             THEN 1::BIGINT << c.cell ELSE 0 END)::BIGINT AS phash
+       |  FROM c JOIN t ON c.doc_id = t.doc_id GROUP BY 1),
+       |pr AS (
+       |  SELECT b.doc_id, b.w::BIGINT AS width, b.h::BIGINT AS height,
+       |    coalesce(ph.phash, 0)::BIGINT AS phash
+       |  FROM b LEFT JOIN ph ON b.doc_id = ph.doc_id)""".stripMargin
+  }
+
+  val imagePhashOracle: String =
+    s"""WITH $imagePhashCtes
+       |SELECT doc_id, width, height, phash FROM pr""".stripMargin
+
+  /** DuckDB twin of [[imagePhashDedup]] — brute-force pairwise Hamming
+    * over the SAME print chain (the oracle side need not scale; the
+    * Spark side uses the pigeonhole banding, whose exactness vs brute
+    * force LlmSpec pins). Verdict = best (d, partner) with partner <
+    * doc_id within distance 2, the llm_dedup_simhash tie-break. */
+  val imageDedupOracle: String =
+    s"""WITH $imagePhashCtes,
+       |p AS (
+       |  SELECT a.doc_id AS doc_id, c.doc_id AS pid,
+       |    bit_count(xor(a.phash, c.phash)) AS d
+       |  FROM pr a JOIN pr c ON c.doc_id < a.doc_id
+       |  WHERE bit_count(xor(a.phash, c.phash)) <= 2),
+       |r AS (SELECT doc_id, pid, d,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY d, pid) AS rn
+       |      FROM p)
+       |SELECT doc_id, pid::BIGINT AS dup_of, d::BIGINT AS hamming
+       |FROM r WHERE rn = 1""".stripMargin
+
+  /** Time segments of the audio envelope print — [[SimHash.Bits]] wide
+    * so the pigeonhole banding machinery applies unchanged (the
+    * [[PhashGridX]]×[[PhashGridY]] alignment argument, in one
+    * dimension). */
+  val AudioPhashSegments = 60
+
+  /** Energy-envelope audio fingerprint of a WAV blob: the int16 LE PCM
+    * stream is bucketed into [[AudioPhashSegments]] equal time segments
+    * (`seg = i·S div ns` — the [[poolBlob]] cell map in one dimension)
+    * and segment bit `s` is set when the segment's mean ABSOLUTE
+    * amplitude exceeds the whole stream's — compared EXACTLY by int64
+    * cross-multiplication (`segSum·totalCnt > totalSum·segCnt`, no
+    * division anywhere), so both engines agree at the boundary. The
+    * stream is the raw interleaved sample sequence (channel-agnostic,
+    * the [[pcmFrames]] convention). |s| ≤ 2^15 keeps the cross-multiply
+    * inside int64 for streams under 2^24 samples; longer streams fail
+    * loudly rather than wrap. Returns (rate, channels, n_samples,
+    * aphash) with rate/channels READ from the real fmt chunk; None for
+    * non-WAV blobs. */
+  private[graft] def audioPhashBlob(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    wavData(bytes).map { case (at, len) =>
+      val segs = AudioPhashSegments
+      val ns = len / 2
+      require(ns < (1 << 24),
+        s"$ns samples exceeds the int64 cross-multiply envelope")
+      val segSum = new Array[Long](segs)
+      val segCnt = new Array[Long](segs)
+      var totalSum = 0L
+      var i = 0
+      while (i < ns) {
+        val s = (bytes(at + 2 * i + 1) << 8) | (bytes(at + 2 * i) & 0xff)
+        val a = math.abs(s).toLong
+        val seg = (i.toLong * segs / ns).toInt
+        segSum(seg) += a
+        segCnt(seg) += 1
+        totalSum += a
+        i += 1
+      }
+      var ph = 0L
+      var c = 0
+      while (c < segs) {
+        if (segSum(c) * ns > totalSum * segCnt(c)) ph |= 1L << c
+        c += 1
+      }
+      (le32(bytes, 24), le16(bytes, 22), ns.toLong, ph)
+    }
+
+  /** Per-WAV audio fingerprint table `(doc_id, sample_rate, channels,
+    * n_samples, aphash)` — one narrow mapPartitions pass over the
+    * opaque binary column, no shuffle; like [[imagePhash]], the print
+    * is the corpus-wide state an audio-dedup store persists (8 bytes
+    * per clip). */
+  def audioPhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withMediaColumn(docs).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          audioPhashBlob(bytes).map { case (r, ch, ns, ph) =>
+            (id, r, ch, ns, ph)
+          }.iterator
+        }
+      }.toDF("doc_id", "sample_rate", "channels", "n_samples", "aphash")
+  }
+
+  /** Audio near-dedup verdicts over the envelope prints — the THIRD
+    * consumer of [[SimHash.hammingDedupFrom]] (text SimHash, image
+    * aHash, audio envelope): zero false negatives within the radius,
+    * verdicts `(doc_id, dup_of, hamming)` with min-(d, partner)
+    * tie-break. */
+  def audioPhashDedup(docs: DataFrame, maxDist: Int = 2): DataFrame =
+    SimHash.hammingDedupFrom(
+      audioPhash(docs).select(col("doc_id"), col("aphash").as("simhash")),
+      maxDist, "aphash.dedup")
+
+  /** The envelope-print CTE chain ending in `pr(doc_id, sample_rate,
+    * channels, n_samples, aphash)` — shared by [[audioPhashOracle]] and
+    * [[audioDedupOracle]] so the print definition cannot drift between
+    * the table and the verdicts (the [[imagePhashCtes]] discipline).
+    * Samples decode exactly as in [[pcmOracleSql]]; the segment map and
+    * the cross-multiplied bit test replay [[audioPhashBlob]]. */
+  private def audioPhashCtes: String = {
+    val segs = AudioPhashSegments
+    val hi = "('0x' || substr(hx, (2 * i + 1) * 2 + 1, 2))::BIGINT"
+    val lo = "('0x' || substr(hx, (2 * i) * 2 + 1, 2))::BIGINT"
+    s"""b AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |         octet_length(encode(text))::BIGINT AS plen,
+       |         hex(encode(text)) AS hx,
+       |         8000 * ((doc_id // 4) % 3 + 1) AS rate,
+       |         (doc_id // 4) % 2 + 1 AS ch
+       |  FROM documents WHERE doc_id % 4 = 2),
+       |s AS (
+       |  SELECT doc_id, plen // 2 AS ns,
+       |    unnest(list_transform(range(0, plen // 2), i ->
+       |      struct_pack(
+       |        seg := (i * $segs) // (plen // 2),
+       |        a := abs($hi * 256 + $lo
+       |          - CASE WHEN $hi >= 128 THEN 65536 ELSE 0 END)))) AS sa
+       |  FROM b),
+       |c AS (
+       |  SELECT doc_id, ns, sa.seg AS seg, sum(sa.a)::BIGINT AS cs,
+       |         count(*)::BIGINT AS cn
+       |  FROM s GROUP BY 1, 2, 3),
+       |t AS (SELECT doc_id, sum(cs)::BIGINT AS ts FROM c GROUP BY 1),
+       |ph AS (
+       |  SELECT c.doc_id,
+       |    sum(CASE WHEN c.cs * c.ns > t.ts * c.cn
+       |             THEN 1::BIGINT << c.seg ELSE 0 END)::BIGINT AS aphash
+       |  FROM c JOIN t ON c.doc_id = t.doc_id GROUP BY 1),
+       |pr AS (
+       |  SELECT b.doc_id, b.rate::BIGINT AS sample_rate, b.ch::BIGINT AS channels,
+       |    (b.plen // 2)::BIGINT AS n_samples,
+       |    coalesce(ph.aphash, 0)::BIGINT AS aphash
+       |  FROM b LEFT JOIN ph ON b.doc_id = ph.doc_id)""".stripMargin
+  }
+
+  /** DuckDB twin of [[audioPhash]]. */
+  val audioPhashOracle: String =
+    s"""WITH $audioPhashCtes
+       |SELECT doc_id, sample_rate, channels, n_samples, aphash FROM pr""".stripMargin
+
+  /** DuckDB twin of [[audioPhashDedup]] — brute-force pairwise Hamming
+    * over the SAME print chain (the [[imageDedupOracle]] shape). */
+  val audioDedupOracle: String =
+    s"""WITH $audioPhashCtes,
+       |p AS (
+       |  SELECT a.doc_id AS doc_id, c.doc_id AS pid,
+       |    bit_count(xor(a.aphash, c.aphash)) AS d
+       |  FROM pr a JOIN pr c ON c.doc_id < a.doc_id
+       |  WHERE bit_count(xor(a.aphash, c.aphash)) <= 2),
+       |r AS (SELECT doc_id, pid, d,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY d, pid) AS rn
+       |      FROM p)
+       |SELECT doc_id, pid::BIGINT AS dup_of, d::BIGINT AS hamming
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** DuckDB twin of [[thumbnailPool]] — the same payload-byte bucketing
     * replayed from hex pairs. */
   val thumbnailPoolOracle: String = {

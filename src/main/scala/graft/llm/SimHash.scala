@@ -66,16 +66,25 @@ object SimHash {
     * doc x, the best same-print partner is min_id when min_id < x, and
     * the best partner from a neighbouring print g is likewise g's
     * min_id), so verdicts are bit-identical to the doc-level join's. */
-  def hammingDedup(docs: DataFrame, maxDist: Int = 2): DataFrame = {
+  def hammingDedup(docs: DataFrame, maxDist: Int = 2): DataFrame =
+    hammingDedupFrom(fingerprints(docs).select(col("doc_id"), col("simhash")),
+      maxDist, "simhash.dedup")
+
+  /** [[hammingDedup]]'s core over ANY `(doc_id, simhash)` table of
+    * [[Bits]]-bit prints — the text SimHash and the image aHash
+    * ([[Multimodal.imagePhash]]) share this ONE banding/verify/verdict
+    * implementation, so the pigeonhole-exactness argument is proved
+    * once. `cacheKey` names the distinct-print cache in OpCaches. */
+  def hammingDedupFrom(fp: DataFrame, maxDist: Int = 2,
+      cacheKey: String = "simhash.dedup"): DataFrame = {
     val bands = maxDist + 1
     val bits = Bits / bands
     val mask = (1L << bits) - 1
-    val fp = fingerprints(docs).select(col("doc_id"), col("simhash"))
     // one row per DISTINCT fingerprint, carrying the group's min doc id
     val fpg = fp.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("min_id"))
       .cache() // both sides of the band self-join + the d=0 self rows
-    OpCaches.track("simhash.dedup", Seq(fpg))
+    OpCaches.track(cacheKey, Seq(fpg))
     val banded = fpg.select(col("simhash"), col("min_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), i -> " +
           s"shiftright(simhash, i * $bits) & $mask)")))

@@ -589,6 +589,22 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Multimodal.thumbnails(docs(s, d))),
     "llm_thumbnail_pool" ->
       ((s: SparkSession, d: String) => Multimodal.thumbnailPool(docs(s, d))),
+    // perceptual image hash over the opaque BMP column — the print
+    // table an image-dedup store persists (8 bytes per image)
+    "llm_image_phash" ->
+      ((s: SparkSession, d: String) => Multimodal.imagePhash(docs(s, d))),
+    // image near-dedup verdicts over the prints — the text SimHash
+    // pigeonhole machinery applied to the perceptual hash
+    "llm_image_dedup" ->
+      ((s: SparkSession, d: String) => Multimodal.imagePhashDedup(docs(s, d))),
+    // energy-envelope audio fingerprint over the opaque WAV column —
+    // the print table an audio-dedup store persists (8 bytes per clip)
+    "llm_audio_phash" ->
+      ((s: SparkSession, d: String) => Multimodal.audioPhash(docs(s, d))),
+    // audio near-dedup verdicts over the envelope prints — the third
+    // consumer of the shared pigeonhole Hamming machinery
+    "llm_audio_dedup" ->
+      ((s: SparkSession, d: String) => Multimodal.audioPhashDedup(docs(s, d))),
     "llm_dedup_embed" -> (embedNearDup _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_ann_recall" -> (annRecall _),
@@ -1118,6 +1134,10 @@ object LlmQueries {
     "llm_pcm_downsample" -> Multimodal.pcmDownsampleOracle,
     "llm_thumbnail" -> Multimodal.thumbnailsOracle,
     "llm_thumbnail_pool" -> Multimodal.thumbnailPoolOracle,
+    "llm_image_phash" -> Multimodal.imagePhashOracle,
+    "llm_image_dedup" -> Multimodal.imageDedupOracle,
+    "llm_audio_phash" -> Multimodal.audioPhashOracle,
+    "llm_audio_dedup" -> Multimodal.audioDedupOracle,
 
     "llm_dedup_embed" ->
       """WITH e AS (

@@ -680,6 +680,121 @@ class LlmSpec extends AnyFunSuite {
       "full-coverage image: every sample must read its exact bottom-up/stride offset")
   }
 
+  test("image phash: identical geometry+payload dedups at d=0; banding is EXACT vs brute force") {
+    import spark.implicits._
+    // doc_ids 1 and 1921 share the fixture BMP geometry (1920 =
+    // lcm(640, 480), and 1920 % 4 = 0 keeps the modality class) — same
+    // text therefore means an identical blob and an identical print
+    val sameText = "copied image payload bytes spread across the rows"
+    val otherText = "a completely different picture with other content entirely"
+    val planted = Seq(
+      (1L, sameText), (1921L, sameText), (5761L, otherText))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val ph = Multimodal.imagePhash(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ph.keySet == Set(1L, 1921L, 5761L))
+    assert(ph(1L) == ph(1921L), "identical blob must print identically")
+    val verdicts = Multimodal.imagePhashDedup(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(verdicts.contains((1921L, 1L, 0L)),
+      s"the copy must resolve to the min-id original at d=0: ${verdicts.toSeq}")
+    assert(!verdicts.exists(_._1 == 1L), "the original is nobody's duplicate")
+
+    // corpus: banded verdicts == brute-force pairwise Hamming verdicts
+    val prints = Multimodal.imagePhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+    assert(prints.length > 0)
+    val brute = prints.flatMap { case (id, p) =>
+      val best = prints.filter(_._1 < id)
+        .map { case (o, q) => (java.lang.Long.bitCount(p ^ q).toLong, o) }
+        .filter(_._1 <= 2)
+      if (best.isEmpty) None else Some((id, best.min._2, best.min._1))
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.imagePhashDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    info(s"corpus image-dedup verdicts: ${got.size} of ${prints.length} prints")
+    assert(got == brute, "pigeonhole banding must be exact vs brute force")
+  }
+
+  test("image phash: cell bits respond to payload content, not only geometry") {
+    import spark.implicits._
+    // doc 1281 -> w=2, h=322 (the thumbnails-test geometry: most of the
+    // payload is real pixel data); a bright half vs a dark half must
+    // yield a print that is neither all-zero nor all-ones, and the
+    // reversed payload (same geometry via 1281+1920) must print
+    // differently
+    val a = Array.fill(900)('z').mkString   // high byte values
+    val b = Array.fill(900)('!').mkString   // low byte values
+    val ph = Multimodal.imagePhash(
+      Seq((1281L, a + b), (3201L, b + a)).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")))).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ph(1281L) != 0L && java.lang.Long.bitCount(ph(1281L)) < 60)
+    assert(ph(1281L) != ph(3201L), "reversed payload must print differently")
+  }
+
+  test("audio phash: identical rate/channels+payload dedups at d=0; banding is EXACT vs brute force") {
+    import spark.implicits._
+    // doc_ids 2 and 26 are both WAV (≡2 mod 4) with the same fmt chunk
+    // (grp 0 and 6: 6%3=0 → rate 8000, 6%2=0 → 1 channel) — same text
+    // therefore means an identical blob and an identical print
+    val sameText = "copied audio payload samples spread across the stream"
+    val otherText = "a completely different clip with other content entirely"
+    val planted = Seq(
+      (2L, sameText), (26L, sameText), (50L, otherText))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val ph = Multimodal.audioPhash(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(ph.keySet == Set(2L, 26L, 50L))
+    assert(ph(2L)._1 == 8000L && ph(26L)._1 == 8000L, "fmt rate must be read from the chunk")
+    assert(ph(2L)._2 == 1L && ph(26L)._2 == 1L)
+    assert(ph(2L)._3 == ph(26L)._3, "identical blob must print identically")
+    val verdicts = Multimodal.audioPhashDedup(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(verdicts.contains((26L, 2L, 0L)),
+      s"the copy must resolve to the min-id original at d=0: ${verdicts.toSeq}")
+    assert(!verdicts.exists(_._1 == 2L), "the original is nobody's duplicate")
+
+    // corpus: banded verdicts == brute-force pairwise Hamming verdicts
+    val prints = Multimodal.audioPhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4))
+    assert(prints.length > 0)
+    val brute = prints.flatMap { case (id, p) =>
+      val best = prints.filter(_._1 < id)
+        .map { case (o, q) => (java.lang.Long.bitCount(p ^ q).toLong, o) }
+        .filter(_._1 <= 2)
+      if (best.isEmpty) None else Some((id, best.min._2, best.min._1))
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.audioPhashDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    info(s"corpus audio-dedup verdicts: ${got.size} of ${prints.length} prints")
+    assert(got == brute, "pigeonhole banding must be exact vs brute force")
+  }
+
+  test("audio phash: segment bits respond to amplitude envelope, not only length") {
+    import spark.implicits._
+    // 'z' pairs decode to sample 0x7A7A (loud), '!' pairs to 0x2121
+    // (quiet): a loud half then a quiet half must set exactly the first
+    // 30 of 60 segment bits, and the reversed stream must set the
+    // complementary half
+    val loud = Array.fill(900)('z').mkString
+    val quiet = Array.fill(900)('!').mkString
+    val ph = Multimodal.audioPhash(
+      Seq((2L, loud + quiet), (6L, quiet + loud)).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")))).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(ph(2L) == (1L << 30) - 1,
+      s"loud-then-quiet must set segments 0-29: ${ph(2L).toBinaryString}")
+    assert(ph(6L) == ((1L << 30) - 1) << 30,
+      s"quiet-then-loud must set segments 30-59: ${ph(6L).toBinaryString}")
+  }
+
   test("thumbnails: dispatches on the BMP magic, not the fixture doc_id convention") {
     // a foreign 4-byte blob cannot be fed through the documents->fixture
     // path, so exercise the byte dispatch by checking the fixture corpus:

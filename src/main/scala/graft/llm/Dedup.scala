@@ -435,4 +435,160 @@ object Dedup {
         coalesce(col("n_clusters"), lit(0L)).as("n_clusters"))
       .withColumn("dup_frac_e4", expr("n_dropped * 10000 div n_docs"))
   }
+
+  // ------------------------------------- content-defined chunking (CDC)
+
+  /** CDC boundary mask bits: cut probability 2^-5 per token, mean chunk
+    * ~32 tokens. The boundary test is the storage-dedup gear recursion
+    * `h_i = 2·h_{i-1} + g_i` taken mod 2^[[CdcMaskBits]] — which
+    * closed-forms to a [[CdcMaskBits]]-token window (bit o of h_i only
+    * sees the o-newest gear value mod 2^bits), so both engines evaluate
+    * it as a STATELESS per-position expression instead of a sequential
+    * fold: boundary(i) ⇔ (Σ_{o<bits} (g_{i−o} mod 2^bits) « o) mod
+    * 2^bits = 0, with g_j = 0 for j < 1 (the h_0 = 0 seed). */
+  val CdcMaskBits = 5
+
+  /** Per-token gear salt for the [[Curation.hash60]] kernel. */
+  private[graft] val CdcSalt = "cdc:"
+
+  /** Content-DEFINED chunk table `(doc_id, chunk_idx, n_tok, chunk_hash)`
+    * — the insertion-robust complement of [[Curation.chunk]]'s fixed
+    * stride: cut points depend only on the local token window, so a
+    * prefix edit re-chunks O(window) tokens instead of shifting every
+    * downstream chunk (the storage-dedup CDC property, here at token
+    * granularity). The hash table is the corpus-wide state a chunk-level
+    * dedup store persists.
+    *
+    * Plan shape: tokenize + gear-hash once, ONE doc-keyed exchange
+    * materializes the gear array before the boundary lambda (which
+    * references it [[CdcMaskBits]] times per position — inlined, the
+    * element_at's would re-run the whole transform per reference, the
+    * [[Dedup.gramSeq]] blowup), then the bounds array computes once per
+    * doc and the chunk rows generate below it (the Generate node is the
+    * materialization barrier, the [[Curation.chunk]] precedent). No
+    * other shuffle — a pure map at any corpus size. chunk_idx is
+    * 1-based; a doc with no interior boundary is one whole-doc chunk. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val m = (1L << CdcMaskBits) - 1
+    val gear = transform(col("w"), t =>
+      Curation.hash60(CdcSalt, t).bitwiseAND(lit(m)))
+    val n = size(col("w"))
+    def bsum(i: Column): Column =
+      (0 until CdcMaskBits).map { o =>
+        when(i > o, element_at(col("g"), i - o) * lit(1L << o)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val cuts = when(n >= 2,
+      filter(sequence(lit(1), n - 1), i =>
+        bsum(i).bitwiseAND(lit(m)) === lit(0L)))
+      .otherwise(array().cast("array<int>"))
+    val bounds = concat(array(lit(0)), cuts, array(n))
+    val lo = element_at(col("bounds"), col("col"))
+    val hi = element_at(col("bounds"), col("col") + 1)
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"), gear.as("g"))
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), col("w"), bounds.as("bounds"))
+      .select(col("doc_id"), col("w"), col("bounds"),
+        posexplode(sequence(lit(1), size(col("bounds")) - 1)))
+      .select(col("doc_id"), col("col").cast("long").as("chunk_idx"),
+        (hi - lo).cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(col("w"), lo + 1, hi - lo)).cast("binary"))
+          .as("chunk_hash"))
+  }
+
+  /** Chunk-level keep-one dedup profile over [[cdcChunks]]:
+    * `(doc_id, n_chunks, dup_chunks, n_tok, dup_tok, dup_frac_e4)` —
+    * a chunk occurrence is DUP when the same chunk content has a
+    * lexicographically earlier (doc_id, chunk_idx) occurrence anywhere
+    * in the corpus (intra-doc repeats count). Because boundaries are
+    * content-defined, a doc that duplicates another doc's text at a
+    * SHIFTED offset still shares its interior chunks — the case both
+    * [[exact]] (whole-doc hash) and [[Curation.chunk]] (stride-aligned
+    * windows) miss by construction.
+    *
+    * Scale shape: the chunk table persists once (it feeds the
+    * first-occurrence aggregate AND the join back — the state a real
+    * dedup store reads, not recomputes); first-occurrence is ONE
+    * map-side-combined min-struct aggregate on chunk_hash, rejoined
+    * agg-then-join (skew-safe, AQE-splittable) and re-aggregated per
+    * doc. The corpus text itself never shuffles — only the ~n/32-row
+    * hash table does. */
+  def cdcDedup(docs: DataFrame): DataFrame = {
+    val ch = cdcChunks(docs).persist()
+    OpCaches.track("dedup.cdc", Seq(ch))
+    val first = ch.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+    val dup = !(col("doc_id") === col("f.doc_id") &&
+      col("chunk_idx") === col("f.chunk_idx"))
+    ch.join(first, "chunk_hash")
+      .withColumn("is_dup", dup)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(col("n_tok")).as("n_tok"),
+        sum(when(col("is_dup"), col("n_tok")).otherwise(0L)).as("dup_tok"))
+      .withColumn("dup_frac_e4",
+        floor(col("dup_tok").cast("double") * 1e4 / col("n_tok").cast("double")
+          + 0.5).cast("long"))
+  }
+
+  /** The CDC chunk-table CTE chain, ending in
+    * `cdcch(doc_id, chunk_idx, n_tok, chunk_hash)` — shared by the
+    * chunk-table and dedup oracles so the boundary definition cannot
+    * drift between them. */
+  private def cdcChunkCtes: String = {
+    val m = (1L << CdcMaskBits) - 1
+    val terms = (0 until CdcMaskBits).map(o =>
+      s"(CASE WHEN i >= ${o + 1} THEN g[i - $o] * ${1L << o} ELSE 0 END)")
+      .mkString(" + ")
+    s"""cdctok AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\W+'),
+       |                t -> t != '') AS w
+       |  FROM documents),
+       |cdcg AS (
+       |  SELECT doc_id, w, len(w) AS n,
+       |    list_transform(w, t -> ${Curation.hash60SqlOf(CdcSalt, "t")} & $m) AS g
+       |  FROM cdctok WHERE len(w) >= 1),
+       |cdcb AS (
+       |  SELECT doc_id, w,
+       |    [0] || list_filter(range(1, n), i -> ($terms) & $m = 0) || [n] AS bounds
+       |  FROM cdcg),
+       |cdck AS (
+       |  SELECT doc_id, w, bounds,
+       |    unnest(range(1, len(bounds))) AS k
+       |  FROM cdcb),
+       |cdcch AS (
+       |  SELECT doc_id, k::BIGINT AS chunk_idx,
+       |    (bounds[k + 1] - bounds[k])::BIGINT AS n_tok,
+       |    md5(array_to_string(list_slice(w, bounds[k] + 1, bounds[k + 1]), ' '))
+       |      AS chunk_hash
+       |  FROM cdck)""".stripMargin
+  }
+
+  /** DuckDB twin of [[cdcChunks]]. */
+  val cdcChunksOracle: String =
+    s"""WITH $cdcChunkCtes
+       |SELECT doc_id, chunk_idx, n_tok, chunk_hash FROM cdcch""".stripMargin
+
+  /** DuckDB twin of [[cdcDedup]] — first occurrence via a window rank
+    * over the SAME chunk chain; the final ratio replays the engine's
+    * one-division rounding ([[jaccardE4]] order). */
+  val cdcDedupOracle: String =
+    s"""WITH $cdcChunkCtes,
+       |cdcr AS (
+       |  SELECT doc_id, n_tok,
+       |    row_number() OVER (PARTITION BY chunk_hash
+       |                       ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM cdcch)
+       |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       |  sum(n_tok)::BIGINT AS n_tok,
+       |  sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END)::BIGINT AS dup_tok,
+       |  floor(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END)::BIGINT * 1e4 /
+       |        sum(n_tok)::BIGINT + 0.5)::BIGINT AS dup_frac_e4
+       |FROM cdcr GROUP BY doc_id""".stripMargin
 }

@@ -328,6 +328,193 @@ object Mining {
     s"""WITH RECURSIVE ${lm2ScoreCtes("")}
        |SELECT doc_id, n_bigrams, mean_nll2_e6 FROM doc""".stripMargin
 
+  /** Kneser–Ney discount D = [[KnDiscountNum]]/[[KnDiscountDen]] = 3/4
+    * (Chen & Goodman 1999's fixed-discount baseline) — kept rational so
+    * every probability is an exact int64 fraction: the formula below is
+    * multiplied through by [[KnDiscountDen]], so "c − D" becomes the
+    * integer `4·c − 3` and no engine ever divides. */
+  val KnDiscountNum = 3L
+  val KnDiscountDen = 4L
+
+  /** Back-term envelope for [[knScore]]: the backoff numerator
+    * `3·(N1_u+1)·(N1_w+1)` is bounded by `3·(N1pp+1)²` (continuation
+    * counts never exceed the kept-bigram type count), so N1pp below this
+    * bound keeps it inside int64 (3·(1.75e9)² ≈ 9.19e18 < 2^63). A corpus
+    * whose PERSISTED bigram table passes 1.75e9 types trips the loud
+    * in-plan guard rather than wrapping — at that scale the documented
+    * swap is pre-scaling the continuation counts by a common shift, the
+    * same quantization [[knScore]] already applies to the big products. */
+  val KnMaxBigramTypes = 1750000000L
+
+  /** Kneser–Ney bigram language-model score — the smoothing family the
+    * CCNet/KenLM perplexity filter actually uses (Wenzek et al. 2020 score
+    * with a modified-KN model; [[lm2Score]]'s add-one smoothing is the
+    * order-0 stand-in). Continuation counts make the backoff reward words
+    * that appear in MANY contexts rather than words that appear OFTEN —
+    * the "san francisco" test: `francisco` is frequent but follows only
+    * `san`, so its unigram backoff weight should be tiny.
+    *
+    * Per bigram slot (u, w), with c12 the pair's count in the persisted
+    * [[gramCounts]] table (dropped hapax pairs score as unseen, c12 = 0 —
+    * the same bounded pre-filter approximation [[lm2Score]] documents),
+    * c1 = c(u), N1_u = |{w' : (u,w') kept}|, N1_w = |{u' : (u',w) kept}|,
+    * N1pp = kept bigram types, V = vocabulary size:
+    *
+    *   P(w|u) = [max(c12 − D, 0) + D·(N1_u+1)·Pcont(w)] / c1
+    *   Pcont(w) = (N1_w + 1) / (N1pp + V)        [add-one continuation]
+    *
+    * The +1s are add-one smoothing of the continuation distribution
+    * (Σ_w Pcont = 1 exactly, every slot strictly positive — no floor
+    * table needed, unseen (u,w) flows through the SAME formula with the
+    * discount term zero). Multiplying through by KnDiscountDen = 4 and
+    * C = N1pp + V gives the pure-integer fraction
+    *
+    *   num = max(4·c12 − 3, 0)·C + 3·(N1_u+1)·(N1_w+1),   den = 4·c1·C
+    *
+    * and nll_e6 = floor(ln(den/num)·1e6) via the [[Log2Fix]] kernel.
+    *
+    * int64 envelope, by construction rather than by guard: the two big
+    * products multiply a COUNT (≤ max c1) by the scalar C, so C is
+    * shift-QUANTIZED once per corpus — `sh = max(0, bl(4·maxc) + bl(C) −
+    * 61)`, `Cq = max(C >> sh, 1)` with bl(x) = ⌊log2 x⌋ — which bounds
+    * every product below 2^63 at ANY corpus size (the DoReMi
+    * shift-normalization precedent: both engines replay the identical
+    * quantization, so the gate stays bit-exact; sh = 0 until max(c1)·C
+    * approaches 2^61, i.e. well past trillion-token corpora). The backoff
+    * term (a product of two continuation counts, not of a count and C)
+    * is shifted by the same sh and guarded by [[KnMaxBigramTypes]]. The
+    * add-one mass can push a near-deterministic pair's P marginally above
+    * 1 (Σ_w P = (Σc12 + D)/c1 ≤ 1 + D/c1); its nll clamps to 0 — both
+    * engines replay the clamp, and it keeps every per-doc sum
+    * nonnegative so the truncating mean is floor-exact cross-engine.
+    *
+    * Plan shape (the [[lm2Score]] scale discipline): the model tables —
+    * kept bigrams, unigrams, the two continuation-count aggregates, the
+    * 1-row scalar — all derive from the vocab-bounded [[gramCounts]]
+    * side and BROADCAST; the corpus streams once through the bigram
+    * explode, joins the broadcasts, evaluates the codegen'd kernel
+    * per slot inline (the per-distinct-pair precompute the oracle uses is
+    * the documented swap when slots-per-type is high), and shuffles only
+    * (doc_id, partial-sum) rows into ONE doc-keyed aggregate. Docs with
+    * fewer than two tokens have no slots and are excluded.
+    *
+    * Output: (doc_id, n_bigrams, mean_knll_e6). */
+  def knScore(docs: DataFrame, counts: DataFrame): DataFrame = {
+    val ucnt = counts.where(col("k") === "u")
+      .select(col("g").as("t"), col("c").as("c1"))
+    val bxy = counts.where(col("k") === "b")
+      .select(col("g"), col("c").as("c12"),
+        split(col("g"), " ").getItem(0).as("x"),
+        split(col("g"), " ").getItem(1).as("y"))
+    val n1uT = bxy.groupBy(col("x")).agg(count(lit(1)).as("n1u"))
+    val n1wT = bxy.groupBy(col("y")).agg(count(lit(1)).as("n1w"))
+    // the corpus-level scalar row: V, max unigram count, kept-type count,
+    // the quantization shift and the quantized C — one broadcast row; the
+    // envelope guard rides a filtered column (the q27 pattern) so pruning
+    // cannot elide it
+    val scal = ucnt.agg(count(lit(1)).as("v"), max(col("c1")).as("maxc"))
+      .crossJoin(bxy.agg(count(lit(1)).as("n1pp")))
+      .withColumn("_g", assert_true(col("n1pp") < lit(KnMaxBigramTypes),
+        lit("llm_kn_perplexity int64 back-term envelope exceeded: " +
+          "kept bigram types pass 1.75e9 — pre-scale continuation counts")))
+      .filter(col("_g").isNull)
+      .withColumn("cc", col("n1pp") + col("v"))
+      .withColumn("sh", greatest(
+        (length(bin(col("maxc") * 4)) - 1) +
+          (length(bin(col("cc"))) - 1) - 61, lit(0)).cast("int"))
+      .withColumn("cq", greatest(expr("shiftright(cc, sh)"), lit(1L)))
+      .select(col("sh"), col("cq"))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigramSeq(col("w"))).as("g"))
+      .withColumn("x", split(col("g"), " ").getItem(0))
+      .withColumn("y", split(col("g"), " ").getItem(1))
+      .join(broadcast(bxy.select(col("g"), col("c12"))), Seq("g"), "left")
+      .join(broadcast(ucnt.select(col("t").as("x"), col("c1"))), "x")
+      .join(broadcast(n1uT), Seq("x"), "left")
+      .join(broadcast(n1wT), Seq("y"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("a", greatest(coalesce(col("c12"), lit(0L)) * 4 - 3, lit(0L)))
+      .withColumn("back", expr(
+        "shiftright(3 * (coalesce(n1u, 0L) + 1) * (coalesce(n1w, 0L) + 1), sh)"))
+      .withColumn("num", greatest(col("a") * col("cq") + col("back"), lit(1L)))
+      .withColumn("den", col("c1") * 4 * col("cq"))
+      .withColumn("knll_e6", when(col("den") >= col("num"), shiftright(
+        VectorExpressions.log2_fix(col("den"), col("num")) * Log2Fix.Ln2E6, 20))
+        .otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(knll_e6) div count(1)").as("mean_knll_e6"))
+  }
+
+  /** The [[knScore]] CTE chain up to the per-doc score, prefixed like
+    * [[lm2ScoreCtes]] for splice-ability. The oracle evaluates the kernel
+    * per DISTINCT occurring bigram (num/den are functions of the pair
+    * alone) and joins back to the slot stream — same values as the
+    * engine's inline per-slot evaluation, fewer recursive-CTE rows. Ends
+    * in `${p}kdoc(doc_id, n_bigrams, mean_knll_e6)`; does NOT own the
+    * `WITH RECURSIVE` opener. */
+  private[graft] def knScoreCtes(p: String): String = {
+    val lg = Log2Fix.duckdbCtes(s"${p}ksrc", "g", s"${p}klg")
+    s"""${p}ktok AS (
+       |  SELECT doc_id::BIGINT AS doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\W+'),
+       |                t -> t != '') AS w FROM documents),
+       |${p}kbig AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(w) - 1, 0) + 1),
+       |    i -> w[i] || ' ' || w[i+1])) AS g FROM ${p}ktok),
+       |${p}kbcnt AS (SELECT g, count(*)::BIGINT AS c12 FROM ${p}kbig GROUP BY 1
+       |          HAVING count(*) >= $HapaxMin),
+       |${p}kucnt AS (
+       |  SELECT t, count(*)::BIGINT AS c1
+       |  FROM (SELECT unnest(w) AS t FROM ${p}ktok) GROUP BY 1),
+       |${p}kn1u AS (SELECT string_split(g, ' ')[1] AS x, count(*)::BIGINT AS n1u
+       |         FROM ${p}kbcnt GROUP BY 1),
+       |${p}kn1w AS (SELECT string_split(g, ' ')[2] AS y, count(*)::BIGINT AS n1w
+       |         FROM ${p}kbcnt GROUP BY 1),
+       |${p}kscal AS (
+       |  SELECT greatest((length(bin(maxc * 4)) - 1) +
+       |                  (length(bin(n1pp + v)) - 1) - 61, 0) AS sh,
+       |         n1pp + v AS cc
+       |  FROM (SELECT count(*)::BIGINT AS v, max(c1)::BIGINT AS maxc
+       |        FROM ${p}kucnt),
+       |       (SELECT count(*)::BIGINT AS n1pp FROM ${p}kbcnt)),
+       |${p}kscal2 AS (SELECT sh, greatest(cc >> sh, 1::BIGINT) AS cq FROM ${p}kscal),
+       |${p}kpair AS (
+       |  SELECT g, greatest(coalesce(c12, 0) * 4 - 3, 0)::BIGINT AS a,
+       |    c1, sh, cq,
+       |    ((3 * (coalesce(n1u, 0) + 1) * (coalesce(n1w, 0) + 1)) >> sh)::BIGINT AS back
+       |  FROM (SELECT DISTINCT g, string_split(g, ' ')[1] AS x,
+       |               string_split(g, ' ')[2] AS y FROM ${p}kbig)
+       |  LEFT JOIN ${p}kbcnt USING (g)
+       |  JOIN ${p}kucnt ON t = x
+       |  LEFT JOIN ${p}kn1u USING (x)
+       |  LEFT JOIN ${p}kn1w USING (y), ${p}kscal2),
+       |${p}kfrac AS (
+       |  SELECT g, greatest(a * cq + back, 1)::BIGINT AS knum,
+       |    (c1 * 4 * cq)::BIGINT AS kden
+       |  FROM ${p}kpair),
+       |${p}ksrc AS (SELECT g, kden AS num, knum AS den FROM ${p}kfrac
+       |         WHERE kden >= knum),
+       |$lg,
+       |${p}knll AS (
+       |  SELECT g, (l20 * ${Log2Fix.Ln2E6}) >> 20 AS knll_e6 FROM ${p}klg
+       |  UNION ALL
+       |  SELECT g, 0::BIGINT FROM ${p}kfrac WHERE kden < knum),
+       |${p}kdoc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |    (sum(knll_e6) // count(*))::BIGINT AS mean_knll_e6
+       |  FROM ${p}kbig JOIN ${p}knll USING (g)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB twin of [[knScore]] — the shared [[knScoreCtes]] chain. */
+  val knScoreOracle: String =
+    s"""WITH RECURSIVE ${knScoreCtes("")}
+       |SELECT doc_id, n_bigrams, mean_knll_e6 FROM kdoc""".stripMargin
+
   /** The fixed keyword query for the BM25 entry: two common terms and one
     * rare term ("dup" appears only in the planted duplicate docs), so the
     * ranking exercises the idf spread. */

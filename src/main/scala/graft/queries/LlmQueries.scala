@@ -540,6 +540,12 @@ object LlmQueries {
     "llm_mixture" -> (mixture _),
     "llm_pack" -> (pack _),
     "llm_chunk" -> (chunk _),
+    // content-DEFINED chunking: gear-hash boundaries, insertion-robust
+    // chunk table + chunk-level keep-one dedup profile
+    "llm_cdc_chunks" ->
+      ((s: SparkSession, d: String) => graft.llm.Dedup.cdcChunks(docs(s, d))),
+    "llm_cdc_dedup" ->
+      ((s: SparkSession, d: String) => graft.llm.Dedup.cdcDedup(docs(s, d))),
     "llm_decontam" -> (decontam _),
     // decontamination by CUT — benchmark-overlapping spans removed from
     // training docs (the surgical variant of the drop-the-doc flag)
@@ -622,6 +628,11 @@ object LlmQueries {
     "llm_doremi" ->
       ((s: SparkSession, d: String) =>
         graft.llm.DoReMi.domainWeights(docs(s, d), gramCounts(s, d))),
+    // Kneser-Ney bigram perplexity over the SAME persisted gram table as
+    // the add-one LM and DoReMi — the CCNet/KenLM smoothing family
+    "llm_kn_perplexity" ->
+      ((s: SparkSession, d: String) =>
+        graft.llm.Mining.knScore(docs(s, d), gramCounts(s, d))),
     "llm_bm25" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.bm25(docs(s, d))),
     // memoized like llm_collocations: fuzzyDecontam persists its shingle
@@ -838,6 +849,7 @@ object LlmQueries {
     "llm_collocations" -> graft.llm.Mining.collocationsOracle,
     "llm_bm25" -> graft.llm.Mining.bm25Oracle,
     "llm_lm2_score" -> graft.llm.Mining.lm2ScoreOracle,
+    "llm_kn_perplexity" -> graft.llm.Mining.knScoreOracle,
     "llm_doremi" -> graft.llm.DoReMi.domainWeightsOracle,
     "llm_decontam_fuzzy" -> graft.llm.Mining.fuzzyDecontamOracle,
     "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,
@@ -898,6 +910,8 @@ object LlmQueries {
     "llm_mixture" -> Curation.mixtureOracle,
     "llm_pack" -> Curation.packOracle,
     "llm_chunk" -> Curation.chunkOracle,
+    "llm_cdc_chunks" -> graft.llm.Dedup.cdcChunksOracle,
+    "llm_cdc_dedup" -> graft.llm.Dedup.cdcDedupOracle,
     "llm_decontam" -> Curation.decontamOracle,
     "llm_decontam_cut" -> Curation.decontamCutOracle,
     "llm_decontam_bloom" -> Curation.decontamBloomOracle,

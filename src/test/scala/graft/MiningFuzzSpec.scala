@@ -93,6 +93,44 @@ class MiningFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("knScore matches the naive reference on random corpora") {
+    for (seed <- 41 to 46) {
+      val rows = corpus(seed)
+      val toks = rows.map { case (id, t) => id -> tok(t) }.toMap
+      val uni = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val allBg = toks.values.flatMap(w => w.zip(w.drop(1)).map { case (x, y) => s"$x $y" })
+      val kept = allBg.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= Mining.HapaxMin).toMap
+      val n1u = kept.keys.toSeq.groupBy(_.split(" ")(0)).view.mapValues(_.size.toLong).toMap
+      val n1w = kept.keys.toSeq.groupBy(_.split(" ")(1)).view.mapValues(_.size.toLong).toMap
+      val v = uni.size.toLong
+      val cc = kept.size.toLong + v
+      if (uni.nonEmpty) {
+        val maxc = uni.values.max
+        def bl(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        val sh = math.max(bl(4 * maxc) + bl(cc) - 61, 0)
+        val cq = math.max(cc >> sh, 1L)
+        def nll(g: String): Long = {
+          val Array(x, y) = g.split(" ")
+          val a = math.max(4 * kept.getOrElse(g, 0L) - 3, 0L)
+          val back = (3L * (n1u.getOrElse(x, 0L) + 1) * (n1w.getOrElse(y, 0L) + 1)) >> sh
+          val num = math.max(a * cq + back, 1L)
+          val den = 4L * uni(x) * cq
+          if (den >= num) (Log2Fix.eval(den, num) * Log2Fix.Ln2E6) >> 20 else 0L
+        }
+        val want = toks.toSeq.flatMap { case (id, w) =>
+          val bg = w.zip(w.drop(1)).map { case (x, y) => s"$x $y" }
+          if (bg.isEmpty) None
+          else Some((id, bg.size.toLong, bg.map(nll).sum / bg.size))
+        }.sortBy(_._1)
+        val df = mkDocs(rows)
+        val got = Mining.knScore(df, Mining.gramCounts(df)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+        assert(got == want, s"seed=$seed rows=$rows")
+      }
+    }
+  }
+
   test("dupSpans matches the naive reference on random corpora with planted copies") {
     val L = Mining.SpanGram
     for (seed <- 21 to 26) {

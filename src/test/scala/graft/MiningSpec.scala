@@ -93,6 +93,72 @@ class MiningSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) >= 1L))
   }
 
+  // ------------------------------------------------------------- knScore
+
+  test("KN LM: continuation counts beat raw frequency (the san-francisco property)") {
+    // "francisco" is MORE frequent than "many" but follows only "san";
+    // "many" ends three distinct kept bigrams. KN's continuation backoff
+    // must make the unseen slot (zz francisco) cost MORE than (zz many) —
+    // the exact ordering an add-one/frequency backoff gets wrong.
+    val rows = (1L to 10L).map(i => (i, "san francisco")) ++
+      Seq((11L, "alpha many"), (12L, "alpha many"), (13L, "beta many"),
+        (14L, "beta many"), (15L, "gamma many"), (16L, "gamma many")) ++
+      Seq((20L, "zz francisco"), (21L, "zz many"))
+    val df = mkDocs(rows)
+    val counts = Mining.gramCounts(df)
+    val uni = counts.where(col("k") === "u").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(uni("francisco") > uni("many"),
+      "fixture must make the narrow-context word the more frequent one")
+    val out = Mining.knScore(df, counts).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(20L) > out(21L),
+      s"unseen continuation of a one-context word must cost more: $out")
+  }
+
+  test("KN LM: the add-one mass P>1 edge clamps to zero nll in the plan") {
+    // every doc is the same single bigram: Σ_w P(w|a) = 1 + D/c1 > 1 and
+    // the one slot absorbs it all -> num > den -> the documented clamp
+    val rows = (1L to 5L).map(i => (i, "a b"))
+    val df = mkDocs(rows)
+    val out = Mining.knScore(df, Mining.gramCounts(df)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // hand-replay: c12=5, c1=5, V=2, N1pp=1, C=3, sh=0, cq=3:
+    // num = 17*3 + 3*2*2 = 63 > den = 4*5*3 = 60
+    assert(out.values.toSet == Set(0L),
+      s"P>1 slots must clamp to exactly zero nll: $out")
+  }
+
+  test("KN LM: the corpus-level shift quantization engages on huge synthetic counts") {
+    import spark.implicits._
+    // model counts a real corpus could not fit in a test: maxc = 2^57
+    // makes bl(4*maxc)=59 and C=33 makes bl(C)=5 -> sh=3, cq=33>>3=4;
+    // UNshifted den would be 33*2^59 (> 2^63, a silent wrap) — the
+    // quantized plan computes the exact pinned value instead
+    val fill = (1 to 30).map(i => ("u", s"w$i", 1L))
+    val counts = (Seq(("u", "a", 1L << 57), ("u", "b", 1L << 56)) ++ fill ++
+      Seq(("b", "a b", 1L << 55), ("bt", "", 123L))).toDF("k", "g", "c")
+    val df = mkDocs(Seq((1L, "a b")))
+    val out = Mining.knScore(df, counts).collect()
+    assert(out.length == 1)
+    // a = 4*2^55-3 = 2^57-3; num = (2^57-3)*4 + ((3*2*2)>>3 = 1) = 2^59-11
+    // den = 4*2^57*4 = 2^61
+    val num = (1L << 59) - 11L
+    val want = (graft.functions.Log2Fix.eval(1L << 61, num) *
+      graft.functions.Log2Fix.Ln2E6) >> 20
+    assert(out.head.getLong(2) == want,
+      s"quantized slot must hit the pinned value: ${out.head.getLong(2)} vs $want")
+  }
+
+  test("KN LM on the corpus: every doc with >=2 tokens scores, mean is nonnegative") {
+    val out = Mining.knScore(docs, Mining.gramCounts(docs)).collect()
+    val eligible = docs.where(size(graft.llm.Dedup.tokens(col("text"))) >= 2).count()
+    assert(out.length == eligible)
+    assert(out.forall(_.getLong(2) >= 0L))
+    assert(out.map(_.getLong(2)).distinct.length > 1,
+      "corpus must produce a score spread, not one constant")
+  }
+
   // ------------------------------------------------- hapax pre-filter
 
   test("gramCounts: hapax-heavy corpus — table holds exactly the bigrams with exact count >= HapaxMin") {

@@ -382,6 +382,41 @@ object LlmQueries {
   def simTopKIvfPqGate(spark: SparkSession, dir: String): DataFrame =
     annVariantGate(spark, dir, "ivfpq", simTopKIvfPq(spark, dir))
 
+  /** The index-state round trip as gated DATA: build the PQ index once
+    * ([[Similarity.pqIndexState]]), query FROM the state tables, and
+    * assert the verdicts equal the inline [[Similarity.pqTopK]] —
+    * bit-identical by construction, so `state_equals_inline = false`
+    * (any drift between the build-once and train-per-query paths) fails
+    * the driver's hash gate at every sf. */
+  def annPqStateGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val inline = simTopKPq(spark, dir)
+    val same = Similarity.pqIndexState(e) match {
+      case Some((books, codes)) =>
+        val fs = Similarity.pqTopKFromState(e, books, codes)
+        fs.exceptAll(inline).isEmpty && inline.exceptAll(fs).isEmpty
+      case None => false
+    }
+    Seq(("pq_state", same)).toDF("variant", "state_equals_inline")
+  }
+
+  /** [[annPqStateGate]] for the COMPOSED index: IVF centroids + lists
+    * and PQ books + codes (the four artifacts a FAISS-style store
+    * persists), queried from state vs the inline [[Similarity.ivfPqTopK]]. */
+  def annIvfPqStateGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val inline = simTopKIvfPq(spark, dir)
+    val same = (Similarity.ivfIndexState(e), Similarity.pqIndexState(e)) match {
+      case (Some((cents, lists)), Some((books, codes))) =>
+        val fs = Similarity.ivfPqTopKFromState(e, cents, lists, books, codes)
+        fs.exceptAll(inline).isEmpty && inline.exceptAll(fs).isEmpty
+      case _ => false
+    }
+    Seq(("ivfpq_state", same)).toDF("variant", "state_equals_inline")
+  }
+
   /** ANN recall as DATA: measure recall@5 of each approximate variant
     * against the exact brute-force top-k (50 rows collected — a
     * diagnostic-sized driver set) and report whether it clears its pinned
@@ -587,6 +622,10 @@ object LlmQueries {
     "llm_sim_topk_sq8" -> (simTopKSq8Gate _),
     "llm_sim_topk_pq" -> (simTopKPqGate _),
     "llm_sim_topk_ivfpq" -> (simTopKIvfPqGate _),
+    // build-once/query-from-state split for the PQ index: from-state
+    // verdicts must equal the inline path bit-for-bit
+    "llm_ann_pq_state" -> (annPqStateGate _),
+    "llm_ann_ivfpq_state" -> (annIvfPqStateGate _),
     "llm_multimodal" -> (multimodal _),
     "llm_pcm_frames" -> (pcmFrames _),
     "llm_pcm_downsample" ->
@@ -1186,6 +1225,10 @@ object LlmQueries {
       "SELECT 'pq' AS variant, 7500::BIGINT AS floor_e4, true AS meets_floor",
     "llm_sim_topk_ivfpq" ->
       "SELECT 'ivfpq' AS variant, 7500::BIGINT AS floor_e4, true AS meets_floor",
+    "llm_ann_pq_state" ->
+      "SELECT 'pq_state' AS variant, true AS state_equals_inline",
+    "llm_ann_ivfpq_state" ->
+      "SELECT 'ivfpq_state' AS variant, true AS state_equals_inline",
 
     "llm_vocab_growth" -> graft.llm.Mining.vocabGrowthOracle,
     "llm_zipf" -> graft.llm.Mining.zipfOracle,

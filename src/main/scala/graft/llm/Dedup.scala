@@ -535,6 +535,59 @@ object Dedup {
           + 0.5).cast("long"))
   }
 
+  /** Cross-snapshot CDC dedup: each INCOMING document's chunk-level
+    * duplication against a HISTORY chunk table — `historyChunks` is the
+    * PERSISTED state a chunk-dedup store appends per accepted snapshot
+    * ([[cdcChunks]]'s output, read back — the
+    * [[shingleState]]/[[nearDuplicatesAgainstState]] increment shape),
+    * so a daily increment pays only the incoming side's chunking plus
+    * one hash join against the state. Output per incoming doc:
+    * `(doc_id, n_chunks, dup_chunks, n_tok, dup_tok, dup_frac_e4)` with
+    * DUP = "this chunk's content exists anywhere in history".
+    * Intra-SNAPSHOT duplication is deliberately out of scope here (that
+    * is the batch [[cdcDedup]]'s keep-one job); the two compose the way
+    * a real ingest runs them: gate the snapshot against history, then
+    * keep-one within what survives.
+    *
+    * Scale shape: the history side reduces to DISTINCT chunk hashes
+    * (map-side combined — the increment index); the join shuffles
+    * ~n/32-row hash tables on both sides, never text; one doc-keyed
+    * re-aggregate. */
+  def cdcDedupAgainst(historyChunks: DataFrame, incoming: DataFrame): DataFrame = {
+    val inc = cdcChunks(incoming)
+    val hist = historyChunks.select(col("chunk_hash")).distinct()
+      .withColumn("in_hist", lit(true))
+    inc.join(hist, Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("in_hist"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(col("n_tok")).as("n_tok"),
+        sum(when(col("in_hist"), col("n_tok")).otherwise(0L)).as("dup_tok"))
+      .withColumn("dup_frac_e4",
+        floor(col("dup_tok").cast("double") * 1e4 / col("n_tok").cast("double")
+          + 0.5).cast("long"))
+  }
+
+  /** DuckDB twin of the incremental gate over the doc-id-midpoint
+    * snapshot split (the dedupIncrNear convention): history = chunks of
+    * docs below the cut, incoming = at/above. */
+  val cdcIncrOracle: String =
+    s"""WITH $cdcChunkCtes,
+       |cdccut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),
+       |cdchh AS (SELECT DISTINCT chunk_hash FROM cdcch, cdccut WHERE doc_id < c),
+       |cdcinc AS (
+       |  SELECT i.doc_id, i.n_tok, h.chunk_hash IS NOT NULL AS dup
+       |  FROM cdcch i
+       |  LEFT JOIN cdchh h USING (chunk_hash), cdccut
+       |  WHERE i.doc_id >= c)
+       |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       |  sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       |  sum(n_tok)::BIGINT AS n_tok,
+       |  sum(CASE WHEN dup THEN n_tok ELSE 0 END)::BIGINT AS dup_tok,
+       |  floor(sum(CASE WHEN dup THEN n_tok ELSE 0 END)::BIGINT * 1e4 /
+       |        sum(n_tok)::BIGINT + 0.5)::BIGINT AS dup_frac_e4
+       |FROM cdcinc GROUP BY doc_id""".stripMargin
+
   /** The CDC chunk-table CTE chain, ending in
     * `cdcch(doc_id, chunk_idx, n_tok, chunk_hash)` — shared by the
     * chunk-table and dedup oracles so the boundary definition cannot

@@ -937,4 +937,221 @@ object Multimodal {
       |  coalesce(list_sum(list_transform(range(0, plen),
       |     i -> ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT)), 0)::BIGINT % 997 AS checksum
       |FROM m""".stripMargin
+
+  // ------------------------------------------------------------- video
+
+  /** Frame-sample budget: [[videoFrameSample]] emits up to this many
+    * frames per clip at stride max(1, n_frames div budget). */
+  val VideoSampleK = 4
+
+  /** Synthetic AVI fixture column — [[withMediaColumn]]'s role for the
+    * VIDEO modality (its four doc_id%4 slots are taken, so video gets
+    * its own column; entries that consume it say so): every doc gets a
+    * REAL minimal RIFF/AVI container — avih main header + an
+    * uncompressed-DIB `movi` stream of '00db' chunks — with geometry and
+    * timing derived from doc_id by plain integer arithmetic and frame
+    * pixels CYCLED from the doc's text bytes, so the DuckDB oracle can
+    * recompute what the Spark side parses out of the actual bytes:
+    * w = id%16+1, h = id%12+1, frames = id%7+1, usPerFrame =
+    * 20000 + id%5·10000; frame f byte j = text[(f·fsz+j) mod len]
+    * (0x2e for empty docs), fsz = BMP-stride(w)·h. */
+  def withVideoColumn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, videoBlob(id, text.getBytes(StandardCharsets.UTF_8)))
+      }.toDF("doc_id", "media")
+  }
+
+  /** See [[withVideoColumn]] for the layout contract. Frame 0's data
+    * starts at byte 108; frame f's at 108 + f·(8 + fsz) — fsz is a
+    * multiple of 4, so chunks are word-aligned with no pad bytes and
+    * the offsets are pure arithmetic both engines replay. */
+  def videoBlob(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val w = (docId % 16 + 1).toInt
+    val h = (docId % 12 + 1).toInt
+    val nf = (docId % 7 + 1).toInt
+    val uspf = (20000 + (docId % 5) * 10000).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val fsz = stride * h
+    val moviSz = 4 + nf * (8 + fsz)
+    val total = 12 + (8 + 4 + 8 + 56) + 8 + moviSz
+    val out = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(total - 8)
+      .put("AVI ".getBytes(StandardCharsets.US_ASCII))
+    out.put("LIST".getBytes(StandardCharsets.US_ASCII)).putInt(4 + 8 + 56)
+      .put("hdrl".getBytes(StandardCharsets.US_ASCII))
+    out.put("avih".getBytes(StandardCharsets.US_ASCII)).putInt(56)
+      .putInt(uspf).putInt(0).putInt(0).putInt(0) // usPerFrame, maxBps, pad, flags
+      .putInt(nf).putInt(0).putInt(1).putInt(0)   // totalFrames, initial, streams, sugBuf
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)    // dwReserved[4]
+    out.put("LIST".getBytes(StandardCharsets.US_ASCII)).putInt(moviSz)
+      .put("movi".getBytes(StandardCharsets.US_ASCII))
+    var f = 0
+    while (f < nf) {
+      out.put("00db".getBytes(StandardCharsets.US_ASCII)).putInt(fsz)
+      var j = 0
+      while (j < fsz) {
+        val b = if (payload.isEmpty) '.'.toByte
+                else payload(((f.toLong * fsz + j) % payload.length).toInt)
+        out.put(b)
+        j += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** Generic RIFF chunk walk over `[from, end)` — (fourcc, dataOff,
+    * size) per chunk, word-aligned advance, corrupt sizes stop the walk
+    * (the [[wavData]] discipline). Shared by the avih and movi parses. */
+  private def riffChunks(bytes: Array[Byte], from: Int, end: Int)
+      : List[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
+    var off = from
+    while (off + 8 <= end) {
+      val sz = le32(bytes, off + 4)
+      if (sz < 0 || sz > end - off - 8) return out.toList // corrupt size
+      val cc = new String(bytes, off, 4, StandardCharsets.US_ASCII)
+      out += ((cc, off + 8, sz.toInt))
+      off += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    out.toList
+  }
+
+  /** Parse a RIFF/AVI main header off the REAL bytes: (width, height,
+    * n_frames, us_per_frame, n_streams); None for non-AVI/degenerate
+    * blobs. Walks the top-level chunks generically — the avih need not
+    * sit at a fixed offset. */
+  private[graft] def aviMeta(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (bytes.length < 100 || !ascii(bytes, 0, "RIFF") || !ascii(bytes, 8, "AVI "))
+      return None
+    riffChunks(bytes, 12, bytes.length).collectFirst {
+      case ("LIST", o, sz) if sz >= 4 && ascii(bytes, o, "hdrl") => (o, sz)
+    }.flatMap { case (o, sz) =>
+      riffChunks(bytes, o + 4, o + sz).collectFirst {
+        case ("avih", d, asz) if asz >= 40 =>
+          (le32(bytes, d + 32), le32(bytes, d + 36), le32(bytes, d + 16),
+            le32(bytes, d), le32(bytes, d + 24))
+      }
+    }
+  }
+
+  /** The movi frame chunks off the REAL bytes: (frame_idx, dataOff,
+    * size) for every '##db'/'##dc' chunk in stream order. */
+  private[graft] def aviFrameChunks(bytes: Array[Byte]): List[(Int, Int, Int)] = {
+    if (bytes.length < 100 || !ascii(bytes, 0, "RIFF") || !ascii(bytes, 8, "AVI "))
+      return Nil
+    riffChunks(bytes, 12, bytes.length).collectFirst {
+      case ("LIST", o, sz) if sz >= 4 && ascii(bytes, o, "movi") => (o, sz)
+    } match {
+      case None => Nil
+      case Some((o, sz)) =>
+        riffChunks(bytes, o + 4, o + sz).zipWithIndex.collect {
+          case ((cc, d, csz), i)
+              if cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+                (cc.substring(2) == "db" || cc.substring(2) == "dc") =>
+            (i, d, csz)
+        }
+    }
+  }
+
+  /** Per-clip video metadata off the real container bytes —
+    * `(doc_id, width, height, n_frames, us_per_frame, n_streams)`; one
+    * narrow mapPartitions pass over the opaque binary column
+    * ([[withVideoColumn]]), no shuffle. */
+  def videoMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withVideoColumn(docs).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          aviMeta(bytes).map { case (w, h, nf, uspf, ns) =>
+            (id, w, h, nf, uspf, ns)
+          }.iterator
+        }
+      }.toDF("doc_id", "width", "height", "n_frames", "us_per_frame", "n_streams")
+  }
+
+  /** Deterministic frame sampling off the real movi chunk offsets — the
+    * frame-sample step of a video pipeline (a codec decode would replace
+    * the checksum reducer the same way [[pcmFrames]] documents for
+    * audio): up to [[VideoSampleK]] frames per clip at stride
+    * `max(1, n div k)` (indices 0, s, 2s, … while < n), each emitted as
+    * `(doc_id, frame_idx, byte_off, n_bytes, checksum)` with `byte_off`
+    * the frame data's REAL offset in the blob and `checksum` the
+    * position-weighted byte sum Σ (j+1)·b_j over the REAL frame bytes
+    * (orientation/offset-pinning, the thumbnailPool convention). Pure
+    * mapPartitions, no shuffle; output rows ≤ k per clip. */
+  def videoFrameSample(docs: DataFrame, k: Int = VideoSampleK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withVideoColumn(docs).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames = aviFrameChunks(bytes)
+          val n = frames.size
+          if (n == 0) Iterator.empty
+          else {
+            val s = math.max(1, n / k)
+            (0 until k).map(_ * s).filter(_ < n).distinct.iterator.map { f =>
+              val (idx, off, sz) = frames(f)
+              var cs = 0L
+              var j = 0
+              while (j < sz) { cs += (j + 1L) * (bytes(off + j) & 0xff); j += 1 }
+              (id, idx.toLong, off.toLong, sz.toLong, cs)
+            }
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "byte_off", "n_bytes", "checksum")
+  }
+
+  /** The video-fixture derivation CTE (doc_id → geometry/timing/frame
+    * size), shared by both video oracles. */
+  private def videoCtes: String =
+    """vb AS (
+      |  SELECT doc_id::BIGINT AS doc_id,
+      |    octet_length(encode(text))::BIGINT AS plen,
+      |    hex(encode(text)) AS hx,
+      |    doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h,
+      |    doc_id % 7 + 1 AS nf, 20000 + (doc_id % 5) * 10000 AS uspf
+      |  FROM documents),
+      |vg AS (SELECT *, ((w * 3 + 3) // 4) * 4 * h AS fsz FROM vb)""".stripMargin
+
+  /** DuckDB twin of [[videoMeta]] — recomputes the fixture derivation
+    * the parser reads back out of the bytes (the [[withMediaColumn]]
+    * oracle convention). */
+  val videoMetaOracle: String =
+    s"""WITH $videoCtes
+       |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+       |  nf::BIGINT AS n_frames, uspf::BIGINT AS us_per_frame,
+       |  1::BIGINT AS n_streams
+       |FROM vg""".stripMargin
+
+  /** DuckDB twin of [[videoFrameSample]] — replays the sampling stride,
+    * the pure-arithmetic chunk offsets (frame f data at 108 + f·(8+fsz))
+    * and the cycled-payload checksum. */
+  val videoFramesOracle: String =
+    s"""WITH $videoCtes,
+       |vi AS (
+       |  SELECT doc_id, plen, hx, fsz,
+       |    unnest(list_distinct(list_filter(
+       |      list_transform(range(0, $VideoSampleK),
+       |        q -> q * greatest(nf // $VideoSampleK, 1)),
+       |      f -> f < nf))) AS f
+       |  FROM vg)
+       |SELECT doc_id, f::BIGINT AS frame_idx,
+       |  (108 + f * (8 + fsz))::BIGINT AS byte_off,
+       |  fsz::BIGINT AS n_bytes,
+       |  list_sum(list_transform(range(0, fsz), j -> (j + 1) *
+       |    CASE WHEN plen = 0 THEN 46
+       |         ELSE ('0x' || substr(hx, ((f * fsz + j) % plen) * 2 + 1, 2))::BIGINT
+       |    END))::BIGINT AS checksum
+       |FROM vi""".stripMargin
 }

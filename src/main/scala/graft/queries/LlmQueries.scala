@@ -581,6 +581,16 @@ object LlmQueries {
       ((s: SparkSession, d: String) => graft.llm.Dedup.cdcChunks(docs(s, d))),
     "llm_cdc_dedup" ->
       ((s: SparkSession, d: String) => graft.llm.Dedup.cdcDedup(docs(s, d))),
+    // incremental CDC: incoming snapshot's chunks gated against the
+    // history chunk table (recomputed here; production reads it back)
+    "llm_cdc_incr" ->
+      ((s: SparkSession, d: String) => {
+        val cut = snapshotCut(s, d)
+        val dd = docs(s, d)
+        graft.llm.Dedup.cdcDedupAgainst(
+          graft.llm.Dedup.cdcChunks(dd.filter(col("doc_id") < cut)),
+          dd.filter(col("doc_id") >= cut))
+      }),
     "llm_decontam" -> (decontam _),
     // decontamination by CUT — benchmark-overlapping spans removed from
     // training docs (the surgical variant of the drop-the-doc flag)
@@ -650,6 +660,12 @@ object LlmQueries {
     // consumer of the shared pigeonhole Hamming machinery
     "llm_audio_dedup" ->
       ((s: SparkSession, d: String) => Multimodal.audioPhashDedup(docs(s, d))),
+    // video modality over its own RIFF/AVI fixture column: real
+    // container parse (avih) + frame sampling off real movi offsets
+    "llm_video_meta" ->
+      ((s: SparkSession, d: String) => Multimodal.videoMeta(docs(s, d))),
+    "llm_video_frames" ->
+      ((s: SparkSession, d: String) => Multimodal.videoFrameSample(docs(s, d))),
     "llm_dedup_embed" -> (embedNearDup _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_ann_recall" -> (annRecall _),
@@ -951,6 +967,7 @@ object LlmQueries {
     "llm_chunk" -> Curation.chunkOracle,
     "llm_cdc_chunks" -> graft.llm.Dedup.cdcChunksOracle,
     "llm_cdc_dedup" -> graft.llm.Dedup.cdcDedupOracle,
+    "llm_cdc_incr" -> graft.llm.Dedup.cdcIncrOracle,
     "llm_decontam" -> Curation.decontamOracle,
     "llm_decontam_cut" -> Curation.decontamCutOracle,
     "llm_decontam_bloom" -> Curation.decontamBloomOracle,
@@ -1191,6 +1208,8 @@ object LlmQueries {
     "llm_image_dedup" -> Multimodal.imageDedupOracle,
     "llm_audio_phash" -> Multimodal.audioPhashOracle,
     "llm_audio_dedup" -> Multimodal.audioDedupOracle,
+    "llm_video_meta" -> Multimodal.videoMetaOracle,
+    "llm_video_frames" -> Multimodal.videoFramesOracle,
 
     "llm_dedup_embed" ->
       """WITH e AS (

@@ -98,6 +98,26 @@ class CdcSpec extends AnyFunSuite {
       "stride chunking must miss the shifted duplicate (the case CDC exists for)")
   }
 
+  test("cdcDedupAgainst: history copies gate, intra-snapshot dups do not") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    def text() = (0 until 150).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val histTexts = (0 until 4).map(_ => text())
+    val hist = mkDocs(histTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val incoming = mkDocs(Seq(
+      (100L, histTexts.head), // exact copy of history doc 0
+      (101L, text()),         // fresh
+      (102L, "zz " * 80 + "yy"), (103L, "zz " * 80 + "yy"))) // intra-snapshot pair
+    val out = Dedup.cdcDedupAgainst(Dedup.cdcChunks(hist), incoming).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(out(100L)._3 == 10000L, s"history copy must gate fully: $out")
+    assert(out(101L)._3 == 0L, s"fresh doc must pass clean: $out")
+    // incremental semantics: dups WITHIN the snapshot are the batch
+    // keep-one's job, not the history gate's
+    assert(out(102L)._3 == 0L && out(103L)._3 == 0L,
+      s"intra-snapshot dups must not gate against history: $out")
+  }
+
   test("cdcDedup: an exact copy is fully duplicated, the original fully clean") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("s", "t", "u", "v", "w")

@@ -1,0 +1,66 @@
+package graft
+
+import graft.llm.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RIFF/AVI parse must read the REAL bytes (not replay the fixture
+  * arithmetic), survive adversarial containers, and the frame sampler
+  * must point at genuine movi chunk data.
+  */
+class VideoSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("aviMeta reads the avih fields off the real bytes") {
+    val blob = Multimodal.videoBlob(37L, "hello world tokens".getBytes("UTF-8"))
+    // id=37: w=37%16+1=6, h=37%12+1=2, nf=37%7+1=3, uspf=20000+2*10000=40000
+    assert(Multimodal.aviMeta(blob).contains((6L, 2L, 3L, 40000L, 1L)))
+  }
+
+  test("aviMeta rejects adversarial containers instead of wrapping") {
+    val good = Multimodal.videoBlob(5L, "abc def".getBytes("UTF-8"))
+    assert(Multimodal.aviMeta("RIFFxxxxWAVE".getBytes("UTF-8")) == None)
+    assert(Multimodal.aviMeta(good.take(60)) == None) // truncated mid-hdrl
+    // corrupt LIST size: walk stops, no crash, no garbage meta
+    val corrupt = good.clone()
+    corrupt(16) = 0xff.toByte; corrupt(17) = 0xff.toByte
+    corrupt(18) = 0xff.toByte; corrupt(19) = 0x7f.toByte
+    assert(Multimodal.aviMeta(corrupt) == None)
+    assert(Multimodal.aviFrameChunks(corrupt).isEmpty)
+  }
+
+  test("frame chunks carry the real offsets and the sampler checksums real bytes") {
+    val payload = "the quick brown fox jumps".getBytes("UTF-8")
+    val id = 100L // w=5, h=5, nf=3, stride=((15+3)/4)*4=16, fsz=80
+    val blob = Multimodal.videoBlob(id, payload)
+    val frames = Multimodal.aviFrameChunks(blob)
+    assert(frames.map(_._1) == List(0, 1, 2))
+    assert(frames.map(_._2) == List(108, 108 + 88, 108 + 176),
+      s"offsets must match the pure-arithmetic layout: $frames")
+    assert(frames.forall(_._3 == 80))
+    // the sampled checksum equals the cycled-payload hand computation
+    val out = Multimodal.videoFrameSample(mkDocs(Seq((id, new String(payload, "UTF-8")))))
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    def want(f: Int): Long = (0 until 80).map { j =>
+      (j + 1L) * (payload(((f * 80 + j) % payload.length)) & 0xff)
+    }.sum
+    assert(out.keySet == Set(0L, 1L, 2L)) // nf=3 < k=4: stride 1, all frames
+    (0 to 2).foreach(f => assert(out(f.toLong) == want(f), s"frame $f"))
+  }
+
+  test("sampling stride: many frames cut to k spaced indices, few frames keep all") {
+    import org.apache.spark.sql.functions._
+    // doc_id 6: nf = 7 -> s = 7 div 4 = 1 -> frames 0,1,2,3 (capped at k)
+    // doc_id 0: nf = 1 -> frame 0 only
+    val out = Multimodal.videoFrameSample(mkDocs(Seq((6L, "x y z"), (0L, "x"))))
+      .groupBy("doc_id").agg(collect_set(col("frame_idx")).as("fs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(out(6L) == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == Set(0L))
+  }
+}

@@ -515,6 +515,94 @@ object Mining {
     s"""WITH RECURSIVE ${knScoreCtes("")}
        |SELECT doc_id, n_bigrams, mean_knll_e6 FROM kdoc""".stripMargin
 
+  /** Heavy-hitter threshold denominator: report tokens with
+    * `freq · k > total`. 40 makes the gate corpus's answer a strict
+    * non-trivial subset (the ~30 template words pass at ~1/31 of mass
+    * each; the planted 'dup' token at ~1/1000 drops) at every sf decade;
+    * a production corpus runs k in the thousands — the state bound
+    * scales with k, nothing else changes. */
+  val HeavyTokensK = 40
+
+  /** EXACT frequent tokens above `total/k` — via a Misra–Gries prune
+    * (Misra & Gries 1982; merge per Agarwal et al., "Mergeable
+    * Summaries", PODS'12), NOT via a vocabulary-wide groupBy. The
+    * 100 TB point: an exact token count table needs vocabulary-sized
+    * aggregation state (web-scale vocab is billions of hapax-ish
+    * strings); MG needs k counters per partition, and its guarantee —
+    * any item with freq > n/k has a POSITIVE merged count (no false
+    * negatives) — means a bounded second pass over just the ≤ k
+    * candidates recovers the EXACT answer:
+    *   1. per-partition MG(k) summaries (one token-stream pass, k
+    *      counters of state each);
+    *   2. driver merge: sum summaries, subtract the (k+1)-th largest
+    *      count, keep positives (the PODS'12 compress — undercount stays
+    *      ≤ n/k, so no qualifying item dies); partials are
+    *      partitions × k rows — bounded; treeAggregate is the documented
+    *      swap when partitions × k outgrows the driver;
+    *   3. one conditional aggregate over the re-streamed tokens with the
+    *      candidate set broadcast (InSet): per-candidate exact counts
+    *      PLUS the exact total ride the same pass (non-candidates fold
+    *      into one null group — state ≤ k+1 whatever the vocabulary),
+    *      and the exact integer filter `c·k > n` removes every false
+    *      positive. Partitioning/order affect which extra candidates MG
+    *      retains, never the final set (exactness restored in pass 3).
+    * Output: `(t, c)` — the exact counts of every token above total/k. */
+  def heavyTokens(docs: DataFrame, k: Int = HeavyTokensK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val toks = docs.select(explode(Dedup.tokens(col("text"))).as("t"))
+    val partials = toks.as[String].mapPartitions { it =>
+      val mg = new java.util.HashMap[String, Long]()
+      it.foreach { t =>
+        val cur = mg.get(t)
+        if (cur != 0L || mg.containsKey(t)) mg.put(t, cur + 1)
+        else if (mg.size < k) mg.put(t, 1L)
+        else {
+          val e = mg.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1)
+          }
+        }
+      }
+      Iterator.single(mg.asScala.toMap)
+    }.collect()
+    val merged = scala.collection.mutable.HashMap.empty[String, Long]
+    partials.foreach(_.foreach { case (t, c) =>
+      merged(t) = merged.getOrElse(t, 0L) + c
+    })
+    val cands: Seq[String] =
+      if (merged.size <= k) merged.keys.toSeq
+      else {
+        val sub = merged.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+        merged.iterator.filter(_._2 > sub).map(_._1).toSeq
+      }
+    if (cands.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL("t STRING, c BIGINT"))
+    val grouped = toks
+      .groupBy(when(col("t").isInCollection(cands), col("t")).as("t"))
+      .agg(count(lit(1)).as("c"))
+    val tot = grouped.agg(sum(col("c")).as("n"))
+    grouped.where(col("t").isNotNull)
+      .crossJoin(broadcast(tot))
+      .where(col("c") * k > col("n"))
+      .select(col("t"), col("c"))
+  }
+
+  /** DuckDB twin of [[heavyTokens]] — the MG prune is a pure
+    * implementation detail with no semantic footprint (pass 3 restores
+    * exactness), so the oracle is the plain definition. */
+  val heavyTokensOracle: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                            t -> t != '')) AS t
+       |  FROM documents),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM tok)
+       |SELECT t, count(*)::BIGINT AS c FROM tok, tot
+       |GROUP BY t, n HAVING count(*) * $HeavyTokensK > n""".stripMargin
+
   /** The fixed keyword query for the BM25 entry: two common terms and one
     * rare term ("dup" appears only in the planted duplicate docs), so the
     * ranking exercises the idf spread. */

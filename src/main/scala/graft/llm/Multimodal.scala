@@ -590,35 +590,47 @@ object Multimodal {
       val plen = bytes.length - off.toInt
       require(plen < 100000000,
         s"payload $plen bytes exceeds the int64 cross-multiply envelope")
-      val cellSum = new Array[Long](tx * ty)
-      val cellCnt = new Array[Long](tx * ty)
-      var totalSum = 0L
-      var totalCnt = 0L
-      var p = 0
-      while (p < plen) {
-        val row = p / stride
-        val rem = p - row * stride
-        if (row < h && rem < 3 * w) {
-          val sy = h - 1 - row
-          val sx = rem / 3
-          // Long cell map end-to-end (the poolBlob discipline)
-          val cell = ((sy * ty / h) * tx + sx.toLong * tx / w).toInt
-          val v = (bytes(off.toInt + p) & 0xff).toLong
-          cellSum(cell) += v
-          cellCnt(cell) += 1
-          totalSum += v
-          totalCnt += 1
-        }
-        p += 1
-      }
-      var ph = 0L
-      var c = 0
-      while (c < tx * ty) {
-        if (cellSum(c) * totalCnt > totalSum * cellCnt(c)) ph |= 1L << c
-        c += 1
-      }
-      Some((w, h, ph))
+      Some((w, h, aHashRegion(bytes, off.toInt, plen, w, h, stride)))
     }
+  }
+
+  /** The ONE aHash kernel: the 60-bit print of a stride-padded bottom-up
+    * 24bpp pixel region `[off, off+plen)` with geometry (w, h, stride) —
+    * shared by the BMP [[phashBlob]] and the per-frame video prints
+    * ([[videoPhash]]), so the cell map and the cross-multiplied bit test
+    * exist once. */
+  private def aHashRegion(bytes: Array[Byte], off: Int, plen: Int,
+      w: Long, h: Long, stride: Int): Long = {
+    val tx = PhashGridX
+    val ty = PhashGridY
+    val cellSum = new Array[Long](tx * ty)
+    val cellCnt = new Array[Long](tx * ty)
+    var totalSum = 0L
+    var totalCnt = 0L
+    var p = 0
+    while (p < plen) {
+      val row = p / stride
+      val rem = p - row * stride
+      if (row < h && rem < 3 * w) {
+        val sy = h - 1 - row
+        val sx = rem / 3
+        // Long cell map end-to-end (the poolBlob discipline)
+        val cell = ((sy * ty / h) * tx + sx.toLong * tx / w).toInt
+        val v = (bytes(off + p) & 0xff).toLong
+        cellSum(cell) += v
+        cellCnt(cell) += 1
+        totalSum += v
+        totalCnt += 1
+      }
+      p += 1
+    }
+    var ph = 0L
+    var c = 0
+    while (c < tx * ty) {
+      if (cellSum(c) * totalCnt > totalSum * cellCnt(c)) ph |= 1L << c
+      c += 1
+    }
+    ph
   }
 
   /** Per-BMP perceptual hash table `(doc_id, width, height, phash)` —

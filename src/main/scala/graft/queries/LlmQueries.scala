@@ -688,6 +688,10 @@ object LlmQueries {
     "llm_kn_perplexity" ->
       ((s: SparkSession, d: String) =>
         graft.llm.Mining.knScore(docs(s, d), gramCounts(s, d))),
+    // exact frequent tokens via a Misra-Gries prune + bounded verify —
+    // never a vocabulary-wide aggregation
+    "llm_heavy_tokens" ->
+      ((s: SparkSession, d: String) => graft.llm.Mining.heavyTokens(docs(s, d))),
     "llm_bm25" ->
       ((s: SparkSession, d: String) => graft.llm.Mining.bm25(docs(s, d))),
     // memoized like llm_collocations: fuzzyDecontam persists its shingle
@@ -905,6 +909,7 @@ object LlmQueries {
     "llm_bm25" -> graft.llm.Mining.bm25Oracle,
     "llm_lm2_score" -> graft.llm.Mining.lm2ScoreOracle,
     "llm_kn_perplexity" -> graft.llm.Mining.knScoreOracle,
+    "llm_heavy_tokens" -> graft.llm.Mining.heavyTokensOracle,
     "llm_doremi" -> graft.llm.DoReMi.domainWeightsOracle,
     "llm_decontam_fuzzy" -> graft.llm.Mining.fuzzyDecontamOracle,
     "llm_dup_spans" -> graft.llm.Mining.dupSpansOracle,

@@ -131,6 +131,31 @@ class MiningFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyTokens is exact on skewed corpora with vocab far above k (the MG prune engages)") {
+    for (seed <- 51 to 56) {
+      val rnd = new scala.util.Random(seed)
+      val k = 8
+      // zipf-ish: a few hot words + a long hapax tail, vocab >> k so the
+      // per-partition MG state genuinely evicts
+      val hot = Vector("h1", "h2", "h3")
+      val rows = (0L until 40L).map { id =>
+        val words = (0 until 30).map { _ =>
+          if (rnd.nextInt(3) > 0) hot(rnd.nextInt(hot.length))
+          else s"rare${rnd.nextInt(500)}"
+        }
+        (id, words.mkString(" "))
+      }
+      val all = rows.flatMap { case (_, t) => tok(t) }
+      val n = all.size.toLong
+      val want = all.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toMap
+      assert(want.nonEmpty, "fixture must have heavy hitters")
+      val got = Mining.heavyTokens(mkDocs(rows), k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed n=$n")
+    }
+  }
+
   test("dupSpans matches the naive reference on random corpora with planted copies") {
     val L = Mining.SpanGram
     for (seed <- 21 to 26) {

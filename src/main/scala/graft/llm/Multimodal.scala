@@ -1124,6 +1124,133 @@ object Multimodal {
       }.toDF("doc_id", "frame_idx", "byte_off", "n_bytes", "checksum")
   }
 
+  /** Perceptual video print: per SAMPLED frame (the [[videoFrameSample]]
+    * stride rule) an aHash over the frame's real DIB geometry — the
+    * [[aHashRegion]] kernel, stride recovered as fsz div h — folded into
+    * ONE 60-bit clip print by STRICT per-bit majority (bit set iff more
+    * than half the sampled frames set it; ties drop, pinned in both
+    * engines). The temporal-majority fold makes the print robust to a
+    * minority of differing frames (intros/outros) the way a video-dedup
+    * pipeline needs, while staying [[SimHash.Bits]]-aligned so the
+    * pigeonhole banding applies unchanged. One narrow mapPartitions
+    * pass, no shuffle; 8 bytes of persisted state per clip.
+    * Output (doc_id, n_sampled, vphash). */
+  def videoPhash(docs: DataFrame, k: Int = VideoSampleK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withVideoColumn(docs).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          aviMeta(bytes) match {
+            case Some((w, h, _, _, _)) if h > 0 =>
+              val frames = aviFrameChunks(bytes)
+              val n = frames.size
+              val prints = (0 until k).map(_ * math.max(1, n / k))
+                .filter(_ < n).distinct
+                .flatMap { f =>
+                  val (_, off, sz) = frames(f)
+                  val stride = (sz.toLong / h).toInt
+                  if (stride <= 0) None
+                  else Some(aHashRegion(bytes, off, sz, w, h, stride))
+                }
+              if (prints.isEmpty) Iterator.empty
+              else {
+                val ns = prints.size
+                var ph = 0L
+                var c = 0
+                while (c < SimHash.Bits) {
+                  val nb = prints.count(p => ((p >> c) & 1L) == 1L)
+                  if (nb * 2 > ns) ph |= 1L << c
+                  c += 1
+                }
+                Iterator.single((id, ns.toLong, ph))
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("doc_id", "n_sampled", "vphash")
+  }
+
+  /** Video near-dedup verdicts over the temporal-majority prints — the
+    * FOURTH consumer of [[SimHash.hammingDedupFrom]] (text, image,
+    * audio, video share ONE banding/verify/verdict implementation). */
+  def videoPhashDedup(docs: DataFrame, maxDist: Int = 2): DataFrame =
+    SimHash.hammingDedupFrom(
+      videoPhash(docs).select(col("doc_id"), col("vphash").as("simhash")),
+      maxDist, "vphash.dedup")
+
+  /** The clip-print CTE chain ending in
+    * `vpr(doc_id, n_sampled, vphash)` — shared by [[videoPhashOracle]]
+    * and [[videoDedupOracle]] (the imagePhashCtes no-drift discipline):
+    * sampled frames from the shared [[videoCtes]] stride rule, per-frame
+    * cell sums over the cycled payload replaying [[aHashRegion]]'s cell
+    * map and cross-multiplied bit test, strict-majority fold per cell. */
+  private def videoPhashCtes: String = {
+    val tx = PhashGridX
+    val ty = PhashGridY
+    val row = "(p // stride)"
+    val rem = s"(p - $row * stride)"
+    val cell = s"((((h - 1 - $row) * $ty) // h) * $tx + ((($rem // 3) * $tx) // w))"
+    s"""$videoCtes,
+       |vvi AS (
+       |  SELECT doc_id, plen, hx, w, h, fsz, fsz // h AS stride,
+       |    unnest(list_distinct(list_filter(
+       |      list_transform(range(0, $VideoSampleK),
+       |        q -> q * greatest(nf // $VideoSampleK, 1)),
+       |      f -> f < nf))) AS f
+       |  FROM vg),
+       |vvp AS (
+       |  SELECT doc_id, f, unnest(list_transform(range(0, fsz), p ->
+       |    struct_pack(
+       |      cell := CASE WHEN $rem < 3 * w THEN $cell ELSE -1 END,
+       |      v := CASE WHEN plen = 0 THEN 46
+       |               ELSE ('0x' || substr(hx, ((f * fsz + p) % plen) * 2 + 1, 2))::BIGINT
+       |           END))) AS pv
+       |  FROM vvi),
+       |vvc AS (
+       |  SELECT doc_id, f, pv.cell AS cell, sum(pv.v)::BIGINT AS cs,
+       |         count(*)::BIGINT AS cn
+       |  FROM vvp WHERE pv.cell >= 0 GROUP BY 1, 2, 3),
+       |vvt AS (SELECT doc_id, f, sum(cs)::BIGINT AS ts, sum(cn)::BIGINT AS tn
+       |        FROM vvc GROUP BY 1, 2),
+       |vvbit AS (
+       |  SELECT vvc.doc_id, vvc.f, vvc.cell
+       |  FROM vvc JOIN vvt USING (doc_id, f) WHERE cs * tn > ts * cn),
+       |vvns AS (SELECT doc_id, count(DISTINCT f)::BIGINT AS ns FROM vvi GROUP BY 1),
+       |vvclip AS (
+       |  SELECT b.doc_id,
+       |    sum(CASE WHEN b.nb * 2 > vvns.ns THEN 1::BIGINT << b.cell
+       |             ELSE 0 END)::BIGINT AS vphash
+       |  FROM (SELECT doc_id, cell, count(*)::BIGINT AS nb
+       |        FROM vvbit GROUP BY 1, 2) b
+       |  JOIN vvns USING (doc_id) GROUP BY 1),
+       |vpr AS (
+       |  SELECT vvns.doc_id, vvns.ns AS n_sampled,
+       |    coalesce(vvclip.vphash, 0)::BIGINT AS vphash
+       |  FROM vvns LEFT JOIN vvclip USING (doc_id))""".stripMargin
+  }
+
+  /** DuckDB twin of [[videoPhash]]. */
+  val videoPhashOracle: String =
+    s"""WITH $videoPhashCtes
+       |SELECT doc_id, n_sampled, vphash FROM vpr""".stripMargin
+
+  /** DuckDB twin of [[videoPhashDedup]] — brute-force pairwise Hamming
+    * over the SAME clip-print chain (the imageDedupOracle shape). */
+  val videoDedupOracle: String =
+    s"""WITH $videoPhashCtes,
+       |vdp AS (
+       |  SELECT a.doc_id AS doc_id, c.doc_id AS pid,
+       |    bit_count(xor(a.vphash, c.vphash)) AS d
+       |  FROM vpr a JOIN vpr c ON c.doc_id < a.doc_id
+       |  WHERE bit_count(xor(a.vphash, c.vphash)) <= 2),
+       |vdr AS (SELECT doc_id, pid, d,
+       |          row_number() OVER (PARTITION BY doc_id ORDER BY d, pid) AS rn
+       |        FROM vdp)
+       |SELECT doc_id, pid::BIGINT AS dup_of, d::BIGINT AS hamming
+       |FROM vdr WHERE rn = 1""".stripMargin
+
   /** The video-fixture derivation CTE (doc_id → geometry/timing/frame
     * size), shared by both video oracles. */
   private def videoCtes: String =

@@ -666,6 +666,12 @@ object LlmQueries {
       ((s: SparkSession, d: String) => Multimodal.videoMeta(docs(s, d))),
     "llm_video_frames" ->
       ((s: SparkSession, d: String) => Multimodal.videoFrameSample(docs(s, d))),
+    // temporal-majority perceptual clip prints + the FOURTH consumer of
+    // the shared pigeonhole Hamming machinery (text/image/audio/video)
+    "llm_video_phash" ->
+      ((s: SparkSession, d: String) => Multimodal.videoPhash(docs(s, d))),
+    "llm_video_dedup" ->
+      ((s: SparkSession, d: String) => Multimodal.videoPhashDedup(docs(s, d))),
     "llm_dedup_embed" -> (embedNearDup _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_ann_recall" -> (annRecall _),
@@ -1215,6 +1221,8 @@ object LlmQueries {
     "llm_audio_dedup" -> Multimodal.audioDedupOracle,
     "llm_video_meta" -> Multimodal.videoMetaOracle,
     "llm_video_frames" -> Multimodal.videoFramesOracle,
+    "llm_video_phash" -> Multimodal.videoPhashOracle,
+    "llm_video_dedup" -> Multimodal.videoDedupOracle,
 
     "llm_dedup_embed" ->
       """WITH e AS (

@@ -53,6 +53,50 @@ class VideoSpec extends AnyFunSuite {
     (0 to 2).foreach(f => assert(out(f.toLong) == want(f), s"frame $f"))
   }
 
+  test("video phash: exact copies dedup at d=0; banding is EXACT vs brute force") {
+    import graft.llm.SimHash
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("p", "q", "r", "s", "t", "u", "v", "w")
+    def text() = (0 until 60).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    // ids congruent mod 16*12*7*5 share geometry/timing; copies share text
+    val base = text()
+    val rows = (0L until 40L).map(i => (i, text())) :+
+      (100L, base) :+ (100L + 6720L, base) // same id-derived geometry, same text
+    val docs = mkDocs(rows)
+    val prints = Multimodal.videoPhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(prints.length == rows.size)
+    val pm = prints.toMap
+    assert(pm(100L) == pm(6820L), "identical geometry+payload must print equal")
+    val verdicts = Multimodal.videoPhashDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(verdicts.exists(v => v._1 == 6820L && v._2 == 100L && v._3 == 0L),
+      s"planted copy must dedup at d=0: ${verdicts.toSeq}")
+    // 4th-consumer pigeonhole check: banding == brute force on these prints
+    val brute = (for {
+      (a, pa) <- prints; (b, pb) <- prints if b < a
+      d = java.lang.Long.bitCount(pa ^ pb) if d <= 2
+    } yield (a, b, d)).groupBy(_._1).map { case (id, cs) =>
+      val best = cs.minBy(c => (c._3, c._2)); (id, best._2, best._3.toLong)
+    }.toSet
+    assert(verdicts.toSet == brute, "banding must equal brute force")
+  }
+
+  test("video phash: prints respond to frame content, not only geometry") {
+    // same doc_id-derived geometry (ids equal mod 6720), different text —
+    // random word streams so the cell/mean relations genuinely differ
+    // (periodic fixtures with the same period can alias to one print)
+    val rnd = new scala.util.Random(9)
+    val vocab = ('a' to 'z').map(_.toString)
+    def text() = (0 until 80).map(_ =>
+      vocab(rnd.nextInt(vocab.length)) * (1 + rnd.nextInt(4))).mkString(" ")
+    val rows = Seq((11L, text()), (11L + 6720L, text()))
+    val pm = Multimodal.videoPhash(mkDocs(rows)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pm(11L) != pm(6731L),
+      "different payloads under the same geometry must differ")
+  }
+
   test("sampling stride: many frames cut to k spaced indices, few frames keep all") {
     import org.apache.spark.sql.functions._
     // doc_id 6: nf = 7 -> s = 7 div 4 = 1 -> frames 0,1,2,3 (capped at k)

@@ -382,6 +382,31 @@ object LlmQueries {
   def simTopKIvfPqGate(spark: SparkSession, dir: String): DataFrame =
     annVariantGate(spark, dir, "ivfpq", simTopKIvfPq(spark, dir))
 
+  /** Floors for the [[annIvfSweep]] probe-budget curve, e4 — conservative
+    * under the measured minima across sf0.001/0.01/sf1 (.76/.80/.88/.96;
+    * PLANS.md r12) with the rp-precedent decay margin; the full-probe row
+    * is floor 10000 because it is an IDENTITY, not a tuned floor. */
+  private val sweepFloorsE4 =
+    Seq(1 -> 5000L, 2 -> 5500L, 4 -> 6000L, 8 -> 7000L, 16 -> 10000L)
+
+  /** IVF probe-budget sweep as gated DATA — the "where to set nProbe"
+    * decision table (the llm_dedup_sweep role for the ANN knob): per
+    * probe budget, recall@5 vs exact must clear its pinned floor, and
+    * the FULL-probe row must hit recall 1.0 EXACTLY — probing all lists
+    * makes the candidate set total, so the rerank IS brute force (a
+    * provable identity: any miss means the probe or rerank machinery
+    * broke, not a tuning drift). Raw recalls stay out of the output
+    * (scale-dependent; the oracle is a constant VALUES table valid at
+    * every sf) — the measured curves live in PLANS.md. */
+  def annIvfSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    sweepFloorsE4.map { case (np, floor) =>
+      val rec = recallVsExact(spark, dir, Similarity.ivfTopK(e, nProbe = np))
+      (np.toLong, floor, math.floor(rec * 1e4 + 0.5).toLong >= floor)
+    }.toDF("nprobe", "floor_e4", "meets_floor")
+  }
+
   /** The index-state round trip as gated DATA: build the PQ index once
     * ([[Similarity.pqIndexState]]), query FROM the state tables, and
     * assert the verdicts equal the inline [[Similarity.pqTopK]] —
@@ -636,6 +661,7 @@ object LlmQueries {
     // verdicts must equal the inline path bit-for-bit
     "llm_ann_pq_state" -> (annPqStateGate _),
     "llm_ann_ivfpq_state" -> (annIvfPqStateGate _),
+    "llm_ann_sweep" -> (annIvfSweep _),
     "llm_multimodal" -> (multimodal _),
     "llm_pcm_frames" -> (pcmFrames _),
     "llm_pcm_downsample" ->
@@ -1261,6 +1287,11 @@ object LlmQueries {
       "SELECT 'pq_state' AS variant, true AS state_equals_inline",
     "llm_ann_ivfpq_state" ->
       "SELECT 'ivfpq_state' AS variant, true AS state_equals_inline",
+    "llm_ann_sweep" ->
+      """SELECT * FROM (VALUES (1::BIGINT, 5000::BIGINT, true),
+        |  (2::BIGINT, 5500::BIGINT, true), (4::BIGINT, 6000::BIGINT, true),
+        |  (8::BIGINT, 7000::BIGINT, true), (16::BIGINT, 10000::BIGINT, true))
+        |t(nprobe, floor_e4, meets_floor)""".stripMargin,
 
     "llm_vocab_growth" -> graft.llm.Mining.vocabGrowthOracle,
     "llm_zipf" -> graft.llm.Mining.zipfOracle,

@@ -52,6 +52,15 @@ class AnnStateSpec extends AnyFunSuite {
         s"only-state=${(fromState -- inline).take(3)}")
   }
 
+  test("full-probe IVF IS brute force: the nProbe=nLists candidate set is total") {
+    val exact = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Similarity.ivfTopK(emb, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(exact.nonEmpty)
+    assert(full == exact, "probing every list must reproduce brute force exactly")
+  }
+
   test("the state artifacts have the contracted shapes") {
     val Some((books, codes)) = Similarity.pqIndexState(emb)
     // m=8 subspaces x ksub=32 centroids, each centroid dim/m wide

@@ -55,6 +55,19 @@ class ScaleDecadeSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF probe-budget sweep floors hold at the sf1 decade; full probe stays the identity") {
+    // measured 2026-08-15 (IvfSweepProbe): .94/.94/.98/1.00/1.00 at sf1 —
+    // the same conservative floors the llm_ann_sweep gate pins
+    val floors = Seq(1 -> 0.50, 2 -> 0.55, 4 -> 0.60, 8 -> 0.70)
+    for ((np, floor) <- floors) {
+      val rec = (exact & pairs(Similarity.ivfTopK(emb, nProbe = np))).size.toDouble / exact.size
+      info(f"sf1 ivf nprobe=$np recall@5 = $rec%.3f (floor $floor)")
+      assert(rec >= floor, s"sweep floor broke at sf1 for nProbe=$np: $rec")
+    }
+    assert(pairs(Similarity.ivfTopK(emb, nProbe = 16)) == exact,
+      "full probe must remain the brute-force identity at sf1")
+  }
+
   test("production near-dup banding still prunes to <1% density at sf1") {
     val n = emb.count()
     val (pb, pr) = Similarity.ProductionNearDupParams

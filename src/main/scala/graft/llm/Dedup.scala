@@ -553,11 +553,9 @@ object Dedup {
     * (map-side combined — the increment index); the join shuffles
     * ~n/32-row hash tables on both sides, never text; one doc-keyed
     * re-aggregate. */
-  def cdcDedupAgainst(historyChunks: DataFrame, incoming: DataFrame): DataFrame = {
-    val inc = cdcChunks(incoming)
-    val hist = historyChunks.select(col("chunk_hash")).distinct()
-      .withColumn("in_hist", lit(true))
-    inc.join(hist, Seq("chunk_hash"), "left")
+  def cdcDedupAgainst(historyChunks: DataFrame, incoming: DataFrame): DataFrame =
+    cdcGateVerdicts(historyChunks, incoming)
+      .withColumn("in_hist", col("is_dup"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("in_hist"), 1L).otherwise(0L)).as("dup_chunks"),
@@ -566,7 +564,35 @@ object Dedup {
       .withColumn("dup_frac_e4",
         floor(col("dup_tok").cast("double") * 1e4 / col("n_tok").cast("double")
           + 0.5).cast("long"))
-  }
+
+  /** The chunk-level verdict core under [[cdcDedupAgainst]] — one row
+    * per incoming chunk, `(chunk_hash, doc_id, chunk_idx, n_tok,
+    * is_dup)` with DUP = "content exists in history" — and, because
+    * every operator in it is STATELESS (per-doc array chunking, one
+    * exchange, a stream-STATIC left join against the distinct-hash
+    * index), the SAME function gates a STREAMING `incoming` frame:
+    * dedup-on-ingest, each arriving doc judged once in its micro-batch
+    * with zero state operators (the curationVerdicts batch ≡ stream
+    * contract — StreamCdcSpec pins it, plan-checked). */
+  def cdcGateVerdicts(historyChunks: DataFrame, incoming: DataFrame): DataFrame =
+    cdcChunks(incoming).join(
+      historyChunks.select(col("chunk_hash")).distinct()
+        .withColumn("in_hist", lit(true)),
+      Seq("chunk_hash"), "left")
+      .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"), col("n_tok"),
+        coalesce(col("in_hist"), lit(false)).as("is_dup"))
+
+  /** DuckDB twin of [[cdcGateVerdicts]] over the same snapshot split —
+    * the chunk-level rows the STREAMING gate emits. */
+  val cdcStreamOracle: String =
+    s"""WITH $cdcChunkCtes,
+       |cdccut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),
+       |cdchh AS (SELECT DISTINCT chunk_hash FROM cdcch, cdccut WHERE doc_id < c)
+       |SELECT i.chunk_hash, i.doc_id, i.chunk_idx, i.n_tok,
+       |  h.chunk_hash IS NOT NULL AS is_dup
+       |FROM cdcch i
+       |LEFT JOIN cdchh h USING (chunk_hash), cdccut
+       |WHERE i.doc_id >= c""".stripMargin
 
   /** DuckDB twin of the incremental gate over the doc-id-midpoint
     * snapshot split (the dedupIncrNear convention): history = chunks of

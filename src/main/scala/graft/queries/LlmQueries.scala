@@ -616,6 +616,17 @@ object LlmQueries {
           graft.llm.Dedup.cdcChunks(dd.filter(col("doc_id") < cut)),
           dd.filter(col("doc_id") >= cut))
       }),
+    // the STREAMING dedup-on-ingest gate's chunk-level verdicts — the
+    // same stateless plan curates a crawl incrementally (StreamCdcSpec
+    // pins batch ≡ stream with zero state operators)
+    "stream_cdc" ->
+      ((s: SparkSession, d: String) => {
+        val cut = snapshotCut(s, d)
+        val dd = docs(s, d)
+        graft.llm.Dedup.cdcGateVerdicts(
+          graft.llm.Dedup.cdcChunks(dd.filter(col("doc_id") < cut)),
+          dd.filter(col("doc_id") >= cut))
+      }),
     "llm_decontam" -> (decontam _),
     // decontamination by CUT — benchmark-overlapping spans removed from
     // training docs (the surgical variant of the drop-the-doc flag)
@@ -1005,6 +1016,7 @@ object LlmQueries {
     "llm_cdc_chunks" -> graft.llm.Dedup.cdcChunksOracle,
     "llm_cdc_dedup" -> graft.llm.Dedup.cdcDedupOracle,
     "llm_cdc_incr" -> graft.llm.Dedup.cdcIncrOracle,
+    "stream_cdc" -> graft.llm.Dedup.cdcStreamOracle,
     "llm_decontam" -> Curation.decontamOracle,
     "llm_decontam_cut" -> Curation.decontamCutOracle,
     "llm_decontam_bloom" -> Curation.decontamBloomOracle,

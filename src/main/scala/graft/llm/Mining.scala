@@ -339,12 +339,14 @@ object Mining {
   /** Back-term envelope for [[knScore]]: the backoff numerator
     * `3·(N1_u+1)·(N1_w+1)` is bounded by `3·(N1pp+1)²` (continuation
     * counts never exceed the kept-bigram type count), so N1pp below this
-    * bound keeps it inside int64 (3·(1.75e9)² ≈ 9.19e18 < 2^63). A corpus
+    * bound keeps it under 2^62 (3·(1.23e9)² ≈ 4.54e18 < 2^62) — and the
+    * shift bound keeps the discount term under 2^62 too, so their SUM
+    * (the fraction's numerator) stays inside int64. A corpus
     * whose PERSISTED bigram table passes 1.75e9 types trips the loud
     * in-plan guard rather than wrapping — at that scale the documented
     * swap is pre-scaling the continuation counts by a common shift, the
     * same quantization [[knScore]] already applies to the big products. */
-  val KnMaxBigramTypes = 1750000000L
+  val KnMaxBigramTypes = 1230000000L
 
   /** Kneser–Ney bigram language-model score — the smoothing family the
     * CCNet/KenLM perplexity filter actually uses (Wenzek et al. 2020 score
@@ -376,8 +378,10 @@ object Mining {
     * int64 envelope, by construction rather than by guard: the two big
     * products multiply a COUNT (≤ max c1) by the scalar C, so C is
     * shift-QUANTIZED once per corpus — `sh = max(0, bl(4·maxc) + bl(C) −
-    * 61)`, `Cq = max(C >> sh, 1)` with bl(x) = ⌊log2 x⌋ — which bounds
-    * every product below 2^63 at ANY corpus size (the DoReMi
+    * 60)`, `Cq = max(C >> sh, 1)` with bl(x) = ⌊log2 x⌋ — which bounds
+    * every product below 2^62 at ANY corpus size (so the numerator SUM
+    * of the discount product and the [[KnMaxBigramTypes]]-guarded
+    * back-term stays inside int64) (the DoReMi
     * shift-normalization precedent: both engines replay the identical
     * quantization, so the gate stays bit-exact; sh = 0 until max(c1)·C
     * approaches 2^61, i.e. well past trillion-token corpora). The backoff
@@ -416,12 +420,12 @@ object Mining {
       .crossJoin(bxy.agg(count(lit(1)).as("n1pp")))
       .withColumn("_g", assert_true(col("n1pp") < lit(KnMaxBigramTypes),
         lit("llm_kn_perplexity int64 back-term envelope exceeded: " +
-          "kept bigram types pass 1.75e9 — pre-scale continuation counts")))
+          "kept bigram types pass 1.23e9 — pre-scale continuation counts")))
       .filter(col("_g").isNull)
       .withColumn("cc", col("n1pp") + col("v"))
       .withColumn("sh", greatest(
         (length(bin(col("maxc") * 4)) - 1) +
-          (length(bin(col("cc"))) - 1) - 61, lit(0)).cast("int"))
+          (length(bin(col("cc"))) - 1) - 60, lit(0)).cast("int"))
       .withColumn("cq", greatest(expr("shiftright(cc, sh)"), lit(1L)))
       .select(col("sh"), col("cq"))
     docs
@@ -476,7 +480,7 @@ object Mining {
        |         FROM ${p}kbcnt GROUP BY 1),
        |${p}kscal AS (
        |  SELECT greatest((length(bin(maxc * 4)) - 1) +
-       |                  (length(bin(n1pp + v)) - 1) - 61, 0) AS sh,
+       |                  (length(bin(n1pp + v)) - 1) - 60, 0) AS sh,
        |         n1pp + v AS cc
        |  FROM (SELECT count(*)::BIGINT AS v, max(c1)::BIGINT AS maxc
        |        FROM ${p}kucnt),

@@ -576,21 +576,24 @@ object Multimodal {
     * for payloads under ~1.8e8 bytes (255·plen² < 2^63); larger blobs
     * fail loudly rather than wrap. */
   private[graft] def phashBlob(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
-    val tx = PhashGridX
-    val ty = PhashGridY
-    lazy val w = le32(bytes, 18)
-    lazy val h = le32(bytes, 22)
-    lazy val off = le32(bytes, 10)
+    // SIGNED int32 reads: biWidth/biHeight/bfOffBits are signed in the
+    // format, and real-world top-down BMPs store a NEGATIVE biHeight —
+    // an unsigned read would make the h<=0 reject dead code and collapse
+    // every top-down image into one grid row (a false-positive dedup
+    // factory). Negative-height (top-down) blobs are rejected as
+    // degenerate rather than mis-fingerprinted.
+    lazy val w = le32(bytes, 18).toInt
+    lazy val h = le32(bytes, 22).toInt
+    lazy val off = le32(bytes, 10).toInt
     lazy val strideL = ((w * 3L + 3L) / 4L) * 4L
     if (bytes.length < 54 || !ascii(bytes, 0, "BM") ||
         w <= 0 || h <= 0 || off < 0 || off > bytes.length ||
         strideL <= 0 || strideL > Int.MaxValue) None
     else {
       val stride = strideL.toInt
-      val plen = bytes.length - off.toInt
-      require(plen < 100000000,
-        s"payload $plen bytes exceeds the int64 cross-multiply envelope")
-      Some((w, h, aHashRegion(bytes, off.toInt, plen, w, h, stride)))
+      val plen = bytes.length - off
+      Some((w.toLong, h.toLong,
+        aHashRegion(bytes, off, plen, w.toLong, h.toLong, stride)))
     }
   }
 
@@ -601,6 +604,11 @@ object Multimodal {
     * exist once. */
   private def aHashRegion(bytes: Array[Byte], off: Int, plen: Int,
       w: Long, h: Long, stride: Int): Long = {
+    // the int64 cross-multiply envelope (255·plen² < 2^63) lives in the
+    // kernel so EVERY caller (BMP blobs, video frames) fails loudly on
+    // an oversized region instead of sign-wrapping a plausible print
+    require(plen < 100000000,
+      s"region $plen bytes exceeds the int64 cross-multiply envelope")
     val tx = PhashGridX
     val ty = PhashGridY
     val cellSum = new Array[Long](tx * ty)
@@ -708,23 +716,31 @@ object Multimodal {
     s"""WITH $imagePhashCtes
        |SELECT doc_id, width, height, phash FROM pr""".stripMargin
 
-  /** DuckDB twin of [[imagePhashDedup]] — brute-force pairwise Hamming
-    * over the SAME print chain (the oracle side need not scale; the
-    * Spark side uses the pigeonhole banding, whose exactness vs brute
-    * force LlmSpec pins). Verdict = best (d, partner) with partner <
-    * doc_id within distance 2, the llm_dedup_simhash tie-break. */
+  /** The ONE brute-force pairwise-Hamming verdict tail every modality
+    * dedup oracle appends to its print chain (the oracle side need not
+    * scale; the Spark side uses the pigeonhole banding, whose exactness
+    * vs brute force the specs pin per modality): best (d, partner) with
+    * partner < doc_id within distance 2, the llm_dedup_simhash
+    * tie-break. `pr` names the print CTE, `c` its print column — one
+    * definition, so a radius or tie-break change cannot diverge across
+    * the image/audio/video oracles. */
+  private def hammingVerdictSql(pr: String, c: String): String =
+    s"""hvp AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS pid,
+       |    bit_count(xor(a.$c, b.$c)) AS d
+       |  FROM $pr a JOIN $pr b ON b.doc_id < a.doc_id
+       |  WHERE bit_count(xor(a.$c, b.$c)) <= 2),
+       |hvr AS (SELECT doc_id, pid, d,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY d, pid) AS rn
+       |      FROM hvp)
+       |SELECT doc_id, pid::BIGINT AS dup_of, d::BIGINT AS hamming
+       |FROM hvr WHERE rn = 1""".stripMargin
+
+  /** DuckDB twin of [[imagePhashDedup]] — the shared
+    * [[hammingVerdictSql]] tail over the SAME print chain. */
   val imageDedupOracle: String =
     s"""WITH $imagePhashCtes,
-       |p AS (
-       |  SELECT a.doc_id AS doc_id, c.doc_id AS pid,
-       |    bit_count(xor(a.phash, c.phash)) AS d
-       |  FROM pr a JOIN pr c ON c.doc_id < a.doc_id
-       |  WHERE bit_count(xor(a.phash, c.phash)) <= 2),
-       |r AS (SELECT doc_id, pid, d,
-       |        row_number() OVER (PARTITION BY doc_id ORDER BY d, pid) AS rn
-       |      FROM p)
-       |SELECT doc_id, pid::BIGINT AS dup_of, d::BIGINT AS hamming
-       |FROM r WHERE rn = 1""".stripMargin
+       |${hammingVerdictSql("pr", "phash")}""".stripMargin
 
   /** Time segments of the audio envelope print — [[SimHash.Bits]] wide
     * so the pigeonhole banding machinery applies unchanged (the
@@ -849,20 +865,11 @@ object Multimodal {
     s"""WITH $audioPhashCtes
        |SELECT doc_id, sample_rate, channels, n_samples, aphash FROM pr""".stripMargin
 
-  /** DuckDB twin of [[audioPhashDedup]] — brute-force pairwise Hamming
-    * over the SAME print chain (the [[imageDedupOracle]] shape). */
+  /** DuckDB twin of [[audioPhashDedup]] — the shared
+    * [[hammingVerdictSql]] tail over the SAME print chain. */
   val audioDedupOracle: String =
     s"""WITH $audioPhashCtes,
-       |p AS (
-       |  SELECT a.doc_id AS doc_id, c.doc_id AS pid,
-       |    bit_count(xor(a.aphash, c.aphash)) AS d
-       |  FROM pr a JOIN pr c ON c.doc_id < a.doc_id
-       |  WHERE bit_count(xor(a.aphash, c.aphash)) <= 2),
-       |r AS (SELECT doc_id, pid, d,
-       |        row_number() OVER (PARTITION BY doc_id ORDER BY d, pid) AS rn
-       |      FROM p)
-       |SELECT doc_id, pid::BIGINT AS dup_of, d::BIGINT AS hamming
-       |FROM r WHERE rn = 1""".stripMargin
+       |${hammingVerdictSql("pr", "aphash")}""".stripMargin
 
   /** DuckDB twin of [[thumbnailPool]] — the same payload-byte bucketing
     * replayed from hex pairs. */
@@ -1063,12 +1070,13 @@ object Multimodal {
     } match {
       case None => Nil
       case Some((o, sz)) =>
-        riffChunks(bytes, o + 4, o + sz).zipWithIndex.collect {
-          case ((cc, d, csz), i)
-              if cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
-                (cc.substring(2) == "db" || cc.substring(2) == "dc") =>
-            (i, d, csz)
-        }
+        // frame ordinals count FRAME chunks only — a JUNK/'rec ' chunk
+        // interleaved in the movi list (legal, common padding) must not
+        // shift frame_idx away from the ordinal timing implies
+        riffChunks(bytes, o + 4, o + sz).filter { case (cc, _, _) =>
+          cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+            (cc.substring(2) == "db" || cc.substring(2) == "dc")
+        }.zipWithIndex.map { case ((_, d, csz), i) => (i, d, csz) }
     }
   }
 
@@ -1236,20 +1244,11 @@ object Multimodal {
     s"""WITH $videoPhashCtes
        |SELECT doc_id, n_sampled, vphash FROM vpr""".stripMargin
 
-  /** DuckDB twin of [[videoPhashDedup]] — brute-force pairwise Hamming
-    * over the SAME clip-print chain (the imageDedupOracle shape). */
+  /** DuckDB twin of [[videoPhashDedup]] — the shared
+    * [[hammingVerdictSql]] tail over the SAME clip-print chain. */
   val videoDedupOracle: String =
     s"""WITH $videoPhashCtes,
-       |vdp AS (
-       |  SELECT a.doc_id AS doc_id, c.doc_id AS pid,
-       |    bit_count(xor(a.vphash, c.vphash)) AS d
-       |  FROM vpr a JOIN vpr c ON c.doc_id < a.doc_id
-       |  WHERE bit_count(xor(a.vphash, c.vphash)) <= 2),
-       |vdr AS (SELECT doc_id, pid, d,
-       |          row_number() OVER (PARTITION BY doc_id ORDER BY d, pid) AS rn
-       |        FROM vdp)
-       |SELECT doc_id, pid::BIGINT AS dup_of, d::BIGINT AS hamming
-       |FROM vdr WHERE rn = 1""".stripMargin
+       |${hammingVerdictSql("vpr", "vphash")}""".stripMargin
 
   /** The video-fixture derivation CTE (doc_id → geometry/timing/frame
     * size), shared by both video oracles. */

@@ -796,6 +796,29 @@ object Similarity {
       ivfAssign(emb, centroids)))
   }
 
+  /** [[ivfTopK]] served from the precomputed coarse-index state
+    * ([[ivfIndexState]]): the probes vary per call, the centroids and
+    * inverted lists do not — so a probe-budget sweep (llm_ann_sweep)
+    * builds the index ONCE and replays only the query side per budget.
+    * Bit-identical to the inline path (shared [[ivfProbes]] /
+    * [[exactRerank]] kernels). Callers sweeping several budgets should
+    * persist `lists` across calls. */
+  def ivfTopKFromState(emb: DataFrame, centroids: DataFrame, lists: DataFrame,
+      numQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("list").cast("int"), col("centroid"))
+      .as[(Int, Array[Double])].collect()
+    if (cents.isEmpty)
+      return emptyResult(spark, "qid BIGINT, nid BIGINT, score_r BIGINT, rank BIGINT")
+    val cs = cents.sortBy(_._1).map(_._2)
+    val cand = lists.select(col("nid").cast("long"), col("list").cast("int"))
+      .join(broadcast(ivfProbes(emb, cs, numQueries, nProbe)), "list")
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    exactRerank(emb, cand, numQueries, k)
+  }
+
   /** [[ivfPqTopK]] served ENTIRELY from precomputed index state — the
     * four artifacts a production embedding store persists (IVF
     * centroids + inverted lists, PQ codebooks + code table); the query

@@ -108,7 +108,7 @@ class MiningFuzzSpec extends AnyFunSuite {
       if (uni.nonEmpty) {
         val maxc = uni.values.max
         def bl(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
-        val sh = math.max(bl(4 * maxc) + bl(cc) - 61, 0)
+        val sh = math.max(bl(4 * maxc) + bl(cc) - 60, 0)
         val cq = math.max(cc >> sh, 1L)
         def nll(g: String): Long = {
           val Array(x, y) = g.split(" ")

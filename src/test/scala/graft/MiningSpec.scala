@@ -132,7 +132,7 @@ class MiningSpec extends AnyFunSuite {
   test("KN LM: the corpus-level shift quantization engages on huge synthetic counts") {
     import spark.implicits._
     // model counts a real corpus could not fit in a test: maxc = 2^57
-    // makes bl(4*maxc)=59 and C=33 makes bl(C)=5 -> sh=3, cq=33>>3=4;
+    // makes bl(4*maxc)=59 and C=33 makes bl(C)=5 -> sh=4, cq=33>>4=2;
     // UNshifted den would be 33*2^59 (> 2^63, a silent wrap) — the
     // quantized plan computes the exact pinned value instead
     val fill = (1 to 30).map(i => ("u", s"w$i", 1L))
@@ -141,10 +141,10 @@ class MiningSpec extends AnyFunSuite {
     val df = mkDocs(Seq((1L, "a b")))
     val out = Mining.knScore(df, counts).collect()
     assert(out.length == 1)
-    // a = 4*2^55-3 = 2^57-3; num = (2^57-3)*4 + ((3*2*2)>>3 = 1) = 2^59-11
-    // den = 4*2^57*4 = 2^61
-    val num = (1L << 59) - 11L
-    val want = (graft.functions.Log2Fix.eval(1L << 61, num) *
+    // a = 4*2^55-3 = 2^57-3; num = (2^57-3)*2 + ((3*2*2)>>4 = 0) = 2^58-6
+    // den = 4*2^57*2 = 2^60
+    val num = (1L << 58) - 6L
+    val want = (graft.functions.Log2Fix.eval(1L << 60, num) *
       graft.functions.Log2Fix.Ln2E6) >> 20
     assert(out.head.getLong(2) == want,
       s"quantized slot must hit the pinned value: ${out.head.getLong(2)} vs $want")

@@ -158,7 +158,9 @@ class StoreStreamSoakSpec extends AnyFunSuite {
       try drain(root, cp, sink)
       catch {
         case e: org.scalatest.exceptions.TestFailedException => throw e
-        case _: Throwable => ()
+        // NonFatal only: an OOM/interrupt must surface with its real
+        // cause, not resurface later as an unrelated assertion failure
+        case scala.util.control.NonFatal(_) => ()
       }
     appender.join(60000); churner.join(60000)
     // post-churn drains: everything still in the store must surface

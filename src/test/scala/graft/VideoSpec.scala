@@ -53,6 +53,30 @@ class VideoSpec extends AnyFunSuite {
     (0 to 2).foreach(f => assert(out(f.toLong) == want(f), s"frame $f"))
   }
 
+  test("frame ordinals skip non-frame movi chunks (JUNK padding does not shift frame_idx)") {
+    // hand-build a movi list of [JUNK, 00db, 00db] — legal, common padding
+    val fsz = 8
+    val junk = 12
+    val moviSz = 4 + (8 + junk) + 2 * (8 + fsz)
+    val total = 12 + (8 + 4 + 8 + 56) + 8 + moviSz
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8).put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56).put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(40000).putInt(0).putInt(0).putInt(0).putInt(2).putInt(0).putInt(1).putInt(0)
+      .putInt(2).putInt(1).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(moviSz).put("movi".getBytes("US-ASCII"))
+    bb.put("JUNK".getBytes("US-ASCII")).putInt(junk).put(new Array[Byte](junk))
+    bb.put("00db".getBytes("US-ASCII")).putInt(fsz).put(Array.fill(fsz)(1.toByte))
+    bb.put("00db".getBytes("US-ASCII")).putInt(fsz).put(Array.fill(fsz)(2.toByte))
+    val frames = Multimodal.aviFrameChunks(bb.array())
+    assert(frames.map(_._1) == List(0, 1),
+      s"JUNK must not shift frame ordinals: $frames")
+    assert(frames.map(f => bb.array()(f._2)) == List(1.toByte, 2.toByte),
+      "offsets must point at the frame chunks, not the padding")
+  }
+
   test("video phash: exact copies dedup at d=0; banding is EXACT vs brute force") {
     import graft.llm.SimHash
     val rnd = new scala.util.Random(3)

@@ -565,6 +565,54 @@ object Dedup {
         floor(col("dup_tok").cast("double") * 1e4 / col("n_tok").cast("double")
           + 0.5).cast("long"))
 
+  /** Hot-chunk report size. */
+  val CdcHotTopK = 20
+
+  /** The most-duplicated chunk CONTENTS — the "what exactly is the
+    * boilerplate" diagnostic the per-doc profiles ([[cdcDedup]]) point
+    * at but cannot answer: per repeated chunk hash, its occurrence
+    * count, how many distinct docs carry it, and its canonical first
+    * occurrence `(first_doc, first_idx)` so an operator can go READ the
+    * offending content. Top [[CdcHotTopK]] by (occurrences desc,
+    * chunk_hash asc) — a deterministic total order.
+    *
+    * Scale shape: one map-side-combined aggregate over the ~n/32-row
+    * chunk table, then a bounded top-K (the aggregate output is
+    * distinct-content-sized; the K cut is a single tiny sort). */
+  def cdcHotChunks(docs: DataFrame, topK: Int = CdcHotTopK): DataFrame =
+    cdcChunks(docs)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      .where(col("n_occurrences") >= 2)
+      .select(col("chunk_hash"), col("n_occurrences"), col("n_docs"),
+        col("f.doc_id").as("first_doc"), col("f.chunk_idx").as("first_idx"))
+      .orderBy(col("n_occurrences").desc, col("chunk_hash").asc)
+      .limit(topK)
+
+  /** DuckDB twin of [[cdcHotChunks]] over the shared chunk chain —
+    * first occurrence via a window rank (the lexicographic min-struct
+    * the engine takes). */
+  val cdcHotOracle: String =
+    s"""WITH $cdcChunkCtes,
+       |cdcagg AS (
+       |  SELECT chunk_hash, count(*)::BIGINT AS n_occurrences,
+       |    count(DISTINCT doc_id)::BIGINT AS n_docs
+       |  FROM cdcch GROUP BY 1 HAVING count(*) >= 2),
+       |cdcfst AS (
+       |  SELECT chunk_hash, doc_id AS first_doc, chunk_idx AS first_idx
+       |  FROM (SELECT chunk_hash, doc_id, chunk_idx,
+       |          row_number() OVER (PARTITION BY chunk_hash
+       |                             ORDER BY doc_id, chunk_idx) AS rn
+       |        FROM cdcch)
+       |  WHERE rn = 1)
+       |SELECT chunk_hash, n_occurrences, n_docs,
+       |  first_doc::BIGINT AS first_doc, first_idx::BIGINT AS first_idx
+       |FROM cdcagg JOIN cdcfst USING (chunk_hash)
+       |ORDER BY n_occurrences DESC, chunk_hash
+       |LIMIT $CdcHotTopK""".stripMargin
+
   /** The chunk-level verdict core under [[cdcDedupAgainst]] — one row
     * per incoming chunk, `(chunk_hash, doc_id, chunk_idx, n_tok,
     * is_dup)` with DUP = "content exists in history" — and, because

@@ -618,6 +618,10 @@ object LlmQueries {
       ((s: SparkSession, d: String) => graft.llm.Dedup.cdcChunks(docs(s, d))),
     "llm_cdc_dedup" ->
       ((s: SparkSession, d: String) => graft.llm.Dedup.cdcDedup(docs(s, d))),
+    // the most-duplicated chunk contents — the "what IS the boilerplate"
+    // diagnostic the per-doc dup profiles point at
+    "llm_cdc_hot" ->
+      ((s: SparkSession, d: String) => graft.llm.Dedup.cdcHotChunks(docs(s, d))),
     // incremental CDC: incoming snapshot's chunks gated against the
     // history chunk table (recomputed here; production reads it back)
     "llm_cdc_incr" ->
@@ -1028,6 +1032,7 @@ object LlmQueries {
     "llm_cdc_chunks" -> graft.llm.Dedup.cdcChunksOracle,
     "llm_cdc_dedup" -> graft.llm.Dedup.cdcDedupOracle,
     "llm_cdc_incr" -> graft.llm.Dedup.cdcIncrOracle,
+    "llm_cdc_hot" -> graft.llm.Dedup.cdcHotOracle,
     "stream_cdc" -> graft.llm.Dedup.cdcStreamOracle,
     "llm_decontam" -> Curation.decontamOracle,
     "llm_decontam_cut" -> Curation.decontamCutOracle,

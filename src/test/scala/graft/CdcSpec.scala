@@ -118,6 +118,24 @@ class CdcSpec extends AnyFunSuite {
       s"intra-snapshot dups must not gate against history: $out")
   }
 
+  test("cdcHotChunks: thrice-planted chunks report count 3, 3 docs, first occurrence doc 5") {
+    val rnd = new scala.util.Random(31)
+    // wide vocab so random docs do not share chunk content by accident
+    val vocab = (0 until 200).map(i => s"hw$i")
+    def text() = (0 until 130).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val planted = text()
+    val rows = Seq((5L, planted), (9L, planted), (12L, planted)) ++
+      (20L until 26L).map(id => (id, text()))
+    val hot = Dedup.cdcHotChunks(mkDocs(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(hot.nonEmpty && hot.forall(_._2 >= 2))
+    // the planted text's chunks: 3 occurrences across 3 docs, first in doc 5
+    val plantedRows = hot.filter(_._2 == 3L)
+    assert(plantedRows.nonEmpty, s"planted chunks must surface: ${hot.toSeq}")
+    assert(plantedRows.forall(h => h._3 == 3L && h._4 == 5L && h._5 >= 1L),
+      s"planted chunks must carry (3 docs, first_doc 5): ${plantedRows.toSeq}")
+  }
+
   test("cdcDedup: an exact copy is fully duplicated, the original fully clean") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("s", "t", "u", "v", "w")

@@ -342,7 +342,7 @@ object Mining {
     * bound keeps it under 2^62 (3·(1.23e9)² ≈ 4.54e18 < 2^62) — and the
     * shift bound keeps the discount term under 2^62 too, so their SUM
     * (the fraction's numerator) stays inside int64. A corpus
-    * whose PERSISTED bigram table passes 1.75e9 types trips the loud
+    * whose PERSISTED bigram table passes 1.23e9 types trips the loud
     * in-plan guard rather than wrapping — at that scale the documented
     * swap is pre-scaling the continuation counts by a common shift, the
     * same quantization [[knScore]] already applies to the big products. */
@@ -395,7 +395,15 @@ object Mining {
     * Plan shape (the [[lm2Score]] scale discipline): the model tables —
     * kept bigrams, unigrams, the two continuation-count aggregates, the
     * 1-row scalar — all derive from the vocab-bounded [[gramCounts]]
-    * side and BROADCAST; the corpus streams once through the bigram
+    * side and BROADCAST. The broadcast bound is far TIGHTER than the
+    * int64 envelope: a bigram-type table stops fitting driver/executor
+    * memory around 10^7–10^8 rows (a few GB), two orders of magnitude
+    * below [[KnMaxBigramTypes]] — at that point the documented swap is
+    * dropping the `broadcast()` hints so the kept-bigram and
+    * continuation joins become sort-merge joins shuffled on the
+    * bigram/word key (the int64 quantization is join-strategy-agnostic,
+    * so only the exchange shape changes, not the values). The corpus
+    * streams once through the bigram
     * explode, joins the broadcasts, evaluates the codegen'd kernel
     * per slot inline (the per-distinct-pair precompute the oracle uses is
     * the documented swap when slots-per-type is high), and shuffles only
@@ -585,13 +593,17 @@ object Mining {
     if (cands.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL("t STRING, c BIGINT"))
+    // the exact total rides the SAME aggregate as the candidate counts
+    // (non-candidates fold into the null group, so n = Σc over all ≤ k+1
+    // groups) — summed via a global window over the tiny grouped table,
+    // so the token stream is scanned exactly once in this pass (the MG
+    // pass + this one = the documented two corpus scans)
     val grouped = toks
       .groupBy(when(col("t").isInCollection(cands), col("t")).as("t"))
       .agg(count(lit(1)).as("c"))
-    val tot = grouped.agg(sum(col("c")).as("n"))
-    grouped.where(col("t").isNotNull)
-      .crossJoin(broadcast(tot))
-      .where(col("c") * k > col("n"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    grouped.where(col("t").isNotNull && col("c") * k > col("n"))
       .select(col("t"), col("c"))
   }
 

@@ -524,8 +524,11 @@ object Multimodal {
     lazy val h = le32(bytes, 22)
     lazy val off = le32(bytes, 10)
     lazy val strideL = ((w * 3L + 3L) / 4L) * 4L
+    // off < 54 would alias file/info header bytes as pixel payload (54
+    // is the minimum pixel offset for the headerless-palette 24bpp blobs
+    // this accepts) — reject rather than pool garbage
     if (bytes.length < 54 || !ascii(bytes, 0, "BM") ||
-        w <= 0 || h <= 0 || off < 0 || off > bytes.length ||
+        w <= 0 || h <= 0 || off < 54 || off > bytes.length ||
         strideL <= 0 || strideL > Int.MaxValue) None
     else {
       val stride = strideL.toInt
@@ -586,8 +589,11 @@ object Multimodal {
     lazy val h = le32(bytes, 22).toInt
     lazy val off = le32(bytes, 10).toInt
     lazy val strideL = ((w * 3L + 3L) / 4L) * 4L
+    // off < 54 would alias file/info header bytes as pixel payload (the
+    // 54-byte BITMAPFILEHEADER+BITMAPINFOHEADER is the minimum pixel
+    // offset for 24bpp blobs) — reject rather than hash garbage
     if (bytes.length < 54 || !ascii(bytes, 0, "BM") ||
-        w <= 0 || h <= 0 || off < 0 || off > bytes.length ||
+        w <= 0 || h <= 0 || off < 54 || off > bytes.length ||
         strideL <= 0 || strideL > Int.MaxValue) None
     else {
       val stride = strideL.toInt
@@ -1061,8 +1067,12 @@ object Multimodal {
   }
 
   /** The movi frame chunks off the REAL bytes: (frame_idx, dataOff,
-    * size) for every '##db'/'##dc' chunk in stream order. */
-  private[graft] def aviFrameChunks(bytes: Array[Byte]): List[(Int, Int, Int)] = {
+    * size, isRaw) for every '##db'/'##dc' chunk in stream order —
+    * `isRaw` marks '##db' (uncompressed DIB) chunks; '##dc' chunks are
+    * compressed payloads a decoder would handle, carried for ordinals/
+    * sampling but NOT aHash-able as raw pixels. */
+  private[graft] def aviFrameChunks(
+      bytes: Array[Byte]): List[(Int, Int, Int, Boolean)] = {
     if (bytes.length < 100 || !ascii(bytes, 0, "RIFF") || !ascii(bytes, 8, "AVI "))
       return Nil
     riffChunks(bytes, 12, bytes.length).collectFirst {
@@ -1076,7 +1086,9 @@ object Multimodal {
         riffChunks(bytes, o + 4, o + sz).filter { case (cc, _, _) =>
           cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
             (cc.substring(2) == "db" || cc.substring(2) == "dc")
-        }.zipWithIndex.map { case ((_, d, csz), i) => (i, d, csz) }
+        }.zipWithIndex.map { case ((cc, d, csz), i) =>
+          (i, d, csz, cc.substring(2) == "db")
+        }
     }
   }
 
@@ -1121,7 +1133,7 @@ object Multimodal {
           else {
             val s = math.max(1, n / k)
             (0 until k).map(_ * s).filter(_ < n).distinct.iterator.map { f =>
-              val (idx, off, sz) = frames(f)
+              val (idx, off, sz, _) = frames(f)
               var cs = 0L
               var j = 0
               while (j < sz) { cs += (j + 1L) * (bytes(off + j) & 0xff); j += 1 }
@@ -1157,9 +1169,13 @@ object Multimodal {
               val prints = (0 until k).map(_ * math.max(1, n / k))
                 .filter(_ < n).distinct
                 .flatMap { f =>
-                  val (_, off, sz) = frames(f)
+                  // '##dc' (compressed) sampled frames are skipped: their
+                  // payload is codec output, not a raw DIB, so aHashing it
+                  // with stride = sz/h would print meaningless bits — the
+                  // majority fold runs over the decodable samples only
+                  val (_, off, sz, raw) = frames(f)
                   val stride = (sz.toLong / h).toInt
-                  if (stride <= 0) None
+                  if (!raw || stride <= 0) None
                   else Some(aHashRegion(bytes, off, sz, w, h, stride))
                 }
               if (prints.isEmpty) Iterator.empty

@@ -866,14 +866,16 @@ object Similarity {
       when(dot(v, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Production probing parameters for [[lshTopK]]: (numPlanes,
-    * maxProbeHamming) = (16, 2) — 2^16 buckets, 137 probed per query,
-    * a 0.21% probe fraction instead of the default's 11/16 ≈ 69%. The
-    * DEFAULTS are test-shaped: 4 planes keep recall measurable on the
-    * oracle gate's near-isotropic synthetic vectors (LSH's worst case —
+  /** Production probing parameters for [[lshTopK]] — and since round 13
+    * its DEFAULT: (numPlanes, maxProbeHamming) = (16, 2) — 2^16 buckets,
+    * 137 probed per query, a 0.21% probe fraction instead of the test
+    * shape's 11/16 ≈ 69%. The TEST shape (4 planes, passed explicitly by
+    * the oracle entry and the scale probes) keeps recall measurable on
+    * the gate's near-isotropic synthetic vectors (LSH's worst case —
     * sign agreement carries no signal when directions are uniform), at
     * the price of probing most of the corpus; copied to a 100 TB store
-    * they are a brute-force scan in disguise. Real embedding corpora
+    * it is a brute-force scan in disguise — which is exactly why it is
+    * no longer the default. Real embedding corpora
     * CLUSTER, which is the regime sign-LSH exists for: with 16 planes a
     * query's true neighbours agree on almost all signs and the Hamming≤2
     * probe ring recovers them from ~0.2% of the corpus. LlmSpec asserts
@@ -912,14 +914,21 @@ object Similarity {
   /** Approximate top-k: sign-LSH bucketing with multi-probe (all buckets
     * within Hamming distance `maxProbeHamming` of the query's bucket), exact
     * cosine ranking within the probed buckets. May return fewer than k rows
-    * per query (standard ANN recall trade-off). Defaults tuned on the
-    * synthetic embeddings (near-uniform directions — LSH's hard case):
-    * 4 planes / Hamming≤2 ≈ 0.8 recall@5 (see LlmSpec) — but they probe
-    * ~69% of the corpus, which is TEST-SHAPED; production callers on
-    * clustered real-world embeddings should pass
-    * [[ProductionTopKParams]] (0.21% probe fraction, density-asserted). */
+    * per query (standard ANN recall trade-off).
+    *
+    * The DEFAULT is [[ProductionTopKParams]] (16 planes / Hamming≤2 —
+    * 0.21% probe fraction, density- and recall-asserted in LlmSpec on a
+    * clustered corpus), so copying the callable to a 100 TB store gets
+    * the production shape, not a brute-force scan in disguise. The
+    * oracle-gated TEST entries pass `numPlanes = 4` explicitly: the
+    * gate's synthetic embeddings are near-isotropic (LSH's hard case —
+    * sign agreement carries no signal on uniform directions), where 4
+    * planes keep recall measurable at the price of probing ~69% of the
+    * corpus — a trade that is only acceptable at test scale. */
   def lshTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
-      numPlanes: Int = 4, maxProbeHamming: Int = 2, seed: Long = 42L): DataFrame = {
+      numPlanes: Int = ProductionTopKParams._1,
+      maxProbeHamming: Int = ProductionTopKParams._2,
+      seed: Long = 42L): DataFrame = {
     val pairs = lshCandidates(emb, numQueries, numPlanes, maxProbeHamming, seed)
     exactRerank(emb, pairs, numQueries, k)
   }

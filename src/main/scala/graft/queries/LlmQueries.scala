@@ -296,7 +296,11 @@ object LlmQueries {
     topk(spark, "brute", dir)(Similarity.bruteForceTopK(emb(spark, dir)))
 
   def simTopKLsh(spark: SparkSession, dir: String): DataFrame =
-    topk(spark, "lsh", dir)(Similarity.lshTopK(emb(spark, dir)))
+    // numPlanes = 4 EXPLICITLY: the gate corpus is near-isotropic (LSH's
+    // hard case), where the production 16-plane default has no signal;
+    // the callable default is ProductionTopKParams (Similarity.scala)
+    topk(spark, "lsh", dir)(
+      Similarity.lshTopK(emb(spark, dir), numPlanes = 4, maxProbeHamming = 2))
 
   def simTopKIvf(spark: SparkSession, dir: String): DataFrame =
     topk(spark, "ivf", dir)(Similarity.ivfTopK(emb(spark, dir)))

@@ -253,7 +253,10 @@ class LlmSpec extends AnyFunSuite {
   test("LSH top-k recall vs brute force is usable") {
     val exact = Similarity.bruteForceTopK(emb, numQueries = 10, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(emb, numQueries = 10, k = 5)
+    // the 4-plane test shape, passed explicitly — the callable DEFAULT
+    // is ProductionTopKParams (asserted in the clustered-corpus test)
+    val approx = Similarity
+      .lshTopK(emb, numQueries = 10, k = 5, numPlanes = 4, maxProbeHamming = 2)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall@5 $recall too low for 4-plane Hamming-2 multi-probe")
@@ -263,8 +266,9 @@ class LlmSpec extends AnyFunSuite {
     import spark.implicits._
     // a planted CLUSTERED corpus — the production regime. The oracle
     // gate's near-isotropic vectors are LSH's worst case, which is why
-    // the entry DEFAULTS are test-shaped (4 planes probing ~69% of the
-    // corpus); ProductionTopKParams must instead prune hard and still
+    // the gate ENTRY passes the test shape (4 planes probing ~69% of the
+    // corpus) explicitly; ProductionTopKParams — now the callable
+    // DEFAULT — must instead prune hard and still
     // recall, which only clustered data can demonstrate. 200 clusters
     // of 20 vectors at ~0.97 cosine-to-center (0.25x Gaussian noise on
     // a Gaussian center).

@@ -35,7 +35,9 @@ class ScaleDecadeSpec extends AnyFunSuite {
     // the same floors annFloorsE4 pins for the llm_ann_recall gate —
     // asserted here one decade ABOVE the largest driver-gated scale
     val floors = Seq[(String, Double, () => org.apache.spark.sql.DataFrame)](
-      ("lsh", 0.50, () => Similarity.lshTopK(emb)),
+      // numPlanes = 4 = the gate entry's explicit config (the callable
+      // default is now ProductionTopKParams, tuned for CLUSTERED corpora)
+      ("lsh", 0.50, () => Similarity.lshTopK(emb, numPlanes = 4, maxProbeHamming = 2)),
       ("ivf", 0.40, () => Similarity.ivfTopK(emb)),
       ("rp", 0.75, () => Similarity.rpTopK(emb)),
       ("sq8", 0.90, () => Similarity.sq8TopK(emb)),

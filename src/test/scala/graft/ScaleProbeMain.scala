@@ -21,7 +21,7 @@ object ScaleProbeMain {
     val exact = pairs(Similarity.bruteForceTopK(emb))
     println(s"[scaleprobe] brute ${(System.nanoTime() - t) / 1e9}s")
     for ((name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
-        "lsh" -> (() => Similarity.lshTopK(emb)),
+        "lsh" -> (() => Similarity.lshTopK(emb, numPlanes = 4, maxProbeHamming = 2)),
         "ivf" -> (() => Similarity.ivfTopK(emb)),
         "rp" -> (() => Similarity.rpTopK(emb)),
         "sq8" -> (() => Similarity.sq8TopK(emb)))) {

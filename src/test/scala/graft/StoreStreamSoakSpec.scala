@@ -154,15 +154,29 @@ class StoreStreamSoakSpec extends AnyFunSuite {
     // failed drain is an UNCOMMITTED batch, so tolerating it here loses
     // nothing — the strict post-churn drains below carry the
     // completeness and exactly-once assertions. Hangs still fail fast.
-    while (!done)
+    // Count attempts vs swallows: a transient race losing SOME drains is
+    // the tolerated mode; EVERY mid-churn drain failing means a
+    // persistent (non-transient) failure the post-churn assertions would
+    // only see as a data effect — surface it here with the last cause.
+    var drainAttempts = 0
+    var drainSwallowed = 0
+    var lastSwallowed: Option[Throwable] = None
+    while (!done) {
+      drainAttempts += 1
       try drain(root, cp, sink)
       catch {
         case e: org.scalatest.exceptions.TestFailedException => throw e
         // NonFatal only: an OOM/interrupt must surface with its real
         // cause, not resurface later as an unrelated assertion failure
-        case scala.util.control.NonFatal(_) => ()
+        case scala.util.control.NonFatal(t) =>
+          drainSwallowed += 1; lastSwallowed = Some(t)
       }
+    }
     appender.join(60000); churner.join(60000)
+    assert(drainAttempts > 0, "churn window closed before any drain ran")
+    assert(drainSwallowed < drainAttempts,
+      s"every mid-churn drain failed ($drainSwallowed/$drainAttempts) — " +
+        s"persistent failure, not a transient race; last: $lastSwallowed")
     // post-churn drains: everything still in the store must surface
     drain(root, cp, sink)
     drain(root, cp, sink)

@@ -468,8 +468,19 @@ object Dedup {
     * materialization barrier, the [[Curation.chunk]] precedent). No
     * other shuffle — a pure map at any corpus size. chunk_idx is
     * 1-based; a doc with no interior boundary is one whole-doc chunk. */
-  def cdcChunks(docs: DataFrame): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+  def cdcChunks(docs: DataFrame): DataFrame =
+    cdcChunksKeyed(
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("text")),
+      Seq("doc_id"), "text")
+
+  /** [[cdcChunks]] generalized to ARBITRARY row-identity columns — the
+    * one chunking definition, so the pipe ingest gate (keyed by the
+    * LogEvent (part, seq) identity) and the corpus entries (keyed by
+    * doc_id) can never drift. Output: key columns ++
+    * (chunk_idx, n_tok, chunk_hash). */
+  private[graft] def cdcChunksKeyed(rows: DataFrame, keys: Seq[String],
+      text: String): DataFrame = {
+    val par = rows.sparkSession.sparkContext.defaultParallelism
     val m = (1L << CdcMaskBits) - 1
     val gear = transform(col("w"), t =>
       Curation.hash60(CdcSalt, t).bitwiseAND(lit(m)))
@@ -485,18 +496,19 @@ object Dedup {
     val bounds = concat(array(lit(0)), cuts, array(n))
     val lo = element_at(col("bounds"), col("col"))
     val hi = element_at(col("bounds"), col("col") + 1)
-    docs
-      .select(col("doc_id").cast("long").as("doc_id"), tokens(col("text")).as("w"))
+    val k = keys.map(col)
+    rows
+      .select(k :+ tokens(col(text)).as("w"): _*)
       .where(size(col("w")) >= 1)
-      .select(col("doc_id"), col("w"), gear.as("g"))
-      .repartition(par, col("doc_id"))
-      .select(col("doc_id"), col("w"), bounds.as("bounds"))
-      .select(col("doc_id"), col("w"), col("bounds"),
-        posexplode(sequence(lit(1), size(col("bounds")) - 1)))
-      .select(col("doc_id"), col("col").cast("long").as("chunk_idx"),
+      .select(k ++ Seq(col("w"), gear.as("g")): _*)
+      .repartition(par, k: _*)
+      .select(k ++ Seq(col("w"), bounds.as("bounds")): _*)
+      .select(k ++ Seq(col("w"), col("bounds"),
+        posexplode(sequence(lit(1), size(col("bounds")) - 1))): _*)
+      .select(k ++ Seq(col("col").cast("long").as("chunk_idx"),
         (hi - lo).cast("long").as("n_tok"),
         md5(concat_ws(" ", slice(col("w"), lo + 1, hi - lo)).cast("binary"))
-          .as("chunk_hash"))
+          .as("chunk_hash")): _*)
   }
 
   /** Chunk-level keep-one dedup profile over [[cdcChunks]]:
@@ -630,6 +642,43 @@ object Dedup {
       .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"), col("n_tok"),
         coalesce(col("in_hist"), lit(false)).as("is_dup"))
 
+  /** Row-level CDC ingest gate for LogEvent streams — [[cdcGateVerdicts]]
+    * re-keyed on the (part, seq) row identity so a PIPE can drop
+    * known-content rows on the way to its destination (the production
+    * composition: the reference's pipe is a filter, ours is
+    * filter ∧ dedup). One verdict row per incoming row WITH at least one
+    * chunk: `(part, seq, keep)`, keep ⇔ some chunk's content is NOT in
+    * `historyHashes` — only rows whose ENTIRE content is already known
+    * drop, so a log line sharing boilerplate with history but carrying a
+    * fresh payload chunk passes. Token-less rows produce no verdict
+    * (they cannot be content-judged); callers keep them.
+    *
+    * Scale shape: the same stateless chain as the streaming gate —
+    * per-row array chunking, one row-keyed exchange, a left join against
+    * the distinct-hash index, one row-keyed re-aggregate; row text never
+    * shuffles beyond its own chunking exchange, and the index side
+    * reduces map-side to distinct hashes. */
+  def cdcIngestKeep(historyHashes: DataFrame, rows: DataFrame): DataFrame =
+    cdcIngestKeepFromChunks(historyHashes,
+      cdcChunksKeyed(rows.select(col("part"), col("seq"), col("msg")),
+        Seq("part", "seq"), "msg"))
+
+  /** [[cdcIngestKeep]] over an already-computed (part, seq)-keyed chunk
+    * table — the pipe worker computes the chunks ONCE per trigger and
+    * feeds both this gate and the index update from the same persisted
+    * frame. One verdict definition either way. */
+  def cdcIngestKeepFromChunks(historyHashes: DataFrame,
+      chunks: DataFrame): DataFrame =
+    chunks
+      .join(historyHashes.select(col("chunk_hash")).distinct()
+        .withColumn("in_hist", lit(true)), Seq("chunk_hash"), "left")
+      .groupBy(col("part"), col("seq"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(coalesce(col("in_hist"), lit(false)), 1L).otherwise(0L))
+          .as("dup_chunks"))
+      .select(col("part"), col("seq"),
+        (col("dup_chunks") < col("n_chunks")).as("keep"))
+
   /** DuckDB twin of [[cdcGateVerdicts]] over the same snapshot split —
     * the chunk-level rows the STREAMING gate emits. */
   val cdcStreamOracle: String =
@@ -666,16 +715,23 @@ object Dedup {
     * `cdcch(doc_id, chunk_idx, n_tok, chunk_hash)` — shared by the
     * chunk-table and dedup oracles so the boundary definition cannot
     * drift between them. */
-  private def cdcChunkCtes: String = {
+  private def cdcChunkCtes: String =
+    cdcChunkCtesOver("documents", "doc_id", "text")
+
+  /** [[cdcChunkCtes]] over an arbitrary relation/id/text — the oracle
+    * twin of [[cdcChunksKeyed]] (the pipe ingest-gate oracle chunks the
+    * LogEvent `msg` stream with the SAME boundary definition). `id`
+    * must be castable to BIGINT and unique per row. */
+  def cdcChunkCtesOver(rel: String, id: String, text: String): String = {
     val m = (1L << CdcMaskBits) - 1
     val terms = (0 until CdcMaskBits).map(o =>
       s"(CASE WHEN i >= ${o + 1} THEN g[i - $o] * ${1L << o} ELSE 0 END)")
       .mkString(" + ")
     s"""cdctok AS (
-       |  SELECT doc_id::BIGINT AS doc_id,
-       |    list_filter(string_split_regex(lower(text), '\\W+'),
+       |  SELECT $id::BIGINT AS doc_id,
+       |    list_filter(string_split_regex(lower($text), '\\W+'),
        |                t -> t != '') AS w
-       |  FROM documents),
+       |  FROM $rel),
        |cdcg AS (
        |  SELECT doc_id, w, len(w) AS n,
        |    list_transform(w, t -> ${Curation.hash60SqlOf(CdcSalt, "t")} & $m) AS g

@@ -144,6 +144,28 @@ object LlmQueries {
   private def contamDropSet(spark: SparkSession, dir: String): DataFrame =
     memo(miningCache, spark, s"contamdrop|$dir")(
       Curation.decontaminate(docs(spark, dir)).select("doc_id"))
+
+  // The five projection-stage keep sets, memoized like every other shared
+  // stage table (gopher verdicts, dup clusters, the drop sets) so the
+  // survivor snapshot AND the retention funnel read the SAME persisted
+  // doc-id-sized verdicts — the funnel is then eleven reads of persisted
+  // state, never a corpus-scale recompute (round-13 directive 6; before
+  // this, each funnel invocation re-derived all five from the raw corpus).
+  private def modelKeepSet(spark: SparkSession, dir: String): DataFrame =
+    memo(miningCache, spark, s"modelkeep|$dir")(
+      Curation.qualityScore(docs(spark, dir)).where(col("keep")).select("doc_id"))
+  private def blockKeepSet(spark: SparkSession, dir: String): DataFrame =
+    memo(miningCache, spark, s"blockkeep|$dir")(
+      Curation.blocklistFilter(docs(spark, dir)).where(col("keep")).select("doc_id"))
+  private def capKeepSet(spark: SparkSession, dir: String): DataFrame =
+    memo(miningCache, spark, s"capkeep|$dir")(
+      Curation.pipelineCapKeep(docs(spark, dir)))
+  private def mixKeepSet(spark: SparkSession, dir: String): DataFrame =
+    memo(miningCache, spark, s"mixkeep|$dir")(
+      Curation.mixtureKeep(docs(spark, dir)))
+  private def sampleKeepSet(spark: SparkSession, dir: String): DataFrame =
+    memo(miningCache, spark, s"samplekeep|$dir")(
+      Curation.stratifiedSample(docs(spark, dir)).select("doc_id"))
   private def pipelineSurvivors(spark: SparkSession, dir: String): DataFrame =
     memo(pipelineCache, spark, dir) {
       import org.apache.spark.sql.functions.size
@@ -156,12 +178,11 @@ object LlmQueries {
       // the cap stage is the RELATIVE pipelineCapKeep, not the absolute
       // standalone domainCap — an absolute per-domain cap emptied the
       // composition at the sf1 decade (PLANS.md, round 12)
-      val capped = Curation.pipelineCapKeep(d)
-      val mixKeep = Curation.mixtureKeep(d)
-      val sampled = Curation.stratifiedSample(d).select("doc_id")
-      val modelKeep = Curation.qualityScore(d).where(col("keep")).select("doc_id")
-      val blockKeep = Curation.blocklistFilter(d)
-        .where(col("keep")).select("doc_id")
+      val capped = capKeepSet(spark, dir)
+      val mixKeep = mixKeepSet(spark, dir)
+      val sampled = sampleKeepSet(spark, dir)
+      val modelKeep = modelKeepSet(spark, dir)
+      val blockKeep = blockKeepSet(spark, dir)
       d.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           col("source"),
           size(graft.llm.Dedup.tokens(col("text"))).cast("long").as("n_tok"))
@@ -210,11 +231,13 @@ object LlmQueries {
     * saturation emptied the composed survivor set one decade above the
     * gated scales (PLANS.md, round 12).
     *
-    * Plan shape: eleven 1-row aggregates unioned — each stage's count is
-    * a map-side-combined aggregate over that stage's existing plan
-    * (memoized tables — gopher verdicts, dup clusters, the survivor
-    * snapshot — are reused, never rebuilt), and nothing but counts ever
-    * reaches the driver. */
+    * Plan shape: eleven 1-row aggregates unioned — every stage count is
+    * a read of the SAME persisted verdict table the survivor snapshot
+    * joins (gopher verdicts, the five projection keep sets, dup
+    * clusters, the two drop sets, the snapshot itself); only the
+    * `corpus` row touches the raw table, and nothing but counts ever
+    * reaches the driver. A repeat invocation is therefore eleven
+    * persisted-table scans, zero corpus-scale recompute. */
   def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit}
     val d = docs(spark, dir)
@@ -222,13 +245,11 @@ object LlmQueries {
       "corpus" -> d.select("doc_id"),
       "gopher_keep" -> gopherVerdicts(spark, dir)
         .where(col("keep")).select("doc_id"),
-      "model_keep" -> Curation.qualityScore(d)
-        .where(col("keep")).select("doc_id"),
-      "blocklist_keep" -> Curation.blocklistFilter(d)
-        .where(col("keep")).select("doc_id"),
-      "cap_keep" -> Curation.pipelineCapKeep(d),
-      "mixture_keep" -> Curation.mixtureKeep(d),
-      "sample_keep" -> Curation.stratifiedSample(d).select("doc_id"),
+      "model_keep" -> modelKeepSet(spark, dir),
+      "blocklist_keep" -> blockKeepSet(spark, dir),
+      "cap_keep" -> capKeepSet(spark, dir),
+      "mixture_keep" -> mixKeepSet(spark, dir),
+      "sample_keep" -> sampleKeepSet(spark, dir),
       "dup_drop" -> dupClusters(spark, dir)
         .filter(!col("keep")).select("doc_id"),
       "span_drop" -> spanDropSet(spark, dir),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.store.{EventStore, IngestStore, PipeStore}
+import graft.store.{CdcPipeStore, EventStore, IngestStore, PipeStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,14 @@ object LqlQueries {
   // appended after the record fields (reference pkg/pipe/siterator.go:49-63).
   def pipe(spark: SparkSession, dir: String): DataFrame =
     us(PipeStore.engine(spark, dir).select("SELECT FROM {logrange.pipe=p1} LIMIT 10000"))
+
+  // 15b. CDC dedup-on-ingest pipe (round-13 directive 7): the CdcPipeStore
+  // build ran a cdcDedup=true pipe over two ingest batches with an
+  // engineered duplicate density — the destination holds batch 1 in full
+  // plus only the batch-2 rows carrying at least one novel content chunk.
+  def pipeCdc(spark: SparkSession, dir: String): DataFrame =
+    us(CdcPipeStore.engine(spark, dir)
+      .select("SELECT FROM {logrange.pipe=pcdc} LIMIT 10000"))
 
   // 16. SHOW PIPES (reference pkg/backend/admin.go:133-160)
   def showPipes(spark: SparkSession, dir: String): DataFrame =
@@ -240,6 +248,37 @@ object LqlQueries {
          |  'user=' || user_id || ',k=' || k || ',host=host' || (user_id % 4) || ',name=error' AS fields
          |FROM le WHERE event_type = 'error' AND position('k=1' IN msg) > 0
          |$OrderBy LIMIT 10000""".stripMargin,
+    // the keep set recomputed from first principles over the SAME CDC
+    // chunk-boundary definition the worker's gate uses: half 0 (even seq)
+    // passes whole (gated against an empty index), half 1 keeps rows with
+    // at least one chunk absent from half 0's chunk set; token-less rows
+    // cannot be judged and pass
+    "lql_pipe_cdc" ->
+      s"""$oracleCte,
+         |src AS (
+         |  SELECT seq, ts_raw, tags,
+         |    CASE WHEN TRY_CAST(k AS BIGINT) % 3 = 0
+         |         THEN '${graft.store.CdcPipeStore.Boilerplate}' ELSE msg END AS text,
+         |    seq % 2 AS half
+         |  FROM le WHERE event_type = 'error'),
+         |${graft.llm.Dedup.cdcChunkCtesOver("src", "seq", "text")},
+         |h0 AS (
+         |  SELECT DISTINCT c.chunk_hash
+         |  FROM cdcch c JOIN src s ON c.doc_id = s.seq WHERE s.half = 0),
+         |nv AS (
+         |  SELECT s.seq, bool_or(h.chunk_hash IS NULL) AS novel
+         |  FROM cdcch c JOIN src s ON c.doc_id = s.seq
+         |  LEFT JOIN h0 h ON c.chunk_hash = h.chunk_hash
+         |  WHERE s.half = 1 GROUP BY 1),
+         |keepseq AS (
+         |  SELECT seq FROM src WHERE half = 0
+         |  UNION ALL SELECT seq FROM nv WHERE novel
+         |  UNION ALL SELECT s.seq FROM src s
+         |  WHERE s.half = 1
+         |    AND NOT EXISTS (SELECT 1 FROM cdcch c WHERE c.doc_id = s.seq))
+         |SELECT epoch_us(s.ts_raw) AS ts_us, s.text AS msg,
+         |  'logrange.pipe=pcdc' AS tags, s.tags AS fields
+         |FROM src s JOIN keepseq USING (seq)""".stripMargin,
     "lql_show_pipes" -> "SELECT 'p1' AS pipe",
     "lql_describe_pipe" ->
       """SELECT 'p1' AS pipe, '{name=error}' AS "from",
@@ -320,6 +359,7 @@ object LqlQueries {
     "lql_show_partitions" -> (showPartitions _),
     "lql_describe_partition" -> (describePartition _),
     "lql_pipe" -> (pipe _),
+    "lql_pipe_cdc" -> (pipeCdc _),
     "lql_show_pipes" -> (showPipes _),
     "lql_describe_pipe" -> (describePipe _),
     "lql_ingest_logfmt" -> (ingestLogfmt _),

@@ -32,12 +32,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * subscription (reference pkg/partition/partition.go:175-206): offsets are
   * per-partition `seq` cursors, and each micro-batch is planned from
   * catalog entries whose footer `maxSeq` exceeds the cursor — discovery
-  * cost is O(new data) per trigger against the memoized catalog load,
-  * never an O(total files) listing (the scale property that made
+  * is O(parts) per trigger (offset computation reads the persisted
+  * per-part summary sidecars) and batch planning is O(changed parts'
+  * hash shards), never an O(total chunks) fold or an O(total files)
+  * listing (the scale property that made
   * [[graft.streaming.PipeWorker]] drop Spark's file-stream source; this
   * source packages the same contract behind the public `readStream` API,
   * with checkpointed offsets and AvailableNow/processingTime triggers for
-  * free).
+  * free). At the 10^7-chunk design point a short-trigger pipe's poll
+  * walks ~10^4 summary lines, not 10^7 entries (CatalogScaleProbe pins
+  * the budget).
   *
   * Exactly-once batch planning: an offset only includes seqs at or below
   * [[Store.safeSeqWatermark]], and any append started AFTER an offset was
@@ -199,12 +203,18 @@ final class GraftStoreScan(root: String, from: Option[String],
     override def planInputPartitions(): Array[InputPartition] = {
       // exact-part pushdown prunes through the per-part index — O(selected
       // parts), independent of total catalog size; tag-predicate FROMs
-      // fall back to the full driver-side scan
+      // evaluate the predicate against the O(parts) summary KEYS first and
+      // parse only the shards holding matching parts (shard routing), so
+      // a selective FROM never pays the O(chunks) full parse either
       val candidates = partsEq match {
         case Some(parts) =>
           val idx = catalog.entriesForParts(parts)
           parts.toVector.sorted.flatMap(p => idx.getOrElse(p, Vector.empty))
-        case None => catalog.load()
+        case None =>
+          val parts = catalog.partSummaries().keysIterator
+            .filter(matches).toVector.sorted
+          val idx = catalog.entriesForParts(parts)
+          parts.flatMap(p => idx.getOrElse(p, Vector.empty))
       }
       candidates.filter(e => matches(e.part) && tsOverlaps(e))
         .map(e => GraftInputPartition(e.file, e.part, -1L, Long.MaxValue)).toArray
@@ -265,21 +275,52 @@ final class GraftStoreScan(root: String, from: Option[String],
         GraftOffset(merged)
       }
 
+      /** O(parts) per trigger, never O(chunks): cursors come from the
+        * persisted per-part summaries ([[Catalog.partSummaries]] — the
+        * admin plane's sidecar pattern applied to discovery). The fast
+        * path is one summary row per matching part: when the part's
+        * summary `maxSeq` sits at or below its safe watermark (the
+        * quiescent case — no in-flight append targets it), that maxSeq IS
+        * the cursor. Only a part with an in-flight append above the
+        * watermark (bounded by concurrent writers, not catalog size) —
+        * or one whose sidecar predates the `minMaxSeq` field — falls
+        * back to its OWN hash shard via [[Catalog.entriesForPart]].
+        * Reference analog: O(new writes) write-event fanout
+        * (pkg/pipe/service.go:271-347). */
       private def computeLatestOffset(): Offset = {
-        val safeCache = scala.collection.mutable.HashMap.empty[String, Long]
-        def safe(part: String): Long =
-          safeCache.getOrElseUpdate(part, Store.safeSeqWatermarkFor(root, part))
         val cur = scala.collection.mutable.HashMap.empty[String, Long]
-        catalog.load().foreach { e =>
-          if (matches(e.part)) {
-            if (e.maxSeq < 0)
-              throw LqlException(s"graft-store: catalog entry ${e.file} has no " +
-                "footer seq; seq-less files cannot be streamed (rebuild the " +
-                "store, or read it in batch mode)")
-            if (e.maxSeq <= safe(e.part)) {
-              val prev = cur.getOrElse(e.part, -1L)
-              if (e.maxSeq > prev) cur(e.part) = e.maxSeq
-            }
+        def seqless(p: String): Nothing =
+          throw LqlException(s"graft-store: partition $p has chunks with no " +
+            "footer seq; seq-less files cannot be streamed (rebuild the " +
+            "store, or read it in batch mode)")
+        // summaries FIRST, snapshot SECOND: the snapshot must be at least
+        // as fresh as the catalog view it gates (Store.inFlightSnapshot's
+        // ordering contract) — and ONE snapshot serves every part's
+        // watermark, so a shared FileInFlightRegistry is listed once per
+        // trigger, not once per partition
+        val sums = catalog.partSummaries()
+        val snap = Store.inFlightSnapshot(root)
+        // replay of the per-entry cursor fold, restricted to ONE part's
+        // shard — the precise path for in-flight/legacy-sidecar parts;
+        // takes its own FRESH watermark after materializing the entries
+        // (they may be newer than `sums`/`snap`)
+        def preciseCursor(p: String): Unit = {
+          val es = catalog.entriesForPart(p)
+          val safe = Store.watermarkFrom(Store.inFlightSnapshot(root), Some(p))
+          var best = -1L
+          es.foreach { e =>
+            if (e.maxSeq < 0) seqless(p)
+            if (e.maxSeq <= safe && e.maxSeq > best) best = e.maxSeq
+          }
+          if (best >= 0) cur(p) = best
+        }
+        sums.foreach { case (p, s) =>
+          if (matches(p)) {
+            val safe = Store.watermarkFrom(snap, Some(p))
+            if (s.minMaxSeq == Long.MinValue) preciseCursor(p)
+            else if (s.minMaxSeq < 0) seqless(p)
+            else if (s.maxSeq <= safe) cur(p) = s.maxSeq
+            else preciseCursor(p)
           }
         }
         floor.synchronized {
@@ -292,22 +333,29 @@ final class GraftStoreScan(root: String, from: Option[String],
         off
       }
 
+      /** O(changed parts' shards) per trigger: only parts whose cursor
+        * ADVANCED (`h > l`) have their entries consulted, and each costs
+        * one memoized hash shard ([[Catalog.entriesForPart]]) — an
+        * unchanged part is one map lookup. A 10^7-chunk catalog with one
+        * busy partition plans from ~1/256th of the metadata. */
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
         val lo = start.asInstanceOf[GraftOffset].cursors
         val hi = end.asInstanceOf[GraftOffset].cursors
         // a replayed checkpoint range is also a floor (restart path)
         raiseFloor(lo); raiseFloor(hi)
-        catalog.load().iterator.flatMap { e =>
-          val l = lo.getOrElse(e.part, -1L)
-          val h = hi.getOrElse(e.part, -1L)
-          // e.maxSeq > l skips fully-consumed files (incl. compaction
-          // rewrites of already-consumed rows); the reader re-applies the
-          // (l, h] row filter for files straddling the bounds. tsOverlaps
-          // prunes FILES only — offsets still advance over pruned data, so
-          // a ts-filtered stream never re-reads it later.
-          if (h > l && e.maxSeq > l && tsOverlaps(e))
-            Some(GraftInputPartition(e.file, e.part, l, h))
-          else None
+        hi.iterator.flatMap { case (p, h) =>
+          val l = lo.getOrElse(p, -1L)
+          if (h <= l) Iterator.empty
+          else catalog.entriesForPart(p).iterator.flatMap { e =>
+            // e.maxSeq > l skips fully-consumed files (incl. compaction
+            // rewrites of already-consumed rows); the reader re-applies the
+            // (l, h] row filter for files straddling the bounds. tsOverlaps
+            // prunes FILES only — offsets still advance over pruned data, so
+            // a ts-filtered stream never re-reads it later.
+            if (e.maxSeq > l && tsOverlaps(e))
+              Some(GraftInputPartition(e.file, e.part, l, h))
+            else None
+          }
         }.toArray
       }
 

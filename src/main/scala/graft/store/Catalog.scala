@@ -66,15 +66,26 @@ final case class CatEntry(
 
 /** Per-partition aggregate served by [[Catalog.partSummaries]]: the
   * admin-plane view (SHOW PARTITIONS, totals, the epoch high-water,
-  * TRUNCATE's partition selection) — O(parts) to read, never O(chunks).
-  * Persisted as per-shard sidecars written atomically with the base. */
+  * TRUNCATE's partition selection) and the streaming source's O(parts)
+  * offset discovery — O(parts) to read, never O(chunks).
+  * Persisted as per-shard sidecars written atomically with the base.
+  *
+  * `minMaxSeq` is the MINIMUM per-chunk footer maxSeq across the part's
+  * files: the streaming source uses it to detect seq-less (legacy)
+  * chunks without touching per-chunk entries — `minMaxSeq >= 0` proves
+  * every chunk is streamable. [[Long.MinValue]] means UNKNOWN (a
+  * sidecar written before the field existed); readers needing the
+  * distinction fall back to that part's [[Catalog.entriesForPart]]
+  * shard, and the next [[Catalog.save]] rewrites the sidecar with the
+  * real value. */
 final case class PartSummary(
     part: String,
     chunks: Long,
     sizeBytes: Long,
     records: Long,
     maxSeq: Long,
-    maxWriteTs: Long)
+    maxWriteTs: Long,
+    minMaxSeq: Long = Long.MinValue)
 
 final class Catalog(fs: FileSystem, path: Path) {
 
@@ -330,12 +341,17 @@ final class Catalog(fs: FileSystem, path: Path) {
     val c = sumCache
     if (c != null && c._1 == fp) return c._2
     val agg = scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
+    // a(5) = minMaxSeq, folded by MIN with Long.MinValue = UNKNOWN
+    // dominating (min(MinValue, x) = MinValue), so one stale sidecar
+    // marks the whole part unknown rather than faking a proven floor
     def fold(p: String, chunks: Long, size: Long, recs: Long, mseq: Long,
-        mwts: Long): Unit = {
-      val a = agg.getOrElseUpdate(p, Array(0L, 0L, 0L, Long.MinValue, Long.MinValue))
+        mwts: Long, minMseq: Long): Unit = {
+      val a = agg.getOrElseUpdate(p,
+        Array(0L, 0L, 0L, Long.MinValue, Long.MinValue, Long.MaxValue))
       a(0) += chunks; a(1) += size; a(2) += recs
       if (mseq > a(3)) a(3) = mseq
       if (mwts > a(4)) a(4) = mwts
+      if (minMseq < a(5)) a(5) = minMseq
     }
     liveShardsDir() match {
       case Some(dir) =>
@@ -351,7 +367,7 @@ final class Catalog(fs: FileSystem, path: Path) {
                 if (line.nonEmpty) {
                   val ps = decodeSum(line)
                   fold(ps.part, ps.chunks, ps.sizeBytes, ps.records,
-                    ps.maxSeq, ps.maxWriteTs)
+                    ps.maxSeq, ps.maxWriteTs, ps.minMaxSeq)
                 }
                 line = rd.readLine()
               }
@@ -359,21 +375,23 @@ final class Catalog(fs: FileSystem, path: Path) {
           } else
             // sidecar missing (pre-summary base): one-shard fallback parse
             parseCached(st).foreach(e =>
-              fold(e.part, 1L, e.sizeBytes, e.records, e.maxSeq, e.writeTs))
+              fold(e.part, 1L, e.sizeBytes, e.records, e.maxSeq, e.writeTs,
+                e.maxSeq))
         }
       case None =>
         // legacy single-file base — full parse (migrated by the first save)
         parseAll(baseF).foreach(e =>
-          fold(e.part, 1L, e.sizeBytes, e.records, e.maxSeq, e.writeTs))
+          fold(e.part, 1L, e.sizeBytes, e.records, e.maxSeq, e.writeTs,
+            e.maxSeq))
     }
     // overlay the live segments: append() only ever adds NEW data files
     // (replace/compaction go through save(), which rewrites the sidecars),
     // so the overlay is purely additive; collapse() still dedups
     // crash-residue duplicates by file exactly as the full load does
     collapse(segByShard()._2.flatten.toVector).foreach(e =>
-      fold(e.part, 1L, e.sizeBytes, e.records, e.maxSeq, e.writeTs))
+      fold(e.part, 1L, e.sizeBytes, e.records, e.maxSeq, e.writeTs, e.maxSeq))
     val out = agg.iterator.map { case (p, a) =>
-      p -> PartSummary(p, a(0), a(1), a(2), a(3), a(4))
+      p -> PartSummary(p, a(0), a(1), a(2), a(3), a(4), a(5))
     }.toMap
     sumCache = (fp, out)
     out
@@ -472,10 +490,11 @@ final class Catalog(fs: FileSystem, path: Path) {
         }
         outs(s).write((encode(e) + "\n").getBytes(StandardCharsets.UTF_8))
         val a = sums(s).getOrElseUpdate(e.part,
-          Array(0L, 0L, 0L, Long.MinValue, Long.MinValue))
+          Array(0L, 0L, 0L, Long.MinValue, Long.MinValue, Long.MaxValue))
         a(0) += 1; a(1) += e.sizeBytes; a(2) += e.records
         if (e.maxSeq > a(3)) a(3) = e.maxSeq
         if (e.writeTs > a(4)) a(4) = e.writeTs
+        if (e.maxSeq < a(5)) a(5) = e.maxSeq
       }
     } finally outs.foreach(o => if (o != null) o.close())
     // sidecar per written shard — same tmp dir, so the atomic base swap
@@ -484,8 +503,9 @@ final class Catalog(fs: FileSystem, path: Path) {
       val out = new java.io.BufferedOutputStream(
         fs.create(new Path(tmp, Catalog.sumFileName(s)), true), 1 << 16)
       try sums(s).foreach { case (p, a) =>
-        out.write((encodeSum(PartSummary(p, a(0), a(1), a(2), a(3), a(4))) + "\n")
-          .getBytes(StandardCharsets.UTF_8))
+        out.write(
+          (encodeSum(PartSummary(p, a(0), a(1), a(2), a(3), a(4), a(5))) + "\n")
+            .getBytes(StandardCharsets.UTF_8))
       } finally out.close()
     }
     if (consumedSegs.nonEmpty) {
@@ -527,7 +547,8 @@ final class Catalog(fs: FileSystem, path: Path) {
     * hot loop and the order-insensitive scanner suffices. */
   private def encodeSum(p: PartSummary): String =
     s"""{"part":"${esc(p.part)}","chunks":${p.chunks},"sizeBytes":${p.sizeBytes},""" +
-      s""""records":${p.records},"maxSeq":${p.maxSeq},"maxWriteTs":${p.maxWriteTs}}"""
+      s""""records":${p.records},"maxSeq":${p.maxSeq},"maxWriteTs":${p.maxWriteTs},""" +
+      s""""minMaxSeq":${p.minMaxSeq}}"""
 
   private def decodeSum(line: String): PartSummary = {
     def str(key: String): String = {
@@ -548,15 +569,20 @@ final class Catalog(fs: FileSystem, path: Path) {
       }
       sb.toString
     }
-    def num(key: String): Long = {
+    def num(key: String, default: Long = 0L): Long = {
       val k = "\"" + key + "\":"
-      val st = line.indexOf(k) + k.length
+      val at = line.indexOf(k)
+      if (at < 0) return default
+      val st = at + k.length
       var i = st
       while (i < line.length && (line.charAt(i).isDigit || line.charAt(i) == '-')) i += 1
       line.substring(st, i).toLong
     }
     PartSummary(str("part"), num("chunks"), num("sizeBytes"), num("records"),
-      num("maxSeq"), num("maxWriteTs"))
+      num("maxSeq"), num("maxWriteTs"),
+      // absent in pre-round-13 sidecars: MinValue = UNKNOWN (see the
+      // PartSummary doc) — readers that care fall back to the shard
+      num("minMaxSeq", Long.MinValue))
   }
 
   private def encode(e: CatEntry): String =
@@ -719,7 +745,26 @@ object Catalog {
   private[store] def lockFor(path: String): Object =
     locks.getOrElseUpdate(path, new Object)
 
+  // ONE Catalog instance per qualified path, JVM-wide: every reader of a
+  // root (Store, the LQL engine, the DSv2 batch/streaming source) shares
+  // one set of fingerprint-memoized parse caches, so a streaming trigger
+  // never re-parses state an engine query (or the previous trigger)
+  // already parsed. Safe because all mutation goes through the per-path
+  // lock above and every read path revalidates against the on-disk
+  // fingerprint. Instances of DELETED roots linger with their last small
+  // parse until JVM exit — bounded by the number of distinct roots a
+  // driver touches, which is the same order as the Store/engine caches.
+  private val instances = scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
   def apply(conf: Configuration, root: String): Catalog = {
+    val p = new Path(root, "catalog.jsonl")
+    val fs = p.getFileSystem(conf)
+    instances.getOrElseUpdate(fs.makeQualified(p).toString, new Catalog(fs, p))
+  }
+
+  /** An UNSHARED instance with empty caches — for probes measuring cold
+    * parse costs; production callers want [[apply]]. */
+  def fresh(conf: Configuration, root: String): Catalog = {
     val p = new Path(root, "catalog.jsonl")
     new Catalog(p.getFileSystem(conf), p)
   }

@@ -24,14 +24,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Scope note: a shared allocator makes cross-driver (part, seq)
   * UNIQUENESS hold; the registration-order watermark
-  * ([[Store.safeSeqWatermarkFor]]) that streaming consumers use to defer
-  * not-yet-registered lower epochs remains per-JVM — a consumer only
-  * sees in-flight appends started in its own driver. Multi-driver
-  * deployments where a SECOND driver appends to partitions a first
-  * driver's pipes consume need the in-flight lease externalized the same
-  * way (a metastore table, or claim files carrying the target parts);
-  * until then, route a consumed partition's appends through the
-  * consuming driver. */
+  * ([[Store.safeSeqWatermarkFor]]) that streaming consumers use to
+  * defer not-yet-registered lower epochs is externalized the SAME way
+  * by [[InFlightRegistry]] — install a [[FileInFlightRegistry]]
+  * alongside this allocator ([[Store.useInFlightRegistry]]) and a
+  * second driver's in-flight appends defer the first driver's pipes and
+  * streaming offsets exactly like local ones (lease files on the shared
+  * filesystem carrying the declared target parts, announced BEFORE the
+  * epoch claim so a consumer can never see a higher registered epoch
+  * without the lower lease). A multi-driver deployment without the
+  * registry installed retains the old caveat: consumers only defer on
+  * their own driver's appends. */
 trait EpochAllocator {
   /** The next epoch: strictly greater than anything this allocator — or
     * any allocator sharing the backing sequence — has returned. */

@@ -67,9 +67,38 @@ object Store {
     * meanwhile). Single-partition appends (Store.write, pipe destination
     * appends) carry their target set, so only overlapping partitions
     * defer — a slow bulk load stalls nothing it doesn't touch; bulk
-    * appends with unknown targets defer everything for their duration. */
+    * appends with unknown targets defer everything for their duration.
+    *
+    * This per-JVM map is the DEFAULT lease medium (every append to a
+    * root flows through one driver — the documented design point);
+    * multi-driver deployments install a [[FileInFlightRegistry]] via
+    * [[useInFlightRegistry]] so OTHER drivers' in-flight appends defer
+    * too, and every consumer folds BOTH sources through
+    * [[inFlightSnapshot]]. */
   private val inFlight = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.ConcurrentHashMap[Long, InFlight]]
+
+  /** Announced-but-unclaimed appends ([[InFlightRegistry.preBegin]]'s
+    * in-JVM twin): an append sits here between lease announcement and
+    * epoch claim, so a consumer snapshotting in that window defers
+    * conservatively instead of advancing past an epoch that is about to
+    * be claimed LOWER than entries it can already see registered. */
+  private val pending = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.ConcurrentHashMap[AnyRef, InFlight]]
+
+  private val registries =
+    scala.collection.concurrent.TrieMap.empty[String, InFlightRegistry]
+
+  /** Install a shared [[InFlightRegistry]] for a store root (multi-driver
+    * deployments, alongside the [[FileEpochAllocator]]): appends in this
+    * JVM lease through it, and watermarks fold its entries IN ADDITION
+    * to the per-JVM map, so leases written by other drivers defer this
+    * driver's consumers. Install before the root's first append. */
+  def useInFlightRegistry(root: String, reg: InFlightRegistry): Unit =
+    registries.put(root, reg)
+
+  private[graft] def inFlightRegistry(root: String): Option[InFlightRegistry] =
+    registries.get(root)
 
   /** Lease for hung in-flight epochs (10 min). */
   val EpochLeaseNanos: Long = 10L * 60 * 1000 * 1000 * 1000
@@ -77,29 +106,71 @@ object Store {
   private[graft] def inFlightFor(root: String): java.util.concurrent.ConcurrentHashMap[Long, InFlight] =
     inFlight.getOrElseUpdate(root, new java.util.concurrent.ConcurrentHashMap[Long, InFlight])
 
+  private def pendingFor(root: String): java.util.concurrent.ConcurrentHashMap[AnyRef, InFlight] =
+    pending.getOrElseUpdate(root, new java.util.concurrent.ConcurrentHashMap[AnyRef, InFlight])
+
   /** Highest seq known to be "stable" for a root: every append with a seq
     * at or below it has either registered or died unregistered. MaxValue
     * when nothing is in flight. */
-  def safeSeqWatermark(root: String): Long = watermark(root, None)
+  def safeSeqWatermark(root: String): Long =
+    watermarkFrom(inFlightSnapshot(root), None)
 
   /** [[safeSeqWatermark]] restricted to one partition: in-flight appends
     * that declared a target set NOT containing `part` are ignored. */
   def safeSeqWatermarkFor(root: String, part: String): Long =
-    watermark(root, Some(part))
+    watermarkFrom(inFlightSnapshot(root), Some(part))
 
-  private def watermark(root: String, part: Option[String]): Long = {
-    val m = inFlight.get(root).orNull
-    if (m == null || m.isEmpty) return Long.MaxValue
+  /** Every live in-flight lease for a root: the per-JVM map (expiring
+    * hung entries in place, as before), the announced-but-unclaimed
+    * pendings, and — when a shared registry is installed — other
+    * drivers' leases. One snapshot serves MANY per-part watermark
+    * checks ([[watermarkFrom]]): the streaming source takes one per
+    * trigger instead of one registry listing per partition.
+    *
+    * Ordering contract for consumers: take the snapshot AFTER reading
+    * the catalog state it will gate. Epochs are claimed in strictly
+    * increasing order, so any in-flight epoch below a cataloged one was
+    * leased before that entry registered — a later snapshot can only
+    * see MORE of the leases that matter, never fewer. */
+  def inFlightSnapshot(root: String): Seq[InFlightEntry] = {
     val cutoff = System.nanoTime() - EpochLeaseNanos
+    val out = Seq.newBuilder[InFlightEntry]
+    val m = inFlight.get(root).orNull
+    if (m != null) {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.startNanos < cutoff) it.remove() // abandoned
+        else out += InFlightEntry(Some(e.getKey), e.getValue.parts)
+      }
+    }
+    val p = pending.get(root).orNull
+    if (p != null) {
+      val it = p.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.startNanos < cutoff) it.remove()
+        else out += InFlightEntry(None, e.getValue.parts)
+      }
+    }
+    registries.get(root).foreach(r => out ++= r.entries())
+    out.result()
+  }
+
+  /** The watermark a snapshot implies for `part` (None = any part):
+    * one below the smallest matching in-flight epoch's seq range;
+    * -1 (defer everything) while a matching append is announced but has
+    * not claimed its epoch yet — its epoch may land below entries the
+    * consumer can already see; MaxValue when nothing matches. */
+  def watermarkFrom(snap: Seq[InFlightEntry], part: Option[String]): Long = {
     var minEpoch = Long.MaxValue
-    val it = m.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val v = e.getValue
-      if (v.startNanos < cutoff) it.remove() // abandoned: nothing registered
-      else if (e.getKey < minEpoch &&
-          (part.isEmpty || v.parts.isEmpty || v.parts.get.contains(part.get)))
-        minEpoch = e.getKey
+    snap.foreach { e =>
+      val relevant = part.isEmpty || e.parts.isEmpty ||
+        e.parts.get.contains(part.get)
+      if (relevant) e.epoch match {
+        case Some(ep) => if (ep < minEpoch) minEpoch = ep
+        case None => return -1L
+      }
     }
     if (minEpoch == Long.MaxValue) Long.MaxValue
     else (minEpoch << SeqEpochShift) - 1
@@ -209,10 +280,44 @@ final class Store(val spark: SparkSession, val root: String) {
   def appendWithSeq(rows: DataFrame, maxRecordsPerFile: Long = 0,
       saltBuckets: Int = 1, partsHint: Option[Set[String]] = None,
       orderBy: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
-    val epoch = epochAllocator.next()
-    Store.inFlightFor(root).put(epoch, Store.InFlight(System.nanoTime(), partsHint))
+    // lease protocol: ANNOUNCE before claiming the epoch (see the
+    // InFlightRegistry contract — a lease appearing only after its claim
+    // could be invisible to a consumer that already saw a higher
+    // registered epoch), then upgrade the announcement with the epoch
+    val ext = Store.inFlightRegistry(root)
+    val preTok: AnyRef = ext match {
+      case Some(r) => r.preBegin(partsHint)
+      case None =>
+        val tok = new Object
+        Store.pendingFor(root).put(tok, Store.InFlight(System.nanoTime(), partsHint))
+        tok
+    }
+    // a failed claim/begin must release the announcement — a dead pre
+    // lease would otherwise defer its targets for the whole 10-min lease
+    val epoch =
+      try {
+        val e = epochAllocator.next()
+        ext match {
+          case Some(r) =>
+            r.begin(e, partsHint, preTok)
+          case None =>
+            Store.inFlightFor(root).put(e, Store.InFlight(System.nanoTime(), partsHint))
+            Store.pendingFor(root).remove(preTok)
+        }
+        e
+      } catch {
+        case t: Throwable =>
+          ext match {
+            case Some(r) => r.abort(preTok)
+            case None => Store.pendingFor(root).remove(preTok)
+          }
+          throw t
+      }
     try append(assignSeqEpoch(epoch, rows, orderBy), maxRecordsPerFile, saltBuckets)
-    finally Store.inFlightFor(root).remove(epoch)
+    finally ext match {
+      case Some(r) => r.end(epoch)
+      case None => Store.inFlightFor(root).remove(epoch)
+    }
   }
 
   private def epochAllocator: EpochAllocator =

@@ -79,10 +79,25 @@ final case class PipeDef(name: String, from: Option[Source], where: Option[Expre
   *        contract), so cutting between groups never strands rows below an
   *        advanced cursor.
   * @param pollMs idle wait between a worker's catalog checks; the memoized
-  *        catalog load makes an idle poll a fingerprint comparison. */
+  *        catalog load makes an idle poll a fingerprint comparison.
+  * @param cdcDedup enable CDC dedup-on-ingest for this service's pipes
+  *        (round-13 directive 7): each trigger content-chunks its rows
+  *        ([[graft.llm.Dedup.cdcChunksKeyed]], the one chunking
+  *        definition) and drops rows whose EVERY chunk already exists in
+  *        the pipe's persisted chunk-hash index
+  *        (`pipes/<name>/cdcindex/`, parquet, appended per trigger AFTER
+  *        the destination append) — the reference's pipe is a filter,
+  *        this makes ours filter ∧ dedup. Crash between append and index
+  *        write degrades to plain at-least-once (rows re-judged against
+  *        the OLD index on retry — never lost); crash between index
+  *        write and cursor save means the retried rows' chunks are
+  *        already indexed, so the retry drops them instead of appending
+  *        duplicates — the gate actively REPAIRS the at-least-once
+  *        window. Token-less rows cannot be content-judged and always
+  *        pass. */
 final class PipeService(store: Store, clock: () => Instant = () => Instant.now(),
     maxFilesPerTrigger: Int = 1024, compactThreshold: Int = 256,
-    pollMs: Long = 250L) {
+    pollMs: Long = 250L, cdcDedup: Boolean = false) {
 
   import PipeService._
 
@@ -204,7 +219,7 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
       // like the reference re-evaluates conditions per iteration
       val whereCol = () => p.where.map(w => whereC.compile(w, col("ts"), col("msg"), col("fields")))
       val w = new PipeWorker(store, p, pred, whereCol,
-        maxFilesPerTrigger, compactThreshold, pollMs)
+        maxFilesPerTrigger, compactThreshold, pollMs, cdcDedup)
       w.startThread()
       w
     })
@@ -224,7 +239,8 @@ final class PipeService(store: Store, clock: () => Instant = () => Instant.now()
   */
 final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     pred: Map[String, String] => Boolean, whereCol: () => Option[Column],
-    maxFilesPerTrigger: Int, compactThreshold: Int, pollMs: Long) {
+    maxFilesPerTrigger: Int, compactThreshold: Int, pollMs: Long,
+    cdcDedup: Boolean = false) {
 
   import PipeService._
 
@@ -233,7 +249,16 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
   private val stateDir = new Path(store.root, s"pipes/${p.name}")
   private val curPath = new Path(stateDir, "cursors.jsonl")
   private val curBak = new Path(stateDir, "cursors.jsonl.bak")
+  private val cdcIndexDir = new Path(stateDir, "cdcindex")
   private val destLine = p.destLine
+
+  /** The pipe's persisted chunk-hash index (distinct `chunk_hash` rows;
+    * empty frame before the first indexed trigger). Readers distinct()
+    * it, so crash-residue duplicate segments are harmless. */
+  private def cdcIndex(): DataFrame =
+    if (fs.exists(cdcIndexDir))
+      spark.read.schema("chunk_hash STRING").parquet(cdcIndexDir.toString)
+    else spark.range(0).select(lit(null).cast("string").as("chunk_hash"))
 
   /** part → highest fully-processed seq (-1 = nothing yet). */
   private val cursors = scala.collection.mutable.HashMap.empty[String, Long]
@@ -309,14 +334,6 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     val tagsCache = scala.collection.mutable.HashMap.empty[String, Map[String, String]]
     def tagsOf(line: String): Map[String, String] =
       tagsCache.getOrElseUpdate(line, Model.parseTags(line).getOrElse(Map.empty))
-    // entries above the in-flight watermark are deferred: a lower-epoch
-    // append to the same partition may still be running, and advancing the
-    // cursor past it would lose its rows once it registers (registration
-    // order is completion order, not epoch order). The watermark is
-    // per-partition: appends that declared disjoint targets don't defer us
-    val safeCache = scala.collection.mutable.HashMap.empty[String, Long]
-    def safeFor(part: String): Long =
-      safeCache.getOrElseUpdate(part, Store.safeSeqWatermarkFor(store.root, part))
     // discovery is O(new data), not O(catalog): the O(parts) summaries
     // name the partitions whose seq high-water advanced past the cursor
     // (a part-level maxSeq ≤ cursor means NO chunk can pass the
@@ -328,7 +345,21 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
         ps.maxSeq > cursors.getOrElse(ps.part, -1L)
     }.map(_.part).toSeq
     if (advanced.isEmpty) return 0
-    val cand = store.catalog.entriesForParts(advanced).valuesIterator.flatten
+    // entries above the in-flight watermark are deferred: a lower-epoch
+    // append to the same partition may still be running, and advancing the
+    // cursor past it would lose its rows once it registers (registration
+    // order is completion order, not epoch order). The watermark is
+    // per-partition: appends that declared disjoint targets don't defer
+    // us. ONE in-flight snapshot per trigger — taken AFTER entriesForParts
+    // materializes the candidate view (the snapshot ordering contract) —
+    // serves every partition's check, so a shared multi-driver registry
+    // is listed once, not once per partition
+    val byPart = store.catalog.entriesForParts(advanced)
+    val snap = Store.inFlightSnapshot(store.root)
+    val safeCache = scala.collection.mutable.HashMap.empty[String, Long]
+    def safeFor(part: String): Long =
+      safeCache.getOrElseUpdate(part, Store.watermarkFrom(snap, Some(part)))
+    val cand = byPart.valuesIterator.flatten
       .filter(e => e.maxSeq > cursors.getOrElse(e.part, -1L) &&
         e.maxSeq <= safeFor(e.part))
       .toVector
@@ -366,6 +397,29 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     // WHERE sees the record's own fields (tag stamping happens after the
     // filter, like the reference's siterator)
     whereCol().foreach(c => df = df.where(c))
+
+    // CDC dedup-on-ingest (optional): chunk the surviving rows ONCE,
+    // gate against the persisted index, and remember the chunk table for
+    // the post-append index update. Rows with no chunks (token-less)
+    // have no verdict — the left join keeps them.
+    var trigChunks: Option[DataFrame] = None
+    if (cdcDedup) {
+      // a CDC trigger is several jobs (gate join, append, index update);
+      // materialize the trigger's rows ONCE so only this read races a
+      // concurrent compact/TRUNCATE — every later job reads the
+      // checkpointed blocks (bounded by maxFilesPerTrigger), exactly the
+      // single-scan exposure a plain pipe trigger has
+      df = df.localCheckpoint(true)
+      val chunks = graft.llm.Dedup.cdcChunksKeyed(
+        df.select(col("part"), col("seq"), col("msg")),
+        Seq("part", "seq"), "msg").persist()
+      trigChunks = Some(chunks)
+      val verdicts = graft.llm.Dedup.cdcIngestKeepFromChunks(cdcIndex(), chunks)
+      df = df.join(verdicts, Seq("part", "seq"), "left")
+        .where(coalesce(col("keep"), lit(true)))
+        .drop("keep")
+    }
+
     df = df.withColumn("fields", concatFields(col("fields"), col("__ptags")))
       .drop("__cur", "__ptags")
 
@@ -373,12 +427,26 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     // atomic epochs make this safe even against a concurrent foreground
     // ingest into the same partition; the SOURCE (part, seq) is the row
     // identity that keeps destination seq order retry-stable
-    store.appendWithSeq(
-      df.withColumn("__src_part", col("part"))
-        .withColumn("__src_seq", col("seq"))
-        .withColumn("part", lit(destLine)),
-      partsHint = Some(Set(destLine)),
-      orderBy = Seq(col("__src_part"), col("__src_seq")))
+    try {
+      store.appendWithSeq(
+        df.withColumn("__src_part", col("part"))
+          .withColumn("__src_seq", col("seq"))
+          .withColumn("part", lit(destLine)),
+        partsHint = Some(Set(destLine)),
+        orderBy = Seq(col("__src_part"), col("__src_seq")))
+
+      // index update AFTER the destination append (see the cdcDedup
+      // ordering contract in PipeService's doc): every chunk hash this
+      // trigger SAW — kept and dropped alike fold to the same set, since
+      // a dropped row's chunks are in the index already — minus what the
+      // index holds, appended as one new parquet segment
+      trigChunks.foreach { chunks =>
+        val newHashes = chunks.select(col("chunk_hash")).distinct()
+          .join(cdcIndex().select(col("chunk_hash")).distinct(),
+            Seq("chunk_hash"), "left_anti")
+        newHashes.write.mode("append").parquet(cdcIndexDir.toString)
+      }
+    } finally trigChunks.foreach(_.unpersist())
 
     // advance + persist cursors AFTER the append (at-least-once — the
     // reference's save-after-write discipline, pkg/pipe/worker.go:73-89)
@@ -411,11 +479,16 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
         case _: java.io.FileNotFoundException => return true
         case a: org.apache.spark.sql.AnalysisException
             if a.getCondition == "PATH_NOT_FOUND" => return true
+        case s: org.apache.spark.SparkException
+            // the executor-side shape of the same race (the reader finds
+            // the path gone mid-task rather than at plan time)
+            if s.getCondition == "FAILED_READ_FILE.FILE_NOT_EXIST" => return true
         case _ => ()
       }
       t = t.getCause; depth += 1
     }
-    e.getMessage != null && e.getMessage.contains("FileNotFoundException")
+    e.getMessage != null && (e.getMessage.contains("FileNotFoundException") ||
+      e.getMessage.contains("FAILED_READ_FILE.FILE_NOT_EXIST"))
   }
 
   private def loadCursors(): Unit = {

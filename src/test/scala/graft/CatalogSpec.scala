@@ -15,7 +15,7 @@ class CatalogSpec extends AnyFunSuite {
 
   private def freshCatalog(): (Catalog, java.io.File) = {
     val dir = Files.createTempDirectory("graft-cat").toFile
-    (Catalog(new Configuration(), dir.getAbsolutePath), dir)
+    (Catalog.fresh(new Configuration(), dir.getAbsolutePath), dir)
   }
 
   private def entry(part: String, file: String, seq: Long = 7): CatEntry =
@@ -57,7 +57,7 @@ class CatalogSpec extends AnyFunSuite {
     val base = new java.io.File(dir, "catalog.jsonl.shards")
     val bak = new java.io.File(dir, "catalog.jsonl.shards.bak")
     assert(base.renameTo(bak))
-    val cat2 = Catalog(new Configuration(), dir.getAbsolutePath)
+    val cat2 = Catalog.fresh(new Configuration(), dir.getAbsolutePath)
     assert(cat2.load().map(_.file) == Vector("/f1"))
     assert(cat2.entriesForPart("a=1").map(_.file) == Vector("/f1"))
   }
@@ -72,7 +72,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(base.renameTo(bak))
     // a fresh instance compacts from this recovery state — the old code
     // deleted .shards.bak (the only base) before installing the new one
-    val cat2 = Catalog(new Configuration(), dir.getAbsolutePath)
+    val cat2 = Catalog.fresh(new Configuration(), dir.getAbsolutePath)
     cat2.save(cat2.load() :+ entry("b=2", "/f2"))
     assert(cat2.load().map(_.file).toSet == Set("/f1", "/f2"))
     assert(!bak.exists())
@@ -93,7 +93,7 @@ class CatalogSpec extends AnyFunSuite {
     }
     // both a fresh full load and the sharded per-part read must keep /f1
     // dead: its newest entry lives only in a CONSUMED segment
-    val cat2 = Catalog(new Configuration(), dir.getAbsolutePath)
+    val cat2 = Catalog.fresh(new Configuration(), dir.getAbsolutePath)
     assert(cat2.load().map(_.file) == Vector("/f2"))
     assert(cat2.entriesForPart("a=1").map(_.file) == Vector("/f2"))
     // and the next save must keep them dead too (consumed list carries
@@ -103,7 +103,7 @@ class CatalogSpec extends AnyFunSuite {
     segs.foreach { case (name, txt) =>
       Files.writeString(new java.io.File(segDir, name).toPath, txt)
     }
-    val cat3 = Catalog(new Configuration(), dir.getAbsolutePath)
+    val cat3 = Catalog.fresh(new Configuration(), dir.getAbsolutePath)
     assert(cat3.load().map(_.file) == Vector("/f2"))
   }
 
@@ -112,7 +112,7 @@ class CatalogSpec extends AnyFunSuite {
     // hand-written legacy layout: base file + one segment
     Files.writeString(new java.io.File(dir, "catalog.jsonl").toPath,
       """{"part":"a=1","file":"/f1","records":1,"sizeBytes":1,"minTs":0,"maxTs":0,"writeTs":1,"maxSeq":3}""" + "\n")
-    val cat = Catalog(new Configuration(), dir.getAbsolutePath)
+    val cat = Catalog.fresh(new Configuration(), dir.getAbsolutePath)
     cat.append(Seq(entry("b=2", "/f2")))
     assert(cat.load().map(_.file).toSet == Set("/f1", "/f2"))
     assert(cat.entriesForPart("a=1").map(_.file) == Vector("/f1"))
@@ -144,7 +144,7 @@ class CatalogSpec extends AnyFunSuite {
     val (cat, dir) = freshCatalog()
     cat.append(Seq(entry("a=1", "/f1")))
     assert(cat.entriesForPart("a=1").size == 1)
-    val cat2 = Catalog(new Configuration(), dir.getAbsolutePath)
+    val cat2 = Catalog.fresh(new Configuration(), dir.getAbsolutePath)
     cat2.append(Seq(entry("a=1", "/f2")))
     assert(cat.entriesForPart("a=1").size == 2,
       "shard fingerprint must detect cat2's segment")
@@ -162,7 +162,7 @@ class CatalogSpec extends AnyFunSuite {
     val (cat, dir) = freshCatalog()
     cat.append(Seq(entry("a=1", "/f1")))
     assert(cat.load().size == 1)
-    val cat2 = Catalog(new Configuration(), dir.getAbsolutePath)
+    val cat2 = Catalog.fresh(new Configuration(), dir.getAbsolutePath)
     cat2.append(Seq(entry("a=1", "/f2")))
     assert(cat.load().size == 2) // cat's fingerprint must detect cat2's segment
   }
@@ -226,7 +226,7 @@ class CatalogSpec extends AnyFunSuite {
     // simulate a pre-summary base: delete every sidecar
     val shards = new java.io.File(dir, "catalog.jsonl.shards").listFiles()
     shards.filter(_.getName.endsWith(".sum")).foreach(f => assert(f.delete()))
-    val cold = Catalog(new Configuration(), dir.getAbsolutePath)
+    val cold = Catalog.fresh(new Configuration(), dir.getAbsolutePath)
     assert(gotSummaries(cold) == naiveSummaries(cold))
   }
 
@@ -234,7 +234,7 @@ class CatalogSpec extends AnyFunSuite {
     val (cat, dir) = freshCatalog()
     cat.save(Seq(entry("a=1", "/f1", seq = 1)))
     assert(gotSummaries(cat) == naiveSummaries(cat))
-    val other = Catalog(new Configuration(), dir.getAbsolutePath)
+    val other = Catalog.fresh(new Configuration(), dir.getAbsolutePath)
     other.append(Seq(entry("a=1", "/f2", seq = 2)))
     assert(gotSummaries(cat) == naiveSummaries(cat), "sees the foreign append")
     other.replace(Set("/f1"), Nil)
@@ -279,7 +279,7 @@ class CatalogSpec extends AnyFunSuite {
     val legacy = new java.io.File(dir, "catalog.jsonl.d/seg-legacy.jsonl")
     Files.writeString(legacy.toPath,
       """{"part":"a=1","file":"/f9","records":1,"sizeBytes":1,"minTs":0,"maxTs":0,"writeTs":1}""" + "\n")
-    val cat2 = Catalog(new Configuration(), dir.getAbsolutePath)
+    val cat2 = Catalog.fresh(new Configuration(), dir.getAbsolutePath)
     assert(cat2.load().find(_.file == "/f9").get.maxSeq == -1)
   }
 }

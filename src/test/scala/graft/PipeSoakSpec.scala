@@ -114,6 +114,130 @@ class PipeSoakSpec extends AnyFunSuite {
         "polling loop never raced the churn")
   }
 
+  test("CDC dedup-on-ingest pipe: soak exactly-once with the gate on; known content drops, partial novelty passes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pipecdc").toString
+    val st = new Store(spark, root)
+    val e = new Engine(st)
+    val part = "app=pcdc"
+    val svc = new PipeService(st, pollMs = 15L, maxFilesPerTrigger = 8,
+      compactThreshold = 4, cdcDedup = true)
+    val parsed = new Parser(() => java.time.Instant.now())
+      .parse("CREATE PIPE pcdc FROM {app=pcdc}")
+      .toOption.get.asInstanceOf[CreatePipe]
+    svc.create(parsed)
+    val worker: PipeWorker = svc.worker("pcdc").get
+
+    val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val frontier = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var done = false
+    @volatile var churnErr: Option[Throwable] = None
+
+    // every 4th round REPEATS round k-4's contents verbatim — whether the
+    // repeat is gated (crossed a trigger boundary) or passes (same
+    // trigger as its original) is scheduling-dependent; the SOAK
+    // assertions below are therefore about exactly-once and gate safety,
+    // and the deterministic dedup assertions follow in the epilogue
+    def roundMsgs(k: Int): Seq[String] =
+      // k-3 ≡ 1 (mod 4) is itself never a repeat round, so every repeated
+      // content appears EXACTLY twice in the source (original + repeat)
+      if (k >= 4 && k % 4 == 0) roundMsgs(k - 3)
+      else (0 until 3).map(i => s"cdc unique payload $k token$i")
+
+    // slower cadence than the base soak: a CDC trigger is ~4 Spark jobs
+    // (chunk persist, gate join, append, index update) — the window must
+    // leave room for whole triggers to land BETWEEN churn deletions
+    val appender = new Thread(() => {
+      try {
+        for (k <- 0 until 28) {
+          val base = (k + 1) * 100000000000L
+          val msgs = roundMsgs(k)
+          msgs.foreach(appended.add)
+          st.write(Map("app" -> "pcdc"), Map.empty,
+            msgs.zipWithIndex.map { case (m, i) => (base + i * 1000000000L, m) }
+              .toDF("ts", "msg"))
+          frontier.set(base)
+          Thread.sleep(40L + new scala.util.Random(k).nextInt(140).toLong)
+        }
+      } finally done = true
+    }, "pcdc-appender")
+
+    val churner = new Thread(() => {
+      val rnd = new scala.util.Random(23)
+      while (!done) {
+        try {
+          if (rnd.nextBoolean()) st.compact(part)
+          else {
+            val cut = frontier.get() / 2
+            if (cut > 0) {
+              val iso = java.time.Instant.ofEpochSecond(
+                cut / 1000000000L, cut % 1000000000L).toString
+              e.execute(s"""TRUNCATE {app=pcdc} BEFORE "$iso"""").collect()
+            }
+          }
+        } catch { case t: Throwable => churnErr = churnErr.orElse(Some(t)) }
+        Thread.sleep(60L + rnd.nextInt(120).toLong)
+      }
+    }, "pcdc-churner")
+
+    appender.start(); churner.start()
+    appender.join(120000); churner.join(120000)
+    assert(done, "appender did not finish")
+    val backgroundBatches = worker.batches
+    svc.processAllAvailable()
+    svc.processAllAvailable()
+    churnErr.foreach(t => fail(s"churn thread failed: $t"))
+
+    val destLine = Model.tagLine(Map(PipeService.PipeTag -> "pcdc"))
+    def delivered(): Seq[String] =
+      st.read(Seq(destLine)).select("msg").collect().map(_.getString(0)).toSeq
+    val soak = delivered()
+    assert(soak.nonEmpty, "CDC soak delivered nothing")
+    // gate safety under churn: nothing foreign, and no content ever
+    // delivered more often than it was appended (the gate can only DROP)
+    assert(soak.toSet.subsetOf(appended.asScala()),
+      "delivered a message that was never appended")
+    val appCount = appended.asScala().map(m => m -> 1).toMap // contents unique per round set
+    soak.groupBy(identity).foreach { case (m, copies) =>
+      // a content appears at most twice in the source (original + one
+      // repeat round); more copies than that is a cursor/delivery bug
+      assert(copies.size <= 2, s"content '$m' delivered ${copies.size}x (max 2 in source)")
+    }
+    assert(appCount.nonEmpty)
+    // completeness for surviving DISTINCT content: anything still in the
+    // source must exist in the destination at least once (the gate drops
+    // REPEATS, never first occurrences)
+    val remaining = st.read(Seq(part)).select("msg").collect().map(_.getString(0))
+    val deliveredSet = soak.toSet
+    val missing = remaining.filterNot(deliveredSet.contains)
+    assert(missing.isEmpty,
+      s"${missing.length} surviving source contents never delivered: ${missing.take(5).toSeq}")
+    // lower floor than the base soak's 5: CDC triggers are multi-job and
+    // the churn eats more of them — 3 still proves the BACKGROUND loop
+    // raced the churn rather than one catch-up drain doing everything
+    assert(backgroundBatches >= 3,
+      s"background worker ran only $backgroundBatches triggers")
+
+    // ---- deterministic dedup epilogue (drain-bounded triggers) ----
+    // a full repeat of ALREADY-DELIVERED content must be dropped by the
+    // gate; a message sharing tokens with history but carrying a fresh
+    // payload chunk must pass (partial novelty is not a duplicate)
+    val known = soak.head
+    val before = delivered().size
+    st.write(Map("app" -> "pcdc"), Map.empty,
+      Seq((900000000000000L, known),
+        (900000000001000L, s"$known fresh epilogue payload alpha beta"))
+        .toDF("ts", "msg"))
+    svc.processAllAvailable()
+    svc.stopAll()
+    val after = delivered()
+    assert(after.size == before + 1,
+      s"expected exactly the novel row to pass (before=$before after=${after.size})")
+    assert(after.count(_ == known) == soak.count(_ == known),
+      "a fully-known content slipped past the CDC gate")
+    assert(after.exists(_.endsWith("fresh epilogue payload alpha beta")),
+      "the partially-novel row was wrongly dropped")
+  }
+
   private implicit class KeySetOps(
       ks: java.util.Set[String]) {
     def asScala(): Set[String] = {

@@ -1475,4 +1475,95 @@ object Curation {
        |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
        |                     '$PhoneRe', '<PHONE>', 'g')) AS red_hash
        |FROM t""".stripMargin
+
+  // --- sequence packing (round 13) --------------------------------------
+
+  /** Packing context length (tokens per training sequence) and the
+    * block size (docs per independently-packed block). 512 tokens suits
+    * the synthetic 10–100-token docs the way 2k–8k contexts suit real
+    * corpora (several docs per bin, overflow boundaries actually
+    * exercised); 1024-doc blocks amortize block-boundary waste to
+    * < 0.1% while keeping every block's fold array bounded. */
+  val PackCtxTokens = 512L
+  val PackBlockDocs = 1024L
+
+  /** Document-respecting sequence PACKING stats — the [[pack]]
+    * concat-and-chop shard map's complement: [[pack]] splits documents
+    * at exact token budgets (zero waste, docs cross boundaries), while
+    * THIS packer never splits a document across training sequences
+    * (a doc longer than the context truncates to it — the standard
+    * practice pair) and therefore pays measurable padding waste, which
+    * is exactly the statistic it reports. Run BLOCK-LOCALLY: docs are
+    * processed in
+    * doc_id order within fixed [[PackBlockDocs]]-sized doc_id blocks,
+    * each block packed independently. Block-local greedy is the
+    * distributed-packing shape real pipelines use — a GLOBAL greedy
+    * fold is inherently sequential (bin state threads through every
+    * row), while block-local is embarrassingly parallel, deterministic
+    * under any partitioning, and its extra waste is bounded by one
+    * partial bin per block.
+    *
+    * Per block: `(block, n_docs, n_bins, sum_tok, waste_e4)` with
+    * waste_e4 = floor((n_bins·CTX − Σtok)·1e4 / (n_bins·CTX) + 0.5) —
+    * the padding fraction a trainer would burn on this packing.
+    *
+    * Plan shape: one narrow projection computes each doc's truncated
+    * token count (an int, not the tokens — the corpus text never
+    * shuffles), ONE block-keyed exchange groups ≤ [[PackBlockDocs]]
+    * ints per block, and the greedy fold runs as a codegen'd
+    * `aggregate` lambda over the sorted in-block array. At 100 TB the
+    * block table is docs/1024 rows — the output IS the packing
+    * manifest a sharded tokenizer run consumes. */
+  def packStats(docs: DataFrame): DataFrame = {
+    val ctx = PackCtxTokens
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        least(size(Dedup.tokens(col("text"))).cast("long"), lit(ctx)).as("t"))
+      .groupBy(expr(s"doc_id div $PackBlockDocs").as("block"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tok"),
+        sort_array(collect_list(struct(col("doc_id"), col("t")))).as("ds"))
+      .withColumn("n_bins", expr(
+        // greedy fold, (bins, fill) threaded through the sorted block:
+        // overflow opens a new bin seeded with the doc's tokens. A
+        // 0-token doc packs free; an all-empty block still counts its
+        // one (empty) bin — consistent in both engines.
+        s"""aggregate(ds, struct(1L AS bins, 0L AS fill),
+           |  (acc, x) -> IF(acc.fill + x.t > $ctx,
+           |    struct(acc.bins + 1L AS bins, x.t AS fill),
+           |    struct(acc.bins AS bins, acc.fill + x.t AS fill)),
+           |  acc -> acc.bins)""".stripMargin))
+      .withColumn("waste_e4", floor(
+        (col("n_bins") * ctx - col("sum_tok")).cast("double") * 1e4
+          / (col("n_bins") * ctx).cast("double") + 0.5).cast("long"))
+      .select(col("block"), col("n_docs"), col("n_bins"), col("sum_tok"),
+        col("waste_e4"))
+  }
+
+  /** DuckDB twin of [[packStats]] — the same greedy fold via
+    * `list_reduce` with the (bins, fill) state packed into one BIGINT
+    * (`bins·10^4 + fill`; fill ≤ CTX < 10^4, so the encoding is exact
+    * and the list's raw token counts can never be mistaken for an
+    * encoded accumulator — only the PREPENDED seed carries it). */
+  val packStatsOracle: String = {
+    val ctx = PackCtxTokens
+    s"""WITH pk_t AS (
+       |  SELECT doc_id::BIGINT AS doc_id, doc_id // $PackBlockDocs AS block,
+       |    least(len(list_filter(string_split_regex(lower(text), '\\W+'),
+       |                          t -> t != ''))::BIGINT, $ctx) AS t
+       |  FROM documents),
+       |pk_b AS (
+       |  SELECT block, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS sum_tok,
+       |    list_prepend(10000::BIGINT, list(t ORDER BY doc_id)) AS ts
+       |  FROM pk_t GROUP BY 1),
+       |pk_f AS (
+       |  SELECT block, n_docs, sum_tok,
+       |    list_reduce(ts, (acc, t) ->
+       |      CASE WHEN acc % 10000 + t > $ctx
+       |           THEN (acc // 10000 + 1) * 10000 + t
+       |           ELSE acc + t END) // 10000 AS n_bins
+       |  FROM pk_b)
+       |SELECT block, n_docs, n_bins, sum_tok,
+       |  floor((n_bins * $ctx - sum_tok) * 1e4 /
+       |        (n_bins * $ctx) + 0.5)::BIGINT AS waste_e4
+       |FROM pk_f""".stripMargin
+  }
 }

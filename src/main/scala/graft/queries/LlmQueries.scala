@@ -636,6 +636,8 @@ object LlmQueries {
     "llm_sample" -> (sample _),
     "llm_mixture" -> (mixture _),
     "llm_pack" -> (pack _),
+    "llm_pack_bins" ->
+      ((s: SparkSession, d: String) => Curation.packStats(docs(s, d))),
     "llm_chunk" -> (chunk _),
     // content-DEFINED chunking: gear-hash boundaries, insertion-robust
     // chunk table + chunk-level keep-one dedup profile
@@ -1053,6 +1055,7 @@ object LlmQueries {
     "llm_drift" -> graft.llm.Mining.driftOracle,
     "llm_mixture" -> Curation.mixtureOracle,
     "llm_pack" -> Curation.packOracle,
+    "llm_pack_bins" -> Curation.packStatsOracle,
     "llm_chunk" -> Curation.chunkOracle,
     "llm_cdc_chunks" -> graft.llm.Dedup.cdcChunksOracle,
     "llm_cdc_dedup" -> graft.llm.Dedup.cdcDedupOracle,

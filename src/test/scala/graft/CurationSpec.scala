@@ -601,4 +601,43 @@ class CurationSpec extends AnyFunSuite {
       (te(0), "test", 3L, 9000L, bestTrain),
       (va(0), "validation", 1L, 7000L, tr(3))))
   }
+
+  test("packStats: block-local greedy fold matches a reference packer; truncation and block split pinned") {
+    import spark.implicits._
+    val ctx = Curation.PackCtxTokens.toInt
+    // planted docs: ids straddle a block boundary (1023/1024); one doc
+    // exceeds the context (truncates); several exact-fit sequences
+    def doc(id: Long, nTok: Int) = (id, Seq.fill(nTok)("w").mkString(" "))
+    val rows = Seq(
+      doc(0L, 300), doc(1L, 212),          // exact fill: 300+212 = 512
+      doc(2L, 500), doc(3L, 13),           // 500, then 13 overflows -> new bin
+      doc(1023L, ctx + 250),               // truncates to 512, fills bin alone
+      doc(1024L, 100), doc(1025L, 100),    // SECOND block: independent state
+      doc(2048L, 0))                       // empty doc in its own block
+    val out = Curation.packStats(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // reference packer (plain sequential fold per block)
+    def ref(ts: Seq[Int]): (Long, Long) = {
+      var bins = 1L; var fill = 0L
+      ts.foreach { t0 =>
+        val t = math.min(t0, ctx)
+        if (fill + t > ctx) { bins += 1; fill = t } else fill += t
+      }
+      (bins, ts.map(math.min(_, ctx).toLong).sum)
+    }
+    def row(block: Long, ts: Seq[Int]): (Long, Long, Long, Long, Long) = {
+      val (bins, sum) = ref(ts)
+      (block, ts.size.toLong, bins, sum,
+        math.floor((bins * ctx - sum) * 1e4 / (bins * ctx) + 0.5).toLong)
+    }
+    assert(out == Set(
+      row(0L, Seq(300, 212, 500, 13, ctx + 250)),
+      row(1L, Seq(100, 100)),
+      row(2L, Seq(0))))
+    // and the planted shape really exercises what it claims: the exact
+    // 512-fill shares a bin, every later doc overflows —
+    // [300+212 | 500 | 13 | 512-truncated] = 4 bins
+    assert(out.find(_._1 == 0L).get._3 == 4L)
+  }
 }

@@ -31,6 +31,13 @@ object ScaleData {
   val NumDocs = 50000L
   val NumVecs = 20000L
   val NumEvents = 1000000L
+  // TPC-H-ish decade extrapolation (10× the sf0.1 row counts; region and
+  // nation are fixed-size dims at every sf, like the driver's set)
+  val NumCust = 150000L
+  val NumSupp = 10000L
+  val NumPart = 200000L
+  val NumOrders = 1500000L
+  val NumLineitem = 6000000L
 
   private val Vocab = Vector("a", "agg", "batch", "big", "column",
     "customer", "data", "dup", "fast", "filter", "group", "hash", "join",
@@ -58,7 +65,9 @@ object ScaleData {
   /** Generate (idempotently) and return the sf1 dir. */
   def ensure(spark: SparkSession): String = {
     val dir = new java.io.File(Sf1Dir).getAbsolutePath
-    val done = new java.io.File(dir, "_GENERATED")
+    // v2: round 13 added the TPC-H decade tables — an sf1 dir generated
+    // before that must rebuild (the old marker is ignored)
+    val done = new java.io.File(dir, "_GENERATED_v2")
     if (done.exists()) return dir
     import spark.implicits._
 
@@ -94,7 +103,96 @@ object ScaleData {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+    // --- TPC-H-ish tables, faithful to the profiled sf0.1 distributions
+    // (uniform categories, the same value ranges, two-decimal prices —
+    // the e2 fixed-point contract every oracle-gated q* entry relies on)
+    def dayTs(baseDay: Long, spanDays: Int, rnd: scala.util.Random): java.sql.Timestamp =
+      new java.sql.Timestamp((baseDay + rnd.nextInt(spanDays)) * 86400000L)
+    val epoch1995 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime / 86400000L
+
+    spark.createDataFrame(
+      (0 to 4).map(k => (k,
+        Vector("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")(k))))
+      .toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    spark.createDataFrame((0 until 25).map(k => (k, s"NATION_$k", k % 5)))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+
+    spark.range(0L, NumCust, 1L, 32).map { id =>
+      val rnd = rndFor(id, 31L)
+      (id, f"Customer#$id%09d", rnd.nextInt(25),
+        (rnd.nextInt(1099985) - 99985) / 100.0,
+        Vector("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+          "MACHINERY")(rnd.nextInt(5)))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    spark.range(0L, NumSupp, 1L, 32).map { id =>
+      val rnd = rndFor(id, 37L)
+      (id, f"Supplier#$id%09d", rnd.nextInt(25),
+        (rnd.nextInt(1099985) - 99985) / 100.0)
+    }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+
+    val adjs = Vector("large", "hot", "blue", "old", "cold", "small",
+      "new", "red")
+    val nouns = Vector("ring", "bolt", "plate", "gear", "screw", "wheel")
+    spark.range(0L, NumPart, 1L, 32).map { id =>
+      val rnd = rndFor(id, 41L)
+      (id, s"${adjs(rnd.nextInt(adjs.length))} ${nouns(rnd.nextInt(nouns.length))}",
+        s"Brand#${rnd.nextInt(25)}",
+        Vector("LARGE", "STANDARD", "ECONOMY", "SMALL", "PROMO",
+          "MEDIUM")(rnd.nextInt(6)),
+        1 + rnd.nextInt(50), 900.0 + (id % 1000L) / 10.0)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+
+    spark.range(0L, NumOrders, 1L, 32).map { id =>
+      val rnd = rndFor(id, 43L)
+      (id, math.abs(rnd.nextLong()) % NumCust,
+        Vector("F", "O", "P")(rnd.nextInt(3)),
+        (100191 + rnd.nextInt(49899128)) / 100.0,
+        dayTs(epoch1995, 2405, rnd), // 1995-01-01 .. 2001-08-01
+        Vector("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW")(rnd.nextInt(5)))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    spark.range(0L, NumLineitem, 1L, 32).map { id =>
+      val rnd = rndFor(id, 47L)
+      (math.abs(rnd.nextLong()) % NumOrders,
+        math.abs(rnd.nextLong()) % NumPart,
+        math.abs(rnd.nextLong()) % NumSupp,
+        1 + rnd.nextInt(7),
+        (1 + rnd.nextInt(50)).toDouble,
+        (90068 + rnd.nextInt(10409924)) / 100.0,
+        rnd.nextInt(11) / 100.0, rnd.nextInt(9) / 100.0,
+        Vector("A", "N", "R")(rnd.nextInt(3)),
+        Vector("F", "O")(rnd.nextInt(2)),
+        dayTs(epoch1995 + 1, 2498, rnd)) // 1995-01-02 .. 2001-11-04
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
     done.createNewFile()
     dir
+  }
+}
+
+/** `sbt "Test/runMain graft.Sf1Gen"` — generate (idempotently) the
+  * on-disk sf1 decade for the sf1 oracle/bench runs (round-13
+  * directive 3). Prints the absolute dir. */
+object Sf1Gen {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("sf1gen").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try println(s"[sf1gen] ${ScaleData.ensure(spark)}")
+    finally spark.stop()
   }
 }

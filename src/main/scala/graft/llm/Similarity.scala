@@ -54,39 +54,31 @@ object Similarity {
     * score ≥ `minScoreR` (1e6-scaled — thresholding on the integerized
     * score keeps engines bit-agreed at the boundary).
     *
-    * Scale shape — NO driver materialization anywhere in the plan:
-    *  1. signature: each vector gets `bands` band keys of `rowsPerBand`
-    *    sign-LSH bits each (seeded hyperplanes, primitive-double kernel in
-    *    `mapPartitions` — HOF Columns evaluate interpreted and 96 plane
-    *    dots per row is the hot path);
-    *  2. candidates: self-join of the (vec_id, band, key) table on
-    *    (band, key) — a shuffle of ids+two ints only, never embeddings —
-    *    then `distinct()` on the id PAIR (a pair colliding in several
-    *    bands must verify once);
-    *  3. verify: candidate pairs rejoin their vectors by vec_id and an
-    *    exact left-to-right double kernel scores them (matches the SQL
-    *    oracle bit-for-bit), keeping pairs ≥ `minScoreR`.
+    * Two modes, selected by `bands`:
     *
-    * Recall bound (same discipline as [[Dedup.nearDuplicates]]): a pair at
-    * angle θ agrees per plane w.p. 1-θ/π, so it collides in ≥1 band w.p.
-    * 1-(1-(1-θ/π)^rowsPerBand)^bands — at the 0.45-cosine threshold
-    * (θ≈63°, the synthetic set's near-uniform hard case) the defaults give
-    * ≈1-3e-5 per pair, and with the fixed default seed every ≥-threshold
-    * pair in the sf0.001/0.01/0.1 sets verifiably collides (checked in
-    * LlmSpec against brute force), so the oracle comparison is exact.
+    * `bands = 0` (the DEFAULT — the oracle-gate contract): EXACT
+    * all-pairs via [[embeddingNearDupExact]]. A probabilistic banding
+    * can NEVER hold a full-recall contract at every scale: at the
+    * 0.45-cosine threshold (θ≈63°) the old 24×4 default's per-pair
+    * miss probability is (1-(1-θ/π)^4)^24 ≈ 0.9% — the sf0.001/0.01/
+    * 0.1 gates happened to collide every pair under the fixed seed,
+    * and the first on-disk sf1 run surfaced 124 missing borderline
+    * pairs out of 16 848 (round 13; the ScaleDecadeSpec lesson in
+    * oracle form). Since the low threshold makes banding density ≈0.8
+    * of all pairs anyway, exactness costs ~25% more verify work and
+    * removes the scale decay entirely.
     *
-    * Candidate-density trade, by (threshold → bands × rowsPerBand), on
-    * near-uniform vectors (candidates as a fraction of all n²/2 pairs;
-    * guarded by LlmSpec so a parameter change can't silently go quadratic):
-    *
-    *   0.45 (oracle: full recall required)  24 × 4   ≈ 0.8 — near-all-pairs
-    *        BY DESIGN: the exact-oracle gate needs every ≥-threshold pair
-    *   0.9  (production near-dup)           16 × 16  < 0.01 — per-band
-    *        collision ≈ (1-θ/π)^16 prunes hard at real-corpus thresholds
-    *
-    * Use [[ProductionNearDupParams]] when thresholding at ≥0.9. */
+    * `bands > 0`: the banded sign-LSH path — candidates from
+    * [[nearDupCandidates]] (shuffle of ids only, never vectors), exact
+    * verify kernel on the survivors. This is the PRODUCTION shape for
+    * real-corpus thresholds: at ≥0.9 cosine,
+    * [[ProductionNearDupParams]] (16×16) prunes to <1% of all pairs
+    * with per-pair miss < 1e-8 at the threshold (the LlmSpec density
+    * guard pins it), which is a recall trade a production near-dup
+    * pass accepts — unlike the gate, whose contract is every pair. */
   def embeddingNearDup(emb: DataFrame, minScoreR: Long = 450000L,
-      bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 13L): DataFrame = {
+      bands: Int = 0, rowsPerBand: Int = 4, seed: Long = 13L): DataFrame = {
+    if (bands == 0) return embeddingNearDupExact(emb, minScoreR)
     val spark = emb.sparkSession
     import spark.implicits._
     // empty input short-circuits inside nearDupCandidates (one dim probe,
@@ -119,6 +111,49 @@ object Similarity {
           }
           val r = math.floor(s / (math.sqrt(na) * math.sqrt(nbn)) * 1e6 + 0.5).toLong
           if (r >= minScoreR) Some((ida, idb, r)) else None
+        }
+      }.toDF("vec_a", "vec_b", "score_r")
+  }
+
+  /** EXACT embedding near-dup: every (a, b) pair with b's id above a's
+    * scores against a BROADCAST copy of the whole vector set — zero
+    * shuffle, zero misses, work n²d/2 spread evenly over the a-side
+    * partitions. The broadcast is the documented driver bound: n·d
+    * floats (5 MB at 20k×64; ~256 MB at 10^6 vectors — the boundary
+    * where the documented swap is a blocked cross join of sorted id
+    * ranges, same kernel). The per-pair kernel is the identical
+    * left-to-right double fold as the banded verify and the SQL oracle,
+    * so all three stay bit-agreed at the threshold. */
+  def embeddingNearDupExact(emb: DataFrame, minScoreR: Long = 450000L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val all = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ids: Array[Long] = all.map(_._1)
+    val vecs: Array[Array[Double]] = all.map(_._2.map(_.toDouble))
+    val norms: Array[Double] =
+      vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (bIds, bVecs, bNorms) = bc.value
+        it.flatMap { case (ida, va0) =>
+          val va = va0.map(_.toDouble)
+          var naSq = 0.0
+          var k = 0
+          while (k < va.length) { naSq += va(k) * va(k); k += 1 }
+          val na = math.sqrt(naSq)
+          val at = java.util.Arrays.binarySearch(bIds, ida)
+          val start = if (at >= 0) at + 1 else -at - 1
+          (start until bIds.length).iterator.flatMap { j =>
+            val vb = bVecs(j)
+            var s = 0.0
+            var i = 0
+            while (i < va.length) { s += va(i) * vb(i); i += 1 }
+            val r = math.floor(s / (na * bNorms(j)) * 1e6 + 0.5).toLong
+            if (r >= minScoreR) Some((ida, bIds(j), r)) else None
+          }
         }
       }.toDF("vec_a", "vec_b", "score_r")
   }

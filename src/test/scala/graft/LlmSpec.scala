@@ -458,13 +458,18 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("embedding near-dup: LSH candidates reproduce exact all-pairs at every SF") {
-    // the seeded planes are deterministic, so "every ≥-threshold pair
-    // collides in ≥1 band" is a checkable fact, not a probability — this
-    // test IS the recall proof backing the oracle hash-match
+  test("embedding near-dup: exact default AND the banded path reproduce all-pairs at every SF") {
+    // the DEFAULT is the exact broadcast all-pairs path (full recall by
+    // construction — the sf1 oracle run caught the old banded default
+    // missing 124 borderline pairs, round 13); the banded path stays
+    // equal at these decades under the fixed seed, which remains a
+    // checkable fact here even though it no longer backs the gate
     for (sf <- Seq("0.001", "0.01", "0.1")) {
       val e = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
       val got = Similarity.embeddingNearDup(e).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val gotBanded = Similarity
+        .embeddingNearDup(e, bands = 24, rowsPerBand = 4).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val vecs = e.select(col("vec_id").cast("long"), col("embedding"))
         .collect()
@@ -485,7 +490,9 @@ class LlmSpec extends AnyFunSuite {
       }).filter(_._3 >= 450000L).toSet
       assert(expected.nonEmpty, s"sf$sf: exact reference found no pairs")
       assert(got == expected,
-        s"sf$sf: LSH-candidate result diverged: missing=${expected -- got} extra=${got -- expected}")
+        s"sf$sf: exact path diverged: missing=${expected -- got} extra=${got -- expected}")
+      assert(gotBanded == expected,
+        s"sf$sf: banded path diverged: missing=${expected -- gotBanded} extra=${gotBanded -- expected}")
     }
   }
 

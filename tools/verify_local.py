@@ -25,6 +25,11 @@ import duckdb
 import pandas as pd
 
 con = duckdb.connect()
+# protect the host on big-sf runs: a quadratic oracle once reached
+# 112 GB RSS on a 128 GB box before the per-oracle timeout could fire
+mem = os.environ.get("DUCKDB_MEM")
+if mem:
+    con.execute(f"SET memory_limit='{mem}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf}/{t}.parquet"

@@ -140,18 +140,23 @@ final class FileInFlightRegistry(fs: FileSystem, dir: Path)
     val out = Seq.newBuilder[InFlightEntry]
     sts.foreach { st =>
       val name = st.getPath.getName
+      // a crashed writeAtomic leaves `<name>.tmp` — never a live lease
+      // (rename is the publish step); the expiry sweep still reaps it
+      val isTmp = name.endsWith(".tmp")
       val epoch: Option[Option[Long]] = // None = not a lease file
-        if (name.startsWith(ClaimPrefix))
-          Some(Some(name.substring(ClaimPrefix.length).toLong))
+        if (isTmp) None
+        else if (name.startsWith(ClaimPrefix))
+          scala.util.Try(name.substring(ClaimPrefix.length).toLong)
+            .toOption.map(Some(_))
         else if (name.startsWith(PrePrefix)) Some(None)
         else None
-      epoch.foreach { ep =>
-        if (st.getModificationTime < cutoffMs)
-          // abandoned (crashed writer): expire like the in-JVM lease
+      if (st.getModificationTime < cutoffMs) {
+        // abandoned (crashed writer) lease or torn tmp: expire like the
+        // in-JVM lease
+        if (isTmp || epoch.isDefined)
           try fs.delete(st.getPath, false)
           catch { case _: java.io.IOException => () }
-        else out += InFlightEntry(ep, readParts(st.getPath))
-      }
+      } else epoch.foreach(ep => out += InFlightEntry(ep, readParts(st.getPath)))
     }
     out.result()
   }

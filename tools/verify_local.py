@@ -30,6 +30,9 @@ con = duckdb.connect()
 mem = os.environ.get("DUCKDB_MEM")
 if mem:
     con.execute(f"SET memory_limit='{mem}'")
+    # no spill-to-disk: a quadratic oracle should FAIL FAST (reported as
+    # oracle-infeasible below), not fill the volume with temp storage
+    con.execute("SET temp_directory=''")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf}/{t}.parquet"
@@ -77,6 +80,12 @@ for name in sorted(os.listdir(out)):
         skipped += 1
         print(f"⏱ {name:24s} oracle exceeded {timeout_s}s — skipped "
               "(engine rows={})".format(len(got)))
+        continue
+    except duckdb.Error as e:
+        skipped += 1
+        msg = str(e).splitlines()[0][:120]
+        print(f"⏱ {name:24s} oracle infeasible at this sf — skipped "
+              f"(engine rows={len(got)}): {msg}")
         continue
     ng, cg, hg = canon(got)
     nw, cw, hw = canon(want)

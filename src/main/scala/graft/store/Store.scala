@@ -109,6 +109,24 @@ object Store {
   private def pendingFor(root: String): java.util.concurrent.ConcurrentHashMap[AnyRef, InFlight] =
     pending.getOrElseUpdate(root, new java.util.concurrent.ConcurrentHashMap[AnyRef, InFlight])
 
+  /** One-call multi-driver enablement for a store root: installs the
+    * [[FileEpochAllocator]] (cross-driver (part, seq) uniqueness, claim
+    * files under `<root>/.epochs`) AND the [[FileInFlightRegistry]]
+    * (cross-driver watermark leases under `<root>/.inflight`) — the two
+    * halves of the multi-driver contract, which only hold TOGETHER.
+    * Call in EVERY driver JVM that touches the root, before its first
+    * seq-assigning append there (the allocator-already-active guard
+    * throws otherwise). Single-driver deployments need none of this —
+    * the per-JVM defaults are the documented design point. */
+  def enableMultiDriver(root: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val epochDir = new Path(root, ".epochs")
+    val fs = epochDir.getFileSystem(conf)
+    useEpochAllocator(root, seed => new FileEpochAllocator(fs, epochDir, seed))
+    useInFlightRegistry(root,
+      new FileInFlightRegistry(fs, new Path(FileInFlightRegistry.dirFor(root))))
+  }
+
   /** Highest seq known to be "stable" for a root: every append with a seq
     * at or below it has either registered or died unregistered. MaxValue
     * when nothing is in flight. */

@@ -133,6 +133,25 @@ class InFlightRegistrySpec extends AnyFunSuite {
     assert(all.map(_._2).distinct.size == all.size, "duplicate seqs delivered")
   }
 
+  test("enableMultiDriver installs both halves; writes mint file-claimed epochs and leases clean up") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mdrv").toString
+    Store.enableMultiDriver(root, new Configuration())
+    val st = new Store(spark, root)
+    st.write(Map("app" -> "md"), Map.empty,
+      (0 until 3).map(i => (1000000000L + i, s"m$i")).toDF("ts", "msg"))
+    // epochs really came from the file allocator
+    val epochDir = new Path(root, ".epochs")
+    assert(localFs.exists(epochDir) && localFs.listStatus(epochDir).nonEmpty,
+      "no epoch claim files — the file allocator was not installed")
+    // the lease released cleanly: nothing in flight, watermark wide open
+    assert(Store.safeSeqWatermarkFor(root, "app=md") == Long.MaxValue)
+    assert(new FileInFlightRegistry(localFs,
+      new Path(FileInFlightRegistry.dirFor(root))).entries().isEmpty)
+    // rows landed, (part, seq) unique (a fresh store's first epoch is 0)
+    val rows = st.read(Seq("app=md")).select("seq").collect().map(_.getLong(0))
+    assert(rows.length == 3 && rows.distinct.length == 3)
+  }
+
   /** One Trigger.AvailableNow drain (the StoreStreamSoakSpec pattern). */
   private def drain(root: String, cp: String,
       sink: scala.collection.mutable.Map[Long, Seq[(String, Long, String)]]): Unit = {

@@ -114,6 +114,91 @@ object TextStats {
       |       ELSE 'en' END AS lang_guess
       |FROM documents""".stripMargin
 
+  /** Character-entropy gibberish bounds, e4 bits/char: natural prose
+    * sits ~3.5–4.5; single-character spam and run-length garbage fall
+    * under [[CharEntLoE4]]; random bytes / base64 blobs push above
+    * [[CharEntHiE4]] toward log2(alphabet). */
+  val CharEntLoE4 = 20000L
+  val CharEntHiE4 = 55000L
+
+  /** Per-document CHARACTER-distribution Shannon entropy — the classic
+    * binary-garbage / gibberish detector (the CCNet-family pipelines
+    * run exactly this ahead of the model-based filters; neither the
+    * Gopher ratios nor the LM scores catch base64 blobs or run-length
+    * spam, whose entropy is the direct fingerprint).
+    *
+    * Pure int64 cross-engine arithmetic: per doc with per-character
+    * counts c_i over lower-cased code points and n = Σc_i,
+    *
+    *   H·n·2^20 = Σ c_i · log2fix(n, c_i)   (the [[graft.functions.Log2Fix]]
+    *                                         kernel — n ≥ c_i ≥ 1 always)
+    *   ent_e4   = (h20_sum · 10^4) div (n · 2^20)    [truncating]
+    *   keep     = [[CharEntLoE4]] ≤ ent_e4 ≤ [[CharEntHiE4]]
+    *
+    * int64 envelope: h20_sum ≤ n·log2(alphabet)·2^20, so the e4 scaling
+    * stays inside int64 for docs up to ~10^8 characters — beyond any
+    * sane document; a corpus of larger blobs belongs in the binary
+    * media path, not the text one.
+    *
+    * Plan shape: explode to (doc_id, ch), ONE doc+char-keyed aggregate
+    * (map-side combined — the per-doc alphabet bounds the state), the
+    * per-doc total via a second tiny aggregate joined back (agg-then-
+    * join, skew-safe), and the codegen'd Log2Fix expression per
+    * (doc, char) row. The corpus text shuffles only as (doc_id, ch)
+    * pairs — at 100 TB the char-count table is corpus-chars-sized but
+    * the aggregate is combine-heavy (alphabet ≪ doc length). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions
+    val cnt = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(lower(col("text")), "")).as("ch"))
+      // Spark's split("", "") yields [""], DuckDB's string_split an empty
+      // list — drop the empty token so an empty doc produces NO row in
+      // both engines (documented in the oracle)
+      .where(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    cnt.join(tot, "doc_id")
+      .withColumn("t20", col("c") * VectorExpressions.log2_fix(col("n"), col("c")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"), sum(col("t20")).as("h20_sum"))
+      .withColumn("ent_e4",
+        expr("(h20_sum * 10000) div (n_chars * 1048576)"))
+      .withColumn("keep",
+        col("ent_e4") >= CharEntLoE4 && col("ent_e4") <= CharEntHiE4)
+      .select(col("doc_id"), col("n_chars"), col("h20_sum"), col("ent_e4"),
+        col("keep"))
+  }
+
+  /** DuckDB twin of [[charEntropy]] — the [[graft.functions.Log2Fix]]
+    * recursive-CTE kernel replayed per (doc, char) row; requires the
+    * query to open `WITH RECURSIVE`. Docs with no characters produce no
+    * row in either engine (explode of an empty array). */
+  val charEntropyOracle: String = {
+    val lg = graft.functions.Log2Fix.duckdbCtes("cemelt", "doc_id, ch", "celg")
+    s"""WITH RECURSIVE cecnt AS (
+       |  SELECT doc_id, ch, count(*)::BIGINT AS c
+       |  FROM (SELECT doc_id::BIGINT AS doc_id,
+       |          unnest(string_split(lower(text), '')) AS ch
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |cetot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cecnt GROUP BY 1),
+       |cemelt AS (
+       |  SELECT c.doc_id, c.ch, t.n AS num, c.c AS den, c.c
+       |  FROM cecnt c JOIN cetot t USING (doc_id)),
+       |$lg,
+       |ceh AS (
+       |  SELECT m.doc_id, max(m.num)::BIGINT AS n_chars,
+       |    sum(m.c * l.l20)::BIGINT AS h20_sum
+       |  FROM cemelt m JOIN celg l ON l.doc_id = m.doc_id AND l.ch = m.ch
+       |  GROUP BY 1)
+       |SELECT doc_id, n_chars, h20_sum,
+       |  (h20_sum * 10000) // (n_chars * 1048576) AS ent_e4,
+       |  (h20_sum * 10000) // (n_chars * 1048576) BETWEEN $CharEntLoE4 AND $CharEntHiE4 AS keep
+       |FROM ceh""".stripMargin
+  }
+
   /** DuckDB twin of [[langidEval]] — the confusion/recall arithmetic
     * over the [[oracleSql]] guess definition (ONE classifier spec). */
   val langidEvalOracle: String =

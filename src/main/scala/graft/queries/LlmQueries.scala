@@ -701,6 +701,8 @@ object LlmQueries {
     "llm_semdedup" -> (semDedupGate _),
     "llm_simhash" -> (simhash _),
     "llm_text_stats" -> (textStats _),
+    "llm_char_entropy" ->
+      ((s: SparkSession, d: String) => TextStats.charEntropy(docs(s, d))),
     "llm_sim_topk" -> (simTopK _),
     // each variant entry computes its full top-k and gates its recall
     // against the exact result — oracle-checkable despite being
@@ -1241,6 +1243,7 @@ object LlmQueries {
         |FROM hs""".stripMargin,
 
     "llm_text_stats" -> TextStats.oracleSql,
+    "llm_char_entropy" -> TextStats.charEntropyOracle,
     "llm_langid_eval" -> TextStats.langidEvalOracle,
     "llm_blocklist" -> Curation.blocklistOracle,
 

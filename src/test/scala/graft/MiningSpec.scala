@@ -565,4 +565,31 @@ class MiningSpec extends AnyFunSuite {
     assert(out.slice(1, 9).forall(r => r._4 == 3L && r._6 == 3L),
       "cumulative curves must stay flat across empty deciles")
   }
+
+  // --------------------------------------------------------- char entropy
+
+  test("charEntropy: planted garbage classes land on the right side of the keep bounds") {
+    import graft.llm.TextStats
+    val rows = Seq(
+      1L -> "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",               // 1 symbol: H = 0
+      2L -> "abababababababababababababababab",               // 2 symbols: H = 1 bit
+      3L -> "the quick brown fox jumps over the lazy dog and keeps going", // prose
+      4L -> (('!' to 'z').mkString * 2))                       // 90-symbol uniform: H ≈ 6.49
+    val out = graft.llm.TextStats.charEntropy(mkDocs(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((32L, 0L, false)), s"single-symbol doc: ${out(1L)}")
+    // exactly 1 bit: ent_e4 = 10000, below the 2.0-bit floor
+    assert(out(2L)._2 == 10000L && !out(2L)._3, s"two-symbol doc: ${out(2L)}")
+    // natural prose sits inside the keep band
+    assert(out(3L)._3, s"prose flagged as garbage: ${out(3L)}")
+    assert(out(3L)._2 > TextStats.CharEntLoE4 && out(3L)._2 < TextStats.CharEntHiE4)
+    // wide-alphabet noise exceeds the 5.5-bit ceiling
+    assert(out(4L)._2 > TextStats.CharEntHiE4 && !out(4L)._3,
+      s"uniform noise kept: ${out(4L)}")
+    // the kernel is exact for power-of-two uniform distributions:
+    // 32 distinct chars × 2 occurrences → exactly 5 bits
+    val u32 = (('a' to 'z') ++ ('0' to '5')).mkString * 2
+    val e32 = graft.llm.TextStats.charEntropy(mkDocs(Seq(9L -> u32))).collect()(0)
+    assert(e32.getLong(3) == 50000L, s"uniform-32 entropy: ${e32.getLong(3)}")
+  }
 }

@@ -142,11 +142,12 @@ object TextStats {
     *
     * Plan shape: explode to (doc_id, ch), ONE doc+char-keyed aggregate
     * (map-side combined — the per-doc alphabet bounds the state), the
-    * per-doc total via a second tiny aggregate joined back (agg-then-
-    * join, skew-safe), and the codegen'd Log2Fix expression per
-    * (doc, char) row. The corpus text shuffles only as (doc_id, ch)
-    * pairs — at 100 TB the char-count table is corpus-chars-sized but
-    * the aggregate is combine-heavy (alphabet ≪ doc length). */
+    * per-doc total as a doc-keyed window over the RESULTING char table
+    * (alphabet-sized partitions — a join back to a separate total
+    * aggregate would re-run the corpus explode, the heavyTokens lesson),
+    * and the codegen'd Log2Fix expression per (doc, char) row. The
+    * corpus text streams once; everything after the first aggregate is
+    * char-table-sized (~alphabet rows per doc). */
   def charEntropy(docs: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions
     val cnt = docs
@@ -158,8 +159,9 @@ object TextStats {
       .where(col("ch") =!= "")
       .groupBy(col("doc_id"), col("ch"))
       .agg(count(lit(1)).as("c"))
-    val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
-    cnt.join(tot, "doc_id")
+    cnt
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .withColumn("t20", col("c") * VectorExpressions.log2_fix(col("n"), col("c")))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("n_chars"), sum(col("t20")).as("h20_sum"))

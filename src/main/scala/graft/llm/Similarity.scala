@@ -115,16 +115,105 @@ object Similarity {
       }.toDF("vec_a", "vec_b", "score_r")
   }
 
-  /** EXACT embedding near-dup: every (a, b) pair with b's id above a's
-    * scores against a BROADCAST copy of the whole vector set — zero
+  /** Corpus-bytes bound below which [[embeddingNearDupExact]] takes the
+    * single-broadcast fast path (one driver-bounded collect of ≤ this many
+    * raw float32 bytes, zero shuffle). Above it the blocked cross join
+    * runs instead, so no call ever materializes more than this on the
+    * driver. 64 MB ≈ 260k vectors at d=64. */
+  val ExactEmbedBroadcastMaxBytes: Long = 64L << 20
+
+  /** Per-block raw-float32 budget for [[embeddingNearDupBlocked]] — each
+    * block is one Spark broadcast (executors hold one block + their
+    * a-side stream), so this, not corpus size, is the memory envelope. */
+  val ExactEmbedBlockBytes: Long = 64L << 20
+
+  /** EXACT embedding near-dup — full-recall all-pairs, auto-dispatched:
+    *
+    *  - corpus ≤ `broadcastMaxBytes` raw floats: the single-broadcast
+    *    kernel ([[embeddingNearDupBroadcast]]) — one bounded collect,
+    *    zero shuffle, fastest at gate scales (0.4 s at sf0.1);
+    *  - above it: the blocked cross join ([[embeddingNearDupBlocked]]) —
+    *    sorted id-range blocks of ≤ `blockBytes` each broadcast against
+    *    the streamed a-side, NO corpus-sized driver materialization.
+    *
+    * Both paths and the banded verify use the identical left-to-right
+    * double fold ([[graft.functions.DotProduct]] / the SQL oracle), so
+    * every path stays bit-agreed at the threshold; LlmSpec asserts
+    * blocked == broadcast == brute on the gate corpora. */
+  def embeddingNearDupExact(emb: DataFrame, minScoreR: Long = 450000L,
+      broadcastMaxBytes: Long = ExactEmbedBroadcastMaxBytes,
+      blockBytes: Long = ExactEmbedBlockBytes): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = embeddingDim(emb).getOrElse(
+      return emptyResult(spark, "vec_a BIGINT, vec_b BIGINT, score_r BIGINT"))
+    val n = emb.select(col("vec_id")).count()
+    val corpusBytes = n * dim.toLong * 4L
+    if (corpusBytes <= broadcastMaxBytes) embeddingNearDupBroadcast(emb, minScoreR)
+    else {
+      val blocks = math.min(512L,
+        (corpusBytes + blockBytes - 1) / math.max(1L, blockBytes)).toInt
+      embeddingNearDupBlocked(emb, minScoreR, blocks)
+    }
+  }
+
+  /** Blocked exact all-pairs: the b-side is cut into `blockCount` sorted
+    * id-range blocks (boundaries from a distributed quantile sketch —
+    * never a collect); each block is BROADCAST and cross-joined against
+    * the a-side rows with `a_id < blockHi` (range blocks, not hash
+    * blocks, exactly so this prefilter halves total pair work: the a-side
+    * for block k only carries ids that can precede someone in k). The
+    * rounded-score threshold sits INSIDE the join condition after the
+    * short-circuiting `a_id < b_id`, so the whole pair loop runs in
+    * whole-stage codegen and non-survivors never materialize as rows.
+    *
+    * Memory: executors hold one block (≤ [[ExactEmbedBlockBytes]]) plus a
+    * streamed a-side partition; the driver holds one block transiently
+    * while Spark builds each broadcast. Envelope: the plan is a union of
+    * `blockCount` joins (capped 512 ≈ 10⁸ vectors at d=64) — past that,
+    * exact all-pairs is quadratically infeasible no matter the shape and
+    * the banded / ANN paths are the production answer. */
+  private[graft] def embeddingNearDupBlocked(emb: DataFrame, minScoreR: Long,
+      blockCount: Int): DataFrame = {
+    val withNorm = emb.select(
+      col("vec_id").cast("long").as("id"), col("embedding").as("v"),
+      norm(col("embedding")).as("nrm"))
+    // sorted id-range boundaries; distinct+sorted so skewed sketches can
+    // only merge blocks (bigger broadcasts), never mis-cover an id
+    val probs = (1 until math.max(2, blockCount)).map(_.toDouble / blockCount).toArray
+    val cuts = withNorm.stat.approxQuantile("id", probs, 0.001)
+      .map(_.toLong).distinct.sorted
+    val ranges: Seq[(Option[Long], Option[Long])] =
+      if (cuts.isEmpty) Seq((None, None))
+      else (None +: cuts.map(Some(_))).zip(cuts.map(Some(_)) :+ None)
+    val a = withNorm.select(
+      col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
+    val scoreR = floor(
+      dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")) * 1e6 + 0.5)
+      .cast("long")
+    ranges.map { case (lo, hi) =>
+      val b = withNorm
+        .filter(lo.map(col("id") >= _).getOrElse(lit(true)) &&
+          hi.map(col("id") < _).getOrElse(lit(true)))
+        .select(col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
+      val aSide = hi.map(h => a.filter(col("a_id") < h)).getOrElse(a)
+      aSide.join(broadcast(b),
+          col("a_id") < col("b_id") && scoreR >= minScoreR)
+        .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+          scoreR.as("score_r"))
+    }.reduce(_ union _)
+  }
+
+  /** Single-broadcast exact kernel: every (a, b) pair with b's id above
+    * a's scores against a BROADCAST copy of the whole vector set — zero
     * shuffle, zero misses, work n²d/2 spread evenly over the a-side
-    * partitions. The broadcast is the documented driver bound: n·d
-    * floats (5 MB at 20k×64; ~256 MB at 10^6 vectors — the boundary
-    * where the documented swap is a blocked cross join of sorted id
-    * ranges, same kernel). The per-pair kernel is the identical
-    * left-to-right double fold as the banded verify and the SQL oracle,
-    * so all three stay bit-agreed at the threshold. */
-  def embeddingNearDupExact(emb: DataFrame, minScoreR: Long = 450000L): DataFrame = {
+    * partitions. The one bounded collect in the engine: the DISPATCHER
+    * ([[embeddingNearDupExact]]) guarantees ≤
+    * [[ExactEmbedBroadcastMaxBytes]] raw floats reach it. The per-pair
+    * kernel is the identical left-to-right double fold as the banded
+    * verify and the SQL oracle, so all paths stay bit-agreed at the
+    * threshold. */
+  private[graft] def embeddingNearDupBroadcast(emb: DataFrame,
+      minScoreR: Long = 450000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val all = emb.select(col("vec_id").cast("long"), col("embedding"))

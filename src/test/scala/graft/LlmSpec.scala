@@ -458,16 +458,20 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("embedding near-dup: exact default AND the banded path reproduce all-pairs at every SF") {
-    // the DEFAULT is the exact broadcast all-pairs path (full recall by
+  test("embedding near-dup: exact default, BLOCKED distributed path, AND banded all agree at every SF") {
+    // the DEFAULT is the exact all-pairs path (full recall by
     // construction — the sf1 oracle run caught the old banded default
-    // missing 124 borderline pairs, round 13); the banded path stays
-    // equal at these decades under the fixed seed, which remains a
-    // checkable fact here even though it no longer backs the gate
+    // missing 124 borderline pairs, round 13). The distributed blocked
+    // cross join (forced here via broadcastMaxBytes=0 + multi-block
+    // cuts) must reproduce the broadcast kernel bit-for-bit; the banded
+    // path stays equal at these decades under the fixed seed, which
+    // remains a checkable fact even though it no longer backs the gate
     for (sf <- Seq("0.001", "0.01", "0.1")) {
       val e = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
       val got = Similarity.embeddingNearDup(e).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val gotBlocked = Similarity.embeddingNearDupBlocked(e, 450000L, 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val gotBanded = Similarity
         .embeddingNearDup(e, bands = 24, rowsPerBand = 4).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -491,9 +495,32 @@ class LlmSpec extends AnyFunSuite {
       assert(expected.nonEmpty, s"sf$sf: exact reference found no pairs")
       assert(got == expected,
         s"sf$sf: exact path diverged: missing=${expected -- got} extra=${got -- expected}")
+      assert(gotBlocked == expected,
+        s"sf$sf: BLOCKED path diverged: missing=${expected -- gotBlocked} extra=${gotBlocked -- expected}")
       assert(gotBanded == expected,
         s"sf$sf: banded path diverged: missing=${expected -- gotBanded} extra=${gotBanded -- expected}")
     }
+  }
+
+  test("embedding near-dup exact: auto-switch picks the blocked path above the broadcast bound") {
+    // planted above-the-bound corpus: broadcastMaxBytes=0 forces EVERY
+    // call over the bound, tiny blockBytes forces a genuinely multi-block
+    // plan — results must equal the default (single-broadcast) answer,
+    // and the blocked plan must contain BroadcastNestedLoopJoin unions,
+    // proving the dispatcher actually switched shape
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val viaDefault = Similarity.embeddingNearDupExact(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val forced = Similarity.embeddingNearDupExact(e,
+      broadcastMaxBytes = 0L, blockBytes = 16L * 1024)
+    val plan = forced.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"auto-switch did not take the blocked path:\n$plan")
+    assert(plan.contains("Union"), "blocked path should union multiple blocks")
+    val viaForced = forced.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaForced == viaDefault,
+      s"blocked auto-switch diverged: missing=${viaDefault -- viaForced} extra=${viaForced -- viaDefault}")
   }
 
   test("winnowing fingerprints: near-dup pairs overlap, the guarantee holds") {

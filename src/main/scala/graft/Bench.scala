@@ -95,7 +95,10 @@ object Bench {
     // noise; the median of >=3 can). queries_warm_minmax carries each
     // entry's observed spread so a reader can see which entries sat in
     // the noise band. Default 1 = the driver's per-round quick capture.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // clamp to >= 1 and tolerate garbage: reps=0 would leave warmRuns
+    // empty (byName throws), a non-numeric value would kill the run
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(1))
     val warmEntries = ordered.filterNot { case (n, _) => coldErrored(n) }
     val warmRuns: Seq[Seq[(String, Double)]] =
       (1 to reps).map(r => warmEntries.map { case (n, f) =>

@@ -278,7 +278,8 @@ object LqlQueries {
          |    AND NOT EXISTS (SELECT 1 FROM cdcch c WHERE c.doc_id = s.seq))
          |SELECT epoch_us(s.ts_raw) AS ts_us, s.text AS msg,
          |  'logrange.pipe=pcdc' AS tags, s.tags AS fields
-         |FROM src s JOIN keepseq USING (seq)""".stripMargin,
+         |FROM src s JOIN keepseq USING (seq)
+         |ORDER BY s.ts_raw, s.tags, s.seq LIMIT 10000""".stripMargin,
     "lql_show_pipes" -> "SELECT 'p1' AS pipe",
     "lql_describe_pipe" ->
       """SELECT 'p1' AS pipe, '{name=error}' AS "from",

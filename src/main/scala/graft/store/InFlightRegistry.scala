@@ -80,9 +80,11 @@ trait InFlightRegistry {
   *
   * Expiry uses the file's modification time against
   * [[Store.EpochLeaseNanos]] — the shared filesystem's clock, so two
-  * drivers age leases consistently; expired files are deleted by
-  * whichever reader sees them first ([[Store.watermark]]'s in-map
-  * removal, externalized). A crash between [[preBegin]] and [[begin]]
+  * drivers age leases consistently; "now" is ALSO taken from the
+  * filesystem (mtime of a freshly-touched probe file, see `fsNowMs`),
+  * so reader-vs-filesystem skew cannot shorten a lease either. Expired
+  * files are deleted by whichever reader sees them first
+  * ([[Store.watermark]]'s in-map removal, externalized). A crash between [[preBegin]] and [[begin]]
   * leaves a pre file that defers its targets until expiry — the same
   * trade the in-JVM lease makes for hung appends. */
 final class FileInFlightRegistry(fs: FileSystem, dir: Path)
@@ -132,11 +134,30 @@ final class FileInFlightRegistry(fs: FileSystem, dir: Path)
     case _ => ()
   }
 
+  /** "now" on the FILESYSTEM's clock: the mtime of a freshly-rewritten
+    * probe file. Lease aging must compare fs-mtime against fs-mtime —
+    * with `System.currentTimeMillis()` a fast-clocked READER shortens
+    * every lease and can reap another driver's live lease, letting
+    * consumers advance past its in-flight rows (reader-vs-fs skew is the
+    * one axis the "two drivers age leases consistently" argument did not
+    * cover). One tiny create+stat per entries() call — the same
+    * per-trigger cost class as the listing itself; if the probe cannot
+    * be written (read-only FS race) we fall back to the JVM clock MINUS
+    * the lease as before, which only ever errs by the actual skew. */
+  private val probePath = new Path(dir, "clock-probe")
+  private def fsNowMs(): Long =
+    try {
+      val out = fs.create(probePath, true)
+      try out.write('t') finally out.close()
+      fs.getFileStatus(probePath).getModificationTime
+    } catch { case _: java.io.IOException => System.currentTimeMillis() }
+
   override def entries(): Seq[InFlightEntry] = {
+    val nowMs = fsNowMs()
     val sts =
       try fs.listStatus(dir).toSeq
       catch { case _: java.io.FileNotFoundException => return Nil }
-    val cutoffMs = System.currentTimeMillis() - Store.EpochLeaseNanos / 1000000L
+    val cutoffMs = nowMs - Store.EpochLeaseNanos / 1000000L
     val out = Seq.newBuilder[InFlightEntry]
     sts.foreach { st =>
       val name = st.getPath.getName

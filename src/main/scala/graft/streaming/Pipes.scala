@@ -260,6 +260,41 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
       spark.read.schema("chunk_hash STRING").parquet(cdcIndexDir.toString)
     else spark.range(0).select(lit(null).cast("string").as("chunk_hash"))
 
+  /** Fold the chunk-hash index back to a few segments once per-trigger
+    * appends pile up `compactThreshold` data files — without this a
+    * long-running cdcDedup pipe re-reads O(triggers) small files twice
+    * per trigger. Crash-safe WITHOUT an atomic dir swap: the compacted
+    * distinct segments are written to a tmp dir, RENAMED INTO the live
+    * dir first, and only then are the old segments deleted — every crash
+    * window leaves the index a superset (duplicate hashes), which
+    * readers `distinct()` away; no window ever loses a hash (a lost hash
+    * would readmit its duplicates downstream). Segment sizing targets
+    * ~128 MB so the compacted index stays a parallel scan at scale. */
+  private def compactCdcIndex(): Unit = {
+    if (compactThreshold <= 0 || !fs.exists(cdcIndexDir)) return
+    def dataFiles() = fs.listStatus(cdcIndexDir).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val old = dataFiles()
+    if (old.length < compactThreshold) return
+    val targetSegs = math.max(1L, old.map(_.getLen).sum / (128L << 20)).toInt
+    val tmpDir = new Path(stateDir, "cdcindex-compact-tmp")
+    fs.delete(tmpDir, true)
+    cdcIndex().distinct().repartition(targetSegs)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    fs.listStatus(tmpDir).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.foreach { s =>
+      graft.store.Store.renameOrThrow(fs, s.getPath,
+        new Path(cdcIndexDir, s.getPath.getName))
+    }
+    old.foreach(s =>
+      try fs.delete(s.getPath, false) catch { case _: java.io.IOException => () })
+    fs.delete(tmpDir, true)
+  }
+
   /** part → highest fully-processed seq (-1 = nothing yet). */
   private val cursors = scala.collection.mutable.HashMap.empty[String, Long]
   loadCursors()
@@ -403,6 +438,7 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     // the post-append index update. Rows with no chunks (token-less)
     // have no verdict — the left join keeps them.
     var trigChunks: Option[DataFrame] = None
+    var trigCheckpoint: Option[DataFrame] = None
     if (cdcDedup) {
       // a CDC trigger is several jobs (gate join, append, index update);
       // materialize the trigger's rows ONCE so only this read races a
@@ -410,6 +446,7 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
       // checkpointed blocks (bounded by maxFilesPerTrigger), exactly the
       // single-scan exposure a plain pipe trigger has
       df = df.localCheckpoint(true)
+      trigCheckpoint = Some(df)
       val chunks = graft.llm.Dedup.cdcChunksKeyed(
         df.select(col("part"), col("seq"), col("msg")),
         Seq("part", "seq"), "msg").persist()
@@ -445,8 +482,14 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
           .join(cdcIndex().select(col("chunk_hash")).distinct(),
             Seq("chunk_hash"), "left_anti")
         newHashes.write.mode("append").parquet(cdcIndexDir.toString)
+        compactCdcIndex()
       }
-    } finally trigChunks.foreach(_.unpersist())
+    } finally {
+      trigChunks.foreach(_.unpersist())
+      // the eager localCheckpoint's executor blocks otherwise live until
+      // RDD GC — every job that needed them (gate, append, index) is done
+      trigCheckpoint.foreach(org.apache.spark.sql.GraftColumn.releaseLocalCheckpoint)
+    }
 
     // advance + persist cursors AFTER the append (at-least-once — the
     // reference's save-after-write discipline, pkg/pipe/worker.go:73-89)

@@ -236,6 +236,18 @@ class PipeSoakSpec extends AnyFunSuite {
       "a fully-known content slipped past the CDC gate")
     assert(after.exists(_.endsWith("fresh epilogue payload alpha beta")),
       "the partially-novel row was wrongly dropped")
+
+    // index self-maintenance: with one appended segment per indexed
+    // trigger and compactThreshold=4, the soak's ~25 rounds MUST have
+    // compacted — a long-running pipe may never accumulate O(triggers)
+    // small files (and compaction may never lose a hash: the epilogue's
+    // known-content drop above already proves the index still works)
+    val idxDir = new java.io.File(s"$root/pipes/pcdc/cdcindex")
+    val idxSegs = Option(idxDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(idxSegs > 0, "CDC index missing after the soak")
+    assert(idxSegs < 8,
+      s"CDC index never compacted: $idxSegs segments for ~25 indexed triggers")
   }
 
   private implicit class KeySetOps(

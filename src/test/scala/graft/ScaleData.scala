@@ -53,11 +53,23 @@ object ScaleData {
   private def rndFor(id: Long, salt: Long): scala.util.Random =
     new scala.util.Random(id * 2654435761L + salt)
 
-  /** Pure text for doc `id` — exact-dup docs copy the text of `id − 1`
-    * by recomputing it (no cross-row dependency in the generator). */
+  /** Pure text for doc `id` — no cross-row dependency: every override
+    * recomputes its source text (bounded recursion, depth ≤ 3).
+    *
+    *  - exact dups: `id % 617 == 0` copies the DISPLAYED text of `id−1`
+    *    (~0.16% rate, as the profiled sf0.1 decade);
+    *  - v3 cross-half near-dups: incoming-half docs (`id ≥ NumDocs/2`,
+    *    `id % 1231 == 0`, ~20 docs) carry their history twin's text
+    *    (`id − NumDocs/2`) plus ONE appended word — word-3-gram Jaccard
+    *    ≥ n/(n+1) ≥ 0.89, comfortably above the incr-near 0.8 threshold,
+    *    so `llm_dedup_incr_near` is non-vacuous at sf1 (the round-13
+    *    self-flagged vacuity: the 617 rule pairs adjacent ids, which
+    *    never cross the snapshot midpoint). */
   private def textFor(id: Long): String = {
-    val base = if (id > 0 && id % 617L == 0L) id - 1 else id
-    val rnd = rndFor(base, 42L)
+    if (id > 0 && id % 617L == 0L) return textFor(id - 1)
+    val half = NumDocs / 2
+    if (id >= half && id % 1231L == 0L) return textFor(id - half) + " stream"
+    val rnd = rndFor(id, 42L)
     val nw = 10 + rnd.nextInt(91)
     (0 until nw).map(_ => Vocab(rnd.nextInt(Vocab.length))).mkString(" ")
   }
@@ -65,9 +77,9 @@ object ScaleData {
   /** Generate (idempotently) and return the sf1 dir. */
   def ensure(spark: SparkSession): String = {
     val dir = new java.io.File(Sf1Dir).getAbsolutePath
-    // v2: round 13 added the TPC-H decade tables — an sf1 dir generated
-    // before that must rebuild (the old marker is ignored)
-    val done = new java.io.File(dir, "_GENERATED_v2")
+    // v3: round 14 planted cross-half near-dups (see textFor) — an sf1
+    // dir generated before that must rebuild (old markers are ignored)
+    val done = new java.io.File(dir, "_GENERATED_v3")
     if (done.exists()) return dir
     import spark.implicits._
 

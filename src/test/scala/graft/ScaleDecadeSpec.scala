@@ -116,6 +116,33 @@ class ScaleDecadeSpec extends AnyFunSuite {
     assert(verdicts > 0 && verdicts <= n)
   }
 
+  test("v3 planted cross-half near-dups make incremental dedup non-vacuous at sf1") {
+    // the round-13 sf1 campaign found llm_dedup_incr_near vacuously
+    // green (0 rows in BOTH engines: the 617 exact-dup rule pairs
+    // ADJACENT ids, which never cross the snapshot midpoint). The v3
+    // generator plants ~20 incoming-half docs carrying their history
+    // twin's text + one word (3-gram Jaccard ≥ 0.89 > the 0.8 gate) —
+    // the entry must now find every plant, and the applied accept must
+    // drop exactly the verdict ids
+    val verdicts = graft.queries.LlmQueries.entries("llm_dedup_incr_near")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val half = ScaleData.NumDocs / 2
+    val planted = (half until ScaleData.NumDocs).filter(_ % 1231L == 0L)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(verdicts.contains(id), s"planted cross-half near-dup $id not found")
+    }
+    assert(verdicts.nonEmpty && verdicts.size < 200,
+      s"verdict table should be plant-sized, got ${verdicts.size}")
+    verdicts.keys.foreach(i => assert(i >= half, s"verdict $i on the history side"))
+    val accepted = graft.queries.LlmQueries.entries("llm_dedup_incr_apply")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(verdicts.keySet.intersect(accepted).isEmpty,
+      "applied accept kept a doc the verdict table rejected")
+    assert(accepted.size + verdicts.size == (ScaleData.NumDocs - half),
+      "accept + reject must partition the incoming half")
+  }
+
   test("histogram/MAD order-stat state stays value-bounded (not row-bounded) at sf1") {
     // q17/q18/q26/q28 build distinct-value-sized histograms; the e2
     // integerization bounds distinct values by the VALUE RANGE (56,022

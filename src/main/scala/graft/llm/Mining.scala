@@ -862,11 +862,16 @@ object Mining {
   }
 
   /** The merge+cut SQL tail shared by [[dupSpanCutOracle]] and
-    * [[Curation.decontamCutOracle]]: CTEs m/gi/iv/ivl/cut over a
-    * caller-defined start table `$no(doc_id, p)` (covered width `L`) and
-    * token table `$tok(doc_id, w)`, plus the final projection — ONE
-    * definition of the merge windows and the empty-list/NULL coalesce
-    * both cut oracles replay. */
+    * [[Curation.decontamCutOracle]]: CTEs m/gi/iv/pos/cov/keptp/kl/cut
+    * over a caller-defined start table `$no(doc_id, p)` (covered width
+    * `L`) and token table `$tok(doc_id, w)`, plus the final projection —
+    * ONE definition of the merge windows and the empty-list/NULL
+    * coalesce both cut oracles replay. Kept positions come from a
+    * relational anti-join of exploded positions against exploded
+    * interval cover (Σ tokens + Σ covered work) — the earlier per-token
+    * `list_filter` over the doc's interval list was O(tokens×intervals)
+    * in interpreted lambdas and blew the sf1 oracle past its 480 s
+    * budget (round-13 campaign). */
   private[llm] def spanCutTailSql(no: String, tok: String, L: Int): String =
     s"""m AS (
        |  SELECT doc_id, p,
@@ -881,16 +886,17 @@ object Mining {
        |iv AS (
        |  SELECT doc_id, gid, min(p) AS s, max(p) + ${L - 1} AS e
        |  FROM gi GROUP BY 1, 2),
-       |ivl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs
-       |        FROM iv GROUP BY doc_id),
+       |pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM $tok),
+       |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS i FROM iv),
+       |keptp AS (
+       |  SELECT p.doc_id, p.i FROM pos p
+       |  LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.i = p.i
+       |  WHERE c.i IS NULL),
+       |kl AS (SELECT doc_id, list(i ORDER BY i) AS ks FROM keptp GROUP BY doc_id),
        |cut AS (
        |  SELECT t.doc_id, t.w,
-       |    list_transform(
-       |      list_filter(range(1, len(t.w) + 1),
-       |        i -> len(list_filter(coalesce(l.ivs, []),
-       |               x -> x.s <= i AND i <= x.e)) = 0),
-       |      i -> t.w[i]) AS kept
-       |  FROM $tok t LEFT JOIN ivl l ON t.doc_id = l.doc_id)
+       |    list_transform(coalesce(l.ks, []), i -> t.w[i]) AS kept
+       |  FROM $tok t LEFT JOIN kl l ON t.doc_id = l.doc_id)
        |SELECT doc_id::BIGINT AS doc_id, len(w)::BIGINT AS n_tokens,
        |  (len(w) - len(kept))::BIGINT AS cut_tok,
        |  coalesce(array_to_string(kept, ' '), '') AS text_clean

@@ -919,24 +919,22 @@ object LlmQueries {
     * 0.5 → undirected edges → recursive closure), shared verbatim by the
     * llm_dup_clusters and llm_dedup_apply oracles so the cluster
     * definition can never diverge between them. */
-  private val clusterClosureCte: String =
-    """WITH RECURSIVE sh AS (
+  // lazy: interpolates gramBitmapCtes, a val defined further down the
+  // object — eager init order would capture null
+  private lazy val clusterClosureCte: String =
+    s"""WITH RECURSIVE sh AS (
       |  SELECT DISTINCT doc_id, unnest(list_transform(
       |    range(1, greatest(len(w) - 1, 0) + 1),
       |    i -> w[i] || ' ' || w[i+1])) AS g
-      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
       |                                   t -> t != '') w
       |        FROM documents)),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |$gramBitmapCtes,
       |pairs AS (
-      |  SELECT doc_a, doc_b FROM inter
-      |  JOIN sizes sa ON sa.doc_id = inter.doc_a
-      |  JOIN sizes sb ON sb.doc_id = inter.doc_b
-      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bm a JOIN bm b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(a.bits & b.bits) * 1.0
+      |        / (a.n + b.n - bit_count(a.bits & b.bits)) >= 0.5),
       |edges AS (
       |  SELECT doc_a AS s, doc_b AS d FROM pairs
       |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -1116,25 +1114,45 @@ object LlmQueries {
          |FROM p GROUP BY 1""".stripMargin
   ) ++ moreOracles
 
+  /** Shared gram-id + per-doc-bitmap CTE tail (expects an `sh(doc_id, g)`
+    * CTE in scope). The corpus vocabulary is small (≤31 words at every
+    * gate decade → ≤961 distinct word-2-grams), so each doc's gram SET is
+    * one ≤1024-bit bitstring and exact pairwise Jaccard is
+    * `bit_count(a&b) / (na+nb-bit_count(a&b))` over a plain id-ordered
+    * pair scan — this replaces the inverted-index self-join
+    * (`sh a JOIN sh b USING (g)` + GROUP BY pair), whose intermediate is
+    * Σ df² ≈ 7·10⁹ rows at sf1 and OOM'd DuckDB's 40 GB cap in the
+    * round-13 campaign. The all-pairs scan is n²/2 · 128-byte AND+popcnt
+    * — ~3 min at 50k docs, and unlike the join its memory is O(n).
+    * `bitstring_agg` needs CONSTANT bounds; 0..1023 covers every gate
+    * corpus, and a vocabulary that outgrows it fails loudly (value out
+    * of range → the campaign's oracle_infeasible status, never a wrong
+    * silent result). */
+  private lazy val gramBitmapCtes: String =
+    """gid AS (
+      |  SELECT g, dense_rank() OVER (ORDER BY g) - 1 AS id
+      |  FROM (SELECT DISTINCT g FROM sh)),
+      |bm AS (
+      |  SELECT doc_id, bitstring_agg(id, 0, 1023) AS bits, count(*) AS n
+      |  FROM sh JOIN gid USING (g) GROUP BY doc_id)""".stripMargin
+
   private lazy val ngramPairsOracle: String =
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT DISTINCT doc_id, unnest(list_transform(
         |    range(1, greatest(len(w) - 1, 0) + 1),
         |    i -> w[i] || ' ' || w[i+1])) AS g
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
         |                                   t -> t != '') w
         |        FROM documents)),
+        |$gramBitmapCtes,
         |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(a.bits & b.bits)::BIGINT AS c, a.n AS na, b.n AS nb
+        |  FROM bm a JOIN bm b ON a.doc_id < b.doc_id)
         |SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
-        |  floor(c * 1.0e4 / (sa.n + sb.n - c) + 0.5)::BIGINT AS jaccard_r
+        |  floor(c * 1.0e4 / (na + nb - c) + 0.5)::BIGINT AS jaccard_r
         |FROM inter
-        |JOIN sizes sa ON sa.doc_id = inter.doc_a
-        |JOIN sizes sb ON sb.doc_id = inter.doc_b
-        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin
+        |WHERE c * 1.0 / (na + nb - c) >= 0.5""".stripMargin
 
   private lazy val moreOracles: Map[String, String] = Map(
     // connected components over the ngram-Jaccard pairs via a recursive

@@ -65,6 +65,14 @@ def oracle_df(q):
         return con.execute(q).df()
     finally:
         timer.cancel()
+# --json <path>: emit the driver-shaped per-entry artifact (plus an
+# explicit status field: ok | mismatch | oracle_infeasible | rows_only)
+# so campaign runs above the driver's scales (e.g. sf1) are committed
+# machine-readably instead of as prose (round-13 verdict, Missing #2)
+json_out = None
+if "--json" in sys.argv:
+    json_out = sys.argv[sys.argv.index("--json") + 1]
+report = {}
 ok = bad = skipped = 0
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
@@ -73,6 +81,7 @@ for name in sorted(os.listdir(out)):
     got = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
     if name not in sql:
         print(f"  {name:24s} rows-only: {len(got)} rows")
+        report[name] = {"status": "rows_only", "spark_rows": len(got)}
         continue
     try:
         want = oracle_df(sql[name])
@@ -80,15 +89,23 @@ for name in sorted(os.listdir(out)):
         skipped += 1
         print(f"⏱ {name:24s} oracle exceeded {timeout_s}s — skipped "
               "(engine rows={})".format(len(got)))
+        report[name] = {"status": "oracle_infeasible", "spark_rows": len(got),
+                        "err": f"oracle exceeded {timeout_s}s"}
         continue
     except duckdb.Error as e:
         skipped += 1
         msg = str(e).splitlines()[0][:120]
         print(f"⏱ {name:24s} oracle infeasible at this sf — skipped "
               f"(engine rows={len(got)}): {msg}")
+        report[name] = {"status": "oracle_infeasible", "spark_rows": len(got),
+                        "err": msg}
         continue
     ng, cg, hg = canon(got)
     nw, cw, hw = canon(want)
+    report[name] = {"status": "ok" if (ng, cg, hg) == (nw, cw, hw) else "mismatch",
+                    "rows_match": ng == nw, "schema_match": cg == cw,
+                    "hash_match": hg == hw, "spark_rows": ng,
+                    "oracle_rows": nw, "err": None}
     if (ng, cg, hg) == (nw, cw, hw):
         print(f"✓ {name:24s} rows={ng} hash={hg}")
         ok += 1
@@ -99,6 +116,13 @@ for name in sorted(os.listdir(out)):
                  how="outer", indicator=True)
         diff = merged[merged["_merge"] != "both"]
         print(diff.head(6).to_string())
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf_dir": sf, "entries": report,
+                   "summary": {"ok": ok, "bad": bad,
+                               "oracle_infeasible": skipped,
+                               "oracles": len(sql)}}, f, indent=1, sort_keys=True)
+    print(f"[verify_local] wrote {json_out}")
 extra = f", {skipped} oracle-timeout" if skipped else ""
 print(f"\n{ok} ok, {bad} bad{extra}, {len(sql)} oracles")
 sys.exit(1 if bad else 0)

@@ -916,11 +916,17 @@ object Mining {
        |  FROM tok0 WHERE len(w) >= $L),
        |gp AS (SELECT doc_id, pg.p AS p, pg.g AS g FROM ge),
        |own AS (
-       |  SELECT g, min(struct_pack(d := doc_id, p := p)) AS o
+       |  -- ownership = lexicographic min (doc_id, p), packed into ONE
+       |  -- int64 (doc_id·2^20 + p; exact while p < 2^20, i.e. any doc
+       |  -- under a million tokens): DuckDB's min(STRUCT) aggregate
+       |  -- allocates unaccounted heap per group and OOMs the host at
+       |  -- ~10^6 gram groups (the real round-13 sf1 killer of this
+       |  -- oracle); the packed-int min is a plain fixed-width aggregate
+       |  SELECT g, min(doc_id * 1048576 + p) AS op
        |  FROM gp GROUP BY g HAVING count(*) >= 2),
        |no AS (
        |  SELECT doc_id, p FROM gp JOIN own USING (g)
-       |  WHERE NOT (doc_id = o.d AND p = o.p)),
+       |  WHERE doc_id * 1048576 + p != op),
        |${spanCutTailSql("no", "tok0", L)}""".stripMargin
   }
 

@@ -125,7 +125,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"warm_total_sec":$warmTotal,"warm_reps":$reps,$spread"errors":$errs,"store_build_sec":$buildSec,"sf":"$sfDir"}"""
+    // per-family build-vs-marginal attribution IN the artifact (round-14
+    // directive 7; previously PLANS.md prose): family = first two name
+    // segments; build = cold sum − warm(median) sum — the one-time shared
+    // state (ngram tables, ANN caches, pipe stores) whichever entry runs
+    // first pays. Clamped at 0: host noise can land warm above cold.
+    val coldByName = results.toMap
+    val famJson = warmEntries.map(_._1)
+      .groupBy(n => n.split("_").take(2).mkString("_"))
+      .toSeq.sortBy(_._1).map { case (f, names) =>
+        val build = names.map(coldByName).sum - names.map(n => median(byName(n))).sum
+        s"\"" + f + "\":" + f"${math.max(0.0, build)}%.3f"
+      }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"warm_total_sec":$warmTotal,"warm_reps":$reps,$spread"families_build_cost":$famJson,"errors":$errs,"store_build_sec":$buildSec,"sf":"$sfDir"}"""
     println(line)
     // The round driver keeps only the tail of sbt output, which has truncated
     // the per-query map in past rounds; persist the full line as an artifact

@@ -43,7 +43,14 @@ final case class InFlightEntry(epoch: Option[Long], parts: Option[Set[String]])
   * [[Store.useInFlightRegistry]] alongside the [[FileEpochAllocator]].
   * At the 100 TB design point both collapse into one metastore
   * transaction table; the access pattern (tiny per-append rows, listed
-  * once per trigger) is identical. */
+  * once per trigger) is identical. Measured swap boundary
+  * (LeaseScaleProbe, round 14, local FS): entries() costs ~210–270 µs
+  * per LIVE lease (one open+read+close each; 500 live → 133 ms, 2000 →
+  * 416 ms, linear), so a 1 s per-trigger budget holds to ~4×10³
+  * concurrent appenders; expired-file reaping is ~0.3 ms/file and paid
+  * once per crash, not per trigger. On object stores (~10 ms per GET)
+  * the same math caps at ~10² — the metastore move comes correspondingly
+  * earlier there. */
 trait InFlightRegistry {
   /** Announce an append whose epoch is not yet claimed. Returns the
     * token [[begin]] needs to upgrade the entry. */

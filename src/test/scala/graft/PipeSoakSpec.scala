@@ -250,6 +250,88 @@ class PipeSoakSpec extends AnyFunSuite {
       s"CDC index never compacted: $idxSegs segments for ~25 indexed triggers")
   }
 
+  test("multi-driver CDC pipe: remote leases defer the gate, expiry releases it; exactly-once + dedup") {
+    // round-14 directive 5: enableMultiDriver (r13) and cdcDedup pipes
+    // (r13) shipped separately — compose them. Driver B appends under a
+    // FILE lease while driver A's CDC pipe consumes; the pipe must defer
+    // every row above B's epoch watermark while the lease is live
+    // (including A's own later appends — seq order is delivery order),
+    // then, when B CRASHES and the lease ages out, deliver everything
+    // exactly once with the CDC gate still dropping known content.
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import graft.store.{FileEpochAllocator, FileInFlightRegistry}
+    val root = java.nio.file.Files.createTempDirectory("graft-mdcdc").toString
+    val conf = new Configuration()
+    val localFs = new Path("/tmp").getFileSystem(conf)
+    Store.enableMultiDriver(root, conf)
+    val st = new Store(spark, root)
+    val part = "app=mdcdc"
+    val svc = new PipeService(st, pollMs = 1000000L, // explicit drains only
+      maxFilesPerTrigger = 8, compactThreshold = 4, cdcDedup = true)
+    val parsed = new Parser(() => java.time.Instant.now())
+      .parse("CREATE PIPE mdcdc FROM {app=mdcdc}")
+      .toOption.get.asInstanceOf[CreatePipe]
+    svc.create(parsed)
+    val destLine = Model.tagLine(Map(PipeService.PipeTag -> "mdcdc"))
+    def delivered(): Seq[String] =
+      st.read(Seq(destLine)).select("msg").collect().map(_.getString(0)).toSeq
+
+    val known = "shared known content alpha beta gamma"
+    // phase 1 — driver A: unique payloads + the known content, piped
+    st.write(Map("app" -> "mdcdc"), Map.empty,
+      ((0 until 6).map(i => (1000000000L + i * 1000000000L, s"payload a$i"))
+        :+ (7000000000L, known)).toDF("ts", "msg"))
+    svc.processAllAvailable()
+    val phase1 = delivered()
+    assert(phase1.sorted == ((0 until 6).map(i => s"payload a$i") :+ known).sorted)
+
+    // phase 2 — driver B: separate allocator + registry instances
+    // sharing ONLY the filesystem; claims an epoch, appends fresh
+    // payloads AND a repeat of the known content, then CRASHES (no end)
+    val allocB = new FileEpochAllocator(localFs, new Path(root, ".epochs"), seed = -1L)
+    val regB = new FileInFlightRegistry(localFs,
+      new Path(FileInFlightRegistry.dirFor(root)))
+    val tokB = regB.preBegin(Some(Set(part)))
+    val epochB = allocB.next()
+    regB.begin(epochB, Some(Set(part)), tokB)
+    st.write(Map("app" -> "mdcdc"), Map.empty,
+      ((0 until 4).map(i => (20000000000L + i * 1000000000L, s"payload b$i",
+        (epochB << Store.SeqEpochShift) + i))
+        :+ ((24000000000L, known, (epochB << Store.SeqEpochShift) + 4)))
+        .toDF("ts", "msg", "seq"))
+    // driver A appends MORE (a higher epoch) while B is in flight
+    st.write(Map("app" -> "mdcdc"), Map.empty,
+      Seq((30000000000L, "payload a6"), (31000000000L, known))
+        .toDF("ts", "msg"))
+    // with B's lease live, the pipe must sit on its hands for this part
+    svc.processAllAvailable()
+    assert(delivered().sorted == phase1.sorted,
+      s"pipe advanced past a remote in-flight epoch: ${delivered().sorted}")
+
+    // phase 3 — B never returns: age the lease past expiry ON THE
+    // FILESYSTEM CLOCK (mtime backdate; expiry compares fs-mtime to a
+    // fs-probe mtime, so this is exactly the crash-expiry path)
+    val leaseDir = new Path(FileInFlightRegistry.dirFor(root))
+    localFs.listStatus(leaseDir).foreach { s =>
+      if (s.getPath.getName.startsWith("ifl-") || s.getPath.getName.startsWith("pre-"))
+        localFs.setTimes(s.getPath,
+          s.getModificationTime - Store.EpochLeaseNanos / 1000000L - 60000L, -1)
+    }
+    svc.processAllAvailable()
+    svc.stopAll()
+    val fin = delivered()
+    // exactly-once: B's fresh payloads and A's a6 arrive once; the known
+    // content stays delivered ONCE (B's and A's repeats both gated)
+    val expect = (0 until 7).map(i => s"payload a$i") ++
+      (0 until 4).map(i => s"payload b$i") :+ known
+    assert(fin.sorted == expect.sorted,
+      s"expected exactly-once + dedup, got ${fin.sorted}")
+    // and the destination's seqs are unique (no double delivery at all)
+    val seqs = st.read(Seq(destLine)).select("seq").collect().map(_.getLong(0))
+    assert(seqs.distinct.length == seqs.length)
+  }
+
   private implicit class KeySetOps(
       ks: java.util.Set[String]) {
     def asScala(): Set[String] = {

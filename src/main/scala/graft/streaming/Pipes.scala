@@ -482,7 +482,6 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
           .join(cdcIndex().select(col("chunk_hash")).distinct(),
             Seq("chunk_hash"), "left_anti")
         newHashes.write.mode("append").parquet(cdcIndexDir.toString)
-        compactCdcIndex()
       }
     } finally {
       trigChunks.foreach(_.unpersist())
@@ -507,6 +506,13 @@ final class PipeWorker private[streaming] (store: Store, p: PipeDef,
     if (compactThreshold > 0 &&
         store.catalog.entriesForPart(destLine).size >= compactThreshold)
       store.compact(destLine)
+    // index self-maintenance sits AFTER the cursor save on purpose: the
+    // trigger's delivery contract is already durable, so a compaction
+    // failure here may cost small files but can never force redelivery;
+    // best-effort for the same reason
+    if (cdcDedup)
+      try compactCdcIndex()
+      catch { case _: java.io.IOException => () }
     chosen.size
   }
 

@@ -347,6 +347,16 @@ object LlmQueries {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(emb(spark, dir))
 
+  /** The DISTRIBUTED exact-embed path under the oracle gate: the same
+    * full-recall contract as llm_dedup_embed but FORCED through the
+    * blocked cross join (broadcastMaxBytes=0 puts every corpus above
+    * the dispatch bound; 256 KB blocks make a genuinely multi-block
+    * plan at every gate decade) — so the gate exercises the 100 TB
+    * code path itself, not only the small-corpus broadcast kernel. */
+  def embedNearDupBlocked(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupExact(emb(spark, dir),
+      broadcastMaxBytes = 0L, blockBytes = 256L * 1024)
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Fingerprint.winnow(docs(spark, dir))
 
@@ -755,6 +765,7 @@ object LlmQueries {
     "llm_video_dedup" ->
       ((s: SparkSession, d: String) => Multimodal.videoPhashDedup(docs(s, d))),
     "llm_dedup_embed" -> (embedNearDup _),
+    "llm_dedup_embed_blocked" -> (embedNearDupBlocked _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_ann_recall" -> (annRecall _),
     // ONE persisted gram-count table (memoized per session+dir) feeds both
@@ -1136,6 +1147,20 @@ object LlmQueries {
       |  SELECT doc_id, bitstring_agg(id, 0, 1023) AS bits, count(*) AS n
       |  FROM sh JOIN gid USING (g) GROUP BY doc_id)""".stripMargin
 
+  private lazy val embedNearDupOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |s AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |          / (a.nrm * b.nrm) * 1e6 + 0.5)::BIGINT AS score_r
+      |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+      |SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b, score_r
+      |FROM s WHERE score_r >= 450000""".stripMargin
+
   private lazy val ngramPairsOracle: String =
       s"""WITH sh AS (
         |  SELECT DISTINCT doc_id, unnest(list_transform(
@@ -1328,19 +1353,10 @@ object LlmQueries {
     "llm_video_phash" -> Multimodal.videoPhashOracle,
     "llm_video_dedup" -> Multimodal.videoDedupOracle,
 
-    "llm_dedup_embed" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |s AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-        |          / (a.nrm * b.nrm) * 1e6 + 0.5)::BIGINT AS score_r
-        |  FROM n a, n b WHERE a.vec_id < b.vec_id)
-        |SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b, score_r
-        |FROM s WHERE score_r >= 450000""".stripMargin,
+    "llm_dedup_embed" -> embedNearDupOracle,
+    // the blocked path holds the IDENTICAL contract — one oracle string,
+    // two engine shapes (broadcast-dispatch default vs forced blocked)
+    "llm_dedup_embed_blocked" -> embedNearDupOracle,
 
     "llm_ann_recall" ->
       """SELECT * FROM (VALUES

@@ -135,7 +135,11 @@ object Bench {
       .groupBy(n => n.split("_").take(2).mkString("_"))
       .toSeq.sortBy(_._1).map { case (f, names) =>
         val build = names.map(coldByName).sum - names.map(n => median(byName(n))).sum
-        s"\"" + f + "\":" + f"${math.max(0.0, build)}%.3f"
+        // Locale.ROOT: f"" uses the JVM default locale, and a
+        // comma-decimal locale would emit "0,123" and corrupt the JSON
+        // artifact (every other number on the line is Double.toString)
+        s"\"" + f + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(math.max(0.0, build)))
       }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"warm_total_sec":$warmTotal,"warm_reps":$reps,$spread"families_build_cost":$famJson,"errors":$errs,"store_build_sec":$buildSec,"sf":"$sfDir"}"""
     println(line)

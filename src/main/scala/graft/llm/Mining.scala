@@ -921,8 +921,15 @@ object Mining {
        |  -- under a million tokens): DuckDB's min(STRUCT) aggregate
        |  -- allocates unaccounted heap per group and OOMs the host at
        |  -- ~10^6 gram groups (the real round-13 sf1 killer of this
-       |  -- oracle); the packed-int min is a plain fixed-width aggregate
-       |  SELECT g, min(doc_id * 1048576 + p) AS op
+       |  -- oracle); the packed-int min is a plain fixed-width aggregate.
+       |  -- The CASE is the LOUD domain guard (like bitstring_agg's range
+       |  -- error next door): a doc over 2^20 tokens or doc_id >= 2^43
+       |  -- would silently change ownership order — fail the oracle to
+       |  -- oracle_infeasible instead of returning a plausible wrong set
+       |  SELECT g, min(CASE
+       |    WHEN p >= 1048576 OR doc_id >= 8796093022208 THEN
+       |      error('packed ownership domain exceeded (p>=2^20 or doc_id>=2^43)')::BIGINT
+       |    ELSE doc_id * 1048576 + p END) AS op
        |  FROM gp GROUP BY g HAVING count(*) >= 2),
        |no AS (
        |  SELECT doc_id, p FROM gp JOIN own USING (g)

@@ -146,15 +146,42 @@ object Similarity {
     val spark = emb.sparkSession
     val dim = embeddingDim(emb).getOrElse(
       return emptyResult(spark, "vec_a BIGINT, vec_b BIGINT, score_r BIGINT"))
-    val n = emb.select(col("vec_id")).count()
+    // ONE id scan decides the path AND supplies the block cuts: count +
+    // an OVERSAMPLED quantile grid at the 512-block cap granularity in a
+    // single aggregate job (the old shape paid a count() job on every
+    // call, then approxQuantile's own scan again on the blocked path).
+    // Grid accuracy 10000 ⇒ rank error ≤ 1e-4 of mass per cut.
+    val gridProbs = (1 until ExactEmbedGridBlocks)
+      .map(i => i.toDouble / ExactEmbedGridBlocks).mkString(",")
+    val row = emb.select(col("vec_id").cast("long").as("id"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile_approx(id, array($gridProbs), 10000)").as("grid"))
+      .head()
+    val n = row.getLong(0)
     val corpusBytes = n * dim.toLong * 4L
     if (corpusBytes <= broadcastMaxBytes) embeddingNearDupBroadcast(emb, minScoreR)
     else {
-      val blocks = math.min(512L,
+      val grid = row.getSeq[Long](1)
+      val blocks = math.min(ExactEmbedGridBlocks.toLong,
         (corpusBytes + blockBytes - 1) / math.max(1L, blockBytes)).toInt
-      embeddingNearDupBlocked(emb, minScoreR, blocks)
+      // cuts at probs i/blocks, snapped to the nearest oversampled grid
+      // point: each block holds its target mass ± one 1/512 grid cell ±
+      // the 1e-4 sketch error — the per-block bound is APPROXIMATE (a
+      // block can run ~(512/blocks)% over target), which only ever means
+      // a modestly bigger broadcast, never a mis-covered id
+      val cuts = (1 until blocks).map { i =>
+        val g = math.round(i.toDouble * ExactEmbedGridBlocks / blocks).toInt
+        grid(math.min(grid.size - 1, math.max(0, g - 1)))
+      }.distinct.sorted
+      embeddingNearDupBlockedCuts(emb, minScoreR, cuts)
     }
   }
+
+  /** Hard cap on blocked-path block count AND the oversampling
+    * granularity of the dispatcher's one-scan quantile grid. 512 blocks
+    * ≈ 10⁸ vectors at d=64 before exact all-pairs is quadratically
+    * infeasible in any shape (banding/ANN are the answer past it). */
+  private val ExactEmbedGridBlocks = 512
 
   /** Blocked exact all-pairs: the b-side is cut into `blockCount` sorted
     * id-range blocks (boundaries from a distributed quantile sketch —
@@ -174,14 +201,24 @@ object Similarity {
     * the banded / ANN paths are the production answer. */
   private[graft] def embeddingNearDupBlocked(emb: DataFrame, minScoreR: Long,
       blockCount: Int): DataFrame = {
+    // standalone entry (specs): computes its own boundaries; the
+    // dispatcher instead passes cuts from its one-scan oversampled grid
+    val probs = (1 until math.max(2, blockCount)).map(_.toDouble / blockCount).toArray
+    val cuts = emb.select(col("vec_id").cast("long").as("id"))
+      .stat.approxQuantile("id", probs, 0.001)
+      .map(_.toLong).distinct.sorted.toSeq
+    embeddingNearDupBlockedCuts(emb, minScoreR, cuts)
+  }
+
+  /** The blocked-join builder behind both [[embeddingNearDupBlocked]]
+    * shapes: `cuts` are the sorted id-range boundaries (distinct+sorted
+    * by callers, so a skewed sketch can only MERGE blocks — a bigger
+    * broadcast — never mis-cover an id). */
+  private[graft] def embeddingNearDupBlockedCuts(emb: DataFrame,
+      minScoreR: Long, cuts: Seq[Long]): DataFrame = {
     val withNorm = emb.select(
       col("vec_id").cast("long").as("id"), col("embedding").as("v"),
       norm(col("embedding")).as("nrm"))
-    // sorted id-range boundaries; distinct+sorted so skewed sketches can
-    // only merge blocks (bigger broadcasts), never mis-cover an id
-    val probs = (1 until math.max(2, blockCount)).map(_.toDouble / blockCount).toArray
-    val cuts = withNorm.stat.approxQuantile("id", probs, 0.001)
-      .map(_.toLong).distinct.sorted
     val ranges: Seq[(Option[Long], Option[Long])] =
       if (cuts.isEmpty) Seq((None, None))
       else (None +: cuts.map(Some(_))).zip(cuts.map(Some(_)) :+ None)

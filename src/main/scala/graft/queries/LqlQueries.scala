@@ -279,7 +279,7 @@ object LqlQueries {
          |SELECT epoch_us(s.ts_raw) AS ts_us, s.text AS msg,
          |  'logrange.pipe=pcdc' AS tags, s.tags AS fields
          |FROM src s JOIN keepseq USING (seq)
-         |ORDER BY s.ts_raw, s.tags, s.seq LIMIT 10000""".stripMargin,
+         |ORDER BY s.ts_raw, s.seq LIMIT 10000""".stripMargin,
     "lql_show_pipes" -> "SELECT 'p1' AS pipe",
     "lql_describe_pipe" ->
       """SELECT 'p1' AS pipe, '{name=error}' AS "from",

@@ -148,16 +148,31 @@ final class FileInFlightRegistry(fs: FileSystem, dir: Path)
     * consumers advance past its in-flight rows (reader-vs-fs skew is the
     * one axis the "two drivers age leases consistently" argument did not
     * cover). One tiny create+stat per entries() call — the same
-    * per-trigger cost class as the listing itself; if the probe cannot
-    * be written (read-only FS race) we fall back to the JVM clock MINUS
-    * the lease as before, which only ever errs by the actual skew. */
-  private val probePath = new Path(dir, "clock-probe")
+    * per-trigger cost class as the listing itself. The probe name is
+    * PER-READER (uuid suffix): a single shared name would make every
+    * concurrent reader create(overwrite=true) the same path, and on
+    * HDFS-like filesystems the second create steals the file lease and
+    * the first close throws — silently degrading to the JVM clock
+    * exactly under the multi-driver contention this clock exists for.
+    * The `.tmp` suffix keeps the probe out of the live-lease set and
+    * lets the existing expiry sweep reap it once its owner stops
+    * refreshing it. A transient IOException is retried once before
+    * falling back to the JVM clock, which only ever errs by the actual
+    * skew. */
+  private val probePath =
+    new Path(dir, "clock-probe-" + java.util.UUID.randomUUID().toString + ".tmp")
+  private def probeOnce(): Long = {
+    val out = fs.create(probePath, true)
+    try out.write('t') finally out.close()
+    fs.getFileStatus(probePath).getModificationTime
+  }
   private def fsNowMs(): Long =
-    try {
-      val out = fs.create(probePath, true)
-      try out.write('t') finally out.close()
-      fs.getFileStatus(probePath).getModificationTime
-    } catch { case _: java.io.IOException => System.currentTimeMillis() }
+    try probeOnce()
+    catch {
+      case _: java.io.IOException =>
+        try probeOnce()
+        catch { case _: java.io.IOException => System.currentTimeMillis() }
+    }
 
   override def entries(): Seq[InFlightEntry] = {
     val nowMs = fsNowMs()

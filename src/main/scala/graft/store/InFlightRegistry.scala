@@ -47,9 +47,13 @@ final case class InFlightEntry(epoch: Option[Long], parts: Option[Set[String]])
   * (LeaseScaleProbe, round 14, local FS): entries() costs ~210–270 µs
   * per LIVE lease (one open+read+close each; 500 live → 133 ms, 2000 →
   * 416 ms, linear), so a 1 s per-trigger budget holds to ~4×10³
-  * concurrent appenders; expired-file reaping is ~0.3 ms/file and paid
-  * once per crash, not per trigger. On object stores (~10 ms per GET)
-  * the same math caps at ~10² — the metastore move comes correspondingly
+  * concurrent appenders (measured crossover 4,201 at round 15);
+  * expired-file reaping is ~0.3 ms/file and paid once per crash, not
+  * per trigger. On object stores the boundary is now MEASURED, not
+  * extrapolated (round-15 directive 4: the probe's second phase injects
+  * 10 ms per FS RPC — the standard object-store cost model): steady
+  * entries() = 0.72 s at 64 live leases (11.2 ms/lease ≈ one GET each),
+  * 1 s crossover = 88 leases — the metastore move comes correspondingly
   * earlier there. */
 trait InFlightRegistry {
   /** Announce an append whose epoch is not yet claimed. Returns the

@@ -595,14 +595,23 @@ final class Store(val spark: SparkSession, val root: String) {
     // clean empty partition dirs; live dirs derive from the O(parts)
     // summaries (the writer escapes part lines with the same
     // ExternalCatalogUtils scheme partitionBy uses)
+    // BOTH sides fs-qualified: listStatus returns scheme-qualified paths
+    // (file:/...), a bare string build does not — compared raw, no live
+    // dir ever matched and the sweep deleted EVERY partition's directory
+    // (data loss for unrelated partitions; caught by the round-15
+    // TRUNCATE×lease soak)
+    val theFs = fs
     val live = catalog.partSummaries().keysIterator.map { line =>
-      new Path(dataDir, "part=" + org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(line)).toString
+      theFs.makeQualified(new Path(dataDir, "part=" +
+        org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(line))).toString
     }.toSet
     val dataPath = new Path(dataDir)
-    if (fs.exists(dataPath)) {
-      fs.listStatus(dataPath).foreach { st =>
-        if (st.isDirectory && !live.contains(st.getPath.toString)) fs.delete(st.getPath, true)
+    if (theFs.exists(dataPath)) {
+      theFs.listStatus(dataPath).foreach { st =>
+        if (st.isDirectory &&
+            !live.contains(theFs.makeQualified(st.getPath).toString))
+          theFs.delete(st.getPath, true)
       }
     }
   }

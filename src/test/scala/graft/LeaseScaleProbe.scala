@@ -38,14 +38,48 @@ object LeaseScaleProbe {
     val live = if (args.length > 0) args(0).toInt else 500
     val expired = if (args.length > 1) args(1).toInt else 5000
     val dirF = java.nio.file.Files.createTempDirectory("graft-leaseprobe").toFile
-    try run(live, expired, dirF)
+    try run(live, expired, dirF, latencyMs = 0)
     finally { rm(dirF); () }
+    // object-store phase (round-15 directive 4): the SAME protocol under
+    // an injected ~10 ms per-RPC filesystem — the trait doc's object-store
+    // assumption, now measured instead of extrapolated
+    val dirF2 = java.nio.file.Files.createTempDirectory("graft-leaseprobe-os").toFile
+    try run(live = 64, expired = 100, dirF2, latencyMs = 10)
+    finally { rm(dirF2); () }
   }
 
-  private def run(live: Int, expired: Int, dirF: java.io.File): Unit = {
+  /** A [[FilterFileSystem]] that sleeps `latencyMs` before every
+    * metadata/data RPC — the standard object-store cost model (each
+    * open/create/list/stat/delete/rename is one ~10 ms HTTP round
+    * trip). Streams themselves run at local speed: lease files are
+    * tens of bytes, so the per-request latency IS the cost, exactly
+    * as on S3-likes. */
+  private final class LatencyFs(under: org.apache.hadoop.fs.FileSystem,
+      latencyMs: Long) extends org.apache.hadoop.fs.FilterFileSystem(under) {
+    private def rpc(): Unit = Thread.sleep(latencyMs)
+    override def open(f: Path, bufferSize: Int) = { rpc(); super.open(f, bufferSize) }
+    override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+        overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+        progress: org.apache.hadoop.util.Progressable) = {
+      rpc()
+      super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+    }
+    override def listStatus(f: Path) = { rpc(); super.listStatus(f) }
+    override def getFileStatus(f: Path) = { rpc(); super.getFileStatus(f) }
+    override def delete(f: Path, recursive: Boolean) = { rpc(); super.delete(f, recursive) }
+    override def rename(src: Path, dst: Path) = { rpc(); super.rename(src, dst) }
+    override def setTimes(f: Path, mtime: Long, atime: Long) = { rpc(); super.setTimes(f, mtime, atime) }
+    override def mkdirs(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission) = {
+      rpc(); super.mkdirs(f, permission)
+    }
+  }
+
+  private def run(live: Int, expired: Int, dirF: java.io.File,
+      latencyMs: Long): Unit = {
     val conf = new Configuration()
     val dir = new Path(dirF.getAbsolutePath)
-    val fs = dir.getFileSystem(conf)
+    val fs0 = dir.getFileSystem(conf)
+    val fs = if (latencyMs > 0) new LatencyFs(fs0, latencyMs) else fs0
     val reg = new FileInFlightRegistry(fs, dir)
 
     // L live leases, each announced then claimed (two writes + a delete,
@@ -74,7 +108,7 @@ object LeaseScaleProbe {
 
     // steady state: the reap is done, every call now pays probe + list +
     // L content reads — the per-trigger term
-    val reps = 10
+    val reps = if (latencyMs > 0) 3 else 10
     val t1 = System.nanoTime()
     var k = 0
     while (k < reps) {
@@ -88,13 +122,33 @@ object LeaseScaleProbe {
     val left = fs.listStatus(dir).length
     require(left == live + 1, s"expected $live leases + probe, dir holds $left")
 
-    println(s"""{"probe":"lease_scale","live":$live,"expired":$expired,""" +
+    // max live leases a 1 s per-trigger budget sustains, assuming the
+    // measured linear cost (RPC model: probe create+stat + list + one
+    // open per live lease)
+    val crossover1s = (live / steadySec).toLong
+    println(s"""{"probe":"lease_scale","latency_ms":$latencyMs,""" +
+      s""""live":$live,"expired":$expired,""" +
       f""""reap_sec":$reapSec%.3f,"steady_entries_sec":$steadySec%.4f,""" +
-      f""""per_lease_us":${steadySec * 1e6 / math.max(1, live)}%.1f}""")
-    require(steadySec < 1.0,
-      f"per-trigger entries() $steadySec%.3f s at $live live leases blows the 1 s budget")
-    require(reapSec < 30.0,
-      f"reap of $expired expired files took $reapSec%.1f s (> 30 s budget)")
+      f""""per_lease_us":${steadySec * 1e6 / math.max(1, live)}%.1f,""" +
+      s""""crossover_leases_1s":$crossover1s}""")
+    if (latencyMs == 0) {
+      require(steadySec < 1.0,
+        f"per-trigger entries() $steadySec%.3f s at $live live leases blows the 1 s budget")
+      require(reapSec < 30.0,
+        f"reap of $expired expired files took $reapSec%.1f s (> 30 s budget)")
+    } else {
+      // object-store budgets: the measured steady cost must sit near the
+      // RPC model ((live + ~3 fixed RPCs) × latency, generous 2.5× band
+      // for scheduler jitter), and the measured 1 s crossover must land
+      // in the ~10² band the InFlightRegistry trait doc claims — this
+      // probe is what turns that claim from arithmetic into measurement
+      require(steadySec >= live * latencyMs / 1000.0,
+        f"steady $steadySec%.3f s beat the $latencyMs ms RPC floor — latency not injected?")
+      require(steadySec < (live + 10) * latencyMs * 2.5 / 1000.0,
+        f"steady $steadySec%.3f s at $live leases is far above the RPC model")
+      require(crossover1s >= 50 && crossover1s <= 200,
+        s"object-store 1 s crossover $crossover1s outside the documented ~10² band")
+    }
   }
 
   private def rm(f: java.io.File): Boolean = {

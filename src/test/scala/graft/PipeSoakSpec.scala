@@ -332,6 +332,98 @@ class PipeSoakSpec extends AnyFunSuite {
     assert(seqs.distinct.length == seqs.length)
   }
 
+  test("TRUNCATE races a live multi-driver lease: no stall, no replay, lease reaps cleanly") {
+    // round-15 directive 5 — the last uncomposed pair: r13 soaked
+    // ingest+compact+TRUNCATE on one driver, r14 soaked multi-driver CDC;
+    // here TRUNCATE (live, MAXDBSIZE whole-partition delete) fires while
+    // driver B holds an UNEXPIRED lease on the truncated partition. The
+    // consumer must neither stall forever nor replay, and the lease must
+    // reap cleanly once B's crash ages it out.
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import graft.store.{FileEpochAllocator, FileInFlightRegistry}
+    val root = java.nio.file.Files.createTempDirectory("graft-tlease").toString
+    val conf = new Configuration()
+    val localFs = new Path("/tmp").getFileSystem(conf)
+    Store.enableMultiDriver(root, conf)
+    val st = new Store(spark, root)
+    val e = new Engine(st)
+    val part = "app=tlease"
+    val svc = new PipeService(st, pollMs = 1000000L, // explicit drains only
+      maxFilesPerTrigger = 8, compactThreshold = 4)
+    val parsed = new Parser(() => java.time.Instant.now())
+      .parse("CREATE PIPE tlease FROM {app=tlease}")
+      .toOption.get.asInstanceOf[CreatePipe]
+    svc.create(parsed)
+    val destLine = Model.tagLine(Map(PipeService.PipeTag -> "tlease"))
+    def delivered(): Seq[String] =
+      st.read(Seq(destLine)).select("msg").collect().map(_.getString(0)).toSeq
+
+    // phase 1 — driver A appends, pipe drains
+    st.write(Map("app" -> "tlease"), Map.empty,
+      (0 until 6).map(i => (1000000000L + i * 1000000000L, s"payload a$i"))
+        .toDF("ts", "msg"))
+    svc.processAllAvailable()
+    val phase1 = delivered()
+    assert(phase1.sorted == (0 until 6).map(i => s"payload a$i").sorted)
+
+    // phase 2 — driver B claims an epoch and appends under a LIVE lease;
+    // driver A appends more at a higher epoch (deferred too: seq order)
+    val allocB = new FileEpochAllocator(localFs, new Path(root, ".epochs"), seed = -1L)
+    val regB = new FileInFlightRegistry(localFs,
+      new Path(FileInFlightRegistry.dirFor(root)))
+    val tokB = regB.preBegin(Some(Set(part)))
+    val epochB = allocB.next()
+    regB.begin(epochB, Some(Set(part)), tokB)
+    st.write(Map("app" -> "tlease"), Map.empty,
+      (0 until 4).map(i => (20000000000L + i * 1000000000L, s"payload b$i",
+        (epochB << Store.SeqEpochShift) + i)).toDF("ts", "msg", "seq"))
+    st.write(Map("app" -> "tlease"), Map.empty,
+      Seq((30000000000L, "payload a6")).toDF("ts", "msg"))
+    svc.processAllAvailable()
+    assert(delivered().sorted == phase1.sorted,
+      "pipe advanced past a remote in-flight epoch")
+
+    // phase 3 — TRUNCATE live, whole-partition MAXDBSIZE delete, WHILE
+    // the lease is live: the source partition (B's undelivered rows and
+    // A's deferred a6 included) goes away — TRUNCATE's contract
+    val rep = e.execute("TRUNCATE {app=tlease} MAXDBSIZE 1").collect()
+    assert(rep.length == 1 && rep(0).getAs[Boolean]("deleted"),
+      s"MAXDBSIZE should delete the source partition wholly: ${rep.toSeq}")
+    svc.processAllAvailable() // lease still live: no stall, no replay
+    assert(delivered().sorted == phase1.sorted,
+      "TRUNCATE under a live lease must not replay or deliver truncated rows")
+
+    // phase 4 — B never returns: age the lease out on the FS clock and
+    // drain; nothing may replay (the truncated rows are gone for good)
+    val leaseDir = new Path(FileInFlightRegistry.dirFor(root))
+    localFs.listStatus(leaseDir).foreach { s =>
+      if (s.getPath.getName.startsWith("ifl-") || s.getPath.getName.startsWith("pre-"))
+        localFs.setTimes(s.getPath,
+          s.getModificationTime - Store.EpochLeaseNanos / 1000000L - 60000L, -1)
+    }
+    svc.processAllAvailable()
+    assert(delivered().sorted == phase1.sorted)
+    // the expiry sweep reaped B's lease files
+    assert(regB.entries().isEmpty, "expired lease survived the sweep")
+    val leaseFiles = localFs.listStatus(leaseDir)
+      .map(_.getPath.getName).filter(n => n.startsWith("ifl-") || n.startsWith("pre-"))
+    assert(leaseFiles.isEmpty, s"lease files not reaped: ${leaseFiles.toSeq}")
+
+    // phase 5 — life goes on: fresh appends flow exactly once past the
+    // truncated region (the cursor advanced cleanly over deleted chunks)
+    st.write(Map("app" -> "tlease"), Map.empty,
+      Seq((40000000000L, "payload a7"), (41000000000L, "payload a8"))
+        .toDF("ts", "msg"))
+    svc.processAllAvailable()
+    svc.stopAll()
+    val fin = delivered()
+    assert(fin.sorted == (phase1 ++ Seq("payload a7", "payload a8")).sorted,
+      s"post-truncate appends must deliver exactly once: ${fin.sorted}")
+    val seqs = st.read(Seq(destLine)).select("seq").collect().map(_.getLong(0))
+    assert(seqs.distinct.length == seqs.length, "duplicate delivery seq")
+  }
+
   private implicit class KeySetOps(
       ks: java.util.Set[String]) {
     def asScala(): Set[String] = {

@@ -28,6 +28,7 @@ object ScaleData {
 
   val Sf1Dir = ".testdata/sf1"
 
+  // sf1 base counts; [[ensure]] multiplies by its `scale` (sf10 = 10)
   val NumDocs = 50000L
   val NumVecs = 20000L
   val NumEvents = 1000000L
@@ -38,6 +39,9 @@ object ScaleData {
   val NumPart = 200000L
   val NumOrders = 1500000L
   val NumLineitem = 6000000L
+  // entity cardinality that scales with the decade like the row counts
+  // (the sf0.1→sf1 extrapolation implied 1.5k→15k users)
+  val NumUsers = 15000L
 
   private val Vocab = Vector("a", "agg", "batch", "big", "column",
     "customer", "data", "dup", "fast", "filter", "group", "hash", "join",
@@ -65,33 +69,51 @@ object ScaleData {
     *    so `llm_dedup_incr_near` is non-vacuous at sf1 (the round-13
     *    self-flagged vacuity: the 617 rule pairs adjacent ids, which
     *    never cross the snapshot midpoint). */
-  private def textFor(id: Long): String = {
-    if (id > 0 && id % 617L == 0L) return textFor(id - 1)
-    val half = NumDocs / 2
-    if (id >= half && id % 1231L == 0L) return textFor(id - half) + " stream"
+  private def textFor(id: Long, numDocs: Long): String = {
+    if (id > 0 && id % 617L == 0L) return textFor(id - 1, numDocs)
+    val half = numDocs / 2
+    if (id >= half && id % 1231L == 0L)
+      return textFor(id - half, numDocs) + " stream"
     val rnd = rndFor(id, 42L)
     val nw = 10 + rnd.nextInt(91)
     (0 until nw).map(_ => Vocab(rnd.nextInt(Vocab.length))).mkString(" ")
   }
 
   /** Generate (idempotently) and return the sf1 dir. */
-  def ensure(spark: SparkSession): String = {
-    val dir = new java.io.File(Sf1Dir).getAbsolutePath
+  def ensure(spark: SparkSession): String = ensure(spark, 1)
+
+  /** Generate (idempotently) the sf`scale` decade (scale = 1 is the v3
+    * sf1 set, bit-identical to what round 14 shipped; scale = 10 is the
+    * round-15 third rung — same distribution family, every row count and
+    * the scaling entity cardinality ([[NumUsers]]) ×scale, fixed-size
+    * dims and value ranges untouched). */
+  def ensure(spark: SparkSession, scale: Int): String = {
+    val dir = new java.io.File(
+      if (scale == 1) Sf1Dir else s".testdata/sf$scale").getAbsolutePath
+    val numDocs = NumDocs * scale
+    val numVecs = NumVecs * scale
+    val numEvents = NumEvents * scale
+    val numCust = NumCust * scale
+    val numSupp = NumSupp * scale
+    val numPart = NumPart * scale
+    val numOrders = NumOrders * scale
+    val numLineitem = NumLineitem * scale
+    val numUsers = NumUsers * scale
     // v3: round 14 planted cross-half near-dups (see textFor) — an sf1
     // dir generated before that must rebuild (old markers are ignored)
     val done = new java.io.File(dir, "_GENERATED_v3")
     if (done.exists()) return dir
     import spark.implicits._
 
-    spark.range(0L, NumDocs, 1L, 32).map { id =>
-      val text = textFor(id)
+    spark.range(0L, numDocs, 1L, 32).map { id =>
+      val text = textFor(id, numDocs)
       val rnd = rndFor(id, 7L)
       (id, text, langOf(rnd.nextInt(10000)), s"src${rnd.nextInt(20)}",
         text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    spark.range(0L, NumVecs, 1L, 32).map { id =>
+    spark.range(0L, numVecs, 1L, 32).map { id =>
       val rnd = rndFor(id, 13L)
       val v = Array.fill(64)(rnd.nextGaussian())
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -102,7 +124,7 @@ object ScaleData {
     val baseMicros = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
       .getTime * 1000L
     val spanMicros = 30L * 24 * 3600 * 1000000L
-    spark.range(0L, NumEvents, 1L, 32).map { id =>
+    spark.range(0L, numEvents, 1L, 32).map { id =>
       val rnd = rndFor(id, 23L)
       val ts = new java.sql.Timestamp(0L)
       val micros = baseMicros + math.abs(rnd.nextLong() % spanMicros)
@@ -110,7 +132,9 @@ object ScaleData {
       ts.setNanos(((micros % 1000000L) * 1000L).toInt)
       val et = Vector("click", "error", "purchase", "signup", "view")(
         rnd.nextInt(5))
-      (id, ts, rnd.nextInt(15000).toLong, et,
+      // nextInt (not nextLong): ONE draw from the per-id stream, so the
+      // scale=1 rows stay bit-identical to the committed v3 sf1 set
+      (id, ts, rnd.nextInt(numUsers.toInt).toLong, et,
         rnd.nextInt(56022) / 100.0, s"""{"k": ${rnd.nextInt(100)}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -131,7 +155,7 @@ object ScaleData {
       .toDF("n_nationkey", "n_name", "n_regionkey")
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")
 
-    spark.range(0L, NumCust, 1L, 32).map { id =>
+    spark.range(0L, numCust, 1L, 32).map { id =>
       val rnd = rndFor(id, 31L)
       (id, f"Customer#$id%09d", rnd.nextInt(25),
         (rnd.nextInt(1099985) - 99985) / 100.0,
@@ -140,7 +164,7 @@ object ScaleData {
     }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
 
-    spark.range(0L, NumSupp, 1L, 32).map { id =>
+    spark.range(0L, numSupp, 1L, 32).map { id =>
       val rnd = rndFor(id, 37L)
       (id, f"Supplier#$id%09d", rnd.nextInt(25),
         (rnd.nextInt(1099985) - 99985) / 100.0)
@@ -150,7 +174,7 @@ object ScaleData {
     val adjs = Vector("large", "hot", "blue", "old", "cold", "small",
       "new", "red")
     val nouns = Vector("ring", "bolt", "plate", "gear", "screw", "wheel")
-    spark.range(0L, NumPart, 1L, 32).map { id =>
+    spark.range(0L, numPart, 1L, 32).map { id =>
       val rnd = rndFor(id, 41L)
       (id, s"${adjs(rnd.nextInt(adjs.length))} ${nouns(rnd.nextInt(nouns.length))}",
         s"Brand#${rnd.nextInt(25)}",
@@ -160,9 +184,9 @@ object ScaleData {
     }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
 
-    spark.range(0L, NumOrders, 1L, 32).map { id =>
+    spark.range(0L, numOrders, 1L, 32).map { id =>
       val rnd = rndFor(id, 43L)
-      (id, math.abs(rnd.nextLong()) % NumCust,
+      (id, math.abs(rnd.nextLong()) % numCust,
         Vector("F", "O", "P")(rnd.nextInt(3)),
         (100191 + rnd.nextInt(49899128)) / 100.0,
         dayTs(epoch1995, 2405, rnd), // 1995-01-01 .. 2001-08-01
@@ -172,11 +196,11 @@ object ScaleData {
       "o_orderdate", "o_orderpriority")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
 
-    spark.range(0L, NumLineitem, 1L, 32).map { id =>
+    spark.range(0L, numLineitem, 1L, 32).map { id =>
       val rnd = rndFor(id, 47L)
-      (math.abs(rnd.nextLong()) % NumOrders,
-        math.abs(rnd.nextLong()) % NumPart,
-        math.abs(rnd.nextLong()) % NumSupp,
+      (math.abs(rnd.nextLong()) % numOrders,
+        math.abs(rnd.nextLong()) % numPart,
+        math.abs(rnd.nextLong()) % numSupp,
         1 + rnd.nextInt(7),
         (1 + rnd.nextInt(50)).toDouble,
         (90068 + rnd.nextInt(10409924)) / 100.0,
@@ -194,17 +218,20 @@ object ScaleData {
   }
 }
 
-/** `sbt "Test/runMain graft.Sf1Gen"` — generate (idempotently) the
-  * on-disk sf1 decade for the sf1 oracle/bench runs (round-13
-  * directive 3). Prints the absolute dir. */
+/** `sbt "Test/runMain graft.Sf1Gen [scale]"` — generate (idempotently)
+  * the on-disk sf`scale` decade (default 1) for the oracle/bench
+  * campaigns above the driver's scales (round-13 directive 3; round-15
+  * directive 1 adds scale=10, the ladder's third rung). Prints the
+  * absolute dir. */
 object Sf1Gen {
   def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[32]")
       .appName("sf1gen").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try println(s"[sf1gen] ${ScaleData.ensure(spark)}")
+    try println(s"[sf1gen] ${ScaleData.ensure(spark, scale)}")
     finally spark.stop()
   }
 }

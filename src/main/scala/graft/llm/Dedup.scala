@@ -194,8 +194,147 @@ object Dedup {
     * and one for prefix assembly — both map-side-combining aggregations.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
     val shBase = shingleTable(docs, n)
+    // Regime dispatch (round 15; the exact-embed dispatcher precedent).
+    // The prefix filter's pruning power is a property of the VOCABULARY:
+    // with a large gram vocabulary (real corpora) document frequencies
+    // are low and the prefix join touches only rare keys; with a tiny
+    // vocabulary every doc shares prefix grams with thousands of others
+    // and the candidate join goes quadratic REGARDLESS of the true pair
+    // count (measured at the sf10 decade: 883 distinct bigrams -> 3.3e11
+    // candidate join rows for a 101-pair-scale truth; the round-14 sf1
+    // ORACLE hit the same wall and moved to bitstring Jaccard). So: a
+    // vocabulary that fits [[NgramBitsetMaxVocab]] dense bits takes the
+    // bitset all-pairs kernel (exact popcount Jaccard, 64 MB-bounded
+    // broadcasts, O(n^2 * V/64) work with a ~1e9 pairs/s/core constant);
+    // past it, the prefix-filtered join IS the scalable exact plan.
+    // The probe is a bounded TakeOrdered collect (<= maxVocab+1 rows).
+    val grams = shBase.select(explode(col("sh")).as("g"))
+      .distinct().orderBy(col("g")).limit(NgramBitsetMaxVocab + 1)
+      .collect().map(_.getString(0))
+    if (grams.nonEmpty && grams.length <= NgramBitsetMaxVocab)
+      ngramJaccardBitset(shBase, grams, threshold)
+    else ngramJaccardPrefix(shBase, threshold)
+  }
+
+  /** Gram-vocabulary bound below which [[ngramJaccard]] dispatches to
+    * the dense-bitset all-pairs kernel (4096 bits = 512 B/doc; the
+    * oracle's bitstring twin caps at 1024 — an engine vocab in (1024,
+    * 4096] simply makes that oracle fail loudly to oracle_infeasible). */
+  val NgramBitsetMaxVocab = 4096
+
+  /** Per-block raw-bitset budget for [[ngramJaccardBitset]] — each block
+    * is one broadcast, so this (not corpus size) is the memory envelope,
+    * exactly like [[Similarity.ExactEmbedBlockBytes]]. */
+  val NgramBitsetBlockBytes: Long = 64L << 20
+
+  /** Dense-bitset exact all-pairs: each doc's DISTINCT gram set becomes
+    * ONE ceil(V/64)-long bitset under the ascending-gram dense id order
+    * (the identical encoding the DuckDB twin uses), and exact Jaccard is
+    * popcount(a AND b) / (|a| + |b| - popcount) over an id-ordered pair
+    * scan — sorted id-range blocks of ≤ [[NgramBitsetBlockBytes]] each
+    * broadcast against the `a_id < blockHi`-prefiltered a-side stream
+    * (the [[Similarity.embeddingNearDupBlocked]] shape; the driver holds
+    * one block transiently while building each broadcast). Threshold and
+    * e4 rounding use the same double arithmetic as [[verifyExact]] /
+    * [[jaccardE4]], so the dispatch can never move a hash. */
+  private[graft] def ngramJaccardBitset(shBase: DataFrame,
+      grams: Array[String], threshold: Double): DataFrame = {
+    val spark = shBase.sparkSession
+    import spark.implicits._
+    val nWords = (grams.length + 63) / 64
+    val bcGid = spark.sparkContext.broadcast(grams.zipWithIndex.toMap)
+    val bs = shBase.select(col("doc_id").cast("long").as("doc_id"), col("sh"))
+      .as[(Long, Seq[String])]
+      .map { case (id, sh) =>
+        val w = new Array[Long](nWords)
+        sh.foreach { g =>
+          val k = bcGid.value(g)
+          w(k >> 6) |= 1L << (k & 63)
+        }
+        (id, w, sh.length) // sh is distinct by construction: |set| = length
+      }.toDF("id", "bits", "sz").persist()
+    OpCaches.track("dedup.ngram", Seq(shBase, bs))
+    // one scan: count decides the block count, the oversampled grid
+    // supplies the cuts (the exact-embed dispatcher pattern)
+    val gridBlocks = 512
+    val gridProbs = (1 until gridBlocks).map(i => i.toDouble / gridBlocks)
+      .mkString(",")
+    val head = bs.agg(count(lit(1)).as("n"),
+      expr(s"percentile_approx(id, array($gridProbs), 10000)").as("grid")).head()
+    val nDocs = head.getLong(0)
+    val corpusBytes = nDocs * nWords * 8L
+    val blocks = math.max(1L, math.min(gridBlocks.toLong,
+      (corpusBytes + NgramBitsetBlockBytes - 1) / NgramBitsetBlockBytes)).toInt
+    val cuts =
+      if (blocks <= 1 || nDocs == 0) Seq.empty[Long]
+      else {
+        val grid = head.getSeq[Long](1)
+        (1 until blocks).map { i =>
+          val g = math.round(i.toDouble * gridBlocks / blocks).toInt
+          grid(math.min(grid.size - 1, math.max(0, g - 1)))
+        }.distinct.sorted
+      }
+    val ranges: Seq[(Option[Long], Option[Long])] =
+      if (cuts.isEmpty) Seq((None, None))
+      else (None +: cuts.map(Some(_))).zip(cuts.map(Some(_)) :+ None)
+    val t = threshold
+    ranges.map { case (lo, hi) =>
+      val block = bs
+        .filter(lo.map(col("id") >= _).getOrElse(lit(true)) &&
+          hi.map(col("id") < _).getOrElse(lit(true)))
+        .as[(Long, Seq[Long], Int)].collect().sortBy(_._1)
+      val ids = block.map(_._1)
+      val bits = block.map(_._2.toArray)
+      val szs = block.map(_._3)
+      val bc = spark.sparkContext.broadcast((ids, bits, szs))
+      val aSide = hi.map(h => bs.filter(col("id") < h)).getOrElse(bs)
+      aSide.as[(Long, Seq[Long], Int)].mapPartitions { it =>
+        val (bIds, bBits, bSzs) = bc.value
+        it.flatMap { case (ida, waSeq, sza) =>
+          // imperative pair loop: survivors are ~1e-6 of candidates, so
+          // the loop must allocate NOTHING per candidate (an
+          // Option-per-pair shape ran the sf10 kernel into GC instead
+          // of popcounts)
+          val wa = waSeq.toArray
+          val at = java.util.Arrays.binarySearch(bIds, ida)
+          val start = if (at >= 0) at + 1 else -at - 1
+          val nw = wa.length
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          var j = start
+          while (j < bIds.length) {
+            val wb = bBits(j)
+            var c = 0L
+            var k = 0
+            while (k < nw) {
+              c += java.lang.Long.bitCount(wa(k) & wb(k)); k += 1
+            }
+            val u = (sza + bSzs(j) - c).toDouble
+            if (c.toDouble / u >= t)
+              out += ((ida, bIds(j), math.floor(c.toDouble * 1e4 / u + 0.5).toLong))
+            j += 1
+          }
+          out.iterator
+        }
+      }.toDF("doc_a", "doc_b", "jaccard_r")
+    }.reduce(_ union _)
+  }
+
+  /** [[ngramJaccard]] FORCED through the prefix-filtered path — the
+    * gate hook that keeps the large-vocabulary plan oracle-hashed even
+    * though every gate corpus's tiny vocabulary dispatches to the bitset
+    * kernel (the llm_dedup_embed_blocked precedent). */
+  def ngramJaccardViaPrefix(docs: DataFrame, n: Int = 2,
+      threshold: Double = 0.5): DataFrame =
+    ngramJaccardPrefix(shingleTable(docs, n), threshold)
+
+  /** The prefix-filtered (AllPairs/PPJoin) exact path of
+    * [[ngramJaccard]] — see the dispatch note there: this is the
+    * scalable exact plan whenever the gram vocabulary is large enough
+    * that prefix keys are rare. */
+  private[graft] def ngramJaccardPrefix(shBase: DataFrame,
+      threshold: Double): DataFrame = {
+    val par = shBase.sparkSession.sparkContext.defaultParallelism
     // sz rides as a cheap projection over the cached base
     val sh = shBase.withColumn("sz", size(col("sh")))
 
@@ -215,7 +354,10 @@ object Dedup {
           (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("pref"))
       .withColumn("plen", size(col("pref")))
       .cache()
-    OpCaches.track("dedup.ngram", Seq(shBase, prefAgg))
+    // distinct key from the bitset path's: the forced-prefix gate runs
+    // in the same session as the dispatched entries and must not
+    // unpersist their caches out from under the memoized pair table
+    OpCaches.track("dedup.ngram.prefix", Seq(shBase, prefAgg))
     val prefix = prefAgg.select(col("doc_id"), col("sz"), col("plen"),
       explode(col("pref")).as("g"))
 

@@ -265,21 +265,30 @@ object Similarity {
       .mapPartitions { it =>
         val (bIds, bVecs, bNorms) = bc.value
         it.flatMap { case (ida, va0) =>
+          // imperative pair loop, nothing allocated per candidate pair
+          // (survivors are ~1e-4 of candidates; an Option-per-pair shape
+          // turns the kernel into allocation instead of FMA at decade
+          // scale — the round-15 ngram-bitset lesson)
           val va = va0.map(_.toDouble)
+          val d = va.length
           var naSq = 0.0
           var k = 0
-          while (k < va.length) { naSq += va(k) * va(k); k += 1 }
+          while (k < d) { naSq += va(k) * va(k); k += 1 }
           val na = math.sqrt(naSq)
           val at = java.util.Arrays.binarySearch(bIds, ida)
           val start = if (at >= 0) at + 1 else -at - 1
-          (start until bIds.length).iterator.flatMap { j =>
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          var j = start
+          while (j < bIds.length) {
             val vb = bVecs(j)
             var s = 0.0
             var i = 0
-            while (i < va.length) { s += va(i) * vb(i); i += 1 }
+            while (i < d) { s += va(i) * vb(i); i += 1 }
             val r = math.floor(s / (na * bNorms(j)) * 1e6 + 0.5).toLong
-            if (r >= minScoreR) Some((ida, bIds(j), r)) else None
+            if (r >= minScoreR) out += ((ida, bIds(j), r))
+            j += 1
           }
+          out.iterator
         }
       }.toDF("vec_a", "vec_b", "score_r")
   }

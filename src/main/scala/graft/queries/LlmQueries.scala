@@ -16,6 +16,30 @@ object LlmQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Doc budget for the forced-prefix ngram gate's deterministic sample
+    * (covers the driver's decades in full; caps the bigger decades —
+    * this corpus family's 883-gram vocabulary is exactly the degenerate
+    * regime the dispatcher exists for, so the forced-prefix gate holds
+    * the plan shape on a bounded sample rather than paying the
+    * quadratic candidate mass at full decade size: measured ~3.3e9
+    * candidate join rows and a spilling 40 GB hash-agg at 50k docs). */
+  private val NgramGateSampleCap = 20000L
+
+  /** Deterministic md5-bucket doc sample, replayed EXACTLY by the
+    * DuckDB twin (bucket = first 15 md5 hex chars of the decimal doc_id
+    * string, base-16, mod 1e6 — verified Spark == DuckDB value-for-value
+    * this round). Fraction 1.0 whenever the corpus fits the cap. */
+  private def sampledDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    val d = docs(spark, dir)
+    val total = d.count()
+    val lt =
+      if (total <= NgramGateSampleCap) 1000000L
+      else math.max(1L, NgramGateSampleCap * 1000000L / total)
+    d.where(conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long") % 1000000L < lt)
+  }
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(spark, dir))
 
@@ -696,6 +720,15 @@ object LlmQueries {
     "llm_dedup_exact" -> (dedupExact _),
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_ngram" -> (dedupNgram _),
+    // the FORCED prefix-filtered path under the oracle gate: every gate
+    // corpus's tiny vocabulary makes the dispatcher take the bitset
+    // kernel, so this entry pins the large-vocabulary plan itself —
+    // over a deterministic md5 doc sample capped at NgramGateSampleCap
+    // (fraction 1.0 through sf1, 1/10 at sf10) so the deliberately
+    // vocab-degenerate gate corpora can't drive it quadratic
+    "llm_dedup_ngram_ppjoin" ->
+      ((s: SparkSession, d: String) =>
+        graft.llm.Dedup.ngramJaccardViaPrefix(sampledDocs(s, d))),
     "llm_dup_clusters" -> (dupClusters _),
     "llm_dup_profile" -> (dupProfile _),
     "llm_dedup_apply" -> (dedupApply _),
@@ -1113,6 +1146,18 @@ object LlmQueries {
     // inverted-index form; the Spark side reaches the SAME pairs through the
     // exactness-preserving prefix filter (AllPairs/PPJoin)
     "llm_dedup_ngram" -> ngramPairsOracle,
+    // the forced-prefix gate: the IDENTICAL pair definition over the
+    // md5 doc sample (same bucket arithmetic as the engine's
+    // sampledDocs; the CASE mirrors its integer threshold exactly)
+    "llm_dedup_ngram_ppjoin" ->
+      s"""WITH tot AS (SELECT count(*) AS n FROM documents),
+         |sdocs AS (
+         |  SELECT d.* FROM documents d, tot
+         |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::UBIGINT
+         |          % 1000000
+         |        < CASE WHEN tot.n <= 20000 THEN 1000000
+         |               ELSE greatest(1, 20000::BIGINT * 1000000 // tot.n) END),
+         |${ngramPairsOracleOver("sdocs").replaceFirst("WITH ", "")}""".stripMargin,
 
     // the threshold-calibration sweep over the SAME pair table: how many
     // pairs each similarity band holds (where would moving the dedup
@@ -1161,14 +1206,19 @@ object LlmQueries {
       |SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b, score_r
       |FROM s WHERE score_r >= 450000""".stripMargin
 
-  private lazy val ngramPairsOracle: String =
+  private lazy val ngramPairsOracle: String = ngramPairsOracleOver("documents")
+
+  /** [[ngramPairsOracle]] over an arbitrary documents-shaped relation —
+    * the sampled forced-prefix gate replays the same pair definition
+    * over its deterministic md5 doc sample. */
+  private def ngramPairsOracleOver(src: String): String =
       s"""WITH sh AS (
         |  SELECT DISTINCT doc_id, unnest(list_transform(
         |    range(1, greatest(len(w) - 1, 0) + 1),
         |    i -> w[i] || ' ' || w[i+1])) AS g
         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
         |                                   t -> t != '') w
-        |        FROM documents)),
+        |        FROM $src)),
         |$gramBitmapCtes,
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,0 +1,80 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crossover probe for the exact-embed dispatcher (round-15 directive
+  * 6): every committed gate forces the blocked path with TOY blocks
+  * (256 KB / 16 KB) on corpora that fit the broadcast kernel, so the
+  * broadcast-vs-blocked decision at the PRODUCTION bound
+  * ([[Similarity.ExactEmbedBroadcastMaxBytes]] = 64 MB, 64 MB blocks)
+  * was an estimate. This probe builds a deterministic above-the-bound
+  * corpus (default 300k unit vectors at d=64 → 76.8 MB raw float32,
+  * the first decade past the bound; same isotropic-Gaussian family as
+  * ScaleData) and measures, on an otherwise-quiet host:
+  *
+  *   - the single-broadcast kernel FORCED above its bound
+  *     (broadcastMaxBytes = MaxValue);
+  *   - the production dispatch (defaults: corpus > 64 MB → blocked
+  *     cross join with 64 MB blocks — 2 blocks here);
+  *
+  * asserting both return the identical pair set (count + order-free
+  * checksum, compared DISTRIBUTED — ~4.5×10¹⁰ candidate pairs never
+  * reach the driver) and printing one JSON line with the wall times.
+  * The ratio calibrates ExactEmbedBroadcastMaxBytes: if blocked ≈
+  * broadcast at 1.2× the bound, the bound is safe to keep (the blocked
+  * path costs little even right at the switch); a large ratio would
+  * argue for raising it.
+  *
+  * `sbt "Test/runMain graft.EmbedBlockProbe [nVecs]"` */
+object EmbedBlockProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(300000)
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("embed-block-probe").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.driver.memory", "32g")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, n) finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    val emb = spark.range(0L, n.toLong, 1L, 32).map { id =>
+      val rnd = new scala.util.Random(id * 2654435761L + 13L)
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(x => (x / nn).toFloat))
+    }.toDF("vec_id", "embedding").persist()
+    val rows = emb.count()
+    val corpusMb = rows * 64 * 4 / 1e6
+
+    // order-free distributed fingerprint of a pair set
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("vec_a"), col("vec_b"), col("score_r")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def timed(df: => DataFrame): (Double, (Long, Long)) = {
+      val t0 = System.nanoTime()
+      val fp = fingerprint(df)
+      ((System.nanoTime() - t0) / 1e9, fp)
+    }
+
+    // production dispatch first (cold-file effects hit both equally: the
+    // corpus is persisted and counted above)
+    val (blockedSec, fpBlocked) = timed(
+      Similarity.embeddingNearDupExact(emb))
+    val (bcastSec, fpBcast) = timed(
+      Similarity.embeddingNearDupExact(emb, broadcastMaxBytes = Long.MaxValue))
+    require(fpBlocked == fpBcast,
+      s"paths diverged: blocked=$fpBlocked broadcast=$fpBcast")
+
+    println(f"""{"probe":"embed_block_crossover","n_vecs":$rows,""" +
+      f""""corpus_mb":$corpusMb%.1f,"pairs_found":${fpBlocked._1},""" +
+      f""""blocked_sec":$blockedSec%.1f,"broadcast_sec":$bcastSec%.1f,""" +
+      f""""blocked_over_broadcast":${blockedSec / math.max(0.001, bcastSec)}%.2f}""")
+  }
+}

@@ -51,6 +51,25 @@ class LlmSpec extends AnyFunSuite {
       s"prefix-filtered result must be exact: missing=${brute -- out} extra=${out -- brute}")
   }
 
+  test("ngram Jaccard: bitset dispatch == forced prefix path at every SF") {
+    // the gate corpora's tiny vocabulary (<= NgramBitsetMaxVocab grams)
+    // makes the dispatcher take the dense-bitset all-pairs kernel; the
+    // prefix-filtered join is the large-vocabulary plan. Both are exact
+    // by construction, so they must agree pair-for-pair, including the
+    // e4 rounding — this is what lets the dispatch never move a hash.
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val d = spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
+      val viaDispatch = Dedup.ngramJaccard(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val viaPrefix = Dedup.ngramJaccardViaPrefix(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaPrefix.nonEmpty, s"sf$sf: expected planted pairs")
+      assert(viaDispatch == viaPrefix,
+        s"sf$sf: bitset/prefix diverged: missing=${viaPrefix -- viaDispatch} " +
+          s"extra=${viaDispatch -- viaPrefix}")
+    }
+  }
+
   test("incremental near-dedup: LSH cross-corpus verdicts are EXACT vs brute-force") {
     // history = lower doc-id half, incoming = upper half (the entry's cut)
     val cut = docs.agg(expr("(max(doc_id) + 1) div 2")).head.getLong(0)

@@ -23,7 +23,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): both yield the single file the
+      // compare glob likes (and an empty result still emits one part
+      // file), but coalesce folds the WHOLE plan into the one write task
+      // — at sf10 that serialized a 40-minute BroadcastNestedLoopJoin
+      // that runs in ~2 min parallel. repartition is a shuffle boundary,
+      // so upstream compute keeps its parallelism and only the write is
+      // single-task.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

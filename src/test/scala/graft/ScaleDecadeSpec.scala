@@ -15,11 +15,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * ivf 0.98, rp 0.84 (after the dOut 32→48 / pool 80x→240x re-tune;
   * 0.54 before), sq8 1.00, production banding density 5.0e-4, simhash
   * 33,956 distinct fingerprints / 50k docs, events 56,022 distinct e2
-  * values / 1M rows. */
+  * values / 1M rows.
+  *
+  * Round 15 (directive 1): the decade is selectable —
+  * `GRAFT_SCALE_DECADE=10 sbt "testOnly graft.ScaleDecadeSpec"` runs the
+  * SAME floors/invariants on the sf10 rung (500k docs / 200k vectors /
+  * 10M events; ~2 GB, generated on first run). Default stays sf1 so the
+  * regular suite's wall-clock is unchanged; the sf10 run is the
+  * per-round ladder campaign, results pinned in PLANS.md. */
 class ScaleDecadeSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
-  private lazy val dir = ScaleData.ensure(spark)
+  /** 1 (sf1, default) or 10 (sf10) — every count-sensitive assertion
+    * below scales by this. */
+  private val scale = sys.env.get("GRAFT_SCALE_DECADE").map(_.toInt).getOrElse(1)
+  private lazy val dir = ScaleData.ensure(spark, scale)
   private lazy val emb =
     spark.read.parquet(s"$dir/embeddings.parquet").cache()
   private lazy val docs =
@@ -41,16 +51,16 @@ class ScaleDecadeSpec extends AnyFunSuite {
       ("ivf", 0.40, () => Similarity.ivfTopK(emb)),
       ("rp", 0.75, () => Similarity.rpTopK(emb)),
       ("sq8", 0.90, () => Similarity.sq8TopK(emb)),
-      // ksub=32/pool=160x measured 0.90 at sf1 (PqProbe, 2026-08-15);
-      // the test-floor margin is the same one rp carries (0.84 vs 0.75)
+      // ksub=64/pool=320x measured 0.92 at sf10 (PqProbe, 2026-08-16 —
+      // the round-15 re-tune after 32/160x decayed to 0.72 there)
       ("pq", 0.75, () => Similarity.pqTopK(emb)),
-      // nProbe=4/pool=160x measured 0.94 at sf1 — scale-stable where
-      // flat pq decays (the coarse stage prunes noise as n grows)
+      // ksub=64/pool=320x after the same re-tune (the old 32/160x
+      // thinned to 0.76 at sf10)
       ("ivfpq", 0.75, () => Similarity.ivfPqTopK(emb)))
     assert(exact.nonEmpty)
     for ((name, floor, mk) <- floors) {
       val recall = (exact & pairs(mk())).size.toDouble / exact.size
-      info(f"sf1 $name recall@5 = $recall%.3f (floor $floor)")
+      info(f"sf$scale $name recall@5 = $recall%.3f (floor $floor)")
       assert(recall >= floor,
         s"$name recall@5 $recall decayed below the $floor floor at sf1 — " +
           "re-tune its params one decade ahead (the rp dOut precedent)")
@@ -63,7 +73,7 @@ class ScaleDecadeSpec extends AnyFunSuite {
     val floors = Seq(1 -> 0.50, 2 -> 0.55, 4 -> 0.60, 8 -> 0.70)
     for ((np, floor) <- floors) {
       val rec = (exact & pairs(Similarity.ivfTopK(emb, nProbe = np))).size.toDouble / exact.size
-      info(f"sf1 ivf nprobe=$np recall@5 = $rec%.3f (floor $floor)")
+      info(f"sf$scale ivf nprobe=$np recall@5 = $rec%.3f (floor $floor)")
       assert(rec >= floor, s"sweep floor broke at sf1 for nProbe=$np: $rec")
     }
     assert(pairs(Similarity.ivfTopK(emb, nProbe = 16)) == exact,
@@ -75,7 +85,7 @@ class ScaleDecadeSpec extends AnyFunSuite {
     val (pb, pr) = Similarity.ProductionNearDupParams
     val cand = Similarity.nearDupCandidates(emb, pb, pr, 13L).count()
     val density = cand / (n * (n - 1) / 2.0)
-    info(f"sf1 production banding density = $density%.6f ($cand pairs)")
+    info(f"sf$scale production banding density = $density%.6f ($cand pairs)")
     assert(density < 0.01,
       s"16x16 banding candidate density $density at sf1 — banding broken")
   }
@@ -103,7 +113,7 @@ class ScaleDecadeSpec extends AnyFunSuite {
     val docPairs = collisions(fp)
     val printPairs = collisions(fp.select("simhash").distinct())
     val allPairs = n.toDouble * (n - 1) / 2.0
-    info(f"sf1 simhash band collisions: doc-level ${docPairs / allPairs}%.4f " +
+    info(f"sf$scale simhash band collisions: doc-level ${docPairs / allPairs}%.4f " +
       f"($docPairs), distinct-print ${printPairs / allPairs}%.4f ($printPairs)")
     assert(printPairs / allPairs < 0.01,
       s"distinct-print band candidate density ${printPairs / allPairs} at " +
@@ -126,20 +136,21 @@ class ScaleDecadeSpec extends AnyFunSuite {
     // drop exactly the verdict ids
     val verdicts = graft.queries.LlmQueries.entries("llm_dedup_incr_near")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val half = ScaleData.NumDocs / 2
-    val planted = (half until ScaleData.NumDocs).filter(_ % 1231L == 0L)
+    val numDocs = ScaleData.NumDocs * scale
+    val half = numDocs / 2
+    val planted = (half until numDocs).filter(_ % 1231L == 0L)
     assert(planted.nonEmpty)
     planted.foreach { id =>
       assert(verdicts.contains(id), s"planted cross-half near-dup $id not found")
     }
-    assert(verdicts.nonEmpty && verdicts.size < 200,
+    assert(verdicts.nonEmpty && verdicts.size < 200 * scale,
       s"verdict table should be plant-sized, got ${verdicts.size}")
     verdicts.keys.foreach(i => assert(i >= half, s"verdict $i on the history side"))
     val accepted = graft.queries.LlmQueries.entries("llm_dedup_incr_apply")(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(verdicts.keySet.intersect(accepted).isEmpty,
       "applied accept kept a doc the verdict table rejected")
-    assert(accepted.size + verdicts.size == (ScaleData.NumDocs - half),
+    assert(accepted.size + verdicts.size == (numDocs - half),
       "accept + reject must partition the incoming half")
   }
 
@@ -152,8 +163,8 @@ class ScaleDecadeSpec extends AnyFunSuite {
     val rows = ev.count()
     val dv = ev.selectExpr("cast(floor(value * 100 + 0.5) as bigint) v")
       .where("v is not null").distinct().count()
-    info(s"sf1 events: $rows rows, $dv distinct e2 values")
-    assert(rows >= 1000000L)
+    info(s"sf$scale events: $rows rows, $dv distinct e2 values")
+    assert(rows >= 1000000L * scale)
     assert(dv <= 56100L,
       s"distinct e2 values $dv exceed the value-range bound — the " +
         "order-stat histogram state would now scale with rows")

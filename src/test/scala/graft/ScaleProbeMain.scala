@@ -1,14 +1,15 @@
 package graft
 
-/** One-off measurement harness for the sf1 decade (run manually:
-  * `Test/runMain graft.ScaleProbeMain`) — prints the scale-sensitive
-  * quantities ScaleDecadeSpec pins, so floor re-tuning is a measured
-  * decision recorded in PLANS.md, not a guess. */
+/** One-off measurement harness for a ScaleData decade (run manually:
+  * `Test/runMain graft.ScaleProbeMain [scale]`, default 1 = sf1) —
+  * prints the scale-sensitive quantities ScaleDecadeSpec pins, so floor
+  * re-tuning is a measured decision recorded in PLANS.md, not a guess. */
 object ScaleProbeMain {
   def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(1)
     val spark = TestSpark.spark
     val t0 = System.nanoTime()
-    val dir = ScaleData.ensure(spark)
+    val dir = ScaleData.ensure(spark, scale)
     println(s"[scaleprobe] ensure: ${(System.nanoTime() - t0) / 1e9}%.1f".replace("%.1f", ""))
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
     val docs = spark.read.parquet(s"$dir/documents.parquet").cache()

@@ -50,16 +50,52 @@ def canon(df: pd.DataFrame) -> tuple:
     h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
     return len(rows), list(df.columns), h
 
+# Fast path for multi-million-row entries (sf10 campaign: q14_gapfill is
+# 108M rows — the pandas repr-sort canon above would need tens of GB and
+# ~an hour per side). Both sides of the compare are already read through
+# DuckDB, so the canonical fingerprint can be computed IN DuckDB: columns
+# sorted by name, every value cast to VARCHAR with a NULL sentinel,
+# rows reduced order-free via count + sum(hash(row)). Enabled per run:
+# FASTHASH_MIN=200000 (row threshold; 0/unset = always the pandas path).
+fasthash_min = int(os.environ.get("FASTHASH_MIN", "0"))
+
+def duck_cols(rel_sql: str) -> list:
+    return sorted(r[0] for r in con.execute(f"DESCRIBE {rel_sql}").fetchall())
+
+def duck_canon(rel_sql: str, budget) -> tuple:
+    cols = duck_cols(rel_sql)
+    row = ", ".join(
+        f"COALESCE(CAST(\"{c}\" AS VARCHAR), chr(30))" for c in cols)
+    # bit_xor, not sum: sum(hash) aggregates to HUGEINT, which pandas
+    # narrows to float64 and silently drops the low ~40 bits; xor stays
+    # an exact UBIGINT and is equally order-free
+    q = (f"SELECT count(*), bit_xor(hash(concat_ws(chr(31), {row}))) "
+         f"FROM ({rel_sql}) _t")
+    n, h = oracle_fp_exec(q, budget)
+    return n, cols, h
+
+def oracle_fp_exec(q, budget):
+    r = oracle_df(q, budget)
+    n = int(r.iloc[0, 0])
+    h = r.iloc[0, 1]
+    return n, ("0" if n == 0 else format(int(h) & ((1 << 64) - 1), "016x"))
+
 sql = json.load(open(f"{out}/oracle_sql.json"))
 # optional per-oracle wall-clock cap (seconds) for big-sf runs where a
 # deliberately-unscalable oracle (brute-force pairwise) would never end:
 # ORACLE_TIMEOUT=600 python3 tools/verify_local.py ...
 timeout_s = int(os.environ.get("ORACLE_TIMEOUT", "0"))
+# per-entry overrides for campaign runs where a handful of known-
+# quadratic twins deserve a SHORTER budget than the fleet default (they
+# will time out either way — the override just stops them burning the
+# whole campaign's wall-clock; the artifact records the bound honestly):
+# ORACLE_TIMEOUT_OVERRIDES='{"llm_pipeline": 300}' ...
+overrides = json.loads(os.environ.get("ORACLE_TIMEOUT_OVERRIDES", "{}"))
 import threading
-def oracle_df(q):
-    if not timeout_s:
+def oracle_df(q, budget):
+    if not budget:
         return con.execute(q).df()
-    timer = threading.Timer(timeout_s, con.interrupt)
+    timer = threading.Timer(budget, con.interrupt)
     timer.start()
     try:
         return con.execute(q).df()
@@ -78,44 +114,55 @@ for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d):
         continue
-    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+    eng_rel = f"SELECT * FROM '{d}/*.parquet'"
+    eng_rows = con.execute(f"SELECT count(*) FROM ({eng_rel})").fetchone()[0]
     if name not in sql:
-        print(f"  {name:24s} rows-only: {len(got)} rows")
-        report[name] = {"status": "rows_only", "spark_rows": len(got)}
+        print(f"  {name:24s} rows-only: {eng_rows} rows")
+        report[name] = {"status": "rows_only", "spark_rows": eng_rows}
         continue
+    budget = overrides.get(name, timeout_s)
+    fast = bool(fasthash_min) and eng_rows >= fasthash_min
     try:
-        want = oracle_df(sql[name])
+        if fast:
+            ng, cg, hg = duck_canon(eng_rel, 0)
+            nw, cw, hw = duck_canon(sql[name], budget)
+        else:
+            got = con.execute(eng_rel).df()
+            want = oracle_df(sql[name], budget)
+            ng, cg, hg = canon(got)
+            nw, cw, hw = canon(want)
     except duckdb.InterruptException:
         skipped += 1
-        print(f"⏱ {name:24s} oracle exceeded {timeout_s}s — skipped "
-              "(engine rows={})".format(len(got)))
-        report[name] = {"status": "oracle_infeasible", "spark_rows": len(got),
-                        "err": f"oracle exceeded {timeout_s}s"}
+        print(f"⏱ {name:24s} oracle exceeded {budget}s — skipped "
+              "(engine rows={})".format(eng_rows))
+        report[name] = {"status": "oracle_infeasible", "spark_rows": eng_rows,
+                        "err": f"oracle exceeded {budget}s"}
         continue
     except duckdb.Error as e:
         skipped += 1
         msg = str(e).splitlines()[0][:120]
         print(f"⏱ {name:24s} oracle infeasible at this sf — skipped "
-              f"(engine rows={len(got)}): {msg}")
-        report[name] = {"status": "oracle_infeasible", "spark_rows": len(got),
+              f"(engine rows={eng_rows}): {msg}")
+        report[name] = {"status": "oracle_infeasible", "spark_rows": eng_rows,
                         "err": msg}
         continue
-    ng, cg, hg = canon(got)
-    nw, cw, hw = canon(want)
     report[name] = {"status": "ok" if (ng, cg, hg) == (nw, cw, hw) else "mismatch",
                     "rows_match": ng == nw, "schema_match": cg == cw,
                     "hash_match": hg == hw, "spark_rows": ng,
                     "oracle_rows": nw, "err": None}
+    if fast:
+        report[name]["hash_mode"] = "duckdb"
     if (ng, cg, hg) == (nw, cw, hw):
-        print(f"✓ {name:24s} rows={ng} hash={hg}")
+        print(f"✓ {name:24s} rows={ng} hash={hg}" + (" (duckdb)" if fast else ""))
         ok += 1
     else:
         bad += 1
         print(f"✗ {name:24s} got(rows={ng},cols={cg},h={hg}) want(rows={nw},cols={cw},h={hw})")
-        merged = got[sorted(got.columns)].merge(want[sorted(want.columns)],
-                 how="outer", indicator=True)
-        diff = merged[merged["_merge"] != "both"]
-        print(diff.head(6).to_string())
+        if not fast:
+            merged = got[sorted(got.columns)].merge(want[sorted(want.columns)],
+                     how="outer", indicator=True)
+            diff = merged[merged["_merge"] != "both"]
+            print(diff.head(6).to_string())
 if json_out:
     with open(json_out, "w") as f:
         json.dump({"sf_dir": sf, "entries": report,

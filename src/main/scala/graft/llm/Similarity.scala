@@ -538,13 +538,19 @@ object Similarity {
     * (dOut=64 alone recovered only 0.70): isotropic 64-dim similarity
     * gaps shrink with n, so the true top-5 sit past rank 400 in the
     * reduced order. dOut=48/pool=240x measures 0.84 at sf1 (and ≥0.88
-    * at every smaller decade) with both costs still
-    * corpus-size-independent: 1200 rerank pairs per query, reduced scan
-    * at dOut/dim = 3/4 width. Per Johnson-Lindenstrauss, dOut should
-    * keep growing ~log n — bump (dOut, pool) again before the next
-    * corpus decade, and re-measure with ScaleProbeMain. */
+    * at every smaller decade) but thinned to 0.76 at the sf10 fifth
+    * decade — one decade from breaching the 0.75 floor — so round 15
+    * re-tuned one decade ahead on the same ~log-n schedule:
+    * dOut=64/pool=480x measures 0.90 at sf10 (PqProbe 2026-08-16),
+    * 2400 rerank pairs per query, still corpus-size-independent. (At
+    * this corpus's native d=64 the dOut=64 "projection" is a rotation,
+    * not a reduction — the lever that still bites here is the pool; at
+    * production dims ≫64 the same dOut is a genuine dim cut.) Per
+    * Johnson-Lindenstrauss, dOut should keep growing ~log n — bump
+    * (dOut, pool) again before the next corpus decade, and re-measure
+    * with PqProbe/ScaleProbeMain. */
   def rpTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
-      dOut: Int = 48, seed: Long = 7L, poolFactor: Int = 240): DataFrame = {
+      dOut: Int = 64, seed: Long = 7L, poolFactor: Int = 480): DataFrame = {
     val pool = bruteForceTopK(rpReduce(emb, dOut, seed), numQueries, k * poolFactor)
       .select("qid", "nid")
     exactRerank(emb, pool, numQueries, k)
@@ -817,15 +823,17 @@ object Similarity {
     * break on ascending nid. Approximate by design — recall is pinned by
     * the llm_sim_topk_pq gate; the pool is the recall lever, the
     * codebook resolution `ksub` the distortion lever. Defaults chosen
-    * SCALE-ROBUSTLY by the rp precedent (measured 2026-08-15, PqProbe,
-    * PLANS.md): ksub=16/pool=40x decays 1.00/0.98/0.84/0.56 across
-    * sf0.001/0.01/0.1/sf1; ksub=32/pool=160x holds 1.00/1.00/1.00/0.90
-    * with both costs still corpus-size-independent (8×32 LUT per query,
-    * 800 rerank pairs per query). Like JL's dOut, resolution should grow
-    * ~log n — re-measure with PqProbe before the next corpus decade. */
+    * SCALE-ROBUSTLY by the rp precedent (PqProbe, PLANS.md):
+    * ksub=16/pool=40x decays 1.00/0.98/0.84/0.56 across
+    * sf0.001/0.01/0.1/sf1; the round-14 ksub=32/pool=160x held 0.90 at
+    * sf1 but decayed to 0.72 at the sf10 fifth decade — the re-tuned
+    * ksub=64/pool=320x measures 0.92 there (2026-08-16) with both costs
+    * still corpus-size-independent (8×64 LUT per query, 1600 rerank
+    * pairs per query). Like JL's dOut, resolution should grow ~log n —
+    * re-measure with PqProbe before the next corpus decade. */
   def pqTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
-      m: Int = 8, ksub: Int = 32, iters: Int = 5,
-      sampleSize: Int = 4096, poolFactor: Int = 160): DataFrame = {
+      m: Int = 8, ksub: Int = 64, iters: Int = 5,
+      sampleSize: Int = 4096, poolFactor: Int = 320): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val (codes, books, sub) = pqEncode(emb, m, ksub, iters, sampleSize).getOrElse(
@@ -851,7 +859,7 @@ object Similarity {
     * must never mix (a code table encoded against other codebooks
     * silently scores garbage). Store them together, version them
     * together. Returns None on an empty corpus. */
-  def pqIndexState(emb: DataFrame, m: Int = 8, ksub: Int = 32,
+  def pqIndexState(emb: DataFrame, m: Int = 8, ksub: Int = 64,
       iters: Int = 5, sampleSize: Int = 4096): Option[(DataFrame, DataFrame)] =
     pqEncode(emb, m, ksub, iters, sampleSize).map { case (codes, books, _) =>
       val spark = emb.sparkSession
@@ -875,7 +883,7 @@ object Similarity {
     * the llm_ann_pq_state gate re-asserts at every sf the driver runs
     * and AnnStateSpec pins through a real parquet round-trip. */
   def pqTopKFromState(emb: DataFrame, books: DataFrame, codes: DataFrame,
-      numQueries: Int = 10, k: Int = 5, poolFactor: Int = 160): DataFrame = {
+      numQueries: Int = 10, k: Int = 5, poolFactor: Int = 320): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val bookRows = books
@@ -904,13 +912,15 @@ object Similarity {
     * storage the rerank pages in. Every shuffle in the plan carries ids
     * and small ints/longs only. Recall compounds BOTH approximations —
     * measured (PqProbe, 2026-08-15) 0.88/0.92/0.92/0.94 across
-    * sf0.001/0.01/0.1/sf1 at the defaults: scale-STABLE where flat PQ
-    * decays (the coarse stage prunes noise neighbours as n grows, the
-    * ADC stage's pool absorbs quantization distortion), floor gated at
-    * 0.75 in llm_sim_topk_ivfpq. */
+    * sf0.001/0.01/0.1/sf1 at the round-14 defaults, decaying to 0.76 at
+    * the sf10 fifth decade (razor-thin over the 0.75 floor); the
+    * re-tuned ksub=64/pool=320x restores the margin there (PqProbe
+    * 2026-08-16: pool=320x alone lifts 0.76→0.82, and the shared-ksub
+    * bump rides the flat-PQ re-tune). Floor gated at 0.75 in
+    * llm_sim_topk_ivfpq. */
   def ivfPqTopK(emb: DataFrame, numQueries: Int = 10, k: Int = 5,
-      nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 32,
-      iters: Int = 5, sampleSize: Int = 4096, poolFactor: Int = 160): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 64,
+      iters: Int = 5, sampleSize: Int = 4096, poolFactor: Int = 320): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val (codes, books, sub) = pqEncode(emb, m, ksub, iters, sampleSize).getOrElse(
@@ -999,7 +1009,7 @@ object Similarity {
     * every sf, parquet-round-trip-pinned in AnnStateSpec). */
   def ivfPqTopKFromState(emb: DataFrame, centroids: DataFrame, lists: DataFrame,
       books: DataFrame, codes: DataFrame, numQueries: Int = 10, k: Int = 5,
-      nProbe: Int = 4, poolFactor: Int = 160): DataFrame = {
+      nProbe: Int = 4, poolFactor: Int = 320): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = centroids.select(col("list").cast("int"), col("centroid"))

@@ -63,15 +63,16 @@ class AnnStateSpec extends AnyFunSuite {
 
   test("the state artifacts have the contracted shapes") {
     val Some((books, codes)) = Similarity.pqIndexState(emb)
-    // m=8 subspaces x ksub=32 centroids, each centroid dim/m wide
+    // m=8 subspaces x ksub=64 centroids (the round-15 sf10 re-tune),
+    // each centroid dim/m wide
     val b = books.collect()
-    assert(b.length == 8 * 32)
+    assert(b.length == 8 * 64)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     assert(b.forall(_.getSeq[Double](2).length == dim / 8))
     // one code row per corpus vector, every code inside [0, ksub)
     assert(codes.count() == emb.count())
     val bad = codes.where(exists(col("codes"),
-      c => c < 0 || c >= 32) || size(col("codes")) =!= 8).count()
-    assert(bad == 0L, "codes must be 8 wide, each in [0, 32)")
+      c => c < 0 || c >= 64) || size(col("codes")) =!= 8).count()
+    assert(bad == 0L, "codes must be 8 wide, each in [0, 64)")
   }
 }

@@ -337,8 +337,9 @@ class LlmSpec extends AnyFunSuite {
   test("JL random-projection top-k recall vs brute force is usable") {
     val exact = Similarity.bruteForceTopK(emb, numQueries = 10, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // defaults dOut=48/pool=240x: recall 1.00/1.00/1.00 at sf0.001/0.01/0.1
-    // and 0.84 at the sf1 fourth decade (ScaleDecadeSpec)
+    // defaults dOut=64/pool=480x (round-15 re-tune): the old 48/240x
+    // held 1.00/1.00/1.00 at sf0.001/0.01/0.1 and 0.84 at sf1 but
+    // thinned to 0.76 at sf10; the re-tune measures 0.90 there
     val approx = Similarity.rpTopK(emb, numQueries = 10, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
@@ -364,8 +365,9 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("PQ top-k recall vs brute force clears the pinned floor at every SF") {
-    // the sq8 three-decade discipline; sf1 is covered by ScaleDecadeSpec
-    // (ksub=32/pool=160x measured 1.00/1.00/1.00/0.90 — PqProbe, PLANS.md)
+    // the sq8 three-decade discipline; sf1/sf10 are covered by
+    // ScaleDecadeSpec (ksub=64/pool=320x — the round-15 re-tune after
+    // the old 32/160x decayed to 0.72 at sf10; PqProbe, PLANS.md)
     for (sf <- Seq("0.001", "0.01", "0.1")) {
       val e = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
       val exact = Similarity.bruteForceTopK(e, numQueries = 10, k = 5)

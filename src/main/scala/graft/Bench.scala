@@ -16,6 +16,14 @@ object Bench {
     // Materialize the LogEvent stores OUTSIDE the timed region (reported
     // separately as store_build_sec) so per-query numbers measure queries,
     // not one-off ingest charged to whichever entry runs first.
+    // Record whether the on-disk store cache predates this run:
+    // store_build_sec is BIMODAL on it (sf0.1: ~11 s of JIT/stream
+    // warm-ups when the _BUILT markers exist vs ~27 s with the full
+    // store construction on a fresh testdata fingerprint), and the
+    // round-15 "store build 2.2x regression" was exactly a cached-vs-
+    // fresh capture pair read as a code change (BuildPhaseProbe).
+    val storeBuildCold =
+      !new java.io.File(s"${graft.store.EventStore.storeRoot(sfDir)}/_BUILT").exists()
     val tb0 = System.nanoTime()
     graft.store.EventStore.engine(spark, sfDir)
     graft.store.PipeStore.engine(spark, sfDir)
@@ -141,7 +149,7 @@ object Bench {
         s"\"" + f + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(math.max(0.0, build)))
       }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"warm_total_sec":$warmTotal,"warm_reps":$reps,$spread"families_build_cost":$famJson,"errors":$errs,"store_build_sec":$buildSec,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"warm_total_sec":$warmTotal,"warm_reps":$reps,$spread"families_build_cost":$famJson,"errors":$errs,"store_build_sec":$buildSec,"store_build_cold":$storeBuildCold,"sf":"$sfDir"}"""
     println(line)
     // The round driver keeps only the tail of sbt output, which has truncated
     // the per-query map in past rounds; persist the full line as an artifact

@@ -70,4 +70,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     LqlQueries.oracles ++ AdminQueries.oracles ++ LlmQueries.oracles ++
       StreamQueries.oracles ++ Analytics.oracles
+
+  /** Bounded campaign twins — `(oracleSql, engineWhere)` — for entries
+    * whose full DuckDB twin is quadratic in the corpus and infeasible
+    * at the sf10 decade; the verify harness engages one only when the
+    * entry's full twin fails, and applies `engineWhere` (the identical
+    * deterministic md5-sample predicate) to the engine's dumped parquet
+    * so both sides of the compare restrict the same rows. */
+  def oracleSqlBounded: Map[String, (String, String)] =
+    LlmQueries.oraclesBounded
 }

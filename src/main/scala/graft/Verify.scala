@@ -51,6 +51,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // bounded campaign twins (engaged by the harness only when an
+    // entry's full twin is infeasible at the run's scale)
+    val bounded = SparkEntry.oracleSqlBounded
+      .map { case (k, (sql, where)) =>
+        s"${q(k)}: {${q("oracle")}: ${q(sql)}, ${q("engine_where")}: ${q(where)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_bounded.json"), bounded)
     spark.stop()
   }
 }

@@ -748,6 +748,33 @@ object Multimodal {
     s"""WITH $imagePhashCtes,
        |${hammingVerdictSql("pr", "phash")}""".stripMargin
 
+  /** [[hammingVerdictSql]] with the VERDICT side (`a`) restricted to
+    * `verdictPred` (a boolean SQL over `a.doc_id`); the PARTNER side
+    * stays the FULL print table, so the restricted verdicts are exactly
+    * the full oracle's verdicts for the selected docs — the bounded
+    * sf10 twin tail (the full tail is quadratic in the print count and
+    * OOMs DuckDB at the 10⁵·⁵-print decade; one-sided restriction makes
+    * it linear in the full side). Same radius, same (d, pid) tie-break,
+    * same final projection — only the added predicate differs. */
+  private def hammingVerdictBoundedSql(pr: String, c: String,
+      verdictPred: String): String =
+    s"""hvp AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS pid,
+       |    bit_count(xor(a.$c, b.$c)) AS d
+       |  FROM $pr a JOIN $pr b ON b.doc_id < a.doc_id
+       |  WHERE bit_count(xor(a.$c, b.$c)) <= 2 AND ($verdictPred)),
+       |hvr AS (SELECT doc_id, pid, d,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY d, pid) AS rn
+       |      FROM hvp)
+       |SELECT doc_id, pid::BIGINT AS dup_of, d::BIGINT AS hamming
+       |FROM hvr WHERE rn = 1""".stripMargin
+
+  /** Bounded sf10 twin of [[imageDedupOracle]]: verdict side restricted
+    * to `verdictPred` over `a.doc_id`, partner side full. */
+  def imageDedupOracleBounded(verdictPred: String): String =
+    s"""WITH $imagePhashCtes,
+       |${hammingVerdictBoundedSql("pr", "phash", verdictPred)}""".stripMargin
+
   /** Time segments of the audio envelope print — [[SimHash.Bits]] wide
     * so the pigeonhole banding machinery applies unchanged (the
     * [[PhashGridX]]×[[PhashGridY]] alignment argument, in one
@@ -1265,6 +1292,12 @@ object Multimodal {
   val videoDedupOracle: String =
     s"""WITH $videoPhashCtes,
        |${hammingVerdictSql("vpr", "vphash")}""".stripMargin
+
+  /** Bounded sf10 twin of [[videoDedupOracle]]: verdict side restricted
+    * to `verdictPred` over `a.doc_id`, partner side full. */
+  def videoDedupOracleBounded(verdictPred: String): String =
+    s"""WITH $videoPhashCtes,
+       |${hammingVerdictBoundedSql("vpr", "vphash", verdictPred)}""".stripMargin
 
   /** The video-fixture derivation CTE (doc_id → geometry/timing/frame
     * size), shared by both video oracles. */

@@ -1499,24 +1499,144 @@ object LlmQueries {
          |  AND doc_id NOT IN (SELECT i FROM r WHERE rn = 1)""".stripMargin
   )
 
+  /** Deterministic md5-bucket sample membership for `idExpr` (the
+    * `llm_dedup_ngram_ppjoin` sampledDocs arithmetic): bucket below a
+    * fraction chosen so ~`cap` of the documents-table rows qualify —
+    * fraction 1.0 whenever the corpus is ≤ cap. DuckDB SQL used on BOTH
+    * sides of a bounded compare (the same predicate restricts the
+    * engine's dumped parquet), so no engine plan or hash ever moves. */
+  private def samplePred(idExpr: String, cap: Long): String =
+    s"('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15))::UBIGINT % 1000000" +
+      s" < (SELECT CASE WHEN count(*) <= $cap THEN 1000000" +
+      s" ELSE greatest(1, ($cap::BIGINT * 1000000) // count(*)) END FROM documents)"
+
+  /** Bounded sf10 twins (round-15 advisor / round-16 directive 6) for
+    * the band-join dedup family, whose FULL DuckDB twins are quadratic
+    * in the corpus and OOM at the 500k-doc decade. Each value is
+    * `(oracleSql, engineWhere)`: the twin restricts the VERDICT side to
+    * a deterministic md5 doc sample while the PARTNER side stays FULL —
+    * pair Jaccard, hamming-argmin and argmax-over-history are functions
+    * of the full fixed side, so every compared row is byte-identical to
+    * the full oracle's; the compare is exact, just over the sampled
+    * verdict rows — and `engineWhere` applies the IDENTICAL predicate
+    * to the engine's dumped parquet at compare time (no engine query
+    * changes, no hash drift at the gate decades). The harness engages
+    * these only when the full twin is infeasible, and BoundedOracleSpec
+    * pins bounded == enginefiltered at the gate decade where both run. */
+  val oraclesBounded: Map[String, (String, String)] = Map(
+    // symmetric pair table: a pair is kept iff EITHER endpoint is
+    // sampled; emitted exactly once (both sampled -> x<y order only;
+    // one sampled -> the sampled endpoint is x, any order via least/
+    // greatest with the NOT-sampled guard)
+    "llm_dedup_near" -> ((
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(w) - 2, 0) + 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+         |                                   t -> t != '') w
+         |        FROM documents)),
+         |shs AS (SELECT * FROM sh WHERE ${samplePred("doc_id", 5000)}),
+         |inter AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_a,
+         |         greatest(x.doc_id, y.doc_id) AS doc_b, count(*) AS c
+         |  FROM shs x JOIN sh y USING (g)
+         |  WHERE x.doc_id != y.doc_id
+         |    AND (x.doc_id < y.doc_id OR NOT (${samplePred("y.doc_id", 5000)}))
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         |SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+         |  floor(c * 1.0e4 / (sa.n + sb.n - c) + 0.5)::BIGINT AS jaccard_r
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = inter.doc_a
+         |JOIN sizes sb ON sb.doc_id = inter.doc_b
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin,
+      s"(${samplePred("doc_a", 5000)}) OR (${samplePred("doc_b", 5000)})")),
+
+    // per-doc hamming-argmin verdicts: verdict side (i = b) sampled,
+    // partner side (a < i) full
+    "llm_dedup_simhash" -> ((
+      s"""WITH hs AS (
+         |  SELECT doc_id, list_transform(
+         |    list_distinct(list_filter(string_split_regex(lower(text), '\\W+'),
+         |                              t -> t != '')),
+         |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hl
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(0, 60), i ->
+         |      CASE WHEN list_sum(list_transform(hl,
+         |             h -> CASE WHEN (h // (1::BIGINT << i)) % 2 = 1
+         |                       THEN 1 ELSE -1 END)) > 0
+         |           THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS s
+         |  FROM hs),
+         |p AS (
+         |  SELECT b.doc_id AS i, a.doc_id AS h, bit_count(xor(a.s, b.s)) AS d
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id < b.doc_id AND (${samplePred("b.doc_id", 2000)})
+         |  WHERE bit_count(xor(a.s, b.s)) <= 2),
+         |r AS (SELECT i, h, d,
+         |        row_number() OVER (PARTITION BY i ORDER BY d, h) AS rn
+         |      FROM p)
+         |SELECT i::BIGINT AS doc_id, h::BIGINT AS dup_of, d::BIGINT AS hamming
+         |FROM r WHERE rn = 1""".stripMargin,
+      samplePred("doc_id", 2000))),
+
+    // the shared pigeonhole modalities: verdict side sampled, partner
+    // side full (caps sized to each print table: images are the
+    // doc_id%4=1 quarter, video prints cover every doc)
+    "llm_image_dedup" -> ((
+      graft.llm.Multimodal.imageDedupOracleBounded(
+        samplePred("a.doc_id", 8000)),
+      samplePred("doc_id", 8000))),
+    "llm_video_dedup" -> ((
+      graft.llm.Multimodal.videoDedupOracleBounded(
+        samplePred("a.doc_id", 2000)),
+      samplePred("doc_id", 2000))),
+
+    // cross-snapshot: incoming side sampled, history side full — the
+    // per-incoming argmax verdict is over the FULL history either way
+    "llm_dedup_incr_near" -> ((
+      s"""${incrNearCteWhere(samplePred("b.doc_id", 5000))}
+         |SELECT i::BIGINT AS doc_id, h::BIGINT AS dup_of, jaccard_r
+         |FROM r WHERE rn = 1""".stripMargin,
+      samplePred("doc_id", 5000))),
+    "llm_dedup_incr_apply" -> ((
+      s"""${incrNearCteWhere(samplePred("b.doc_id", 5000))}
+         |SELECT doc_id::BIGINT AS doc_id, lang, source,
+         |  n_chars::BIGINT AS n_chars
+         |FROM documents, cu
+         |WHERE doc_id >= cut AND (${samplePred("doc_id", 5000)})
+         |  AND doc_id NOT IN (SELECT i FROM r WHERE rn = 1)""".stripMargin,
+      samplePred("doc_id", 5000)))
+  )
+
   /** The shared cross-snapshot near-dedup closure: history = doc ids
     * below the midpoint, incoming at/above; `r` holds the per-incoming
     * ranked matches (rn = 1 is the best-match verdict row). Shared
     * verbatim by the `llm_dedup_incr_near` and `llm_dedup_incr_apply`
     * oracles so the verdict definition can never diverge between them. */
-  private lazy val incrNearCte: String =
-    """WITH cu AS (SELECT (max(doc_id) + 1) // 2 AS cut FROM documents),
+  private lazy val incrNearCte: String = incrNearCteWhere("TRUE")
+
+  /** [[incrNearCte]] with an extra predicate over the INCOMING side
+    * (`b.doc_id`) pushed into the cross-half join — the bounded sf10
+    * twin hook: restricting the incoming side makes the join linear in
+    * the history side while every restricted verdict (argmax over the
+    * FULL history) stays exactly the full oracle's. `TRUE` = the
+    * unrestricted oracle, so the two can never drift. */
+  private def incrNearCteWhere(incomingPred: String): String =
+    s"""WITH cu AS (SELECT (max(doc_id) + 1) // 2 AS cut FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, unnest(list_transform(
       |    range(1, greatest(len(w) - 2, 0) + 1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
       |                                   t -> t != '') w
       |        FROM documents)),
       |inter AS (
       |  SELECT a.doc_id AS h, b.doc_id AS i, count(*) AS c
       |  FROM sh a JOIN sh b USING (g), cu
-      |  WHERE a.doc_id < cut AND b.doc_id >= cut
+      |  WHERE a.doc_id < cut AND b.doc_id >= cut AND ($incomingPred)
       |  GROUP BY 1, 2),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |p AS (

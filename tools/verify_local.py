@@ -81,6 +81,24 @@ def oracle_fp_exec(q, budget):
     return n, ("0" if n == 0 else format(int(h) & ((1 << 64) - 1), "016x"))
 
 sql = json.load(open(f"{out}/oracle_sql.json"))
+# Bounded campaign twins (oracle_sql_bounded.json: name -> {oracle,
+# engine_where}) for entries whose FULL twin is quadratic and infeasible
+# at big sf: the twin restricts the verdict side to a deterministic md5
+# doc sample (partner side stays full), and engine_where applies the
+# IDENTICAL predicate to the engine's dumped parquet, so the compare is
+# still exact — just over the sampled verdict rows. BOUNDED_ORACLES:
+#   auto (default) — engage a bounded twin only when the full twin
+#                    fails (timeout/OOM); the artifact records
+#                    oracle_mode=bounded_sample + the full twin's error;
+#   force          — additionally run every bounded twin even when the
+#                    full twin succeeded (gate-decade validation that
+#                    bounded == engine-filtered; mismatch fails the run);
+#   off            — never engage them (pre-round-16 behavior).
+bounded_mode = os.environ.get("BOUNDED_ORACLES", "auto")
+bounded = {}
+bpath = f"{out}/oracle_sql_bounded.json"
+if bounded_mode != "off" and os.path.exists(bpath):
+    bounded = json.load(open(bpath))
 # optional per-oracle wall-clock cap (seconds) for big-sf runs where a
 # deliberately-unscalable oracle (brute-force pairwise) would never end:
 # ORACLE_TIMEOUT=600 python3 tools/verify_local.py ...
@@ -110,6 +128,22 @@ if "--json" in sys.argv:
     json_out = sys.argv[sys.argv.index("--json") + 1]
 report = {}
 ok = bad = skipped = 0
+
+def bounded_compare(name, eng_rel, budget):
+    """Run a bounded twin; returns (status, entry_fields) or raises."""
+    b = bounded[name]
+    beng = f"SELECT * FROM ({eng_rel}) _e WHERE {b['engine_where']}"
+    # bounded outputs are sample-sized by construction — the pandas
+    # canon (exact repr) path is always affordable here
+    got = con.execute(beng).df()
+    want = oracle_df(b["oracle"], budget)
+    ng, cg, hg = canon(got)
+    nw, cw, hw = canon(want)
+    st = "ok" if (ng, cg, hg) == (nw, cw, hw) else "mismatch"
+    return st, {"rows_match": ng == nw, "schema_match": cg == cw,
+                "hash_match": hg == hw, "bounded_rows": ng,
+                "oracle_rows": nw, "bounded_hash": hg,
+                "oracle_mode": "bounded_sample"}
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d):
@@ -131,16 +165,27 @@ for name in sorted(os.listdir(out)):
             want = oracle_df(sql[name], budget)
             ng, cg, hg = canon(got)
             nw, cw, hw = canon(want)
-    except duckdb.InterruptException:
+    except (duckdb.InterruptException, duckdb.Error) as e:
+        msg = (f"oracle exceeded {budget}s"
+               if isinstance(e, duckdb.InterruptException)
+               else str(e).splitlines()[0][:120])
+        if name in bounded:
+            try:
+                st, fields = bounded_compare(name, eng_rel, budget)
+                report[name] = {"status": st, "spark_rows": eng_rows,
+                                "full_oracle_err": msg, "err": None, **fields}
+                if st == "ok":
+                    ok += 1
+                    print(f"✓ {name:24s} BOUNDED rows={fields['bounded_rows']} "
+                          f"hash={fields['bounded_hash']} "
+                          f"(full engine rows={eng_rows}; full oracle: {msg})")
+                else:
+                    bad += 1
+                    print(f"✗ {name:24s} BOUNDED mismatch: {fields}")
+                continue
+            except (duckdb.InterruptException, duckdb.Error) as e2:
+                msg += f"; bounded twin also failed: {str(e2).splitlines()[0][:120]}"
         skipped += 1
-        print(f"⏱ {name:24s} oracle exceeded {budget}s — skipped "
-              "(engine rows={})".format(eng_rows))
-        report[name] = {"status": "oracle_infeasible", "spark_rows": eng_rows,
-                        "err": f"oracle exceeded {budget}s"}
-        continue
-    except duckdb.Error as e:
-        skipped += 1
-        msg = str(e).splitlines()[0][:120]
         print(f"⏱ {name:24s} oracle infeasible at this sf — skipped "
               f"(engine rows={eng_rows}): {msg}")
         report[name] = {"status": "oracle_infeasible", "spark_rows": eng_rows,
@@ -152,6 +197,16 @@ for name in sorted(os.listdir(out)):
                     "oracle_rows": nw, "err": None}
     if fast:
         report[name]["hash_mode"] = "duckdb"
+    if bounded_mode == "force" and name in bounded:
+        # gate-decade validation: the bounded twin must agree with the
+        # engine output filtered by the identical sample predicate
+        st2, fields2 = bounded_compare(name, eng_rel, budget)
+        report[name]["bounded_check"] = st2
+        report[name]["bounded_rows"] = fields2["bounded_rows"]
+        if st2 != "ok":
+            bad += 1
+            print(f"✗ {name:24s} bounded twin DIVERGES from engine-filtered: "
+                  f"{fields2}")
     if (ng, cg, hg) == (nw, cw, hw):
         print(f"✓ {name:24s} rows={ng} hash={hg}" + (" (duckdb)" if fast else ""))
         ok += 1

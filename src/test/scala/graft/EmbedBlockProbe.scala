@@ -27,27 +27,36 @@ import org.apache.spark.sql.functions._
   * path costs little even right at the switch); a large ratio would
   * argue for raising it.
   *
-  * `sbt "Test/runMain graft.EmbedBlockProbe [nVecs]"` */
+  * `sbt "Test/runMain graft.EmbedBlockProbe [nVecs | <dir>]"` — a
+  * numeric arg sizes the synthetic corpus; a path arg (e.g.
+  * `.testdata/sf10`) probes that decade's real embeddings table (51 MB
+  * at sf10 — under the bound, so there the roles flip: production
+  * dispatch = broadcast, the forced path = blocked). */
 object EmbedBlockProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(300000)
     val spark = SparkSession.builder().master("local[32]")
       .appName("embed-block-probe").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.driver.memory", "32g")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try run(spark, n) finally spark.stop()
+    try run(spark, args.headOption.getOrElse("300000")) finally spark.stop()
   }
 
-  private def run(spark: SparkSession, n: Int): Unit = {
+  private def run(spark: SparkSession, arg: String): Unit = {
     import spark.implicits._
-    val emb = spark.range(0L, n.toLong, 1L, 32).map { id =>
-      val rnd = new scala.util.Random(id * 2654435761L + 13L)
-      val v = Array.fill(64)(rnd.nextGaussian())
-      val nn = math.sqrt(v.map(x => x * x).sum)
-      (id, v.map(x => (x / nn).toFloat))
-    }.toDF("vec_id", "embedding").persist()
+    val emb = (arg.toIntOption match {
+      case Some(n) =>
+        spark.range(0L, n.toLong, 1L, 32).map { id =>
+          val rnd = new scala.util.Random(id * 2654435761L + 13L)
+          val v = Array.fill(64)(rnd.nextGaussian())
+          val nn = math.sqrt(v.map(x => x * x).sum)
+          (id, v.map(x => (x / nn).toFloat))
+        }.toDF("vec_id", "embedding")
+      case None =>
+        spark.read.parquet(s"$arg/embeddings.parquet")
+          .select("vec_id", "embedding")
+    }).persist()
     val rows = emb.count()
     val corpusMb = rows * 64 * 4 / 1e6
 
@@ -64,16 +73,21 @@ object EmbedBlockProbe {
     }
 
     // production dispatch first (cold-file effects hit both equally: the
-    // corpus is persisted and counted above)
-    val (blockedSec, fpBlocked) = timed(
+    // corpus is persisted and counted above), then BOTH paths forced —
+    // broadcastMaxBytes=MaxValue forces the single-broadcast kernel,
+    // =0 forces the blocked cross join with production 64 MB blocks
+    val (dispatchSec, fpDispatch) = timed(
       Similarity.embeddingNearDupExact(emb))
+    val (blockedSec, fpBlocked) = timed(
+      Similarity.embeddingNearDupExact(emb, broadcastMaxBytes = 0L))
     val (bcastSec, fpBcast) = timed(
       Similarity.embeddingNearDupExact(emb, broadcastMaxBytes = Long.MaxValue))
-    require(fpBlocked == fpBcast,
-      s"paths diverged: blocked=$fpBlocked broadcast=$fpBcast")
+    require(fpBlocked == fpBcast && fpDispatch == fpBcast,
+      s"paths diverged: dispatch=$fpDispatch blocked=$fpBlocked broadcast=$fpBcast")
 
     println(f"""{"probe":"embed_block_crossover","n_vecs":$rows,""" +
       f""""corpus_mb":$corpusMb%.1f,"pairs_found":${fpBlocked._1},""" +
+      f""""dispatch_sec":$dispatchSec%.1f,""" +
       f""""blocked_sec":$blockedSec%.1f,"broadcast_sec":$bcastSec%.1f,""" +
       f""""blocked_over_broadcast":${blockedSec / math.max(0.001, bcastSec)}%.2f}""")
   }

@@ -119,7 +119,12 @@ object Similarity {
     * single-broadcast fast path (one driver-bounded collect of ≤ this many
     * raw float32 bytes, zero shuffle). Above it the blocked cross join
     * runs instead, so no call ever materializes more than this on the
-    * driver. 64 MB ≈ 260k vectors at d=64. */
+    * driver. 64 MB ≈ 260k vectors at d=64. MEASURED calibration
+    * (EmbedBlockProbe, round 16): under the bound the broadcast kernel
+    * is 2.43× faster than forced-blocked (sf10's 51 MB table); 1.2×
+    * past it the blocked plan costs only 1.10× the (driver-unsafe)
+    * forced broadcast (300k×d64 = 76.8 MB) — so raising the bound buys
+    * ≤10% at the cost of a corpus-sized driver collect. Keep 64 MB. */
   val ExactEmbedBroadcastMaxBytes: Long = 64L << 20
 
   /** Per-block raw-float32 budget for [[embeddingNearDupBlocked]] — each
@@ -131,7 +136,9 @@ object Similarity {
     *
     *  - corpus ≤ `broadcastMaxBytes` raw floats: the single-broadcast
     *    kernel ([[embeddingNearDupBroadcast]]) — one bounded collect,
-    *    zero shuffle, fastest at gate scales (0.4 s at sf0.1);
+    *    zero shuffle, fastest at gate scales (0.4 s at sf0.1; 2.4×
+    *    faster than forced-blocked on sf10's 51 MB table — measured,
+    *    EmbedBlockProbe r16);
     *  - above it: the blocked cross join ([[embeddingNearDupBlocked]]) —
     *    sorted id-range blocks of ≤ `blockBytes` each broadcast against
     *    the streamed a-side, NO corpus-sized driver materialization.

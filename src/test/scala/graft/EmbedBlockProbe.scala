@@ -60,10 +60,13 @@ object EmbedBlockProbe {
     val rows = emb.count()
     val corpusMb = rows * 64 * 4 / 1e6
 
-    // order-free distributed fingerprint of a pair set
+    // order-free distributed fingerprint of a pair set — bit_xor, not
+    // sum: xxhash64 values are uniform longs and a sum overflows under
+    // ANSI mode past ~1e4 rows (this is why the r15 probe run never
+    // produced numbers); xor is order-free and cannot overflow
     def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("vec_a"), col("vec_b"), col("score_r")))).head()
+      val r = df.select(xxhash64(col("vec_a"), col("vec_b"), col("score_r")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     def timed(df: => DataFrame): (Double, (Long, Long)) = {

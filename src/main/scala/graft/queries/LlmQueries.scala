@@ -1505,10 +1505,11 @@ object LlmQueries {
     * fraction 1.0 whenever the corpus is ≤ cap. DuckDB SQL used on BOTH
     * sides of a bounded compare (the same predicate restricts the
     * engine's dumped parquet), so no engine plan or hash ever moves. */
-  private def samplePred(idExpr: String, cap: Long): String =
+  private def samplePred(idExpr: String, cap: Long,
+      universe: String = "documents"): String =
     s"('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15))::UBIGINT % 1000000" +
       s" < (SELECT CASE WHEN count(*) <= $cap THEN 1000000" +
-      s" ELSE greatest(1, ($cap::BIGINT * 1000000) // count(*)) END FROM documents)"
+      s" ELSE greatest(1, ($cap::BIGINT * 1000000) // count(*)) END FROM $universe)"
 
   /** Bounded sf10 twins (round-15 advisor / round-16 directive 6) for
     * the band-join dedup family, whose FULL DuckDB twins are quadratic
@@ -1608,8 +1609,62 @@ object LlmQueries {
          |FROM documents, cu
          |WHERE doc_id >= cut AND (${samplePred("doc_id", 5000)})
          |  AND doc_id NOT IN (SELECT i FROM r WHERE rn = 1)""".stripMargin,
-      samplePred("doc_id", 5000)))
+      samplePred("doc_id", 5000))),
+
+    // exact bigram-Jaccard pairs: either-endpoint sampling over the
+    // SAME bitstring pair definition (the full twin's n²/2 popcount
+    // scan is compute-infeasible at 500k docs; one-sided it is
+    // sample×corpus — the simhash twin's cost class)
+    "llm_dedup_ngram" -> ((
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(w) - 1, 0) + 1),
+         |    i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+         |                                   t -> t != '') w
+         |        FROM documents)),
+         |$gramBitmapCtes,
+         |bms AS (SELECT * FROM bm WHERE ${samplePred("doc_id", 2000)}),
+         |inter AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS doc_a,
+         |    greatest(x.doc_id, y.doc_id) AS doc_b,
+         |    bit_count(x.bits & y.bits)::BIGINT AS c, x.n AS nx, y.n AS ny
+         |  FROM bms x JOIN bm y
+         |    ON x.doc_id != y.doc_id
+         |   AND (x.doc_id < y.doc_id OR NOT (${samplePred("y.doc_id", 2000)})))
+         |SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+         |  floor(c * 1.0e4 / (nx + ny - c) + 0.5)::BIGINT AS jaccard_r
+         |FROM inter
+         |WHERE c * 1.0 / (nx + ny - c) >= 0.5""".stripMargin,
+      s"(${samplePred("doc_a", 2000)}) OR (${samplePred("doc_b", 2000)})")),
+
+    // exact embedding near-dup pairs: either-endpoint sampling over the
+    // SAME double-fold cosine (the dot is i-ordered, so score_r is
+    // byte-identical whichever side is sampled); fraction computed over
+    // the EMBEDDINGS universe. One oracle, two engine shapes (the
+    // broadcast-dispatch default and the forced-blocked gate).
+    "llm_dedup_embed" -> embedBoundedTwin,
+    "llm_dedup_embed_blocked" -> embedBoundedTwin
   )
+
+  private lazy val embedBoundedTwin: (String, String) = ((
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |ns AS (SELECT * FROM n WHERE ${samplePred("vec_id", 500, "embeddings")}),
+       |s AS (
+       |  SELECT least(a.vec_id, b.vec_id) AS vec_a,
+       |    greatest(a.vec_id, b.vec_id) AS vec_b,
+       |    floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+       |          / (a.nrm * b.nrm) * 1e6 + 0.5)::BIGINT AS score_r
+       |  FROM ns a JOIN n b
+       |    ON a.vec_id != b.vec_id
+       |   AND (a.vec_id < b.vec_id OR NOT (${samplePred("b.vec_id", 500, "embeddings")})))
+       |SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b, score_r
+       |FROM s WHERE score_r >= 450000""".stripMargin,
+    s"(${samplePred("vec_a", 500, "embeddings")}) OR (${samplePred("vec_b", 500, "embeddings")})"))
 
   /** The shared cross-snapshot near-dedup closure: history = doc ids
     * below the midpoint, incoming at/above; `r` holds the per-incoming

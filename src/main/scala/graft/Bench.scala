@@ -22,8 +22,14 @@ object Bench {
     // store construction on a fresh testdata fingerprint), and the
     // round-15 "store build 2.2x regression" was exactly a cached-vs-
     // fresh capture pair read as a code change (BuildPhaseProbe).
-    val storeBuildCold =
-      !new java.io.File(s"${graft.store.EventStore.storeRoot(sfDir)}/_BUILT").exists()
+    // cold = ANY of the three stores' _BUILT markers missing: the timed
+    // build constructs all three, so a partially-built cache still pays
+    // real build work and must not report cold=false (round-16 advice)
+    val storeBuildCold = Seq(
+      graft.store.EventStore.storeRoot(sfDir),
+      graft.store.PipeStore.storeRoot(sfDir),
+      graft.store.IngestStore.storeRoot(sfDir)
+    ).exists(r => !new java.io.File(s"$r/_BUILT").exists())
     val tb0 = System.nanoTime()
     graft.store.EventStore.engine(spark, sfDir)
     graft.store.PipeStore.engine(spark, sfDir)

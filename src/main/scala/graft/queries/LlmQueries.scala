@@ -368,8 +368,36 @@ object LlmQueries {
   def pcmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.pcmFrames(docs(spark, dir))
 
+  /** Gate-corpus cap for the two exact-embed entries (vectors). The
+    * entries are n²-BY-CONTRACT (exact all-pairs); at sf10's 200k
+    * vectors the pair kernel costs 233–330 s — the measured contract
+    * constant — and one decade up it would be ~6–9 h each and stall the
+    * campaign ladder (round-16 directive 4). The gate therefore runs on
+    * a deterministic md5 sample capped at 200k vectors: fraction 1.0
+    * through sf10 (zero output/hash drift at every currently-green
+    * decade), 10% at sf100 — the gate keeps pinning both kernels at
+    * sf10-scale cost while the production dispatcher
+    * (Similarity.embeddingNearDup) stays untouched. */
+  private val EmbedGateSampleCap = 200000L
+
+  /** Deterministic md5-bucket vector sample (same bucket arithmetic as
+    * [[sampledDocs]], replayed exactly by the DuckDB twins). Because
+    * every sample predicate uses the SAME md5 bucket of vec_id, the
+    * bounded twin's 500-cap verdict sample is automatically a subset of
+    * this gate corpus — the predicates nest by construction. */
+  private def sampledEmb(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    val e = emb(spark, dir)
+    val total = e.count()
+    val lt =
+      if (total <= EmbedGateSampleCap) 1000000L
+      else math.max(1L, EmbedGateSampleCap * 1000000L / total)
+    e.where(conv(substring(md5(col("vec_id").cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long") % 1000000L < lt)
+  }
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDup(emb(spark, dir))
+    Similarity.embeddingNearDup(sampledEmb(spark, dir))
 
   /** The DISTRIBUTED exact-embed path under the oracle gate: the same
     * full-recall contract as llm_dedup_embed but FORCED through the
@@ -378,7 +406,7 @@ object LlmQueries {
     * plan at every gate decade) — so the gate exercises the 100 TB
     * code path itself, not only the small-corpus broadcast kernel. */
   def embedNearDupBlocked(spark: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDupExact(emb(spark, dir),
+    Similarity.embeddingNearDupExact(sampledEmb(spark, dir),
       broadcastMaxBytes = 0L, blockBytes = 256L * 1024)
 
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -963,6 +991,22 @@ object LlmQueries {
     * 0.5 → undirected edges → recursive closure), shared verbatim by the
     * llm_dup_clusters and llm_dedup_apply oracles so the cluster
     * definition can never diverge between them. */
+  /** The `pairs → edges → reach` closure tail over an arbitrary pairs
+    * relation — ONE definition of the undirected reachability recursion,
+    * shared by the full closure (all-pairs bitmap Jaccard) and the
+    * bounded campaign twins (which feed it the engine's own dumped
+    * `llm_dedup_ngram` pair table, see [[oraclesBoundedDownstream]]). */
+  private def closureTailFrom(pairsDef: String): String =
+    s"""pairs AS (
+      |$pairsDef),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)""".stripMargin
+
   // lazy: interpolates gramBitmapCtes, a val defined further down the
   // object — eager init order would capture null
   private lazy val clusterClosureCte: String =
@@ -974,25 +1018,34 @@ object LlmQueries {
       |                                   t -> t != '') w
       |        FROM documents)),
       |$gramBitmapCtes,
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bm a JOIN bm b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(a.bits & b.bits) * 1.0
-      |        / (a.n + b.n - bit_count(a.bits & b.bits)) >= 0.5),
-      |edges AS (
-      |  SELECT doc_a AS s, doc_b AS d FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT s, s FROM edges
-      |  UNION
-      |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)""".stripMargin
+      |${closureTailFrom(
+        """  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bm a JOIN bm b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(a.bits & b.bits) * 1.0
+          |        / (a.n + b.n - bit_count(a.bits & b.bits)) >= 0.5""".stripMargin)}"""
+      .stripMargin
+
+  /** The closure over the ENGINE's dumped `llm_dedup_ngram` pair table
+    * (`{OUT}` is substituted with the campaign dump dir by
+    * verify_local). Same pair set as the full closure's `pairs` CTE by
+    * definition of llm_dedup_ngram (word-2-gram Jaccard >= 0.5), whose
+    * own bounded twin verifies it at every campaign decade. */
+  private lazy val enginePairsSql: String =
+    "  SELECT doc_a, doc_b FROM read_parquet('{OUT}/llm_dedup_ngram/*.parquet')"
+  private lazy val enginePairsRSql: String =
+    "  SELECT doc_a, doc_b, jaccard_r FROM read_parquet('{OUT}/llm_dedup_ngram/*.parquet')"
+  private lazy val boundedClosureCte: String =
+    s"WITH RECURSIVE ${closureTailFrom(enginePairsSql)}"
 
   /** Every pipeline stage's keep/drop set plus the composed survivor
     * set (`keep`) as ONE CTE chain — shared verbatim by the llm_pipeline
     * and llm_pipeline_funnel oracles so the stage semantics cannot
     * diverge between the composition and its observability twin. */
   private lazy val pipelineStageCtes: String =
-    s"""$clusterClosureCte,
+    pipelineStageCtesWith(clusterClosureCte)
+
+  private def pipelineStageCtesWith(closure: String): String =
+    s"""$closure,
        |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r)),
        |${Repetition.gopherCtes},
        |${Curation.decontamCtes("csh", "cbench")},
@@ -1022,6 +1075,47 @@ object LlmQueries {
        |    AND doc_id NOT IN (SELECT id FROM dropped)
        |    AND doc_id NOT IN (SELECT doc_id FROM span_drop)
        |    AND doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
+
+  /** The composed-pipeline oracle body over a given stage-CTE chain —
+    * ONE tail, shared by the full oracle (all-pairs closure) and the
+    * bounded campaign twin (engine-pair-fed closure). */
+  private def pipelineSqlWith(stages: String): String =
+    s"""$stages,
+       |sv_a AS (
+       |  SELECT source, sum(n_tok)::BIGINT AS tokens_avail
+       |  FROM keep GROUP BY 1 HAVING tokens_avail > 0),
+       |${Curation.tokenBudgetAlgebraCtes("sv_a", "bg_",
+             Curation.PipelineBudgetMultipleE2)},
+       |bud AS (
+       |  SELECT source, least(tokens_avail, tokens_got) AS cap_tok
+       |  FROM bg_rep),
+       |cum AS (
+       |  SELECT k.*, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in
+       |  FROM keep k),
+       |fin AS (
+       |  SELECT doc_id, lang FROM cum JOIN bud USING (source)
+       |  WHERE cum_in <= cap_tok)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  sum(doc_id)::BIGINT AS sum_doc_id
+       |FROM fin GROUP BY lang""".stripMargin
+
+  private def pipelineFunnelSqlWith(stages: String): String =
+    s"""$stages
+       |SELECT 0::BIGINT AS ord, 'corpus' AS stage,
+       |  (SELECT count(*) FROM documents)::BIGINT AS n_docs
+       |UNION ALL SELECT 1, 'gopher_keep',
+       |  (SELECT count(*) FROM v WHERE reason = 'ok')
+       |UNION ALL SELECT 2, 'model_keep', (SELECT count(*) FROM mdl_keep)
+       |UNION ALL SELECT 3, 'blocklist_keep', (SELECT count(*) FROM blk_keep)
+       |UNION ALL SELECT 4, 'cap_keep', (SELECT count(*) FROM cap_keep)
+       |UNION ALL SELECT 5, 'mixture_keep', (SELECT count(*) FROM mx_keep)
+       |UNION ALL SELECT 6, 'sample_keep',
+       |  (SELECT count(*) FROM documents WHERE ${Curation.sampleKeepSql})
+       |UNION ALL SELECT 7, 'dup_drop', (SELECT count(*) FROM dropped)
+       |UNION ALL SELECT 8, 'span_drop', (SELECT count(*) FROM span_drop)
+       |UNION ALL SELECT 9, 'contam_drop', (SELECT count(*) FROM contam)
+       |UNION ALL SELECT 10, 'survivors', (SELECT count(*) FROM keep)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "llm_kmeans" ->
@@ -1056,43 +1150,9 @@ object LlmQueries {
     // definitions the standalone stage oracles use (closure, gopher
     // rules, decontam shingles, sample predicate) — the stage semantics
     // cannot diverge between the standalone gates and the composition
-    "llm_pipeline" ->
-      s"""$pipelineStageCtes,
-         |sv_a AS (
-         |  SELECT source, sum(n_tok)::BIGINT AS tokens_avail
-         |  FROM keep GROUP BY 1 HAVING tokens_avail > 0),
-         |${Curation.tokenBudgetAlgebraCtes("sv_a", "bg_",
-               Curation.PipelineBudgetMultipleE2)},
-         |bud AS (
-         |  SELECT source, least(tokens_avail, tokens_got) AS cap_tok
-         |  FROM bg_rep),
-         |cum AS (
-         |  SELECT k.*, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in
-         |  FROM keep k),
-         |fin AS (
-         |  SELECT doc_id, lang FROM cum JOIN bud USING (source)
-         |  WHERE cum_in <= cap_tok)
-         |SELECT lang, count(*)::BIGINT AS n_docs,
-         |  sum(doc_id)::BIGINT AS sum_doc_id
-         |FROM fin GROUP BY lang""".stripMargin,
+    "llm_pipeline" -> pipelineSqlWith(pipelineStageCtes),
     // the funnel counts the SAME stage CTEs the composition filters by
-    "llm_pipeline_funnel" ->
-      s"""$pipelineStageCtes
-         |SELECT 0::BIGINT AS ord, 'corpus' AS stage,
-         |  (SELECT count(*) FROM documents)::BIGINT AS n_docs
-         |UNION ALL SELECT 1, 'gopher_keep',
-         |  (SELECT count(*) FROM v WHERE reason = 'ok')
-         |UNION ALL SELECT 2, 'model_keep', (SELECT count(*) FROM mdl_keep)
-         |UNION ALL SELECT 3, 'blocklist_keep', (SELECT count(*) FROM blk_keep)
-         |UNION ALL SELECT 4, 'cap_keep', (SELECT count(*) FROM cap_keep)
-         |UNION ALL SELECT 5, 'mixture_keep', (SELECT count(*) FROM mx_keep)
-         |UNION ALL SELECT 6, 'sample_keep',
-         |  (SELECT count(*) FROM documents WHERE ${Curation.sampleKeepSql})
-         |UNION ALL SELECT 7, 'dup_drop', (SELECT count(*) FROM dropped)
-         |UNION ALL SELECT 8, 'span_drop', (SELECT count(*) FROM span_drop)
-         |UNION ALL SELECT 9, 'contam_drop', (SELECT count(*) FROM contam)
-         |UNION ALL SELECT 10, 'survivors', (SELECT count(*) FROM keep)""".stripMargin,
+    "llm_pipeline_funnel" -> pipelineFunnelSqlWith(pipelineStageCtes),
     "llm_embed_outliers" -> Similarity.embedOutliersOracle,
     "llm_embed_quantize" -> Similarity.embedQuantizeOracle,
     "llm_source_kl" -> graft.llm.Mining.sourceKlOracle,
@@ -1162,13 +1222,109 @@ object LlmQueries {
     // the threshold-calibration sweep over the SAME pair table: how many
     // pairs each similarity band holds (where would moving the dedup
     // knob land?) — oracle wraps the ngram oracle verbatim
-    "llm_dedup_sweep" ->
-      s"""WITH p AS ($ngramPairsOracle)
-         |SELECT (jaccard_r // 1000) * 1000 AS band_lo_e4,
-         |  count(*)::BIGINT AS n_pairs,
-         |  min(jaccard_r) AS min_r, max(jaccard_r) AS max_r
-         |FROM p GROUP BY 1""".stripMargin
+    "llm_dedup_sweep" -> dedupSweepSqlWith(s"($ngramPairsOracle)")
   ) ++ moreOracles
+
+  /** Threshold-calibration sweep body over a pair relation carrying
+    * (doc_a, doc_b, jaccard_r) — shared by the full oracle and the
+    * engine-pair-fed bounded twin. */
+  private def dedupSweepSqlWith(pairsRel: String): String =
+    s"""WITH p AS (SELECT * FROM $pairsRel _p)
+       |SELECT (jaccard_r // 1000) * 1000 AS band_lo_e4,
+       |  count(*)::BIGINT AS n_pairs,
+       |  min(jaccard_r) AS min_r, max(jaccard_r) AS max_r
+       |FROM p GROUP BY 1""".stripMargin
+
+  /** Cluster/profile/apply/leakage oracle bodies over a given closure
+    * (or pair) source — ONE definition each, shared by the full oracles
+    * and the engine-pair-fed bounded campaign twins
+    * ([[oraclesBoundedDownstream]]). */
+  private def dupClustersSqlWith(closure: String): String =
+    s"""$closure
+       |SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
+       |  (id = min(r)) AS keep
+       |FROM reach GROUP BY id""".stripMargin
+
+  private def dupProfileSqlWith(closure: String): String =
+    s"""$closure,
+       |cl AS (
+       |  SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
+       |    (id = min(r)) AS keep
+       |  FROM reach GROUP BY id),
+       |j AS (
+       |  SELECT d.source, cl.cluster_id, cl.keep
+       |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+       |base AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs
+       |  FROM documents GROUP BY 1)
+       |SELECT b.source, b.n_docs,
+       |  count(j.cluster_id)::BIGINT AS n_clustered,
+       |  coalesce(sum(CASE WHEN NOT j.keep THEN 1 ELSE 0 END), 0)::BIGINT
+       |    AS n_dropped,
+       |  count(DISTINCT j.cluster_id)::BIGINT AS n_clusters,
+       |  (coalesce(sum(CASE WHEN NOT j.keep THEN 1 ELSE 0 END), 0)
+       |    * 10000 // b.n_docs)::BIGINT AS dup_frac_e4
+       |FROM base b LEFT JOIN j USING (source)
+       |GROUP BY 1, 2""".stripMargin
+
+  private def dedupApplySqlWith(closure: String): String =
+    s"""$closure,
+       |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r))
+       |SELECT doc_id::BIGINT AS doc_id, lang, source, n_chars::BIGINT AS n_chars
+       |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
+
+  private def corpusCardSqlWith(closure: String): String =
+    s"""$closure,
+       |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r)),
+       |${graft.llm.Repetition.gopherCtes},
+       |${Curation.decontamCtes("csh", "cbench")},
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM csh JOIN cbench USING (g)
+       |  WHERE doc_id % 17 != 0),
+       |${graft.llm.Mining.zipfCtes},
+       |nd AS (SELECT count(*)::BIGINT AS n_docs,
+       |         count(DISTINCT lang)::BIGINT AS n_langs,
+       |         count(DISTINCT source)::BIGINT AS n_sources
+       |       FROM documents)
+       |SELECT 'n_docs' AS metric, n_docs::BIGINT AS value FROM nd
+       |UNION ALL SELECT 'n_langs', n_langs FROM nd
+       |UNION ALL SELECT 'n_sources', n_sources FROM nd
+       |UNION ALL SELECT 'n_tokens', n FROM ztot
+       |UNION ALL SELECT 'mean_doc_tokens', (n // n_docs)::BIGINT
+       |  FROM ztot, nd
+       |UNION ALL SELECT 'vocab', vocab FROM ztot
+       |UNION ALL SELECT 'top100_mass_e4', (m100 * 10000 // n)::BIGINT
+       |  FROM zsl, ztot
+       |UNION ALL SELECT 'zipf_slope_e4',
+       |  ((num // den) * 10000 + (num % den) * 10000 // den)::BIGINT
+       |  FROM zsl
+       |UNION ALL SELECT 'gopher_pass_e4',
+       |  ((SELECT count(*) FROM v WHERE reason = 'ok') * 10000
+       |    // n_docs)::BIGINT FROM nd
+       |UNION ALL SELECT 'dup_doc_e4',
+       |  ((SELECT count(*) FROM dropped) * 10000 // n_docs)::BIGINT
+       |  FROM nd
+       |UNION ALL SELECT 'contam_e4',
+       |  ((SELECT count(*) FROM contam) * 10000 // n_docs)::BIGINT
+       |  FROM nd""".stripMargin
+
+  private def splitLeakageSqlWith(pairsRel: String): String =
+    s"""WITH p AS (SELECT * FROM $pairsRel _p),
+       |sp AS (
+       |  SELECT doc_a, doc_b, jaccard_r,
+       |    ${Curation.splitCaseSqlOf("doc_a")} AS sa,
+       |    ${Curation.splitCaseSqlOf("doc_b")} AS sb
+       |  FROM p),
+       |o AS (
+       |  SELECT doc_b AS doc_id, sb AS split, doc_a AS train_dup, jaccard_r
+       |  FROM sp WHERE sa = 'train' AND sb != 'train'
+       |  UNION ALL
+       |  SELECT doc_a, sa, doc_b, jaccard_r FROM sp
+       |  WHERE sb = 'train' AND sa != 'train')
+       |SELECT doc_id, split, count(*)::BIGINT AS n_train_dups,
+       |  (max({'j': jaccard_r, 'nd': -train_dup})).j::BIGINT AS best_jaccard_r,
+       |  (-(max({'j': jaccard_r, 'nd': -train_dup})).nd)::BIGINT AS best_train_dup
+       |FROM o GROUP BY 1, 2""".stripMargin
 
   /** Shared gram-id + per-doc-bitmap CTE tail (expects an `sh(doc_id, g)`
     * CTE in scope). The corpus vocabulary is small (≤31 words at every
@@ -1192,10 +1348,13 @@ object LlmQueries {
       |  SELECT doc_id, bitstring_agg(id, 0, 1023) AS bits, count(*) AS n
       |  FROM sh JOIN gid USING (g) GROUP BY doc_id)""".stripMargin
 
+  // gate-corpus predicate spliced into BOTH embed-oracle shapes: same
+  // md5 bucket as the Spark side's sampledEmb (fraction 1.0 <= sf10)
   private lazy val embedNearDupOracle: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE ${samplePred("vec_id", EmbedGateSampleCap, "embeddings")}),
       |n AS (SELECT vec_id, v,
       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       |s AS (
@@ -1234,63 +1393,19 @@ object LlmQueries {
     // reachability closure (feasible at oracle scale); the Spark side
     // reaches the same components by min-label propagation. ONE closure
     // definition feeds both the cluster view and the applied dedup.
-    "llm_dup_clusters" ->
-      s"""$clusterClosureCte
-         |SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
-         |  (id = min(r)) AS keep
-         |FROM reach GROUP BY id""".stripMargin,
+    "llm_dup_clusters" -> dupClustersSqlWith(clusterClosureCte),
 
     // same reachability closure, profiled per source: a cross-source
     // cluster counts toward every source it touches
-    "llm_dup_profile" ->
-      s"""$clusterClosureCte,
-         |cl AS (
-         |  SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
-         |    (id = min(r)) AS keep
-         |  FROM reach GROUP BY id),
-         |j AS (
-         |  SELECT d.source, cl.cluster_id, cl.keep
-         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
-         |base AS (
-         |  SELECT source, count(*)::BIGINT AS n_docs
-         |  FROM documents GROUP BY 1)
-         |SELECT b.source, b.n_docs,
-         |  count(j.cluster_id)::BIGINT AS n_clustered,
-         |  coalesce(sum(CASE WHEN NOT j.keep THEN 1 ELSE 0 END), 0)::BIGINT
-         |    AS n_dropped,
-         |  count(DISTINCT j.cluster_id)::BIGINT AS n_clusters,
-         |  (coalesce(sum(CASE WHEN NOT j.keep THEN 1 ELSE 0 END), 0)
-         |    * 10000 // b.n_docs)::BIGINT AS dup_frac_e4
-         |FROM base b LEFT JOIN j USING (source)
-         |GROUP BY 1, 2""".stripMargin,
+    "llm_dup_profile" -> dupProfileSqlWith(clusterClosureCte),
 
     // same reachability closure, applied: corpus minus non-survivors
-    "llm_dedup_apply" ->
-      s"""$clusterClosureCte,
-         |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r))
-         |SELECT doc_id::BIGINT AS doc_id, lang, source, n_chars::BIGINT AS n_chars
-         |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin,
+    "llm_dedup_apply" -> dedupApplySqlWith(clusterClosureCte),
     "llm_split" -> Curation.splitOracle,
     // train→eval near-dup leakage over the SAME verified pair table the
     // dedup entries consume; split assignment is the pure per-row md5
     // projection — the oracle never rejoins the corpus either
-    "llm_split_leakage" ->
-      s"""WITH p AS ($ngramPairsOracle),
-         |sp AS (
-         |  SELECT doc_a, doc_b, jaccard_r,
-         |    ${Curation.splitCaseSqlOf("doc_a")} AS sa,
-         |    ${Curation.splitCaseSqlOf("doc_b")} AS sb
-         |  FROM p),
-         |o AS (
-         |  SELECT doc_b AS doc_id, sb AS split, doc_a AS train_dup, jaccard_r
-         |  FROM sp WHERE sa = 'train' AND sb != 'train'
-         |  UNION ALL
-         |  SELECT doc_a, sa, doc_b, jaccard_r FROM sp
-         |  WHERE sb = 'train' AND sa != 'train')
-         |SELECT doc_id, split, count(*)::BIGINT AS n_train_dups,
-         |  (max({'j': jaccard_r, 'nd': -train_dup})).j::BIGINT AS best_jaccard_r,
-         |  (-(max({'j': jaccard_r, 'nd': -train_dup})).nd)::BIGINT AS best_train_dup
-         |FROM o GROUP BY 1, 2""".stripMargin,
+    "llm_split_leakage" -> splitLeakageSqlWith(s"($ngramPairsOracle)"),
     // model-score deciles vs the SAME Gopher rule chain the standalone
     // gate runs (Repetition.gopherCtes spliced verbatim)
     "llm_quality_calibration" ->
@@ -1444,40 +1559,7 @@ object LlmQueries {
     // the standalone gates use (cluster closure, Gopher rules, decontam
     // shingles, Zipf chain) — the summary cannot diverge from the
     // operators it summarizes
-    "llm_corpus_card" ->
-      s"""$clusterClosureCte,
-         |dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(r)),
-         |${graft.llm.Repetition.gopherCtes},
-         |${Curation.decontamCtes("csh", "cbench")},
-         |contam AS (
-         |  SELECT DISTINCT doc_id FROM csh JOIN cbench USING (g)
-         |  WHERE doc_id % 17 != 0),
-         |${graft.llm.Mining.zipfCtes},
-         |nd AS (SELECT count(*)::BIGINT AS n_docs,
-         |         count(DISTINCT lang)::BIGINT AS n_langs,
-         |         count(DISTINCT source)::BIGINT AS n_sources
-         |       FROM documents)
-         |SELECT 'n_docs' AS metric, n_docs::BIGINT AS value FROM nd
-         |UNION ALL SELECT 'n_langs', n_langs FROM nd
-         |UNION ALL SELECT 'n_sources', n_sources FROM nd
-         |UNION ALL SELECT 'n_tokens', n FROM ztot
-         |UNION ALL SELECT 'mean_doc_tokens', (n // n_docs)::BIGINT
-         |  FROM ztot, nd
-         |UNION ALL SELECT 'vocab', vocab FROM ztot
-         |UNION ALL SELECT 'top100_mass_e4', (m100 * 10000 // n)::BIGINT
-         |  FROM zsl, ztot
-         |UNION ALL SELECT 'zipf_slope_e4',
-         |  ((num // den) * 10000 + (num % den) * 10000 // den)::BIGINT
-         |  FROM zsl
-         |UNION ALL SELECT 'gopher_pass_e4',
-         |  ((SELECT count(*) FROM v WHERE reason = 'ok') * 10000
-         |    // n_docs)::BIGINT FROM nd
-         |UNION ALL SELECT 'dup_doc_e4',
-         |  ((SELECT count(*) FROM dropped) * 10000 // n_docs)::BIGINT
-         |  FROM nd
-         |UNION ALL SELECT 'contam_e4',
-         |  ((SELECT count(*) FROM contam) * 10000 // n_docs)::BIGINT
-         |  FROM nd""".stripMargin,
+    "llm_corpus_card" -> corpusCardSqlWith(clusterClosureCte),
     "llm_token_budget" -> Curation.tokenBudgetOracle,
 
     // exact cross-half all-pairs word-3-shingle Jaccard with per-incoming
@@ -1645,12 +1727,44 @@ object LlmQueries {
     // broadcast-dispatch default and the forced-blocked gate).
     "llm_dedup_embed" -> embedBoundedTwin,
     "llm_dedup_embed_blocked" -> embedBoundedTwin
-  )
+  ) ++ oraclesBoundedDownstream
+
+  /** Bounded campaign twins for the 8 downstream consumers of the full
+    * ngram pair table (round-16 directive 2). Their full oracles re-run
+    * the all-pairs bitmap-Jaccard join inside their CTE chains — the
+    * only quadratic piece; everything downstream of `pairs` (recursive
+    * closure over ~1k edges, linear corpus scans) is feasible at every
+    * decade. The bounded twin therefore feeds the SAME oracle body
+    * (shared `...SqlWith` builders, spliced verbatim) with the ENGINE's
+    * own dumped `llm_dedup_ngram` pair table (`{OUT}` substituted by
+    * verify_local), making the compare EXACT over the FULL corpus —
+    * conditional on the pair table, which the campaign verifies
+    * independently in the same run via llm_dedup_ngram's own
+    * either-endpoint sampled twin. engine_where is TRUE: no output row
+    * is dropped from the compare. Validated on the force-mode ladder
+    * (sf0.01/sf0.1): where the full oracle runs, engine pairs == oracle
+    * pairs, so bounded == full == engine by construction. */
+  private lazy val oraclesBoundedDownstream: Map[String, (String, String)] =
+    Map(
+      "llm_dup_clusters" -> ((dupClustersSqlWith(boundedClosureCte), "TRUE")),
+      "llm_dup_profile" -> ((dupProfileSqlWith(boundedClosureCte), "TRUE")),
+      "llm_dedup_apply" -> ((dedupApplySqlWith(boundedClosureCte), "TRUE")),
+      "llm_corpus_card" -> ((corpusCardSqlWith(boundedClosureCte), "TRUE")),
+      "llm_pipeline" ->
+        ((pipelineSqlWith(pipelineStageCtesWith(boundedClosureCte)), "TRUE")),
+      "llm_pipeline_funnel" ->
+        ((pipelineFunnelSqlWith(pipelineStageCtesWith(boundedClosureCte)),
+          "TRUE")),
+      "llm_dedup_sweep" ->
+        ((dedupSweepSqlWith(s"($enginePairsRSql)"), "TRUE")),
+      "llm_split_leakage" ->
+        ((splitLeakageSqlWith(s"($enginePairsRSql)"), "TRUE")))
 
   private lazy val embedBoundedTwin: (String, String) = ((
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE ${samplePred("vec_id", EmbedGateSampleCap, "embeddings")}),
        |n AS (SELECT vec_id, v,
        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
        |ns AS (SELECT * FROM n WHERE ${samplePred("vec_id", 500, "embeddings")}),

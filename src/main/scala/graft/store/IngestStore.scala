@@ -24,10 +24,17 @@ object IngestStore {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Engine]
 
+  /** On-disk cache root for `sfDir` (marker-file convention as
+    * [[EventStore.storeRoot]]; fixture content is sfDir-independent so no
+    * data fingerprint is needed in the key). */
+  def storeRoot(sfDir: String): String = {
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"/tmp/graft/ingeststore-$Version-$name"
+  }
+
   def engine(spark: SparkSession, sfDir: String): Engine =
     cache.getOrElseUpdate(sfDir, {
-      val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val root = s"/tmp/graft/ingeststore-$Version-$name"
+      val root = storeRoot(sfDir)
       val store = new Store(spark, root)
       val eng = new Engine(store)
       val marker = new java.io.File(s"$root/_BUILT")

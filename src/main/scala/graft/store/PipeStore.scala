@@ -26,11 +26,17 @@ object PipeStore {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Engine]
 
+  /** On-disk cache root for `sfDir` — same regeneration-proof cache key
+    * (and root-keyed in-JVM memo) as EventStore; see
+    * [[EventStore.dataFingerprint]]. */
+  def storeRoot(sfDir: String): String = {
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"/tmp/graft/pipestore-$Version-${EventStore.dataFingerprint(sfDir)}-$name"
+  }
+
   def engine(spark: SparkSession, sfDir: String): Engine = {
     val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    // same regeneration-proof cache key (and root-keyed in-JVM memo) as
-    // EventStore — see EventStore.dataFingerprint
-    val root = s"/tmp/graft/pipestore-$Version-${EventStore.dataFingerprint(sfDir)}-$name"
+    val root = storeRoot(sfDir)
     cache.getOrElseUpdate(root, {
       EventStore.dropStaleSiblings(root, s"pipestore-$Version-", name)
       val store = new Store(spark, root)

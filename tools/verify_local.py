@@ -129,21 +129,48 @@ if "--json" in sys.argv:
 report = {}
 ok = bad = skipped = 0
 
+def resource_err(e) -> bool:
+    """True for errors that mean 'this oracle is infeasible at this scale'
+    (timeout interrupt, OOM, overflow) as opposed to a genuine SQL/binder
+    bug. Only resource-class errors may engage the bounded fallback —
+    otherwise a broken full twin could silently reroute to a green
+    bounded compare (round-16 advice)."""
+    if isinstance(e, duckdb.InterruptException):
+        return True
+    m = str(e).lower()
+    return any(k in m for k in ("memory", "allocat", "out of range",
+                                "overflow", "interrupt", "no space"))
+
 def bounded_compare(name, eng_rel, budget):
-    """Run a bounded twin; returns (status, entry_fields) or raises."""
+    """Run a bounded twin; returns (status, entry_fields) or raises.
+
+    Two twin shapes share this path: md5-sample twins (engine_where
+    restricts both sides to the sampled verdict rows) and engine-pair-fed
+    twins ('{OUT}' in the oracle SQL — the twin consumes the engine's own
+    dumped llm_dedup_ngram pair table, so the compare is exact over the
+    FULL output, conditional on the pair table that the same campaign
+    verifies via llm_dedup_ngram's sampled twin)."""
     b = bounded[name]
+    oracle_sql = b["oracle"].replace("{OUT}", out)
+    mode = "engine_pairs" if "{OUT}" in b["oracle"] else "bounded_sample"
     beng = f"SELECT * FROM ({eng_rel}) _e WHERE {b['engine_where']}"
-    # bounded outputs are sample-sized by construction — the pandas
-    # canon (exact repr) path is always affordable here
-    got = con.execute(beng).df()
-    want = oracle_df(b["oracle"], budget)
-    ng, cg, hg = canon(got)
-    nw, cw, hw = canon(want)
+    n_eng = con.execute(f"SELECT count(*) FROM ({beng})").fetchone()[0]
+    if fasthash_min and n_eng >= fasthash_min:
+        # engine-pair-fed twins compare the FULL output (llm_dedup_apply
+        # is corpus-sized) — same in-DuckDB canonical fingerprint as the
+        # main compare's fast path
+        ng, cg, hg = duck_canon(beng, 0)
+        nw, cw, hw = duck_canon(oracle_sql, budget)
+    else:
+        got = con.execute(beng).df()
+        want = oracle_df(oracle_sql, budget)
+        ng, cg, hg = canon(got)
+        nw, cw, hw = canon(want)
     st = "ok" if (ng, cg, hg) == (nw, cw, hw) else "mismatch"
     return st, {"rows_match": ng == nw, "schema_match": cg == cw,
                 "hash_match": hg == hw, "bounded_rows": ng,
                 "oracle_rows": nw, "bounded_hash": hg,
-                "oracle_mode": "bounded_sample"}
+                "oracle_mode": mode}
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d):
@@ -169,6 +196,14 @@ for name in sorted(os.listdir(out)):
         msg = (f"oracle exceeded {budget}s"
                if isinstance(e, duckdb.InterruptException)
                else str(e).splitlines()[0][:120])
+        if not resource_err(e):
+            # a genuine SQL/binder bug in the full twin must fail loudly,
+            # never reroute to a green bounded compare (round-16 advice)
+            bad += 1
+            print(f"✗ {name:24s} ORACLE ERROR (non-resource, fix the SQL): {msg}")
+            report[name] = {"status": "oracle_error", "spark_rows": eng_rows,
+                            "err": msg}
+            continue
         if name in bounded:
             try:
                 st, fields = bounded_compare(name, eng_rel, budget)
@@ -191,7 +226,8 @@ for name in sorted(os.listdir(out)):
         report[name] = {"status": "oracle_infeasible", "spark_rows": eng_rows,
                         "err": msg}
         continue
-    report[name] = {"status": "ok" if (ng, cg, hg) == (nw, cw, hw) else "mismatch",
+    full_ok = (ng, cg, hg) == (nw, cw, hw)
+    report[name] = {"status": "ok" if full_ok else "mismatch",
                     "rows_match": ng == nw, "schema_match": cg == cw,
                     "hash_match": hg == hw, "spark_rows": ng,
                     "oracle_rows": nw, "err": None}
@@ -199,25 +235,30 @@ for name in sorted(os.listdir(out)):
         report[name]["hash_mode"] = "duckdb"
     if bounded_mode == "force" and name in bounded:
         # gate-decade validation: the bounded twin must agree with the
-        # engine output filtered by the identical sample predicate
+        # engine output filtered by the identical sample predicate. The
+        # verdict folds into THIS entry's single ok/bad tally (a bounded
+        # divergence makes the entry bad even when the full compare
+        # passed) — no double counting (round-16 advice).
         st2, fields2 = bounded_compare(name, eng_rel, budget)
         report[name]["bounded_check"] = st2
         report[name]["bounded_rows"] = fields2["bounded_rows"]
         if st2 != "ok":
-            bad += 1
+            report[name]["status"] = "mismatch"
+            full_ok = False
             print(f"✗ {name:24s} bounded twin DIVERGES from engine-filtered: "
                   f"{fields2}")
-    if (ng, cg, hg) == (nw, cw, hw):
+    if full_ok:
         print(f"✓ {name:24s} rows={ng} hash={hg}" + (" (duckdb)" if fast else ""))
         ok += 1
     else:
         bad += 1
-        print(f"✗ {name:24s} got(rows={ng},cols={cg},h={hg}) want(rows={nw},cols={cw},h={hw})")
-        if not fast:
-            merged = got[sorted(got.columns)].merge(want[sorted(want.columns)],
-                     how="outer", indicator=True)
-            diff = merged[merged["_merge"] != "both"]
-            print(diff.head(6).to_string())
+        if (ng, cg, hg) != (nw, cw, hw):
+            print(f"✗ {name:24s} got(rows={ng},cols={cg},h={hg}) want(rows={nw},cols={cw},h={hw})")
+            if not fast:
+                merged = got[sorted(got.columns)].merge(want[sorted(want.columns)],
+                         how="outer", indicator=True)
+                diff = merged[merged["_merge"] != "both"]
+                print(diff.head(6).to_string())
 if json_out:
     with open(json_out, "w") as f:
         json.dump({"sf_dir": sf, "entries": report,

@@ -113,6 +113,12 @@ object Bpe {
     }
     var step = 1
     var done = false
+    // `prev` is the round's parent state, unpersisted only AFTER the next
+    // round's pair-count action has materialized `state` (r17: the former
+    // per-round `next.count()` materialization job is folded into that
+    // action — one fewer vocabulary pass per merge round, same lineage
+    // safety: the parent stays cached until its child is).
+    var prev: org.apache.spark.rdd.RDD[(Long, Array[String])] = null
     while (step <= numMerges && !done) {
       val best = state
         .flatMap { case (c, syms) =>
@@ -121,6 +127,7 @@ object Bpe {
         }
         .reduceByKey(_ + _)
         .takeOrdered(1)(ord)
+      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) done = true
       else {
         val ((l, r), c) = best.head
@@ -128,12 +135,12 @@ object Bpe {
         val next = state
           .map { case (cnt, syms) => (cnt, applyMerge(syms, l, r)) }
           .persist()
-        next.count()
-        state.unpersist()
+        prev = state
         state = next
         step += 1
       }
     }
+    if (prev != null) prev.unpersist()
     state.unpersist()
     out.toSeq
   }

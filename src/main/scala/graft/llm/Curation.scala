@@ -375,8 +375,14 @@ object Curation {
     val w = MixtureWeightsE4.toDF("lang", "w_e4")
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .join(broadcast(w), Seq("lang"))
-    val tMin = counts.agg(min(expr("n_docs * 10000 div w_e4")).as("t"))
-    counts.crossJoin(broadcast(tMin))
+    // t as a GLOBAL WINDOW min over the langs-sized counts table (r17;
+    // previously crossJoin(broadcast(counts.agg(min))) — the 1-row agg
+    // embedded a second copy of the corpus groupBy lineage, doubling the
+    // corpus passes; the single-partition window holds |langs| rows)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("t", min(expr("n_docs * 10000 div w_e4")).over(wAll))
       .withColumn("rate_e6",
         expr("least(1000000, (w_e4 * t div 10000) * 1000000 div n_docs)"))
       .select(col("lang"), col("n_docs"), col("rate_e6"))
@@ -541,8 +547,16 @@ object Curation {
       // omitted from the report by contract
       .where(col("tokens_avail") > 0)
       .withColumn("s", floor(sqrt(col("tokens_avail").cast("double"))).cast("long"))
-    val tot = avail.agg(sum(col("s")).as("sw"), sum(col("tokens_avail")).as("t"))
-    avail.crossJoin(broadcast(tot))
+    // sw/t as GLOBAL WINDOW sums over the sources-sized avail table
+    // (r17; previously crossJoin(broadcast(avail.agg(...))) — the totals
+    // aggregate embedded a second copy of the caller's corpus
+    // tokenization lineage, doubling the passes of tokenBudgetAt; the
+    // single-partition window holds |sources| rows)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    avail
+      .withColumn("sw", sum(col("s")).over(wAll))
+      .withColumn("t", sum(col("tokens_avail")).over(wAll))
       .withColumn("share_e6", expr("s * 1000000 div sw"))
       .withColumn("b", expr(s"t * $multipleE2 div 100"))
       .withColumn("tokens_want",
@@ -853,21 +867,39 @@ object Curation {
     * hash gate nondeterministically). The nll is computed once per VOCAB
     * row (not per occurrence) before the broadcast join.
     *
-    * Output: (doc_id, n_tokens, mean_nll_e6).
+    * Output: (doc_id, carry…, n_tokens, mean_nll_e6).
+    *
+    * `carry` columns (doc-level metadata like `source`/`lang`,
+    * functionally dependent on doc_id) ride the per-doc aggregate keys,
+    * so a consumer grouping scores by that metadata needs NO join back
+    * to the corpus — the r17 optimization that removed the doc-keyed
+    * dmap joins from the DoReMi and CCNet plans (one exchange keyed the
+    * same way replaces join + second exchange; identical output because
+    * the key set per doc_id is unchanged). Default Nil keeps the
+    * original plan byte-identical.
     */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val toks = docs
-      .select(col("doc_id").cast("long").as("doc_id"),
-        explode(Dedup.tokens(col("text"))).as("t"))
-    // total token count rides along as a broadcast 1-row aggregate (the
-    // tfidf pattern) — the plan stays fully lazy, no driver-side count job
-    val total = toks.agg(count(lit(1)).as("total"))
+      .select(col("doc_id").cast("long").as("doc_id") +:
+        carry.map(col) :+ explode(Dedup.tokens(col("text"))).as("t"): _*)
+    // total token count = sum(tc) as a GLOBAL WINDOW over the vocab
+    // aggregate (r17; previously a crossJoin(broadcast(toks.agg(count)))
+    // — that 1-row aggregate embedded its own copy of the tokenize+
+    // explode lineage with nothing reusable between the copies, so the
+    // corpus was tokenized THREE times per score: total, vocab, and the
+    // scoring stream. The window computes the identical count from the
+    // vocab rows themselves — one corpus pass builds the model, one
+    // scores. The single-partition window holds |vocab| rows: exactly
+    // the table the plan broadcasts two lines later, so the envelope is
+    // unchanged at any corpus size.)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("tc"))
-      .crossJoin(broadcast(total))
+      .withColumn("total", sum(col("tc")).over(wAll))
       .withColumn("nll_e6", shiftright(
         VectorExpressions.log2_fix(col("total"), col("tc")) * Log2Fix.Ln2E6, 20))
     val perToken = toks.join(broadcast(vocab.select("t", "nll_e6")), "t")
-    perToken.groupBy(col("doc_id"))
+    perToken.groupBy(col("doc_id") +: carry.map(col): _*)
       .agg(count(lit(1)).as("n_tokens"),
         // integral div, matching the oracle's `//` exactly (double `/`
         // rounds, which can differ from floor by one at large sums)
@@ -930,9 +962,10 @@ object Curation {
     * projects it down; [[qualityPairs]] consumes the label side. ONE
     * definition of the tercile arithmetic. */
   private def ccnetRanked(docs: DataFrame): DataFrame = {
-    val scored = lmScore(docs)
-      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("lang")),
-        "doc_id")
+    // lang rides the lmScore per-doc aggregate keys (r17: removes the
+    // doc-keyed join back to the corpus — lang is functionally dependent
+    // on doc_id, so the groups and scores are unchanged)
+    val scored = lmScore(docs, carry = Seq("lang"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("mean_nll_e6"), col("doc_id"))
     scored
@@ -1139,16 +1172,20 @@ object Curation {
   def decontamBloomGate(docs: DataFrame, fpp: Double = 1e-4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the gate drives five actions over the shingle streams (bloom build,
-    // two flag counts, containment, corpus size): persist the shared
-    // frames for the invocation instead of re-exploding per action
+    // r17: the gate drives THREE actions total — bench count, the bloom
+    // build, and ONE combined flag/containment/size aggregate over the
+    // corpus shingle stream (previously five: bloom-flag count, exact-flag
+    // count, containment anti-join count and corpus-size count each ran
+    // their own corpus pass over two persisted frames). bench stays
+    // persisted (three consumers); the corpus side streams once and needs
+    // no persist at all.
     val sh = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         Dedup.tokens(col("text")).as("w"))
       .select(col("doc_id"),
         explode(Dedup.shinglesFromTokens(col("w"), DecontamGram)).as("g"))
     val bench = sh.filter(col("doc_id") % 17 === 0).select("g").distinct().persist()
-    val corpus = sh.filter(col("doc_id") % 17 =!= 0).persist()
+    val corpus = sh.filter(col("doc_id") % 17 =!= 0)
 
     // Build the filter over xxhash64(g) LONGS with the distributed
     // map-side-partial/OR-merge build (stat.bloomFilter sizes to the
@@ -1173,16 +1210,28 @@ object Curation {
           org.apache.spark.sql.catalyst.expressions.Literal(bfBytes,
             org.apache.spark.sql.types.BinaryType),
           org.apache.spark.sql.GraftColumn.exprOf(xxhash64(col("g")))))
-    val bloomFlagged = corpus.filter(mightContain)
-      .select("doc_id").distinct().persist()
-    val exactFlagged = corpus.join(broadcast(bench), "g")
-      .select("doc_id").distinct().persist()
-    val nBloom = bloomFlagged.count()
-    val nExact = exactFlagged.count()
-    val missed = exactFlagged.join(bloomFlagged, Seq("doc_id"), "left_anti").count()
-    val nCorpusDocs = corpus.select("doc_id").distinct().count()
+    // one corpus pass: per-doc bloom/exact hit flags (map-side-combined
+    // max), then a 1-row rollup — nBloom/nExact/missed/nCorpusDocs are
+    // the identical doc-level counts the four separate distinct+count
+    // jobs produced (a doc is bloom-flagged iff ANY shingle probes true;
+    // exact-flagged iff ANY shingle joins bench; missed = exact ∧ ¬bloom)
+    val flags = corpus
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(max(when(mightContain, 1L).otherwise(0L)).as("bloomHit"),
+        max(coalesce(col("hit"), lit(0L))).as("exactHit"))
+    // coalesce: sum over an EMPTY corpus is null, and the empty gate must
+    // report zeros exactly as the former count() jobs did
+    val r = flags.agg(
+      coalesce(sum(col("bloomHit")), lit(0L)).as("nBloom"),
+      coalesce(sum(col("exactHit")), lit(0L)).as("nExact"),
+      coalesce(sum(when(col("exactHit") === 1L && col("bloomHit") === 0L, 1L)
+        .otherwise(0L)), lit(0L)).as("missed"),
+      count(lit(1)).as("nDocs")).head()
+    val (nBloom, nExact, missed, nCorpusDocs) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val slack = math.ceil(nCorpusDocs * 0.05).toLong + 8L
-    Seq(bloomFlagged, exactFlagged, corpus, bench).foreach(_.unpersist())
+    bench.unpersist()
     Seq(
       ("bloom_no_false_negatives", nExact, missed == 0L),
       ("bloom_flagged_docs", nExact, nBloom >= nExact && nBloom <= nExact + slack)

@@ -358,8 +358,13 @@ object Dedup {
     // in the same session as the dispatched entries and must not
     // unpersist their caches out from under the memoized pair table
     OpCaches.track("dedup.ngram.prefix", Seq(shBase, prefAgg))
-    val prefix = prefAgg.select(col("doc_id"), col("sz"), col("plen"),
-      explode(col("pref")).as("g"))
+    // posexplode: the 1-based in-prefix position feeds the join-time
+    // position filter below
+    val prefix = prefAgg
+      .select(col("doc_id"), col("sz"), col("plen"),
+        posexplode(col("pref")).as(Seq("p0", "g")))
+      .select(col("doc_id"), col("sz"), col("plen"),
+        (col("p0") + 1).as("p"), col("g"))
 
     // Candidate pairs, aggregated (NOT distinct'd) so the same shuffle
     // yields the PREFIX-OVERLAP count o per pair, which powers the
@@ -378,10 +383,28 @@ object Dedup {
       ceil(lit(threshold / (1 + threshold)) * (szA + szB) - lit(1e-9))
     val a = prefix.alias("a")
     val b = prefix.alias("b")
+    // PPJoin POSITION filter (Xiao et al. WWW'08 §3.2; r17 optimization),
+    // applied per JOIN ROW so pruned rows never reach the pair aggregate:
+    // for a common gram g at 1-based positions (pa, pb) in the two docs'
+    // (df, g)-sorted gram arrays, every OTHER common gram h is either
+    // globally < g (then it sits before pa in a AND before pb in b — at
+    // most min(pa-1, pb-1) such) or globally > g (after pa AND after pb —
+    // at most min(szA-pa, szB-pb)), so
+    //   |a ∩ b|  <=  1 + min(pa-1, pb-1) + min(szA-pa, szB-pb).
+    // A pair with J >= t needs |a ∩ b| >= alpha, so EVERY match row of a
+    // qualifying pair passes the bound — dropping failing rows is
+    // lossless (o stays exact for every pair that can qualify) and the
+    // quadratic candidate mass of degenerate-vocabulary corpora shrinks
+    // before the shuffle+aggregate instead of after it (guide §2.3:
+    // shuffle fewer bytes). Prefix positions ARE full-order positions
+    // (the prefix is a prefix of the sorted gram array).
     val cand = a.join(b,
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")).cast("double") >=
-            lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")) &&
+          least(col("a.p"), col("b.p")) + // = 1 + min(pa-1, pb-1)
+            least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >=
+            alphaOf(col("a.sz"), col("b.sz")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("o"),
         first(col("a.sz")).as("szA"), first(col("b.sz")).as("szB"),
@@ -395,6 +418,67 @@ object Dedup {
       .repartition(par, col("doc_a"), col("doc_b"))
 
     verifyExact(cand, shBase, shBase, "doc_a", "doc_b", threshold)
+  }
+
+  /** Stage-split timing hooks for [[ngramJaccardPrefix]] on the
+    * llm_dedup_ngram_ppjoin gate corpus — returns named thunks the
+    * PpjoinProbe main times one by one (dev tooling; never on a query
+    * path). Mirrors the production plan stage for stage. */
+  private[graft] def ppjoinStageProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, threshold: Double = 0.5): Seq[(String, () => Long)] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val shBase = shingleTable(docs, 2)
+    val sh = shBase.withColumn("sz", size(col("sh")))
+    val exploded = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefAgg = exploded.join(freq, "g")
+      .groupBy("doc_id")
+      .agg(first(col("sz")).as("sz"),
+        sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
+      .select(col("doc_id"), col("sz"),
+        slice(transform(col("ord"), x => x.getField("g")), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("pref"))
+      .withColumn("plen", size(col("pref")))
+      .cache()
+    OpCaches.track("dedup.ngram.prefixprobe", Seq(shBase, prefAgg))
+    val prefix = prefAgg
+      .select(col("doc_id"), col("sz"), col("plen"),
+        posexplode(col("pref")).as(Seq("p0", "g")))
+      .select(col("doc_id"), col("sz"), col("plen"),
+        (col("p0") + 1).as("p"), col("g"))
+    val alphaOf: (Column, Column) => Column = (szA, szB) =>
+      ceil(lit(threshold / (1 + threshold)) * (szA + szB) - lit(1e-9))
+    val a = prefix.alias("a")
+    val b = prefix.alias("b")
+    val joinedNoPos = a.join(b,
+      col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+    val joined = a.join(b,
+      col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")) &&
+        least(col("a.p"), col("b.p")) +
+          least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >=
+          alphaOf(col("a.sz"), col("b.sz")))
+    val cand = joined
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("o"),
+        first(col("a.sz")).as("szA"), first(col("b.sz")).as("szB"),
+        first(col("a.plen")).as("plenA"), first(col("b.plen")).as("plenB"))
+      .where(col("o") + greatest(col("szA") - col("plenA"),
+        col("szB") - col("plenB")) >= alphaOf(col("szA"), col("szB")))
+      .select(col("doc_a"), col("doc_b"))
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
+    Seq(
+      "shingleTable.count" -> (() => shBase.count()),
+      "prefAgg.count" -> (() => prefAgg.count()),
+      "joinRowsNoPosFilter.count" -> (() => joinedNoPos.count()),
+      "candJoinRows.count" -> (() => joined.count()),
+      "candPairs.count" -> (() => cand.count()),
+      "fullResult.count" ->
+        (() => verifyExact(cand, shBase, shBase, "doc_a", "doc_b", threshold).count()))
   }
 
   /** Cross-snapshot near-dedup: for each INCOMING document, its best

@@ -59,12 +59,16 @@ object DoReMi {
   val NormBits = 41
 
   def domainWeights(docs: DataFrame, counts: DataFrame): DataFrame = {
-    val dmap = docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
-    val uni = Curation.lmScore(docs).join(dmap, "doc_id")
+    // source rides the two per-doc score aggregates as a carry key (r17:
+    // source is functionally dependent on doc_id, so grouping the carried
+    // column is identical to the former dmap join — and the plan loses
+    // both doc-keyed joins plus their corpus re-scans; one exchange keyed
+    // the same way replaces join + second exchange, guide §2.4)
+    val uni = Curation.lmScore(docs, carry = Seq("source"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(mean_nll_e6) div count(1)").as("uni_nll_e6"))
-    val bi = Mining.lm2Score(docs, counts).join(dmap, "doc_id")
+    val bi = Mining.lm2Score(docs, counts, carry = Seq("source"))
       .groupBy("source")
       .agg(expr("sum(mean_nll2_e6) div count(1)").as("bi_nll_e6"))
     // inner join: a source with no >=2-token docs carries no proxy
@@ -76,13 +80,23 @@ object DoReMi {
         expr(s"excess_e6 * $EtaE2 * 1048576 div ${100L * Log2Fix.Ln2E6}"))
       .withColumn("w_e20", VectorExpressions.exp2_fix(col("x20")))
       .where(col("w_e20").isNotNull)
-    val mx = ew.agg(max("w_e20").as("mx"))
-    val wr = ew.crossJoin(broadcast(mx))
+    // The max-shift and softmax total are GLOBAL WINDOW aggregates over
+    // the sources-sized ew table (r17; previously two crossJoin(broadcast
+    // (agg)) references — each embedded its own copy of ew's two-corpus-
+    // pass lineage with no exchange reuse in the plan, so the LM scoring
+    // pipelines were planned up to 3x). The unpartitioned window is the
+    // bounded-global-window pattern (zipf/vocab_growth): ew is
+    // low-cardinality by contract (one row per source), so the single
+    // partition holds |sources| rows at any corpus size. Integer algebra
+    // identical — only the plan shape changed.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ew
       .withColumn("sh",
-        greatest(lit(0), length(bin(col("mx"))) - 1 - NormBits))
+        greatest(lit(0), length(bin(max(col("w_e20")).over(wAll))) - 1 - NormBits))
       .withColumn("wr", expr("shiftright(w_e20, sh)"))
-    val tot = wr.agg(sum("wr").as("t"))
-    wr.crossJoin(broadcast(tot))
+      .withColumn("t", sum(col("wr")).over(wAll))
       .select(col("source"), col("n_docs"), col("uni_nll_e6"),
         col("bi_nll_e6"), col("excess_e6"),
         expr("wr * 1000000 div t").as("weight_e6"))

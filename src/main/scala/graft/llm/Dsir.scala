@@ -102,9 +102,19 @@ object Dsir {
     * not candidates (an empty doc carries no distributional evidence). */
   def select(docs: DataFrame): DataFrame = {
     val counts = bucketCounts(docs)
-    val totals = counts.agg(sum("cp").as("tp"), sum("cq").as("tq"))
+    // TP/TQ as GLOBAL WINDOW sums over the [[Buckets]]-bounded count
+    // table (r17; previously a crossJoin(broadcast(counts.agg(...))) —
+    // that totals aggregate embedded a second copy of the whole hashed-
+    // feature corpus pass with nothing reusable between the copies, so
+    // the corpus was tokenized+hashed THREE times per select instead of
+    // the documented two). The window's single partition holds at most
+    // [[Buckets]] rows at any corpus size.
+    val wAll = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val lr = counts
-      .crossJoin(broadcast(totals))
+      .withColumn("tp", sum(col("cp")).over(wAll))
+      .withColumn("tq", sum(col("cq")).over(wAll))
       .select(col("b"),
         (slog2(col("cp") + 1, col("cq") + 1) +
           slog2(col("tq") + Buckets, col("tp") + Buckets)).as("lr20"))

@@ -247,7 +247,8 @@ object Mining {
     * grams. The corpus streams once into ONE doc-keyed aggregate and
     * shuffles only (doc_id, partial-sum) rows.
     * Output: (doc_id, n_bigrams, mean_nll2_e6). */
-  def lm2Score(docs: DataFrame, counts: DataFrame): DataFrame = {
+  def lm2Score(docs: DataFrame, counts: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val ucnt = counts.where(col("k") === "u").select(col("g").as("t"), col("c"))
     val vsize = ucnt.agg(count(lit(1)).as("v"))
     val nll = counts.where(col("k") === "b")
@@ -267,14 +268,18 @@ object Mining {
         VectorExpressions.log2_fix(col("c") + col("v"), lit(1L)) *
           Log2Fix.Ln2E6, 20))
       .select(col("t").as("x"), col("floor_e6"))
+    // carry: doc-level metadata columns riding the per-doc aggregate
+    // keys (see lmScore — removes the consumer's doc-keyed join back to
+    // the corpus; default Nil keeps the original plan byte-identical)
     docs
-      .select(col("doc_id").cast("long").as("doc_id"),
-        Dedup.tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(bigramSeq(col("w"))).as("g"))
+      .select(col("doc_id").cast("long").as("doc_id") +:
+        carry.map(col) :+ Dedup.tokens(col("text")).as("w"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        explode(bigramSeq(col("w"))).as("g"): _*)
       .withColumn("x", split(col("g"), " ").getItem(0))
       .join(broadcast(nll), Seq("g"), "left")
       .join(broadcast(floorTbl), "x")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id") +: carry.map(col): _*)
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(coalesce(nll_e6, floor_e6)) div count(1)").as("mean_nll2_e6"))
   }

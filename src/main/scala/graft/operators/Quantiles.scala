@@ -61,15 +61,24 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(col(valCol).cast("long").as("v")).filter(col("v").isNotNull)
-    // n is a driver-side scalar so ranks enter the plan as literals; the
-    // count and the histogram are the operator's only corpus passes
-    val n = v.count()
     val hist = v.groupBy("v").agg(count(lit(1)).as("c"))
     val cum = PrefixSum.cumBefore(hist, "v", "c") // (v, c, cum_before)
-    val qk = qsE4.map(q => (q, kOf(q, n))).toDF("q_e4", "k")
-    cum.join(broadcast(qk),
-        col("cum_before") < col("k") && col("k") <= col("cum_before") + col("c"))
-      .select(col("q_e4"), lit(n).as("n"), col("k"), col("v").as("value"))
+    // n = sum(c) as a GLOBAL WINDOW over the distinct-value-sized
+    // histogram (r17; previously a driver-side v.count() — an extra
+    // corpus pass run eagerly at plan-construction time just to inline
+    // the ranks as literals). Same integer rank contract, evaluated
+    // per histogram row exactly as groupedOrderStats already does; the
+    // single-partition window holds one row per distinct value — the
+    // operator's documented state bound.
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val qdf = qsE4.map(Tuple1(_)).toDF("q_e4")
+    cum
+      .withColumn("n", sum(col("c")).over(wAll))
+      .join(broadcast(qdf))
+      .withColumn("k", kColExpr("q_e4", "n"))
+      .filter(col("cum_before") < col("k") && col("k") <= col("cum_before") + col("c"))
+      .select(col("q_e4"), col("n"), col("k"), col("v").as("value"))
   }
 
   /** Per-group order statistic at one quantile: one row per group —

@@ -57,11 +57,22 @@ object TimeSeries {
     val e = events
       .select(col(keyCol), col(tsCol), col(ordCol), col(valCol))
       .withColumn("__b", expr(s"$tsCol div $bucketWidth"))
+    val act = e.groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        expr(s"max_by($valCol, struct($tsCol, $ordCol))").as("__lastv"))
+    // r17: the grid derives from ACT (the (key, bucket) aggregate the
+    // join consumes anyway), not from a second aggregate over the raw
+    // event stream — both references of act share an identical exchange
+    // subtree, so the planner's exchange reuse executes the corpus
+    // aggregate ONCE and the grid side becomes aggregate-sized work
+    // (before: grid ran its own corpus-wide groupBy/distinct next to
+    // act's, two full passes over the event stream). Key/bound sets are
+    // unchanged: a key (or bucket) appears in act iff it has an event.
     val grid = bounds match {
       case PerKeyBounds =>
-        // one (key → min,max) aggregate feeds the explode — no driver agg,
-        // and a sparse key cannot blow up to the global span
-        e.groupBy(col(keyCol))
+        // per-key (min,max) over act's buckets — no driver agg, and a
+        // sparse key cannot blow up to the global span
+        act.groupBy(col(keyCol))
           .agg(min("__b").as("__kb0"), max("__b").as("__kb1"))
           .select(col(keyCol),
             explode(sequence(col("__kb0"), col("__kb1"))).as("__b"))
@@ -71,9 +82,12 @@ object TimeSeries {
         require(b0 <= b1, s"FixedBounds requires b0 <= b1, got [$b0, $b1]")
         // keys are nominated by IN-WINDOW events only — a key whose events
         // all fall outside [b0,b1] must not emit a padded all-empty grid
-        e.filter(col("__b").between(b0, b1)).select(col(keyCol)).distinct()
+        act.filter(col("__b").between(b0, b1)).select(col(keyCol)).distinct()
           .select(col(keyCol), explode(sequence(lit(b0), lit(b1))).as("__b"))
       case GlobalBounds =>
+        // the bounds head() stays a narrow two-long aggregate over e: it
+        // is its own eager job (cross-job exchange reuse does not exist),
+        // so the cheap single-column scan beats recomputing act for it
         val gb = e.agg(min("__b"), max("__b")).head()
         if (gb.isNullAt(0))
           // empty-input schema must match the non-empty one, including the
@@ -85,13 +99,10 @@ object TimeSeries {
               org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false),
               org.apache.spark.sql.types.StructField("v_ff", events.schema(valCol).dataType))))
-        e.select(col(keyCol)).distinct()
+        act.select(col(keyCol)).distinct()
           .select(col(keyCol),
             explode(sequence(lit(gb.getLong(0)), lit(gb.getLong(1)))).as("__b"))
     }
-    val act = e.groupBy(col(keyCol), col("__b"))
-      .agg(count(lit(1)).as("__n"),
-        expr(s"max_by($valCol, struct($tsCol, $ordCol))").as("__lastv"))
     val w = Window.partitionBy(keyCol).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(act, Seq(keyCol, "__b"), "left_outer")

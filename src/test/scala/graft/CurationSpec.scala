@@ -504,12 +504,17 @@ class CurationSpec extends AnyFunSuite {
 
   test("tokenBudget plan: one sources-sized aggregate, corpus never joins wide") {
     val plan = Curation.tokenBudget(docs).queryExecution.executedPlan.toString
-    // the totals ride back as a broadcast 1-row cross — the corpus side
-    // must never reach a sort-merge join or a Window
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"totals must broadcast-cross:\n$plan")
+    // r17: the sw/t totals ride as a GLOBAL WINDOW over the sources-sized
+    // aggregate (they replaced a crossJoin(broadcast(agg)) that re-planned
+    // the corpus tokenization a second time). The Window must consume the
+    // aggregate's output — i.e. sit ABOVE the HashAggregate in the
+    // top-down print — and the corpus side must never reach a sort-merge
+    // join or a corpus-wide window.
+    val winAt = plan.indexOf("Window")
+    val aggAt = plan.indexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt >= 0 && winAt < aggAt,
+      s"the totals window must consume the sources-sized aggregate:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no SMJ expected:\n$plan")
-    assert(!plan.contains("Window"), s"no window expected:\n$plan")
   }
 
   test("tokenBudget: corpus invariants — budget respected, √-damping holds") {

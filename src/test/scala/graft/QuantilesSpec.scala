@@ -76,19 +76,26 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.size == rows.map(_._1).distinct.size, "exactly one row per group")
   }
 
-  test("plan shape: orderStats has no window and no corpus-wide sort node") {
+  test("plan shape: orderStats windows only the histogram, no corpus-wide sort") {
     // the whole point vs `row_number() OVER (ORDER BY v)` / exact
     // `percentile`: rank resolution must run on the histogram via the
-    // two-pass prefix sum, never as a single-task global window
+    // two-pass prefix sum, never as a single-task window/sort over the
+    // CORPUS. r17: n rides as a global window over the prefix-summed
+    // histogram (distinct-value-sized — it replaced an eager corpus-wide
+    // count() job), so a Window node IS expected, but it must consume
+    // the prefix-sum lineage (the Scan[obj] RDD boundary), i.e. sit
+    // ABOVE it in the top-down plan print.
     val xs = (0 until 1000).map(i => (i % 37).toLong)
     val plan = Quantiles.orderStats(xs.toDF("v"), "v", Seq(5000L))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"unexpected Window node:\n$plan")
-    // rank resolution joins the tiny (q,k) table via broadcast against the
-    // prefix-summed histogram (which enters through PrefixSum's RDD
-    // lineage boundary — the Scan[obj] below the join); a plan that
-    // sorted/windowed the corpus here would put those nodes above it
-    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("Scan[obj"),
+    val winAt = plan.indexOf("Window")
+    val scanAt = plan.indexOf("Scan[obj")
+    assert(winAt >= 0 && scanAt >= 0 && winAt < scanAt,
+      s"the n-window must consume the prefix-summed histogram:\n$plan")
+    // rank resolution joins the tiny q table via broadcast against the
+    // prefix-summed histogram; a plan that sorted/windowed the corpus
+    // here would put those nodes above it
+    assert(plan.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast rank join over the prefix-sum lineage:\n$plan")
   }
 

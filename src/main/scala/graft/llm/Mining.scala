@@ -1480,23 +1480,39 @@ object Mining {
     import org.apache.spark.sql.expressions.Window
     val wc = docs.select(explode(Dedup.tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val tot = wc.agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"))
+    // r17: n/vocab ride as GLOBAL WINDOW aggregates over the vocab table
+    // and into the top-N rows (previously a crossJoin(broadcast(wc.agg))
+    // whose 1-row aggregate re-planned the whole corpus tokenize+count
+    // pass — two corpus passes for one diagnostic). The single-partition
+    // window holds |vocab| rows — the operator's documented state bound,
+    // orders of magnitude under the corpus at any scale.
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wct = wc
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("vocab", count(lit(1)).over(wAll))
     // ties at the cut break toward the lexicographically smaller word —
     // pinned so the oracle selects the identical row set
-    val top = wc.orderBy(col("c").desc, col("t")).limit(ZipfTopN)
+    val top = wct.orderBy(col("c").desc, col("t")).limit(ZipfTopN)
       .withColumn("r",
         row_number().over(Window.orderBy(col("c").desc, col("t"))).cast("long"))
     val x = shiftright(VectorExpressions.log2_fix(col("r"), lit(1L)), 11)
     val y = shiftright(VectorExpressions.log2_fix(col("c"), lit(1L)), 11)
-    val reg = top.select(col("c"), col("r"), x.as("x"), y.as("y"))
+    val reg = top.select(col("c"), col("r"), col("n"), col("vocab"),
+        x.as("x"), y.as("y"))
       .agg(count(lit(1)).as("k"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(when(col("r") <= 10, col("c")).otherwise(lit(0L))).as("m10"),
         sum(when(col("r") <= 100, col("c")).otherwise(lit(0L))).as("m100"),
-        sum(col("c")).as("mtop"))
-    reg.crossJoin(broadcast(tot))
+        sum(col("c")).as("mtop"),
+        // totals are constant across the top rows (window-carried);
+        // coalesce(vocab, 0) preserves the former empty-corpus row shape
+        // (count() = 0, sum() = null) exactly
+        first(col("n")).as("n"),
+        coalesce(first(col("vocab")), lit(0L)).as("vocab"))
+    reg
       .withColumn("num", expr("k * sxy - sx * sy"))
       .withColumn("den", expr("nullif(k * sxx - sx * sx, 0)"))
       .select(col("vocab"), col("n").as("total_tokens"),

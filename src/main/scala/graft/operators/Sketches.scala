@@ -29,39 +29,54 @@ import graft.Tables.{fx, load}
 object Sketches {
 
   def gate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val ev = load(spark, dir, "events")
     val li = load(spark, dir, "lineitem")
 
-    // one pass per table: exact + sketch in the same aggregate
-    val users = ev.agg(
-      countDistinct(col("user_id")).as("exact"),
-      approx_count_distinct(col("user_id"), 0.05).as("approx"))
-      .select(lit("hll_users").as("variant"), col("exact").cast("long").as("exact"),
-        (abs(col("approx") - col("exact")) <= col("exact") * 0.10).as("meets_bound"))
-
-    val parts = li.agg(
-      countDistinct(col("l_partkey")).as("exact"),
-      approx_count_distinct(col("l_partkey"), 0.05).as("approx"))
-      .select(lit("hll_parts").as("variant"), col("exact").cast("long").as("exact"),
-        (abs(col("approx") - col("exact")) <= col("exact") * 0.10).as("meets_bound"))
-
-    // quantiles on the INTEGERIZED value (fx e2) so the exact side is
-    // engine-portable: interpolation lands on .0/.5 exactly in doubles.
-    val q = ev.select(fx(col("value"), 2).cast("long").as("v"))
+    // r17: ONE aggregate per table, collected to two 1-row results, and
+    // the four gate rows built from the collected values. Before, the
+    // users row and the two quantile rows each selected from their own
+    // events aggregate, and the lazy union re-planned the corpus
+    // aggregate per branch (three event scans; exchange reuse does not
+    // dedupe across union branches with different projections) — the
+    // sketch/exact values are identical, computed in the same aggregate
+    // expressions, just evaluated once. Quantiles stay on the
+    // INTEGERIZED value (fx e2) so the exact side is engine-portable:
+    // interpolation lands on .0/.5 exactly in doubles.
+    val evRow = ev.select(col("user_id"), fx(col("value"), 2).cast("long").as("v"))
       .agg(
+        countDistinct(col("user_id")).cast("long").as("uexact"),
+        approx_count_distinct(col("user_id"), 0.05).as("uapprox"),
         expr("percentile(v, 0.5)").as("ex50"),
         expr("percentile(v, 0.99)").as("ex99"),
         expr("approx_percentile(v, 0.5, 10000)").as("ap50"),
         expr("approx_percentile(v, 0.99, 10000)").as("ap99"))
-    def qrow(name: String, ex: String, ap: String) =
-      q.select(lit(name).as("variant"),
-        floor(col(ex) + 0.5).cast("long").as("exact"),
-        (abs(col(ap) - col(ex)) <= greatest(lit(1.0), col(ex) * 0.01)).as("meets_bound"))
-
-    users.unionByName(parts)
-      .unionByName(qrow("p50_value_e2", "ex50", "ap50"))
-      .unionByName(qrow("p99_value_e2", "ex99", "ap99"))
+      .head()
+    val liRow = li.agg(
+      countDistinct(col("l_partkey")).cast("long").as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx"))
+      .head()
+    def hllRow(name: String, exact: Long, approx: Long) =
+      (name, exact, math.abs(approx - exact) <= exact * 0.10)
+    def qRow(name: String, ex: Double, ap: Double) =
+      (name, math.floor(ex + 0.5).toLong,
+        math.abs(ap - ex) <= math.max(1.0, ex * 0.01))
+    Seq(
+      hllRow("hll_users", evRow.getLong(0), evRow.getLong(1)),
+      hllRow("hll_parts", liRow.getLong(0), liRow.getLong(1)),
+      qRow("p50_value_e2", evRow.getDouble(2), getNum(evRow, 4)),
+      qRow("p99_value_e2", evRow.getDouble(3), getNum(evRow, 5))
+    ).toDF("variant", "exact", "meets_bound")
   }
+
+  /** approx_percentile over longs returns a long; read it as a double
+    * for the bound arithmetic regardless of the planner's chosen type. */
+  private def getNum(r: org.apache.spark.sql.Row, i: Int): Double =
+    r.get(i) match {
+      case l: java.lang.Long => l.toDouble
+      case d: java.lang.Double => d
+      case x => x.toString.toDouble
+    }
 
   /** Heavy hitters via Count-Min Sketch, accuracy-gated against exact
     * counts.
@@ -83,12 +98,15 @@ object Sketches {
     val exact = toks.groupBy("t").agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("t").asc).limit(k).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val skBytes = toks
-      .select(expr(s"count_min_sketch(t, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
-      .head.getAs[Array[Byte]](0)
+    // r17: the stream length rides the sketch aggregate (one pass over
+    // the persisted token stream instead of a separate count() job)
+    val skRow = toks
+      .agg(expr(s"count_min_sketch(t, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
+        .as("sk"), count(lit(1)).as("n"))
+      .head()
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skBytes))
-    val n = toks.count()
+      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+    val n = skRow.getLong(1)
     toks.unpersist()
     val bound = math.ceil(eps * n).toLong
     exact.toSeq.map { case (term, cnt) =>

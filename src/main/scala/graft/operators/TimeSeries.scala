@@ -60,19 +60,21 @@ object TimeSeries {
     val act = e.groupBy(col(keyCol), col("__b"))
       .agg(count(lit(1)).as("__n"),
         expr(s"max_by($valCol, struct($tsCol, $ordCol))").as("__lastv"))
-    // r17: the grid derives from ACT (the (key, bucket) aggregate the
-    // join consumes anyway), not from a second aggregate over the raw
-    // event stream — both references of act share an identical exchange
-    // subtree, so the planner's exchange reuse executes the corpus
-    // aggregate ONCE and the grid side becomes aggregate-sized work
-    // (before: grid ran its own corpus-wide groupBy/distinct next to
-    // act's, two full passes over the event stream). Key/bound sets are
-    // unchanged: a key (or bucket) appears in act iff it has an event.
+    // r17 note — a one-corpus-pass form was attempted and REVERTED: the
+    // grid cannot share act's exchange. Deriving the grid from act via
+    // groupBy(key) collapses (min/max are duplicate-insensitive, so the
+    // optimizer rewrites the two-level aggregate into an independent
+    // corpus aggregate), and deriving it via per-key windows survives
+    // rewriting but column pruning narrows the grid-side copy of act to
+    // keys-only — a DIFFERENT subtree, so ReuseExchange never fires and
+    // the window only added an exchange+sort (plan-verified both ways).
+    // Two passes — one narrow (key/ts) for the grid, one full for act —
+    // are this operator's practical floor without materializing act.
     val grid = bounds match {
       case PerKeyBounds =>
-        // per-key (min,max) over act's buckets — no driver agg, and a
-        // sparse key cannot blow up to the global span
-        act.groupBy(col(keyCol))
+        // one (key → min,max) aggregate feeds the explode — no driver agg,
+        // and a sparse key cannot blow up to the global span
+        e.groupBy(col(keyCol))
           .agg(min("__b").as("__kb0"), max("__b").as("__kb1"))
           .select(col(keyCol),
             explode(sequence(col("__kb0"), col("__kb1"))).as("__b"))
@@ -82,12 +84,9 @@ object TimeSeries {
         require(b0 <= b1, s"FixedBounds requires b0 <= b1, got [$b0, $b1]")
         // keys are nominated by IN-WINDOW events only — a key whose events
         // all fall outside [b0,b1] must not emit a padded all-empty grid
-        act.filter(col("__b").between(b0, b1)).select(col(keyCol)).distinct()
+        e.filter(col("__b").between(b0, b1)).select(col(keyCol)).distinct()
           .select(col(keyCol), explode(sequence(lit(b0), lit(b1))).as("__b"))
       case GlobalBounds =>
-        // the bounds head() stays a narrow two-long aggregate over e: it
-        // is its own eager job (cross-job exchange reuse does not exist),
-        // so the cheap single-column scan beats recomputing act for it
         val gb = e.agg(min("__b"), max("__b")).head()
         if (gb.isNullAt(0))
           // empty-input schema must match the non-empty one, including the
@@ -99,7 +98,7 @@ object TimeSeries {
               org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false),
               org.apache.spark.sql.types.StructField("v_ff", events.schema(valCol).dataType))))
-        act.select(col(keyCol)).distinct()
+        e.select(col(keyCol)).distinct()
           .select(col(keyCol),
             explode(sequence(lit(gb.getLong(0)), lit(gb.getLong(1)))).as("__b"))
     }

@@ -270,9 +270,16 @@ object Analytics {
       }
       gated.groupBy(col("user_id")).agg(min(col("tus")).as("t"))
     }
-    val s1 = stage("click", None)
-    val s2 = stage("view", Some(s1))
+    // r17: s1/s2 are PERSISTED (user-sized min-aggregates, the
+    // production checkpoint a staged funnel writes): each feeds both the
+    // next stage's gate and its own count row, and uncached the lazy
+    // union re-planned the whole upstream chain per reference — the
+    // event table was scanned 6x (click 3x, view 2x, purchase 1x)
+    // instead of once per stage. Counts and gating are unchanged.
+    val s1 = stage("click", None).persist()
+    val s2 = stage("view", Some(s1)).persist()
     val s3 = stage("purchase", Some(s2))
+    graft.llm.OpCaches.track("analytics.q19funnel", Seq(s1, s2))
     Seq(("1_click", s1), ("2_view", s2), ("3_purchase", s3))
       .map { case (name, df) => df.agg(count(lit(1)).as("n"))
         .select(lit(name).as("stage"), col("n").as("n_users")) }

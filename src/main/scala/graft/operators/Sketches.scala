@@ -33,20 +33,25 @@ object Sketches {
     val ev = load(spark, dir, "events")
     val li = load(spark, dir, "lineitem")
 
-    // r17: ONE aggregate per table, collected to two 1-row results, and
-    // the four gate rows built from the collected values. Before, the
-    // users row and the two quantile rows each selected from their own
-    // events aggregate, and the lazy union re-planned the corpus
-    // aggregate per branch (three event scans; exchange reuse does not
-    // dedupe across union branches with different projections) — the
-    // sketch/exact values are identical, computed in the same aggregate
-    // expressions, just evaluated once. Quantiles stay on the
-    // INTEGERIZED value (fx e2) so the exact side is engine-portable:
-    // interpolation lands on .0/.5 exactly in doubles.
-    val evRow = ev.select(col("user_id"), fx(col("value"), 2).cast("long").as("v"))
+    // r17: one aggregate per (table, aggregate class), collected to
+    // 1-row results, and the four gate rows built from the collected
+    // values. Before, the users row and the two quantile rows each
+    // selected from their own events aggregate and the lazy union
+    // re-planned the corpus aggregate per branch (three event scans;
+    // exchange reuse does not dedupe across union branches with
+    // different projections). The distinct-count and percentile
+    // aggregates stay SEPARATE on purpose: fusing countDistinct with
+    // percentile in one agg forces an Expand that duplicates every
+    // event row per aggregate group (measured 3x slower than the two
+    // plain aggregates). Quantiles stay on the INTEGERIZED value
+    // (fx e2) so the exact side is engine-portable: interpolation lands
+    // on .0/.5 exactly in doubles.
+    val uRow = ev.agg(
+      countDistinct(col("user_id")).cast("long").as("exact"),
+      approx_count_distinct(col("user_id"), 0.05).as("approx"))
+      .head()
+    val qRowV = ev.select(fx(col("value"), 2).cast("long").as("v"))
       .agg(
-        countDistinct(col("user_id")).cast("long").as("uexact"),
-        approx_count_distinct(col("user_id"), 0.05).as("uapprox"),
         expr("percentile(v, 0.5)").as("ex50"),
         expr("percentile(v, 0.99)").as("ex99"),
         expr("approx_percentile(v, 0.5, 10000)").as("ap50"),
@@ -62,10 +67,10 @@ object Sketches {
       (name, math.floor(ex + 0.5).toLong,
         math.abs(ap - ex) <= math.max(1.0, ex * 0.01))
     Seq(
-      hllRow("hll_users", evRow.getLong(0), evRow.getLong(1)),
+      hllRow("hll_users", uRow.getLong(0), uRow.getLong(1)),
       hllRow("hll_parts", liRow.getLong(0), liRow.getLong(1)),
-      qRow("p50_value_e2", evRow.getDouble(2), getNum(evRow, 4)),
-      qRow("p99_value_e2", evRow.getDouble(3), getNum(evRow, 5))
+      qRow("p50_value_e2", qRowV.getDouble(0), getNum(qRowV, 2)),
+      qRow("p99_value_e2", qRowV.getDouble(1), getNum(qRowV, 3))
     ).toDF("variant", "exact", "meets_bound")
   }
 

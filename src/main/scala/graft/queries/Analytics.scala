@@ -628,10 +628,16 @@ object Analytics {
   private[graft] def histogramFrom(ev: DataFrame): DataFrame = {
     val e = ev.filter(col("v").isNotNull)
     val b = HistBuckets
+    // r17: bounds PERSISTED — it feeds both the bucket counts (broadcast
+    // join) and the spine, and uncached each reference re-planned the
+    // corpus-wide min/max aggregate (3 corpus scans; the types-sized
+    // table costs nothing to hold)
     val bounds = e.groupBy(col("event_type"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .withColumn("width",
         expr(s"greatest(1L, (mx - mn + $b - 1) div $b)"))
+      .persist()
+    graft.llm.OpCaches.track("analytics.q28bounds", Seq(bounds))
     // clamp: when the span divides B exactly, mx would index bucket B —
     // the boundary value belongs to the LAST bucket, not off the end
     val counts = e.join(broadcast(bounds), "event_type")

@@ -345,13 +345,18 @@ object Dedup {
     // Cached pre-explode (compact: one array row per doc) — it feeds BOTH
     // sides of the candidate self-join, which would otherwise recompute the
     // freq join + sort aggregation twice (plan-verified).
+    // lastp = the doc's LAST prefix element as its (df, g) struct — the
+    // global-total-order key the side-aware suffix bound below compares
+    // (r17; one small struct column riding the cached table)
     val prefAgg = exploded.join(freq, "g")
       .groupBy("doc_id")
       .agg(first(col("sz")).as("sz"),
         sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
       .select(col("doc_id"), col("sz"),
         slice(transform(col("ord"), x => x.getField("g")), lit(1),
-          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("pref"))
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("pref"),
+        element_at(col("ord"),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("lastp"))
       .withColumn("plen", size(col("pref")))
       .cache()
     // distinct key from the bitset path's: the forced-prefix gate runs
@@ -361,9 +366,9 @@ object Dedup {
     // posexplode: the 1-based in-prefix position feeds the join-time
     // position filter below
     val prefix = prefAgg
-      .select(col("doc_id"), col("sz"), col("plen"),
+      .select(col("doc_id"), col("sz"), col("plen"), col("lastp"),
         posexplode(col("pref")).as(Seq("p0", "g")))
-      .select(col("doc_id"), col("sz"), col("plen"),
+      .select(col("doc_id"), col("sz"), col("plen"), col("lastp"),
         (col("p0") + 1).as("p"), col("g"))
 
     // Candidate pairs, aggregated (NOT distinct'd) so the same shuffle
@@ -408,9 +413,20 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("o"),
         first(col("a.sz")).as("szA"), first(col("b.sz")).as("szB"),
-        first(col("a.plen")).as("plenA"), first(col("b.plen")).as("plenB"))
-      .where(col("o") + greatest(col("szA") - col("plenA"),
-        col("szB") - col("plenB")) >= alphaOf(col("szA"), col("szB")))
+        first(col("a.plen")).as("plenA"), first(col("b.plen")).as("plenB"),
+        first(col("a.lastp")).as("lastA"), first(col("b.lastp")).as("lastB"))
+      // SIDE-AWARE suffix bound (r17): the docstring argument above says
+      // every common shingle beyond the o prefix matches lies in the
+      // suffix of the side whose last prefix element is globally
+      // smallest — with lastp carried per doc we can now USE that side's
+      // slack instead of the conservative max over both (ties: either
+      // side's slack is a valid bound, the identical gram is in both
+      // prefixes). Measured on the sf0.1 gate corpus: 584,019 → 297,956
+      // candidates (−49%) entering the exact verify, prune lossless by
+      // the same argument as before.
+      .where(col("o") + when(col("lastA") <= col("lastB"),
+          col("szA") - col("plenA")).otherwise(col("szB") - col("plenB")) >=
+        alphaOf(col("szA"), col("szB")))
       .select(col("doc_a"), col("doc_b"))
       // explicit fan-out: candidate pairs are tiny in BYTES but heavy in
       // per-row verify CPU, so AQE's byte-based coalescing would fold the
@@ -471,14 +487,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .repartition(spark.sparkContext.defaultParallelism,
         col("doc_a"), col("doc_b"))
+    // side-aware o-bound candidate count (probe-only): the suffix slack
+    // of the side whose LAST prefix element is globally smaller, instead
+    // of max over both sides — measures how much the tighter classical
+    // bound would cut verify input on this corpus before any production
+    // change is made
+    val prefAgg2 = exploded.join(freq, "g")
+      .groupBy("doc_id")
+      .agg(first(col("sz")).as("sz"),
+        sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
+      .select(col("doc_id"), col("sz"),
+        slice(transform(col("ord"), x => x.getField("g")), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("pref"),
+        element_at(col("ord"),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")).as("lastp"))
+      .withColumn("plen", size(col("pref")))
+    val prefix2 = prefAgg2
+      .select(col("doc_id"), col("sz"), col("plen"), col("lastp"),
+        posexplode(col("pref")).as(Seq("p0", "g")))
+      .select(col("doc_id"), col("sz"), col("plen"), col("lastp"),
+        (col("p0") + 1).as("p"), col("g"))
+    val a2 = prefix2.alias("a")
+    val b2 = prefix2.alias("b")
+    val candTight = a2.join(b2,
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")) &&
+          least(col("a.p"), col("b.p")) +
+            least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >=
+            alphaOf(col("a.sz"), col("b.sz")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("o"),
+        first(col("a.sz")).as("szA"), first(col("b.sz")).as("szB"),
+        first(col("a.plen")).as("plenA"), first(col("b.plen")).as("plenB"),
+        first(col("a.lastp")).as("lastA"), first(col("b.lastp")).as("lastB"))
+      .where(col("o") + when(col("lastA") <= col("lastB"),
+          col("szA") - col("plenA")).otherwise(col("szB") - col("plenB")) >=
+        alphaOf(col("szA"), col("szB")))
     Seq(
       "shingleTable.count" -> (() => shBase.count()),
       "prefAgg.count" -> (() => prefAgg.count()),
       "joinRowsNoPosFilter.count" -> (() => joinedNoPos.count()),
       "candJoinRows.count" -> (() => joined.count()),
       "candPairs.count" -> (() => cand.count()),
+      "candPairsTightBound.count" -> (() => candTight.count()),
+      // mirrors production (the side-aware bound feeds the verify)
       "fullResult.count" ->
-        (() => verifyExact(cand, shBase, shBase, "doc_a", "doc_b", threshold).count()))
+        (() => verifyExact(candTight.select(col("doc_a"), col("doc_b"))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("doc_a"), col("doc_b")),
+          shBase, shBase, "doc_a", "doc_b", threshold).count()))
   }
 
   /** Cross-snapshot near-dedup: for each INCOMING document, its best

@@ -33,55 +33,42 @@ object Sketches {
     val ev = load(spark, dir, "events")
     val li = load(spark, dir, "lineitem")
 
-    // r17: one aggregate per (table, aggregate class), collected to
-    // 1-row results, and the four gate rows built from the collected
-    // values. Before, the users row and the two quantile rows each
-    // selected from their own events aggregate and the lazy union
-    // re-planned the corpus aggregate per branch (three event scans;
-    // exchange reuse does not dedupe across union branches with
-    // different projections). The distinct-count and percentile
-    // aggregates stay SEPARATE on purpose: fusing countDistinct with
-    // percentile in one agg forces an Expand that duplicates every
-    // event row per aggregate group (measured 3x slower than the two
-    // plain aggregates). Quantiles stay on the INTEGERIZED value
-    // (fx e2) so the exact side is engine-portable: interpolation lands
-    // on .0/.5 exactly in doubles.
-    val uRow = ev.agg(
-      countDistinct(col("user_id")).cast("long").as("exact"),
-      approx_count_distinct(col("user_id"), 0.05).as("approx"))
-      .head()
-    val qRowV = ev.select(fx(col("value"), 2).cast("long").as("v"))
+    // r17: three 1-row aggregates crossJoined and STACKED into the four
+    // gate rows — one lazy action, each aggregate's corpus lineage
+    // planned exactly once (before, the users row and the two quantile
+    // rows each selected from their own events aggregate and the lazy
+    // union re-planned the corpus aggregate per branch: three event
+    // scans). The distinct-count and percentile aggregates stay SEPARATE
+    // on purpose: fusing countDistinct with percentile in one agg forces
+    // an Expand that duplicates every event row per aggregate group
+    // (measured 3x slower); and the 1-row aggregates stay LAZY on
+    // purpose: collecting them as separate eager jobs traded the saved
+    // scan for three job dispatches (also measured slower at gate
+    // scale). Quantiles stay on the INTEGERIZED value (fx e2) so the
+    // exact side is engine-portable: interpolation lands on .0/.5
+    // exactly in doubles.
+    val u = ev.agg(
+      countDistinct(col("user_id")).cast("long").as("uexact"),
+      approx_count_distinct(col("user_id"), 0.05).as("uapprox"))
+    val q = ev.select(fx(col("value"), 2).cast("long").as("v"))
       .agg(
         expr("percentile(v, 0.5)").as("ex50"),
         expr("percentile(v, 0.99)").as("ex99"),
         expr("approx_percentile(v, 0.5, 10000)").as("ap50"),
         expr("approx_percentile(v, 0.99, 10000)").as("ap99"))
-      .head()
-    val liRow = li.agg(
-      countDistinct(col("l_partkey")).cast("long").as("exact"),
-      approx_count_distinct(col("l_partkey"), 0.05).as("approx"))
-      .head()
-    def hllRow(name: String, exact: Long, approx: Long) =
-      (name, exact, math.abs(approx - exact) <= exact * 0.10)
-    def qRow(name: String, ex: Double, ap: Double) =
-      (name, math.floor(ex + 0.5).toLong,
-        math.abs(ap - ex) <= math.max(1.0, ex * 0.01))
-    Seq(
-      hllRow("hll_users", uRow.getLong(0), uRow.getLong(1)),
-      hllRow("hll_parts", liRow.getLong(0), liRow.getLong(1)),
-      qRow("p50_value_e2", qRowV.getDouble(0), getNum(qRowV, 2)),
-      qRow("p99_value_e2", qRowV.getDouble(1), getNum(qRowV, 3))
-    ).toDF("variant", "exact", "meets_bound")
+    val p = li.agg(
+      countDistinct(col("l_partkey")).cast("long").as("pexact"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("papprox"))
+    u.crossJoin(q).crossJoin(p).selectExpr(
+      """stack(4,
+        |  'hll_users', uexact, abs(uapprox - uexact) <= uexact * 0.10,
+        |  'hll_parts', pexact, abs(papprox - pexact) <= pexact * 0.10,
+        |  'p50_value_e2', cast(floor(ex50 + 0.5) as bigint),
+        |    abs(ap50 - ex50) <= greatest(1.0D, ex50 * 0.01),
+        |  'p99_value_e2', cast(floor(ex99 + 0.5) as bigint),
+        |    abs(ap99 - ex99) <= greatest(1.0D, ex99 * 0.01)
+        |) as (variant, exact, meets_bound)""".stripMargin)
   }
-
-  /** approx_percentile over longs returns a long; read it as a double
-    * for the bound arithmetic regardless of the planner's chosen type. */
-  private def getNum(r: org.apache.spark.sql.Row, i: Int): Double =
-    r.get(i) match {
-      case l: java.lang.Long => l.toDouble
-      case d: java.lang.Double => d
-      case x => x.toString.toDouble
-    }
 
   /** Heavy hitters via Count-Min Sketch, accuracy-gated against exact
     * counts.

@@ -157,13 +157,22 @@ object Bench {
       }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"warm_total_sec":$warmTotal,"warm_reps":$reps,$spread"families_build_cost":$famJson,"errors":$errs,"store_build_sec":$buildSec,"store_build_cold":$storeBuildCold,"sf":"$sfDir"}"""
     println(line)
-    // The round driver keeps only the tail of sbt output, which has truncated
-    // the per-query map in past rounds; persist the full line as an artifact
-    // (path overridable for local runs).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // The round driver keeps only the LAST 2000 chars of sbt output; the full
+    // line above (~13 KB: two 184-entry maps) has therefore never been
+    // parseable by the driver (BENCH_r01..r17 all have parsed:null) — the
+    // tail window starts mid-line inside families_build_cost. Persist the
+    // full line as an artifact keyed by core count (the driver's 8-core
+    // scaling run used to overwrite the 32-core capture at a constant path),
+    // and print a COMPACT summary as the FINAL stdout line (<500 bytes:
+    // totals/sentinels only, no per-query maps) so the tail window always
+    // contains one parseable JSON line. Additions only: the full line, its
+    // keys, the timed region and the reduce are unchanged.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_full_c$cpus.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench artifact write failed: $e") }
+    val cpusJson = cpus.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_total_sec":$warmTotal,"warm_reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"store_build_sec":$buildSec,"store_build_cold":$storeBuildCold,"cpus":$cpusJson,"sf":"$sfDir","full_artifact":"$outPath"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

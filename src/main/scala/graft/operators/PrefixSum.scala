@@ -30,7 +30,19 @@ object PrefixSum {
     * any other input column is dropped; join the result back on `orderCol`
     * (unique by contract) to re-attach them. */
   def cumBefore(df: DataFrame, orderCol: String, valCol: String,
-      outCol: String = "cum_before", partitions: Int = 0): DataFrame = {
+      outCol: String = "cum_before", partitions: Int = 0): DataFrame =
+    cumBeforeWithTotal(df, orderCol, valCol, outCol, partitions)._1
+
+  /** [[cumBefore]] plus the GRAND TOTAL of `valCol`, for free: pass 1
+    * already collects the per-partition subtotals to the driver to build
+    * the offsets, and the exclusive scan's last element IS the global
+    * sum. Callers that would otherwise attach the total as an
+    * unpartitioned `sum() OVER ()` window — which funnels the whole
+    * (distinct-value-sized, unbounded-growth) input into ONE task, the
+    * exact anti-pattern this operator exists to avoid — inline it as a
+    * literal instead (r18; the Quantiles.orderStats consumer). */
+  def cumBeforeWithTotal(df: DataFrame, orderCol: String, valCol: String,
+      outCol: String = "cum_before", partitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = if (partitions > 0) partitions
@@ -51,12 +63,12 @@ object PrefixSum {
     val offsets = sums.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     // pass 2: stream each partition adding its offset
-    base.rdd
+    (base.rdd
       .mapPartitionsWithIndex { case (i, it) =>
         var run = bc.value(i)
         it.map { case (k, v) => val before = run; run += v; (k, v, before) }
       }
-      .toDF(orderCol, valCol, outCol)
+      .toDF(orderCol, valCol, outCol), offsets.last)
   }
 
   /** `outCol` = sum of `valCol` over rows of the SAME `groupCol` value

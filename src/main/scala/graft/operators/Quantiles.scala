@@ -62,19 +62,17 @@ object Quantiles {
     import spark.implicits._
     val v = df.select(col(valCol).cast("long").as("v")).filter(col("v").isNotNull)
     val hist = v.groupBy("v").agg(count(lit(1)).as("c"))
-    val cum = PrefixSum.cumBefore(hist, "v", "c") // (v, c, cum_before)
-    // n = sum(c) as a GLOBAL WINDOW over the distinct-value-sized
-    // histogram (r17; previously a driver-side v.count() — an extra
-    // corpus pass run eagerly at plan-construction time just to inline
-    // the ranks as literals). Same integer rank contract, evaluated
-    // per histogram row exactly as groupedOrderStats already does; the
-    // single-partition window holds one row per distinct value — the
-    // operator's documented state bound.
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
+    // n rides out of the prefix sum's OWN pass-1 driver collect (r18):
+    // the exclusive scan's last offset IS sum(c), so n costs nothing —
+    // no extra corpus pass (the r17 concern that introduced a window
+    // here) and no unpartitioned `sum() OVER ()` window funneling the
+    // distinct-value histogram into one task (the ADVICE r17 concern:
+    // for near-unique long values the histogram approaches corpus
+    // size). Same integer rank contract, n now a literal.
+    val (cum, n) = PrefixSum.cumBeforeWithTotal(hist, "v", "c") // (v, c, cum_before)
     val qdf = qsE4.map(Tuple1(_)).toDF("q_e4")
     cum
-      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("n", lit(n))
       .join(broadcast(qdf))
       .withColumn("k", kColExpr("q_e4", "n"))
       .filter(col("cum_before") < col("k") && col("k") <= col("cum_before") + col("c"))

@@ -29,7 +29,6 @@ import graft.Tables.{fx, load}
 object Sketches {
 
   def gate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val ev = load(spark, dir, "events")
     val li = load(spark, dir, "lineitem")
 

@@ -279,6 +279,10 @@ object Analytics {
     val s1 = stage("click", None).persist()
     val s2 = stage("view", Some(s1)).persist()
     val s3 = stage("purchase", Some(s2))
+    // retention until the NEXT invocation re-tracks is intended (the
+    // repo-wide OpCaches convention): the returned union is lazy, so the
+    // caches must outlive this call; the user-sized tables are the
+    // session's standing funnel checkpoint, re-read by warm re-runs
     graft.llm.OpCaches.track("analytics.q19funnel", Seq(s1, s2))
     Seq(("1_click", s1), ("2_view", s2), ("3_purchase", s3))
       .map { case (name, df) => df.agg(count(lit(1)).as("n"))
@@ -637,6 +641,8 @@ object Analytics {
       .withColumn("width",
         expr(s"greatest(1L, (mx - mn + $b - 1) div $b)"))
       .persist()
+    // session-lifetime retention (until re-tracked) intended — see the
+    // q19funnel note; bounds is types-sized, a few rows
     graft.llm.OpCaches.track("analytics.q28bounds", Seq(bounds))
     // clamp: when the span divides B exactly, mx would index bucket B —
     // the boundary value belongs to the LAST bucket, not off the end

@@ -310,6 +310,24 @@ class MiningSpec extends AnyFunSuite {
     assert(out(4L) == ((8L, "")), s"the full copy must cut to empty: $out")
   }
 
+  test("dup spans / cut: a PERSISTED hotGramOwners table yields identical verdicts (the shared-stage shape the entries run)") {
+    val shared = "v w x y z"
+    val rows = Seq(
+      (1L, s"a1 b1 c1 $shared d1 e1 f1"),
+      (2L, s"a2 b2 $shared c2 d2 e2 f2"),
+      (3L, "m n o p q r s t"),
+      (4L, "m n o p q r s t"),
+      (5L, "u1 u2 u3 u4 u5 u6"))
+    val docs = mkDocs(rows)
+    val hot = Mining.hotGramOwners(docs).persist()
+    try {
+      assert(Mining.dupSpans(docs, hot).collect().toSet ==
+        Mining.dupSpans(docs).collect().toSet)
+      assert(Mining.dupSpanCut(docs, hot).collect().toSet ==
+        Mining.dupSpanCut(docs).collect().toSet)
+    } finally { hot.unpersist(); () }
+  }
+
   // -------------------------------------------------------- fuzzyDecontam
 
   test("fuzzy decontam: identical cross-boundary docs hit at 10000; sub-threshold pairs don't") {

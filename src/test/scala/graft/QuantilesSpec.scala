@@ -76,22 +76,25 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.size == rows.map(_._1).distinct.size, "exactly one row per group")
   }
 
-  test("plan shape: orderStats windows only the histogram, no corpus-wide sort") {
+  test("plan shape: orderStats resolves ranks on the histogram with NO window at all") {
     // the whole point vs `row_number() OVER (ORDER BY v)` / exact
     // `percentile`: rank resolution must run on the histogram via the
     // two-pass prefix sum, never as a single-task window/sort over the
-    // CORPUS. r17: n rides as a global window over the prefix-summed
-    // histogram (distinct-value-sized — it replaced an eager corpus-wide
-    // count() job), so a Window node IS expected, but it must consume
-    // the prefix-sum lineage (the Scan[obj] RDD boundary), i.e. sit
-    // ABOVE it in the top-down plan print.
+    // CORPUS. r18: n is inlined as a LITERAL from the prefix sum's own
+    // pass-1 driver collect (its exclusive scan's last offset IS
+    // sum(c)), so the plan must contain the prefix-sum lineage (the
+    // Scan[obj] RDD boundary), the literal n, and NO Window node
+    // anywhere — the r17 global n-window over the histogram was itself
+    // a single-task funnel for near-unique value columns (ADVICE r17).
     val xs = (0 until 1000).map(i => (i % 37).toLong)
     val plan = Quantiles.orderStats(xs.toDF("v"), "v", Seq(5000L))
       .queryExecution.executedPlan.toString
-    val winAt = plan.indexOf("Window")
-    val scanAt = plan.indexOf("Scan[obj")
-    assert(winAt >= 0 && scanAt >= 0 && winAt < scanAt,
-      s"the n-window must consume the prefix-summed histogram:\n$plan")
+    assert(plan.contains("Scan[obj"),
+      s"rank resolution must consume the prefix-summed histogram:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window of any kind may remain in the orderStats plan:\n$plan")
+    assert(plan.contains("1000 AS n"),
+      s"n must be inlined as a literal from the prefix-sum collect:\n$plan")
     // rank resolution joins the tiny q table via broadcast against the
     // prefix-summed histogram; a plan that sorted/windowed the corpus
     // here would put those nodes above it
